@@ -1,0 +1,129 @@
+package graft.queries
+
+import graft.{QueryDef, QueryModule, Tables}
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.2 projection/filter/predicates + the flagship §7 Step-1
+  * pricing summary. All plans are scan→filter→(agg)→sort; Catalyst
+  * pushes the filters and pruned columns into the parquet scan, and the
+  * aggregate runs partial+final (map-side combine) — no extra shuffle
+  * beyond the single groupBy exchange, which is the minimal plan at any
+  * scale.
+  */
+object Relational extends QueryModule {
+
+  /** TPC-H Q1 analog: full scan of the fact table, 2-key hash
+    * aggregate. At 100 TB this is the canonical map-side-combine
+    * pattern: partial HashAggregate per input partition, tiny shuffle
+    * (|groups| = 6 rows per partition), final aggregate.
+    */
+  val pricingSummary = QueryDef(
+    "q_pricing_summary",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("2000-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          round(avg(col("l_extendedprice")), 4).as("avg_price"),
+          round(avg(col("l_discount")), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus")),
+    Some("""
+      SELECT l_returnflag, l_linestatus,
+             round(sum(l_quantity), 2) AS sum_qty,
+             round(sum(l_extendedprice), 2) AS sum_base_price,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+             round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+             round(avg(l_quantity), 4) AS avg_qty,
+             round(avg(l_extendedprice), 4) AS avg_price,
+             round(avg(l_discount), 4) AS avg_disc,
+             count(*) AS count_order
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus
+    """))
+
+  /** Predicate kitchen sink: BETWEEN, IN, LIKE, IS NOT NULL, boolean
+    * algebra. All six predicates reach the parquet scan as
+    * PushedFilters (verified via explain), so row groups that can't
+    * match are skipped at the reader.
+    */
+  val filterPredicates = QueryDef(
+    "q_filter_predicates",
+    (s, d) =>
+      Tables.part(s, d)
+        .filter(col("p_size").between(10, 40)
+          && col("p_type").like("PROMO%")
+          && col("p_brand").isin("Brand#1", "Brand#2", "Brand#3")
+          && col("p_retailprice").isNotNull
+          && (col("p_retailprice") > 500.0 || col("p_size") < 20))
+        .select(col("p_partkey"), col("p_name"), col("p_brand"),
+          col("p_type"), col("p_size"))
+        .orderBy(col("p_partkey")),
+    Some("""
+      SELECT p_partkey, p_name, p_brand, p_type, p_size
+      FROM part
+      WHERE p_size BETWEEN 10 AND 40
+        AND p_type LIKE 'PROMO%'
+        AND p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')
+        AND p_retailprice IS NOT NULL
+        AND (p_retailprice > 500.0 OR p_size < 20)
+      ORDER BY p_partkey
+    """))
+
+  /** Conditional expressions: CASE WHEN, coalesce, nullif,
+    * greatest/least. Pure projection — stays inside one
+    * WholeStageCodegen span over the scan.
+    */
+  val conditionalExpr = QueryDef(
+    "q_conditional",
+    (s, d) =>
+      Tables.orders(s, d)
+        .select(
+          col("o_orderkey"),
+          when(col("o_orderstatus") === "F", "fulfilled")
+            .when(col("o_orderstatus") === "O", "open")
+            .otherwise("pending").as("status_label"),
+          coalesce(nullif(col("o_orderpriority"), lit("4-NOT SPECIFIED")),
+            lit("none")).as("priority_or_none"),
+          round(greatest(col("o_totalprice"), lit(1000.0)), 2).as("price_floor"),
+          round(least(col("o_totalprice"), lit(100000.0)), 2).as("price_cap"))
+        .orderBy(col("o_orderkey")),
+    Some("""
+      SELECT o_orderkey,
+             CASE WHEN o_orderstatus = 'F' THEN 'fulfilled'
+                  WHEN o_orderstatus = 'O' THEN 'open'
+                  ELSE 'pending' END AS status_label,
+             coalesce(nullif(o_orderpriority, '4-NOT SPECIFIED'), 'none') AS priority_or_none,
+             round(greatest(o_totalprice, 1000.0), 2) AS price_floor,
+             round(least(o_totalprice, 100000.0), 2) AS price_cap
+      FROM orders
+      ORDER BY o_orderkey
+    """))
+
+  /** DISTINCT projection → partial+final hash aggregate on the two
+    * columns; output cardinality is |segments|×|nations|, so the
+    * shuffle is tiny regardless of input scale.
+    */
+  val distinctProjection = QueryDef(
+    "q_distinct",
+    (s, d) =>
+      Tables.customer(s, d)
+        .select(col("c_mktsegment"), col("c_nationkey"))
+        .dropDuplicates(Seq("c_mktsegment", "c_nationkey"))
+        .orderBy(col("c_mktsegment"), col("c_nationkey")),
+    Some("""
+      SELECT DISTINCT c_mktsegment, c_nationkey
+      FROM customer
+      ORDER BY c_mktsegment, c_nationkey
+    """))
+
+  def defs: Seq[QueryDef] =
+    Seq(pricingSummary, filterPredicates, conditionalExpr, distinctProjection)
+}
