@@ -11,6 +11,10 @@ object SparkEntry {
   /** All implemented modules. Order is stable; names must be unique. */
   def modules: Seq[QueryModule] = Seq(
     q.Relational,
+    q.Joins,
+    q.Aggregations,
+    q.Windows,
+    q.SetOps,
   )
 
   def all: Seq[QueryDef] = {

@@ -1,0 +1,260 @@
+package graft.queries
+
+import graft.{QueryDef, QueryModule, Tables}
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.4 aggregation inventory. All group-bys here are
+  * partial+final HashAggregate (map-side combine) — the shuffle moves
+  * only |groups| rows per input partition, so every query scales
+  * linearly in input and constant in shuffle.
+  */
+object Aggregations extends QueryModule {
+
+  /** Global (no-key) aggregate: single-row result, all-partial. */
+  val aggGlobal = QueryDef(
+    "q_agg_global",
+    (s, d) =>
+      Tables.lineitem(s, d).agg(
+        count(lit(1)).as("row_count"),
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(avg(col("l_extendedprice")), 4).as("avg_price"),
+        min(col("l_quantity")).as("min_qty"),
+        max(col("l_quantity")).as("max_qty"),
+        countDistinct(col("l_suppkey")).as("supplier_count")),
+    Some("""
+      SELECT count(*) AS row_count,
+             round(sum(l_quantity), 2) AS sum_qty,
+             round(avg(l_extendedprice), 4) AS avg_price,
+             min(l_quantity) AS min_qty,
+             max(l_quantity) AS max_qty,
+             count(DISTINCT l_suppkey) AS supplier_count
+      FROM lineitem
+    """))
+
+  /** Exact COUNT DISTINCT per group (expand rewrite inside Spark). */
+  val countDistinctQ = QueryDef(
+    "q_count_distinct",
+    (s, d) =>
+      Tables.orders(s, d)
+        .groupBy(col("o_orderstatus"))
+        .agg(countDistinct(col("o_custkey")).as("distinct_customers"),
+          count(lit(1)).as("order_count"))
+        .orderBy(col("o_orderstatus")),
+    Some("""
+      SELECT o_orderstatus, count(DISTINCT o_custkey) AS distinct_customers,
+             count(*) AS order_count
+      FROM orders
+      GROUP BY o_orderstatus
+      ORDER BY o_orderstatus
+    """))
+
+  /** HLL++ approximate distinct — sketch-based, mergeable, the
+    * at-scale replacement for exact distinct. Approximate ⇒ no oracle
+    * (driver records rows-only), per SparkEntry contract.
+    */
+  val approxDistinct = QueryDef(
+    "q_approx_count_distinct",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"))
+        .orderBy(col("l_returnflag")),
+    None)
+
+  /** ROLLUP subtotal lattice; gid computed portably as
+    * grouping(a)*2+grouping(b) (engine-native grouping_id bit orders
+    * differ). NULLS FIRST pinned on both sides (Spark default asc is
+    * nulls-first, DuckDB's is nulls-last).
+    */
+  val rollupQ = QueryDef(
+    "q_rollup",
+    (s, d) =>
+      Tables.orders(s, d)
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("cnt"),
+          round(sum(col("o_totalprice")), 2).as("total"),
+          (grouping(col("o_orderstatus")).cast("long") * 2
+            + grouping(col("o_orderpriority")).cast("long")).as("gid"))
+        .orderBy(col("gid"),
+          col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first),
+    Some("""
+      SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+             round(sum(o_totalprice), 2) AS total,
+             CAST(grouping(o_orderstatus) AS BIGINT) * 2
+               + CAST(grouping(o_orderpriority) AS BIGINT) AS gid
+      FROM orders
+      GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+      ORDER BY gid, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+    """))
+
+  /** CUBE over the two lineitem flags. */
+  val cubeQ = QueryDef(
+    "q_cube",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("cnt"),
+          round(sum(col("l_quantity")), 2).as("qty"),
+          (grouping(col("l_returnflag")).cast("long") * 2
+            + grouping(col("l_linestatus")).cast("long")).as("gid"))
+        .orderBy(col("gid"),
+          col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first),
+    Some("""
+      SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+             round(sum(l_quantity), 2) AS qty,
+             CAST(grouping(l_returnflag) AS BIGINT) * 2
+               + CAST(grouping(l_linestatus) AS BIGINT) AS gid
+      FROM lineitem
+      GROUP BY CUBE (l_returnflag, l_linestatus)
+      ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
+    """))
+
+  /** Explicit GROUPING SETS via the SQL entry point (exercises Spark's
+    * SQL parser path alongside the DataFrame DSL used elsewhere).
+    */
+  val groupingSetsQ = QueryDef(
+    "q_grouping_sets",
+    (s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders_gs_v")
+      s.sql("""
+        SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+               CAST(grouping(o_orderstatus) AS BIGINT) * 2
+                 + CAST(grouping(o_orderpriority) AS BIGINT) AS gid
+        FROM orders_gs_v
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY gid, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+      """)
+    },
+    Some("""
+      SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+             CAST(grouping(o_orderstatus) AS BIGINT) * 2
+               + CAST(grouping(o_orderpriority) AS BIGINT) AS gid
+      FROM orders
+      GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+      ORDER BY gid, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+    """))
+
+  /** Filtered aggregates: count/sum restricted by per-aggregate
+    * predicates (FILTER clause ≡ count(CASE WHEN)).
+    */
+  val aggFiltered = QueryDef(
+    "q_agg_filtered",
+    (s, d) =>
+      Tables.orders(s, d)
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          count(when(col("o_orderpriority") === "1-URGENT", lit(1))).as("urgent_count"),
+          count(when(col("o_orderpriority") === "5-LOW", lit(1))).as("low_count"),
+          round(sum(when(col("o_totalprice") > 100000.0, col("o_totalprice"))), 2).as("big_total"))
+        .orderBy(col("o_orderstatus")),
+    Some("""
+      SELECT o_orderstatus,
+             count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS urgent_count,
+             count(*) FILTER (WHERE o_orderpriority = '5-LOW') AS low_count,
+             round(sum(o_totalprice) FILTER (WHERE o_totalprice > 100000.0), 2) AS big_total
+      FROM orders
+      GROUP BY o_orderstatus
+      ORDER BY o_orderstatus
+    """))
+
+  /** arg-max/arg-min: value carried by the extreme of a UNIQUE
+    * ordering column (event_id) — uniqueness makes the result
+    * deterministic, which ties on a non-unique orderer would not be.
+    */
+  val maxByQ = QueryDef(
+    "q_max_by",
+    (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(max_by(col("event_type"), col("event_id")).as("latest_type"),
+          min_by(col("event_type"), col("event_id")).as("earliest_type"),
+          count(lit(1)).as("event_count"))
+        .orderBy(col("user_id")),
+    Some("""
+      SELECT user_id, arg_max(event_type, event_id) AS latest_type,
+             arg_min(event_type, event_id) AS earliest_type,
+             count(*) AS event_count
+      FROM events
+      GROUP BY user_id
+      ORDER BY user_id
+    """))
+
+  /** collect_list / collect_set, array_sort-ed then joined to a string
+    * on both sides for a canonical, hash-stable representation.
+    */
+  val collectQ = QueryDef(
+    "q_collect_list",
+    (s, d) =>
+      Tables.events(s, d)
+        .filter(col("user_id") < 50)
+        .groupBy(col("user_id"))
+        .agg(
+          array_join(array_sort(collect_list(col("event_type"))), ",").as("all_types"),
+          array_join(array_sort(collect_set(col("event_type"))), ",").as("distinct_types"))
+        .orderBy(col("user_id")),
+    Some("""
+      SELECT user_id,
+             array_to_string(list_sort(list(event_type)), ',') AS all_types,
+             array_to_string(list_sort(list(DISTINCT event_type)), ',') AS distinct_types
+      FROM events
+      WHERE user_id < 50
+      GROUP BY user_id
+      ORDER BY user_id
+    """))
+
+  /** Statistical aggregates: sample stddev/variance, correlation,
+    * covariance. round(4) absorbs accumulation-order noise.
+    */
+  val statsQ = QueryDef(
+    "q_stats",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(stddev_samp(col("l_quantity")), 4).as("qty_stddev"),
+          round(var_samp(col("l_quantity")), 4).as("qty_var"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("qty_price_corr"),
+          round(covar_samp(col("l_discount"), col("l_tax")), 6).as("disc_tax_covar"))
+        .orderBy(col("l_returnflag")),
+    Some("""
+      SELECT l_returnflag,
+             round(stddev_samp(l_quantity), 4) AS qty_stddev,
+             round(var_samp(l_quantity), 4) AS qty_var,
+             round(corr(l_quantity, l_extendedprice), 4) AS qty_price_corr,
+             round(covar_samp(l_discount, l_tax), 6) AS disc_tax_covar
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag
+    """))
+
+  /** Exact interpolated percentiles (Spark `percentile` ≡ DuckDB
+    * `quantile_cont`). The approx sketch variant is
+    * q_approx_count_distinct's territory; exact percentile is the
+    * oracle-able form.
+    */
+  val percentileQ = QueryDef(
+    "q_percentile",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_quantity, 0.25)"), 4).as("qty_p25"),
+          round(expr("percentile(l_quantity, 0.5)"), 4).as("qty_median"),
+          round(expr("percentile(l_extendedprice, 0.9)"), 4).as("price_p90"))
+        .orderBy(col("l_returnflag")),
+    Some("""
+      SELECT l_returnflag,
+             round(quantile_cont(l_quantity, 0.25), 4) AS qty_p25,
+             round(quantile_cont(l_quantity, 0.5), 4) AS qty_median,
+             round(quantile_cont(l_extendedprice, 0.9), 4) AS price_p90
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag
+    """))
+
+  def defs: Seq[QueryDef] = Seq(
+    aggGlobal, countDistinctQ, approxDistinct, rollupQ, cubeQ,
+    groupingSetsQ, aggFiltered, maxByQ, collectQ, statsQ, percentileQ)
+}

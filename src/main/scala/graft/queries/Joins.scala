@@ -1,0 +1,277 @@
+package graft.queries
+
+import graft.{QueryDef, QueryModule, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.3 join inventory. Scale notes per query in Scaladoc:
+  * every fact-side join shuffles on its equi-key (sort-merge or
+  * shuffled-hash chosen by Catalyst/AQE); dimension sides small enough
+  * to replicate are broadcast explicitly so the fact table never
+  * shuffles for them.
+  */
+object Joins extends QueryModule {
+
+  /** Inner equi-join fact⋈orders, then reduce. The join shuffles both
+    * sides on orderkey once; the subsequent groupBy on a tiny key is a
+    * second small shuffle after partial aggregation.
+    */
+  val joinInner = QueryDef(
+    "q_join_inner",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d).filter(col("o_orderstatus") === "F"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("line_count"),
+          round(sum(col("l_extendedprice")), 2).as("total_price"))
+        .orderBy(col("o_orderpriority")),
+    Some("""
+      SELECT o_orderpriority, count(*) AS line_count,
+             round(sum(l_extendedprice), 2) AS total_price
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderstatus = 'F'
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority
+    """))
+
+  /** LEFT OUTER: every customer, with 0 for the orderless. count()
+    * over the join is partial-aggregatable; at scale this is the
+    * standard "left join then count child rows" reduction.
+    */
+  val joinLeft = QueryDef(
+    "q_join_left",
+    (s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d),
+          col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("order_count"),
+          round(coalesce(sum(col("o_totalprice")), lit(0.0)), 2).as("total_spend"))
+        .orderBy(col("c_custkey")),
+    Some("""
+      SELECT c_custkey, count(o_orderkey) AS order_count,
+             round(coalesce(sum(o_totalprice), 0.0), 2) AS total_spend
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey
+      ORDER BY c_custkey
+    """))
+
+  /** RIGHT OUTER written right-side-preserving in Spark; oracle uses
+    * the flipped LEFT JOIN (same semantics).
+    */
+  val joinRight = QueryDef(
+    "q_join_right",
+    (s, d) =>
+      Tables.orders(s, d)
+        .join(Tables.customer(s, d),
+          col("o_custkey") === col("c_custkey"), "right")
+        .groupBy(col("c_nationkey"))
+        .agg(countDistinct(col("c_custkey")).as("customers"),
+          count(col("o_orderkey")).as("orders"))
+        .orderBy(col("c_nationkey")),
+    Some("""
+      SELECT c_nationkey, count(DISTINCT c_custkey) AS customers,
+             count(o_orderkey) AS orders
+      FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+      GROUP BY c_nationkey
+      ORDER BY c_nationkey
+    """))
+
+  /** FULL OUTER on two pre-aggregated sides (supplier-nations vs
+    * customer-nations). Aggregating before the join keeps both join
+    * inputs at |nations| cardinality — the at-scale pattern for outer
+    * joins between summaries.
+    */
+  val joinFull = QueryDef(
+    "q_join_full",
+    (s, d) => {
+      val sup = Tables.supplier(s, d).groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("supplier_count"))
+      val cus = Tables.customer(s, d).groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("customer_count"))
+      sup.join(cus, col("s_nationkey") === col("c_nationkey"), "full")
+        .select(
+          coalesce(col("s_nationkey"), col("c_nationkey")).as("nationkey"),
+          coalesce(col("supplier_count"), lit(0L)).as("supplier_count"),
+          coalesce(col("customer_count"), lit(0L)).as("customer_count"))
+        .orderBy(col("nationkey"))
+    },
+    Some("""
+      SELECT coalesce(s_nationkey, c_nationkey) AS nationkey,
+             coalesce(supplier_count, 0) AS supplier_count,
+             coalesce(customer_count, 0) AS customer_count
+      FROM (SELECT s_nationkey, count(*) AS supplier_count FROM supplier GROUP BY s_nationkey) s
+      FULL JOIN (SELECT c_nationkey, count(*) AS customer_count FROM customer GROUP BY c_nationkey) c
+        ON s_nationkey = c_nationkey
+      ORDER BY nationkey
+    """))
+
+  /** LEFT SEMI (EXISTS rewrite): customers with at least one open
+    * order. Semi join never duplicates the left side, so no
+    * post-join distinct is needed — cheaper than inner+distinct at
+    * any scale.
+    */
+  val joinSemi = QueryDef(
+    "q_join_semi",
+    (s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d).filter(col("o_orderstatus") === "O"),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey")),
+    Some("""
+      SELECT c_custkey, c_name
+      FROM customer c
+      WHERE EXISTS (SELECT 1 FROM orders o
+                    WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+      ORDER BY c_custkey
+    """))
+
+  /** LEFT ANTI (NOT EXISTS rewrite): customers with no pending order. */
+  val joinAnti = QueryDef(
+    "q_join_anti",
+    (s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d).filter(col("o_orderstatus") === "P"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+        .orderBy(col("c_custkey")),
+    Some("""
+      SELECT c_custkey, c_name, c_mktsegment
+      FROM customer c
+      WHERE NOT EXISTS (SELECT 1 FROM orders o
+                        WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
+      ORDER BY c_custkey
+    """))
+
+  /** CROSS JOIN of two tiny dimensions (5×5). Only sane when at least
+    * one side is broadcastable; anything larger should be a theta/equi
+    * join instead.
+    */
+  val joinCross = QueryDef(
+    "q_join_cross",
+    (s, d) =>
+      Tables.region(s, d)
+        .crossJoin(Tables.customer(s, d).select(col("c_mktsegment")).distinct())
+        .select(col("r_regionkey"), col("r_name"), col("c_mktsegment"))
+        .orderBy(col("r_regionkey"), col("c_mktsegment")),
+    Some("""
+      SELECT r_regionkey, r_name, c_mktsegment
+      FROM region CROSS JOIN (SELECT DISTINCT c_mktsegment FROM customer) seg
+      ORDER BY r_regionkey, c_mktsegment
+    """))
+
+  /** Theta/range join: equi on orderkey PLUS an inequality band
+    * (shipped >60 days after order). The equi component keeps the
+    * physical plan a hash/merge join at scale — the range predicate is
+    * evaluated as a post-join filter, never a BNL.
+    */
+  val joinThetaRange = QueryDef(
+    "q_join_theta",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d),
+          col("l_orderkey") === col("o_orderkey")
+            && col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("late_lines"),
+          round(avg(datediff(col("l_shipdate"), col("o_orderdate"))), 4).as("avg_lag_days"))
+        .orderBy(col("o_orderpriority")),
+    Some("""
+      SELECT o_orderpriority, count(*) AS late_lines,
+             round(avg(date_diff('day', o_orderdate, l_shipdate)), 4) AS avg_lag_days
+      FROM lineitem JOIN orders
+        ON l_orderkey = o_orderkey
+       AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority
+    """))
+
+  /** As-of join: for each purchase event, the most recent click/view
+    * by the same user strictly before it. Implemented as the
+    * single-pass union+window rewrite (tag both streams, last_value
+    * IGNORE NULLS over an unbounded-preceding frame) — one shuffle on
+    * user_id, no range self-join, linear at 100 TB. This is the
+    * scalable as-of pattern; a per-row range join would be quadratic
+    * per key.
+    */
+  val joinAsOf = QueryDef(
+    "q_join_asof",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .filter(col("event_type").isin("purchase", "click", "view"))
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+          when(col("event_type") =!= "purchase", col("event_id")).as("c_id"),
+          when(col("event_type") =!= "purchase", col("ts")).as("c_ts"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      ev.withColumn("last_click_id", last(col("c_id"), ignoreNulls = true).over(w))
+        .withColumn("last_click_ts", last(col("c_ts"), ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("last_click_id"), col("last_click_ts"))
+        .orderBy(col("purchase_id"))
+    },
+    Some("""
+      SELECT purchase_id, user_id, last_click_id, last_click_ts
+      FROM (
+        SELECT event_id AS purchase_id, user_id, event_type,
+               last_value(CASE WHEN event_type <> 'purchase' THEN event_id END IGNORE NULLS)
+                 OVER w AS last_click_id,
+               last_value(CASE WHEN event_type <> 'purchase' THEN CAST(ts AS TIMESTAMP) END IGNORE NULLS)
+                 OVER w AS last_click_ts
+        FROM events
+        WHERE event_type IN ('purchase', 'click', 'view')
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      )
+      WHERE event_type = 'purchase'
+      ORDER BY purchase_id
+    """))
+
+  /** Multi-way star join (TPC-H Q5 analog): fact → orders → customer
+    * plus broadcast nation/region. The two sub-25-row dims are
+    * explicitly broadcast so the big tables only shuffle on their
+    * fact keys; Catalyst reorders the rest.
+    */
+  val joinStar = QueryDef(
+    "q_join_star",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp")
+          && col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      val c = Tables.customer(s, d)
+      val n = broadcast(Tables.nation(s, d))
+      val r = broadcast(Tables.region(s, d).filter(col("r_name").isin("ASIA", "EUROPE")))
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(n, col("c_nationkey") === col("n_nationkey"))
+        .join(r, col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("line_count"))
+        .orderBy(col("r_name"), col("n_name"))
+    },
+    Some("""
+      SELECT r_name, n_name,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+             count(*) AS line_count
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation   ON c_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+      WHERE r_name IN ('ASIA', 'EUROPE')
+        AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY r_name, n_name
+      ORDER BY r_name, n_name
+    """))
+
+  def defs: Seq[QueryDef] = Seq(
+    joinInner, joinLeft, joinRight, joinFull, joinSemi, joinAnti,
+    joinCross, joinThetaRange, joinAsOf, joinStar)
+}

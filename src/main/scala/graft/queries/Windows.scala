@@ -1,0 +1,170 @@
+package graft.queries
+
+import graft.{QueryDef, QueryModule, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.5 window-function inventory. Each window spec shuffles
+  * once on its partition key then sorts within partitions — at scale
+  * the partition key must be high-cardinality (user_id, custkey) so no
+  * single partition dominates; all specs here satisfy that.
+  *
+  * Determinism: row_number/ntile/lag/lead order by a UNIQUE composite
+  * (ties would be nondeterministic); rank/dense_rank may order by a
+  * non-unique key because ties produce equal (deterministic) outputs.
+  */
+object Windows extends QueryModule {
+
+  /** Ranking family: row_number, rank, dense_rank, ntile. */
+  val windowRank = QueryDef(
+    "q_window_rank",
+    (s, d) => {
+      val unique = Window.partitionBy(col("c_nationkey"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      val byBal = Window.partitionBy(col("c_nationkey"))
+        .orderBy(col("c_acctbal").desc)
+      Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_nationkey"),
+          row_number().over(unique).as("rn"),
+          rank().over(byBal).as("rnk"),
+          dense_rank().over(byBal).as("drnk"),
+          ntile(4).over(unique).as("quartile"))
+        .orderBy(col("c_custkey"))
+    },
+    Some("""
+      SELECT c_custkey, c_nationkey,
+             row_number() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rn,
+             rank()       OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC) AS rnk,
+             dense_rank() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC) AS drnk,
+             ntile(4)     OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS quartile
+      FROM customer
+      ORDER BY c_custkey
+    """))
+
+  /** Analytic family: lag, lead, first_value, last_value (full frame). */
+  val windowAnalytic = QueryDef(
+    "q_window_analytic",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"),
+          lag(col("value"), 1).over(w).as("prev_value"),
+          lead(col("value"), 1).over(w).as("next_value"),
+          first(col("event_type")).over(full).as("first_type"),
+          last(col("event_type")).over(full).as("last_type"))
+        .orderBy(col("event_id"))
+    },
+    Some("""
+      SELECT event_id, user_id,
+             lag(value, 1)  OVER w AS prev_value,
+             lead(value, 1) OVER w AS next_value,
+             first_value(event_type) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_type,
+             last_value(event_type)  OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_type
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ORDER BY event_id
+    """))
+
+  /** Running total: cumulative sum per customer in order-date order.
+    * The window ordering fixes the float accumulation sequence, so
+    * both engines add in the same order — round(2) then matches.
+    */
+  val windowRunning = QueryDef(
+    "q_window_running",
+    (s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"),
+          round(sum(col("o_totalprice")).over(w), 2).as("running_spend"),
+          count(lit(1)).over(w).as("orders_so_far"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    },
+    Some("""
+      SELECT o_custkey, o_orderkey,
+             round(sum(o_totalprice) OVER w, 2) AS running_spend,
+             count(*) OVER w AS orders_so_far
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      ORDER BY o_custkey, o_orderkey
+    """))
+
+  /** Event-time moving window: per-user rolling 1-hour sum. Both sides
+    * order by exact epoch microseconds (Spark unix_micros ≡ DuckDB
+    * epoch_us) so the RANGE frame boundaries agree to the microsecond.
+    */
+  val windowRangeRolling = QueryDef(
+    "q_window_rolling",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(unix_micros(col("ts")))
+        .rangeBetween(-3600000000L, 0L)
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"),
+          round(sum(col("value")).over(w), 2).as("rolling_1h_value"),
+          count(lit(1)).over(w).as("rolling_1h_events"))
+        .orderBy(col("event_id"))
+    },
+    Some("""
+      SELECT event_id, user_id,
+             round(sum(value) OVER w, 2) AS rolling_1h_value,
+             count(*) OVER w AS rolling_1h_events
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
+                   RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+      ORDER BY event_id
+    """))
+
+  /** Top-k per group via row_number ≤ k. At scale Spark 3.5+/4 pushes
+    * a per-partition rank limit (WindowGroupLimit) before the shuffle,
+    * so only k rows per group per partition move.
+    */
+  val topKPerGroup = QueryDef(
+    "q_topk_per_group",
+    (s, d) => {
+      val w = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice"), row_number().over(w).as("rn"))
+        .filter(col("rn") <= 3)
+        .orderBy(col("l_returnflag"), col("rn"))
+    },
+    Some("""
+      SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice, rn
+      FROM (
+        SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+               row_number() OVER (PARTITION BY l_returnflag
+                 ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+        FROM lineitem
+      )
+      WHERE rn <= 3
+      ORDER BY l_returnflag, rn
+    """))
+
+  /** Global top-k: orderBy+limit compiles to TakeOrderedAndProject —
+    * each partition keeps a k-row heap, driver merges k×partitions
+    * rows; no global sort ever materializes.
+    */
+  val sortLimit = QueryDef(
+    "q_sort_limit",
+    (s, d) =>
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderdate"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10),
+    Some("""
+      SELECT o_orderkey, o_totalprice, o_orderdate
+      FROM orders
+      ORDER BY o_totalprice DESC, o_orderkey
+      LIMIT 10
+    """))
+
+  def defs: Seq[QueryDef] = Seq(
+    windowRank, windowAnalytic, windowRunning, windowRangeRolling,
+    topKPerGroup, sortLimit)
+}
