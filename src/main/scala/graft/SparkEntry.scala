@@ -15,6 +15,8 @@ object SparkEntry {
     q.Aggregations,
     q.Windows,
     q.SetOps,
+    q.Functions,
+    q.EventsTime,
   )
 
   def all: Seq[QueryDef] = {

@@ -1,0 +1,169 @@
+package graft.queries
+
+import graft.{QueryDef, QueryModule, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.9: stream semantics over the static `events` table,
+  * expressed batch-first so every query stays DuckDB-checkable. The
+  * Structured Streaming twins (withWatermark + the same window
+  * functions) live in graft.streaming.EventStreams — these batch
+  * forms and those streaming forms share the windowing semantics.
+  *
+  * All event-time arithmetic is done in exact epoch microseconds
+  * (Spark unix_micros ≡ DuckDB epoch_us after its ns→µs cast), so
+  * window/session boundaries agree between engines to the µs.
+  */
+object EventsTime extends QueryModule {
+
+  /** Tumbling 10-minute windows via Spark's window(); oracle uses
+    * DuckDB time_bucket (both are epoch-aligned, and any whole-day
+    * origin difference is a multiple of 10 minutes).
+    */
+  val tumbling = QueryDef(
+    "q_tumbling_window",
+    (s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("total_value"))
+        .select(col("window.start").as("bucket_start"), col("event_type"),
+          col("cnt"), col("total_value"))
+        .orderBy(col("bucket_start"), col("event_type")),
+    Some("""
+      SELECT time_bucket(INTERVAL '10 minutes', CAST(ts AS TIMESTAMP)) AS bucket_start,
+             event_type, count(*) AS cnt, round(sum(value), 2) AS total_value
+      FROM events
+      GROUP BY bucket_start, event_type
+      ORDER BY bucket_start, event_type
+    """))
+
+  /** Sliding windows (width 10 min, slide 5 min): each event lands in
+    * two windows. Oracle reproduces the assignment as a 2-way UNION
+    * ALL of shifted 5-minute buckets.
+    */
+  val sliding = QueryDef(
+    "q_sliding_window",
+    (s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "10 minutes", "5 minutes"))
+        .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("total_value"))
+        .select(col("window.start").as("bucket_start"), col("cnt"), col("total_value"))
+        .orderBy(col("bucket_start")),
+    Some("""
+      SELECT bucket_start, count(*) AS cnt, round(sum(value), 2) AS total_value
+      FROM (
+        SELECT time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP)) AS bucket_start, value
+        FROM events
+        UNION ALL
+        SELECT time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP)) - INTERVAL '5 minutes', value
+        FROM events
+      )
+      GROUP BY bucket_start
+      ORDER BY bucket_start
+    """))
+
+  /** Gap-based sessionization, portable rewrite: lag → gap≥30min flag
+    * → running-sum session id. One shuffle on user_id; linear at any
+    * scale (the flagship streaming-analytics pattern).
+    */
+  val sessionize = QueryDef(
+    "q_sessionize",
+    (s, d) => {
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val running = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+        .withColumn("new_sess",
+          when(col("prev_us").isNull
+            || unix_micros(col("ts")) - col("prev_us") >= 1800000000L, 1L).otherwise(0L))
+        .withColumn("session_id", sum(col("new_sess")).over(running))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("events_in_session"),
+          min(col("ts")).as("session_start"),
+          max(col("ts")).as("session_last"),
+          round(sum(col("value")), 2).as("session_value"))
+        .orderBy(col("user_id"), col("session_id"))
+    },
+    Some("""
+      SELECT user_id, session_id, count(*) AS events_in_session,
+             min(CAST(ts AS TIMESTAMP)) AS session_start,
+             max(CAST(ts AS TIMESTAMP)) AS session_last,
+             round(sum(value), 2) AS session_value
+      FROM (
+        SELECT user_id, ts, value,
+               sum(CASE WHEN prev_us IS NULL
+                        OR epoch_us(CAST(ts AS TIMESTAMP)) - prev_us >= 1800000000
+                        THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM (
+          SELECT user_id, ts, event_id, value,
+                 lag(epoch_us(CAST(ts AS TIMESTAMP)), 1)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+          FROM events
+        )
+      )
+      GROUP BY user_id, session_id
+      ORDER BY user_id, session_id
+    """))
+
+  /** Native session_window() (Spark's built-in gap-merge operator);
+    * oracle is the equivalent lag-rewrite. end = last event + gap per
+    * session_window semantics.
+    */
+  val sessionWindowNative = QueryDef(
+    "q_session_window",
+    (s, d) =>
+      Tables.events(s, d)
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("user_id"), col("session_window.start").as("session_start"),
+          col("session_window.end").as("session_end"), col("cnt"))
+        .orderBy(col("user_id"), col("session_start")),
+    Some("""
+      SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS session_start,
+             max(CAST(ts AS TIMESTAMP)) + INTERVAL '30 minutes' AS session_end,
+             count(*) AS cnt
+      FROM (
+        SELECT user_id, ts,
+               sum(CASE WHEN prev_us IS NULL
+                        OR epoch_us(CAST(ts AS TIMESTAMP)) - prev_us >= 1800000000
+                        THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM (
+          SELECT user_id, ts, event_id,
+                 lag(epoch_us(CAST(ts AS TIMESTAMP)), 1)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+          FROM events
+        )
+      )
+      GROUP BY user_id, session_id
+      ORDER BY user_id, session_start
+    """))
+
+  /** Stateful-dedup batch analog: duplicate the stream (UNION ALL with
+    * itself), then dropDuplicates on the event key — the batch twin of
+    * streaming dropDuplicatesWithinWatermark. Deterministic because
+    * duplicate rows are identical.
+    */
+  val dedupRows = QueryDef(
+    "q_dedup_events",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      ev.unionAll(ev)
+        .dropDuplicates(Seq("event_id"))
+        .orderBy(col("event_id"))
+    },
+    Some("""
+      SELECT DISTINCT event_id, user_id, event_type, value
+      FROM (SELECT event_id, user_id, event_type, value FROM events
+            UNION ALL
+            SELECT event_id, user_id, event_type, value FROM events)
+      ORDER BY event_id
+    """))
+
+  def defs: Seq[QueryDef] = Seq(
+    tumbling, sliding, sessionize, sessionWindowNative, dedupRows)
+}

@@ -1,0 +1,207 @@
+package graft.queries
+
+import graft.{QueryDef, QueryModule, Tables}
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.8 scalar-function inventory: string, date/time, math,
+  * array (higher-order), JSON, and generator (explode) families. All
+  * expressions are codegen'd built-ins — each query is one
+  * WholeStageCodegen span over the scan (plus the final sort), so
+  * per-row cost is identical at any scale.
+  *
+  * Width discipline: Spark int-typed derivations (length, instr, year,
+  * floor…) are cast to long so the output schema matches DuckDB's
+  * BIGINT results.
+  */
+object Functions extends QueryModule {
+
+  val stringFuncs = QueryDef(
+    "q_string_funcs",
+    (s, d) =>
+      Tables.part(s, d)
+        .select(
+          col("p_partkey"),
+          upper(col("p_name")).as("up_name"),
+          length(col("p_name")).cast("long").as("name_len"),
+          substring(col("p_name"), 1, 5).as("name_prefix"),
+          concat_ws("-", col("p_brand"), col("p_type")).as("brand_type"),
+          expr("replace(p_type, ' ', '_')").as("type_snake"),
+          lpad(col("p_brand"), 12, "*").as("brand_padded"),
+          instr(col("p_name"), "a").cast("long").as("first_a"),
+          regexp_extract(col("p_brand"), "(\\d+)", 1).as("brand_num"),
+          trim(col("p_name")).as("trimmed"),
+          size(split(col("p_name"), " ")).cast("long").as("word_count"))
+        .orderBy(col("p_partkey")),
+    Some("""
+      SELECT p_partkey,
+             upper(p_name) AS up_name,
+             CAST(length(p_name) AS BIGINT) AS name_len,
+             substr(p_name, 1, 5) AS name_prefix,
+             concat_ws('-', p_brand, p_type) AS brand_type,
+             replace(p_type, ' ', '_') AS type_snake,
+             lpad(p_brand, 12, '*') AS brand_padded,
+             CAST(instr(p_name, 'a') AS BIGINT) AS first_a,
+             regexp_extract(p_brand, '(\d+)', 1) AS brand_num,
+             trim(p_name) AS trimmed,
+             CAST(len(string_split(p_name, ' ')) AS BIGINT) AS word_count
+      FROM part
+      ORDER BY p_partkey
+    """))
+
+  val dateFuncs = QueryDef(
+    "q_date_funcs",
+    (s, d) =>
+      Tables.orders(s, d)
+        .select(
+          col("o_orderkey"),
+          year(col("o_orderdate")).cast("long").as("order_year"),
+          month(col("o_orderdate")).cast("long").as("order_month"),
+          dayofmonth(col("o_orderdate")).cast("long").as("order_day"),
+          quarter(col("o_orderdate")).cast("long").as("order_quarter"),
+          date_trunc("month", col("o_orderdate")).as("month_start"),
+          last_day(col("o_orderdate")).as("month_end"),
+          date_add(col("o_orderdate").cast("date"), 30).as("due_date"),
+          datediff(lit("2002-01-01").cast("date"),
+            col("o_orderdate").cast("date")).cast("long").as("days_to_2002"),
+          unix_timestamp(col("o_orderdate")).as("epoch_sec"),
+          date_format(col("o_orderdate"), "yyyy-MM").as("year_month"))
+        .orderBy(col("o_orderkey")),
+    Some("""
+      SELECT o_orderkey,
+             year(o_orderdate) AS order_year,
+             month(o_orderdate) AS order_month,
+             day(o_orderdate) AS order_day,
+             quarter(o_orderdate) AS order_quarter,
+             CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+             last_day(CAST(o_orderdate AS DATE)) AS month_end,
+             CAST(o_orderdate AS DATE) + 30 AS due_date,
+             date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS days_to_2002,
+             CAST(epoch(o_orderdate) AS BIGINT) AS epoch_sec,
+             strftime(o_orderdate, '%Y-%m') AS year_month
+      FROM orders
+      ORDER BY o_orderkey
+    """))
+
+  /** Transcendentals round(6) — JVM libm vs C libm may differ in the
+    * last ulp.
+    */
+  val mathFuncs = QueryDef(
+    "q_math_funcs",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          // round at 4 decimals: the exact value has 3, so the binary
+          // error (~1e-12) can never straddle a rounding boundary —
+          // round(x*0.1, 2) WOULD (Spark rounds the shortest decimal
+          // repr, DuckDB the binary value; they disagree at .xx5).
+          round(col("l_extendedprice") * 0.1, 4).as("price_tenth"),
+          floor(col("l_discount") * 100).cast("long").as("disc_pct_floor"),
+          ceil(col("l_discount") * 100).cast("long").as("disc_pct_ceil"),
+          abs(col("l_quantity") - 25.0).as("qty_dev"),
+          pow(col("l_quantity"), 2).as("qty_sq"),
+          round(sqrt(col("l_extendedprice")), 6).as("price_sqrt"),
+          round(log(col("l_extendedprice")), 6).as("price_ln"),
+          round(exp(col("l_discount")), 6).as("disc_exp"),
+          signum(col("l_quantity") - 25.0).as("qty_sign"),
+          (col("l_orderkey") % 7).as("key_mod7"))
+        .orderBy(col("l_orderkey"), col("l_linenumber")),
+    Some("""
+      SELECT l_orderkey, l_linenumber,
+             round(l_extendedprice * 0.1, 4) AS price_tenth,
+             CAST(floor(l_discount * 100) AS BIGINT) AS disc_pct_floor,
+             CAST(ceil(l_discount * 100) AS BIGINT) AS disc_pct_ceil,
+             abs(l_quantity - 25.0) AS qty_dev,
+             pow(l_quantity, 2) AS qty_sq,
+             round(sqrt(l_extendedprice), 6) AS price_sqrt,
+             round(ln(l_extendedprice), 6) AS price_ln,
+             round(exp(l_discount), 6) AS disc_exp,
+             CAST(sign(l_quantity - 25.0) AS DOUBLE) AS qty_sign,
+             l_orderkey % 7 AS key_mod7
+      FROM lineitem
+      ORDER BY l_orderkey, l_linenumber
+    """))
+
+  /** Higher-order array functions over the 64-dim embedding column:
+    * transform/aggregate (fold), filter, exists, forall, slice. These
+    * are the building blocks of the vector ops in Similarity — all
+    * codegen-friendly, no UDFs.
+    */
+  val arrayFuncs = QueryDef(
+    "q_array_funcs",
+    (s, d) =>
+      Tables.embeddings(s, d)
+        .select(
+          col("vec_id"),
+          size(col("embedding")).cast("long").as("dim"),
+          element_at(col("embedding"), 1).cast("double").as("first_val"),
+          expr("round(aggregate(transform(embedding, x -> cast(x AS double) * cast(x AS double)), cast(0 AS double), (acc, v) -> acc + v), 4)").as("sum_sq"),
+          expr("cast(size(filter(embedding, x -> x > 0)) AS bigint)").as("n_positive"),
+          expr("exists(embedding, x -> x > 2.0)").as("has_big"),
+          expr("forall(embedding, x -> abs(x) < 10.0)").as("all_small"),
+          expr("cast(array_max(embedding) AS double)").as("max_val"),
+          expr("round(aggregate(slice(embedding, 1, 8), cast(0 AS double), (acc, v) -> acc + cast(v AS double)), 4)").as("head8_sum"))
+        .orderBy(col("vec_id")),
+    Some("""
+      SELECT vec_id,
+             CAST(len(embedding) AS BIGINT) AS dim,
+             CAST(embedding[1] AS DOUBLE) AS first_val,
+             round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 4) AS sum_sq,
+             CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_positive,
+             len(list_filter(embedding, x -> x > 2.0)) > 0 AS has_big,
+             len(list_filter(embedding, x -> abs(x) >= 10.0)) = 0 AS all_small,
+             CAST(list_aggregate(embedding, 'max') AS DOUBLE) AS max_val,
+             round(list_sum(list_transform(embedding[1:8], x -> CAST(x AS DOUBLE))), 4) AS head8_sum
+      FROM embeddings
+      ORDER BY vec_id
+    """))
+
+  /** JSON-in-string extraction from events.props (schema-on-read). */
+  val jsonFuncs = QueryDef(
+    "q_json_funcs",
+    (s, d) =>
+      Tables.events(s, d)
+        .select(
+          col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k_value"),
+          from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("k",
+              org.apache.spark.sql.types.LongType)))).getField("k").as("k_typed"),
+          to_json(struct(get_json_object(col("props"), "$.k").cast("long").as("k"))).as("rebuilt"))
+        .orderBy(col("event_id")),
+    Some("""
+      SELECT event_id,
+             CAST(props->>'k' AS BIGINT) AS k_value,
+             CAST(props->>'k' AS BIGINT) AS k_typed,
+             '{"k":' || (props->>'k') || '}' AS rebuilt
+      FROM events
+      ORDER BY event_id
+    """))
+
+  /** Generator: explode tokenized text into a token-frequency table.
+    * Trailing-space tokens filtered on both sides. The explode
+    * multiplies rows ~60× before the partial aggregate collapses them
+    * — map-side combine keeps the shuffle at |vocabulary| not |tokens|.
+    */
+  val explodeTokens = QueryDef(
+    "q_explode_tokens",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("token"))
+        .filter(col("token") =!= "")
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("token"))
+        .limit(100),
+    Some("""
+      SELECT token, count(*) AS cnt
+      FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+      WHERE token <> ''
+      GROUP BY token
+      ORDER BY cnt DESC, token
+      LIMIT 100
+    """))
+
+  def defs: Seq[QueryDef] = Seq(
+    stringFuncs, dateFuncs, mathFuncs, arrayFuncs, jsonFuncs, explodeTokens)
+}

@@ -25,10 +25,10 @@ object Windows extends QueryModule {
         .orderBy(col("c_acctbal").desc)
       Tables.customer(s, d)
         .select(col("c_custkey"), col("c_nationkey"),
-          row_number().over(unique).as("rn"),
-          rank().over(byBal).as("rnk"),
-          dense_rank().over(byBal).as("drnk"),
-          ntile(4).over(unique).as("quartile"))
+          row_number().over(unique).cast("long").as("rn"),
+          rank().over(byBal).cast("long").as("rnk"),
+          dense_rank().over(byBal).cast("long").as("drnk"),
+          ntile(4).over(unique).cast("long").as("quartile"))
         .orderBy(col("c_custkey"))
     },
     Some("""
@@ -130,7 +130,7 @@ object Windows extends QueryModule {
         .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
       Tables.lineitem(s, d)
         .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
-          col("l_extendedprice"), row_number().over(w).as("rn"))
+          col("l_extendedprice"), row_number().over(w).cast("long").as("rn"))
         .filter(col("rn") <= 3)
         .orderBy(col("l_returnflag"), col("rn"))
     },
