@@ -17,6 +17,10 @@ object SparkEntry {
     q.SetOps,
     q.Functions,
     q.EventsTime,
+    q.Dedup,
+    q.Similarity,
+    q.TextAnalysis,
+    q.Multimodal,
   )
 
   def all: Seq[QueryDef] = {

@@ -1,0 +1,230 @@
+package graft.queries
+
+import graft.{QueryDef, QueryModule, Tables}
+import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines (SURVEY.md
+  * §2.10): exact, fingerprint, MinHash+LSH banding, SimHash, and
+  * embedding-cosine near-dup. Everything is expressed in portable,
+  * codegen'd SQL primitives with md5 as the cross-engine hash
+  * (engine-native hash() differs between Spark and DuckDB).
+  *
+  * Scale design: each algorithm is a groupBy/self-join on a HASH
+  * BUCKET (text hash, prefix hash, band signature, simhash value,
+  * cluster label) — never an all-pairs comparison. At 100 TB the
+  * bucket key is the shuffle key, and candidate verification runs only
+  * within buckets, which is the standard LSH contract.
+  */
+object Dedup extends QueryModule {
+
+  /** Exact dedup: rows whose full text already appeared on a lower
+    * doc_id (the "drop list"). Window over md5(text) buckets; the
+    * shuffle key is the text hash, so identical docs co-locate
+    * regardless of corpus size.
+    */
+  val dedupExact = QueryDef(
+    "q_dedup_exact",
+    (s, d) => {
+      val w = Window.partitionBy(col("text_hash")).orderBy(col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), md5(col("text")).as("text_hash"))
+        .withColumn("kept_doc", first(col("doc_id")).over(w))
+        .filter(col("doc_id") =!= col("kept_doc"))
+        .select(col("doc_id"), col("kept_doc"), col("text_hash"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      SELECT doc_id, kept_doc, text_hash
+      FROM (
+        SELECT doc_id, md5(text) AS text_hash,
+               first_value(doc_id) OVER (PARTITION BY md5(text) ORDER BY doc_id) AS kept_doc
+        FROM documents
+      )
+      WHERE doc_id <> kept_doc
+      ORDER BY doc_id
+    """))
+
+  /** Prefix-fingerprint dedup: group on md5 of the first 80 chars —
+    * catches the corpus's shared-prefix near-duplicate families that
+    * exact hashing misses.
+    */
+  val dedupFingerprint = QueryDef(
+    "q_dedup_fingerprint",
+    (s, d) =>
+      Tables.documents(s, d)
+        .groupBy(md5(substring(col("text"), 1, 80)).as("prefix_hash"))
+        .agg(count(lit(1)).as("group_size"),
+          min(col("doc_id")).as("first_doc"),
+          max(col("doc_id")).as("last_doc"))
+        .filter(col("group_size") > 1)
+        .orderBy(col("prefix_hash")),
+    Some("""
+      SELECT md5(substr(text, 1, 80)) AS prefix_hash,
+             count(*) AS group_size,
+             min(doc_id) AS first_doc,
+             max(doc_id) AS last_doc
+      FROM documents
+      GROUP BY prefix_hash
+      HAVING count(*) > 1
+      ORDER BY prefix_hash
+    """))
+
+  /** MinHash + LSH near-dup candidates: distinct word-3-gram shingles
+    * → 8 single-row bands, band signature = min over shingles of
+    * md5(band|shingle) → self-join on (band, signature) buckets →
+    * candidate pairs verified with true shingle-set Jaccard.
+    *
+    * The self-join is on the band-signature bucket, so work scales
+    * with bucket occupancy (near-dup density), not corpus².
+    */
+  val dedupMinhash = QueryDef(
+    "q_dedup_minhash",
+    (s, d) => {
+      val sh = Tables.documents(s, d)
+        .select(col("doc_id"), TF.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), TF.shingles3(col("toks")).as("shingles"))
+      val sig = sh
+        .select(col("doc_id"), explode(col("shingles")).as("shingle"))
+        .select(col("doc_id"), col("shingle"),
+          explode(sequence(lit(0), lit(7))).as("band"))
+        .groupBy(col("doc_id"), col("band"))
+        .agg(min(md5(concat(col("band").cast("string"), lit("|"), col("shingle")))).as("sig"))
+      val cand = sig.as("a")
+        .join(sig.as("b"),
+          col("a.band") === col("b.band") && col("a.sig") === col("b.sig")
+            && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
+        .distinct()
+      cand
+        .join(sh.select(col("doc_id").as("doc1"), col("shingles").as("sh1")), Seq("doc1"))
+        .join(sh.select(col("doc_id").as("doc2"), col("shingles").as("sh2")), Seq("doc2"))
+        .select(col("doc1"), col("doc2"),
+          round(TF.jaccard(col("sh1"), col("sh2")), 4).as("jaccard"))
+        .filter(col("jaccard") >= 0.1)
+        .orderBy(col("doc1"), col("doc2"))
+    },
+    Some("""
+      WITH tok AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+        FROM documents),
+      sh AS (
+        SELECT doc_id, list_distinct(list_transform(generate_series(1, len(toks) - 2),
+               i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS shingles
+        FROM tok),
+      sig AS (
+        SELECT doc_id, band, min(md5(CAST(band AS VARCHAR) || '|' || shingle)) AS sig
+        FROM sh, unnest(shingles) AS u(shingle), generate_series(0, 7) AS g(band)
+        GROUP BY doc_id, band),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+        FROM sig a JOIN sig b
+          ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)
+      SELECT doc1, doc2, jaccard
+      FROM (
+        SELECT doc1, doc2,
+               round(CAST(len(list_intersect(s1.shingles, s2.shingles)) AS DOUBLE)
+                     / len(list_distinct(list_concat(s1.shingles, s2.shingles))), 4) AS jaccard
+        FROM cand
+        JOIN sh s1 ON doc1 = s1.doc_id
+        JOIN sh s2 ON doc2 = s2.doc_id)
+      WHERE jaccard >= 0.1
+      ORDER BY doc1, doc2
+    """))
+
+  /** 16-bit SimHash: per token, bit i's vote is ±1 by the parity of
+    * the i-th hex digit of md5(token); per (doc, bit) the votes sum
+    * over tokens WITH multiplicity; fingerprint packs the positive
+    * bits. Docs sharing a fingerprint are near-dup candidates.
+    * Pure integer/string math — bit-identical across engines.
+    */
+  val dedupSimhash = QueryDef(
+    "q_dedup_simhash",
+    (s, d) => {
+      val votes = Tables.documents(s, d)
+        .select(col("doc_id"), explode(TF.tokens(col("text"))).as("token"))
+        .select(col("doc_id"), md5(col("token")).as("h"))
+        .select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(15))).as("bit"))
+        .select(col("doc_id"), col("bit"),
+          ((instr(lit("0123456789abcdef"),
+            substr(col("h"), col("bit") + 1, lit(1))) - 1) % 2 * 2 - 1).as("vote"))
+      val fp = votes
+        .groupBy(col("doc_id"), col("bit"))
+        .agg(sum(col("vote")).as("score"))
+        .groupBy(col("doc_id"))
+        .agg(sum(when(col("score") > 0,
+          pow(lit(2), col("bit")).cast("long")).otherwise(0L)).as("simhash16"))
+      val w = Window.partitionBy(col("simhash16"))
+      fp.select(col("doc_id"), col("simhash16"),
+          count(lit(1)).over(w).as("bucket_size"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH votes AS (
+        SELECT doc_id, bit,
+               ((instr('0123456789abcdef', substr(h, CAST(bit + 1 AS INT), 1)) - 1) % 2) * 2 - 1 AS vote
+        FROM (
+          SELECT doc_id, md5(token) AS h
+          FROM (SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS token
+                FROM documents)
+        ), generate_series(0, 15) AS g(bit)),
+      fp AS (
+        SELECT doc_id,
+               CAST(sum(CASE WHEN score > 0 THEN CAST(round(pow(2, bit)) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash16
+        FROM (SELECT doc_id, bit, sum(vote) AS score FROM votes GROUP BY doc_id, bit)
+        GROUP BY doc_id)
+      SELECT doc_id, simhash16,
+             count(*) OVER (PARTITION BY simhash16) AS bucket_size
+      FROM fp
+      ORDER BY doc_id
+    """))
+
+  /** Embedding-cosine near-dup: for each probe vector, its single
+    * most-similar neighbor within the same cluster label (the coarse
+    * bucket). Join key = label, so candidate scoring is bucket-local —
+    * the IVF-style scale path rather than an all-pairs scan.
+    */
+  val dedupEmbedding = QueryDef(
+    "q_dedup_embedding",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      val probes = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("probe_id"), col("label"),
+          col("embedding").as("probe_emb"))
+      val w = Window.partitionBy(col("probe_id"))
+        .orderBy(col("cos").desc, col("cand_id"))
+      probes
+        .join(e.select(col("vec_id").as("cand_id"), col("label"),
+          col("embedding").as("cand_emb")), Seq("label"))
+        .filter(col("probe_id") =!= col("cand_id"))
+        .select(col("probe_id"), col("cand_id"),
+          VF.cosine(col("probe_emb"), col("cand_emb")).as("cos"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("probe_id"), col("cand_id").as("nearest_id"),
+          round(col("cos"), 4).as("cosine"))
+        .orderBy(col("probe_id"))
+    },
+    Some("""
+      SELECT probe_id, cand_id AS nearest_id, round(cos, 4) AS cosine
+      FROM (
+        SELECT a.vec_id AS probe_id, b.vec_id AS cand_id,
+               list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+                 / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+                    * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) AS cos,
+               row_number() OVER (PARTITION BY a.vec_id
+                 ORDER BY list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+                   / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+                      * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) DESC,
+                 b.vec_id) AS rn
+        FROM embeddings a JOIN embeddings b
+          ON a.label = b.label AND a.vec_id <> b.vec_id
+        WHERE a.vec_id < 20)
+      WHERE rn = 1
+      ORDER BY probe_id
+    """))
+
+  def defs: Seq[QueryDef] = Seq(
+    dedupExact, dedupFingerprint, dedupMinhash, dedupSimhash, dedupEmbedding)
+}

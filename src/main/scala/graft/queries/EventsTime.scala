@@ -91,11 +91,11 @@ object EventsTime extends QueryModule {
              round(sum(value), 2) AS session_value
       FROM (
         SELECT user_id, ts, value,
-               sum(CASE WHEN prev_us IS NULL
+               CAST(sum(CASE WHEN prev_us IS NULL
                         OR epoch_us(CAST(ts AS TIMESTAMP)) - prev_us >= 1800000000
                         THEN 1 ELSE 0 END)
                  OVER (PARTITION BY user_id ORDER BY ts, event_id
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
         FROM (
           SELECT user_id, ts, event_id, value,
                  lag(epoch_us(CAST(ts AS TIMESTAMP)), 1)
@@ -126,11 +126,11 @@ object EventsTime extends QueryModule {
              count(*) AS cnt
       FROM (
         SELECT user_id, ts,
-               sum(CASE WHEN prev_us IS NULL
+               CAST(sum(CASE WHEN prev_us IS NULL
                         OR epoch_us(CAST(ts AS TIMESTAMP)) - prev_us >= 1800000000
                         THEN 1 ELSE 0 END)
                  OVER (PARTITION BY user_id ORDER BY ts, event_id
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
         FROM (
           SELECT user_id, ts, event_id,
                  lag(epoch_us(CAST(ts AS TIMESTAMP)), 1)

@@ -1,0 +1,128 @@
+package graft.queries
+
+import graft.{QueryDef, QueryModule, Tables}
+import graft.functions.{VectorFunctions => VF}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the embedding column (SURVEY.md §2.10):
+  * brute-force cosine top-k as the exact baseline, and an IVF-style
+  * variant that probes only the query's coarse cluster — the scale
+  * path (at 100 TB the corpus side is partitioned by cluster id, so a
+  * probe touches 1/|clusters| of the data; here `label` plays the
+  * centroid-assignment role).
+  *
+  * The query side is tiny and broadcast; the corpus side streams —
+  * scoring is a broadcast nested-loop that never shuffles the corpus.
+  */
+object Similarity extends QueryModule {
+
+  private val duckCos =
+    """list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+      |  / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+      |     * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))))""".stripMargin
+
+  /** Brute-force exact top-5 neighbors for 3 query vectors. */
+  val cosineTopK = QueryDef(
+    "q_cosine_topk",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      val queries = broadcast(e.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_emb")))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("neighbor_id"))
+      queries
+        .crossJoin(e.select(col("vec_id").as("neighbor_id"),
+          col("embedding").as("cand_emb")))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          VF.cosine(col("query_emb"), col("cand_emb")).as("cos"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("neighbor_id"), col("rank"),
+          round(col("cos"), 4).as("cosine"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(s"""
+      SELECT query_id, neighbor_id, rank, round(cos, 4) AS cosine
+      FROM (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, $duckCos AS cos,
+               row_number() OVER (PARTITION BY a.vec_id
+                 ORDER BY $duckCos DESC, b.vec_id) AS rank
+        FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+        WHERE a.vec_id < 3)
+      WHERE rank <= 5
+      ORDER BY query_id, rank
+    """))
+
+  /** IVF-style ANN: probe only the query's own cluster (label =
+    * coarse centroid assignment, nprobe=1). Same scoring math as the
+    * exact path, but the equi-join on label prunes the candidate set.
+    */
+  val annIvf = QueryDef(
+    "q_ann_ivf",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      val queries = broadcast(e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("label"),
+          col("embedding").as("query_emb")))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("neighbor_id"))
+      queries
+        .join(e.select(col("vec_id").as("neighbor_id"), col("label"),
+          col("embedding").as("cand_emb")), Seq("label"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          VF.cosine(col("query_emb"), col("cand_emb")).as("cos"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .select(col("query_id"), col("neighbor_id"), col("rank"),
+          round(col("cos"), 4).as("cosine"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(s"""
+      SELECT query_id, neighbor_id, rank, round(cos, 4) AS cosine
+      FROM (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, $duckCos AS cos,
+               row_number() OVER (PARTITION BY a.vec_id
+                 ORDER BY $duckCos DESC, b.vec_id) AS rank
+        FROM embeddings a JOIN embeddings b
+          ON a.label = b.label AND a.vec_id <> b.vec_id
+        WHERE a.vec_id < 10)
+      WHERE rank <= 3
+      ORDER BY query_id, rank
+    """))
+
+  /** Per-cluster vector statistics (norm distribution, first-component
+    * mean) — the sanity profile a similarity index build would emit.
+    */
+  val vectorStats = QueryDef(
+    "q_vector_stats",
+    (s, d) =>
+      Tables.embeddings(s, d)
+        .select(col("label"), VF.norm(col("embedding")).as("nrm"),
+          element_at(col("embedding"), 1).cast("double").as("first_comp"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("cnt"),
+          round(avg(col("nrm")), 4).as("avg_norm"),
+          round(min(col("nrm")), 6).as("min_norm"),
+          round(max(col("nrm")), 6).as("max_norm"),
+          round(avg(col("first_comp")), 6).as("avg_first"))
+        .orderBy(col("label")),
+    Some("""
+      SELECT label, count(*) AS cnt,
+             round(avg(nrm), 4) AS avg_norm,
+             round(min(nrm), 6) AS min_norm,
+             round(max(nrm), 6) AS max_norm,
+             round(avg(first_comp), 6) AS avg_first
+      FROM (
+        SELECT label,
+               sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm,
+               CAST(embedding[1] AS DOUBLE) AS first_comp
+        FROM embeddings)
+      GROUP BY label
+      ORDER BY label
+    """))
+
+  def defs: Seq[QueryDef] = Seq(cosineTopK, annIvf, vectorStats)
+}

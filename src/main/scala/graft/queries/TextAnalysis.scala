@@ -1,0 +1,284 @@
+package graft.queries
+
+import graft.{QueryDef, QueryModule, Tables}
+import graft.functions.{TextFunctions => TF}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines (SURVEY.md
+  * §2.10): pairwise similarity on bounded candidate sets, n-gram
+  * language ID, quality scoring, token counting, and document
+  * fingerprinting. All pure Catalyst expressions; candidate pairing is
+  * always bucket-local (prefix-hash buckets), never all-pairs.
+  */
+object TextAnalysis extends QueryModule {
+
+  /** Candidate pairs: docs sharing an 80-char-prefix hash bucket. */
+  private def prefixPairs(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val pre = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"),
+        md5(substring(col("text"), 1, 80)).as("ph"))
+    pre.as("a").join(pre.as("b"),
+        col("a.ph") === col("b.ph") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"),
+        col("a.text").as("text1"), col("b.text").as("text2"))
+  }
+
+  private val duckPrefixPairs = """
+      pairs AS (
+        SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+               a.text AS text1, b.text AS text2
+        FROM documents a JOIN documents b
+          ON md5(substr(a.text, 1, 80)) = md5(substr(b.text, 1, 80))
+         AND a.doc_id < b.doc_id)"""
+
+  /** Token-set Jaccard similarity over prefix-bucket candidates. */
+  val textJaccard = QueryDef(
+    "q_text_jaccard",
+    (s, d) =>
+      prefixPairs(s, d)
+        .select(col("doc1"), col("doc2"),
+          round(TF.jaccard(
+            array_distinct(TF.tokens(col("text1"))),
+            array_distinct(TF.tokens(col("text2")))), 4).as("token_jaccard"))
+        .orderBy(col("doc1"), col("doc2")),
+    Some(s"""
+      WITH $duckPrefixPairs
+      SELECT doc1, doc2,
+             round(CAST(len(list_intersect(t1, t2)) AS DOUBLE)
+                   / len(list_distinct(list_concat(t1, t2))), 4) AS token_jaccard
+      FROM (
+        SELECT doc1, doc2,
+               list_distinct(list_filter(string_split(text1, ' '), t -> t <> '')) AS t1,
+               list_distinct(list_filter(string_split(text2, ' '), t -> t <> '')) AS t2
+        FROM pairs)
+      ORDER BY doc1, doc2
+    """))
+
+  /** Word-3-gram (shingle) Jaccard over the same candidate buckets —
+    * order-sensitive where token-set Jaccard is bag-of-words.
+    */
+  val ngramJaccard = QueryDef(
+    "q_text_ngram_jaccard",
+    (s, d) =>
+      prefixPairs(s, d)
+        .select(col("doc1"), col("doc2"),
+          round(TF.jaccard(
+            TF.shingles3(TF.tokens(col("text1"))),
+            TF.shingles3(TF.tokens(col("text2")))), 4).as("shingle_jaccard"))
+        .orderBy(col("doc1"), col("doc2")),
+    Some(s"""
+      WITH $duckPrefixPairs,
+      sh AS (
+        SELECT doc1, doc2,
+               list_distinct(list_transform(generate_series(1, len(t1) - 2),
+                 i -> t1[i] || ' ' || t1[i + 1] || ' ' || t1[i + 2])) AS s1,
+               list_distinct(list_transform(generate_series(1, len(t2) - 2),
+                 i -> t2[i] || ' ' || t2[i + 1] || ' ' || t2[i + 2])) AS s2
+        FROM (
+          SELECT doc1, doc2,
+                 list_filter(string_split(text1, ' '), t -> t <> '') AS t1,
+                 list_filter(string_split(text2, ' '), t -> t <> '') AS t2
+          FROM pairs))
+      SELECT doc1, doc2,
+             round(CAST(len(list_intersect(s1, s2)) AS DOUBLE)
+                   / len(list_distinct(list_concat(s1, s2))), 4) AS shingle_jaccard
+      FROM sh
+      ORDER BY doc1, doc2
+    """))
+
+  /** Character-bigram language ID: build a top-20-bigram profile per
+    * language from the corpus itself, score each doc's distinct
+    * bigrams against every profile, predict the argmax (lang-asc
+    * tiebreak). Self-contained, deterministic, and join-based — the
+    * profile side is tiny (|langs|×20) and broadcastable at any
+    * corpus size.
+    */
+  val langId = QueryDef(
+    "q_lang_id",
+    (s, d) => {
+      val bg = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          explode(transform(
+            sequence(lit(1), length(col("text")) - 1),
+            i => substr(col("text"), i, lit(2)))).as("bigram"))
+      val profile = bg.groupBy(col("lang"), col("bigram"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy(col("lang")).orderBy(col("cnt").desc, col("bigram"))))
+        .filter(col("rnk") <= 20)
+        .select(col("lang").as("profile_lang"), col("bigram"))
+      val docbg = bg.select(col("doc_id"), col("bigram")).distinct()
+      val score = docbg.join(broadcast(profile), Seq("bigram"))
+        .groupBy(col("doc_id"), col("profile_lang"))
+        .agg(count(lit(1)).as("hits"))
+      val pred = score
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("doc_id")).orderBy(col("hits").desc, col("profile_lang"))))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("profile_lang").as("predicted"))
+      Tables.documents(s, d).select(col("doc_id"), col("lang"))
+        .join(pred, Seq("doc_id"))
+        .select(col("doc_id"), col("lang"), col("predicted"),
+          (col("lang") === col("predicted")).as("correct"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH bg AS (
+        SELECT doc_id, lang,
+               unnest(list_transform(generate_series(1, CAST(length(text) AS INT) - 1),
+                 i -> substr(text, i, 2))) AS bigram
+        FROM documents),
+      profile AS (
+        SELECT lang AS profile_lang, bigram
+        FROM (
+          SELECT lang, bigram,
+                 row_number() OVER (PARTITION BY lang ORDER BY count(*) DESC, bigram) AS rnk
+          FROM bg GROUP BY lang, bigram)
+        WHERE rnk <= 20),
+      docbg AS (SELECT DISTINCT doc_id, bigram FROM bg),
+      score AS (
+        SELECT d.doc_id, p.profile_lang, count(*) AS hits
+        FROM docbg d JOIN profile p USING (bigram)
+        GROUP BY d.doc_id, p.profile_lang),
+      pred AS (
+        SELECT doc_id, profile_lang AS predicted
+        FROM (
+          SELECT doc_id, profile_lang, row_number() OVER (PARTITION BY doc_id
+                   ORDER BY hits DESC, profile_lang) AS rn
+          FROM score)
+        WHERE rn = 1)
+      SELECT d.doc_id, d.lang, p.predicted, d.lang = p.predicted AS correct
+      FROM documents d JOIN pred p USING (doc_id)
+      ORDER BY d.doc_id
+    """))
+
+  /** Corpus breakdown by language: the summary a pipeline dashboard
+    * reports after language ID.
+    */
+  val langStats = QueryDef(
+    "q_lang_stats",
+    (s, d) =>
+      Tables.documents(s, d)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("doc_count"),
+          round(avg(col("n_chars")), 4).as("avg_chars"),
+          countDistinct(col("source")).as("sources"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"))
+        .orderBy(col("lang")),
+    Some("""
+      SELECT lang, count(*) AS doc_count,
+             round(avg(n_chars), 4) AS avg_chars,
+             count(DISTINCT source) AS sources,
+             min(n_chars) AS min_chars,
+             max(n_chars) AS max_chars
+      FROM documents
+      GROUP BY lang
+      ORDER BY lang
+    """))
+
+  /** Quality scoring: length/token/short-token/whitespace ratios
+    * combined into a single score — the filter signal of a data
+    * pipeline. Ratios rounded at 6 (beyond exact decimal width).
+    */
+  val textQuality = QueryDef(
+    "q_text_quality",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars"),
+          TF.tokens(col("text")).as("toks"),
+          length(col("text")).cast("long").as("len_chars"),
+          (length(col("text")) - length(regexp_replace(col("text"), " ", "")))
+            .cast("long").as("n_spaces"))
+        .select(col("doc_id"), col("len_chars"), col("n_spaces"),
+          size(col("toks")).cast("long").as("n_tokens"),
+          size(filter(col("toks"), t => length(t) <= 3)).cast("long").as("n_short"))
+        .select(col("doc_id"), col("n_tokens"),
+          (col("n_short").cast("double") / col("n_tokens")).as("short_raw"),
+          (col("n_spaces").cast("double") / col("len_chars")).as("space_raw"),
+          ((col("len_chars") - col("n_spaces")).cast("double")
+            / col("n_tokens")).as("avg_raw"))
+        // score is computed from the RAW ratios (as the oracle does);
+        // rounding first would feed different doubles into the formula
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("short_raw"), 6).as("short_ratio"),
+          round(col("space_raw"), 6).as("space_ratio"),
+          round(col("avg_raw"), 6).as("avg_token_len"),
+          round(lit(1.0) - col("short_raw") * 0.5 - col("space_raw") * 0.25, 6)
+            .as("quality_score"))
+        .orderBy(col("doc_id")),
+    Some("""
+      SELECT doc_id, n_tokens,
+             round(CAST(n_short AS DOUBLE) / n_tokens, 6) AS short_ratio,
+             round(CAST(n_spaces AS DOUBLE) / len_chars, 6) AS space_ratio,
+             round(CAST(len_chars - n_spaces AS DOUBLE) / n_tokens, 6) AS avg_token_len,
+             round(1.0 - (CAST(n_short AS DOUBLE) / n_tokens) * 0.5
+                       - (CAST(n_spaces AS DOUBLE) / len_chars) * 0.25, 6) AS quality_score
+      FROM (
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS len_chars,
+               CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) AS n_spaces,
+               CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS n_tokens,
+               CAST(len(list_filter(string_split(text, ' '),
+                 t -> t <> '' AND length(t) <= 3)) AS BIGINT) AS n_short
+        FROM documents)
+      ORDER BY doc_id
+    """))
+
+  /** Token counting two ways: whitespace split and a BPE-ish regex
+    * (letter runs / digit runs / single other-chars).
+    */
+  val tokenStats = QueryDef(
+    "q_token_stats",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(TF.tokens(col("text"))).cast("long").as("ws_tokens"),
+          expr("cast(size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)) AS bigint)")
+            .as("bpe_tokens"),
+          round(length(col("text")).cast("double")
+            / size(TF.tokens(col("text"))), 6).as("chars_per_token"))
+        .orderBy(col("doc_id")),
+    Some("""
+      SELECT doc_id,
+             CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS ws_tokens,
+             CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS bpe_tokens,
+             round(CAST(length(text) AS DOUBLE)
+                   / len(list_filter(string_split(text, ' '), t -> t <> '')), 6) AS chars_per_token
+      FROM documents
+      ORDER BY doc_id
+    """))
+
+  /** Document fingerprint (winnowing-lite): minimum md5 over all
+    * 8-char rolling windows — a locality-sensitive signature that
+    * near-identical docs share with high probability.
+    */
+  val docFingerprint = QueryDef(
+    "q_doc_fingerprint",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(transform(
+            sequence(lit(1), length(col("text")) - 7),
+            i => substr(col("text"), i, lit(8)))).as("shingle"))
+        .groupBy(col("doc_id"))
+        .agg(min(md5(col("shingle"))).as("fingerprint"),
+          countDistinct(col("shingle")).as("distinct_shingles"))
+        .orderBy(col("doc_id")),
+    Some("""
+      SELECT doc_id, min(md5(shingle)) AS fingerprint,
+             count(DISTINCT shingle) AS distinct_shingles
+      FROM (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, CAST(length(text) AS INT) - 7),
+                 i -> substr(text, i, 8))) AS shingle
+        FROM documents)
+      GROUP BY doc_id
+      ORDER BY doc_id
+    """))
+
+  def defs: Seq[QueryDef] = Seq(
+    textJaccard, ngramJaccard, langId, langStats, textQuality,
+    tokenStats, docFingerprint)
+}
