@@ -82,15 +82,25 @@ object Dedup extends QueryModule {
   val dedupMinhash = QueryDef(
     "q_dedup_minhash",
     (s, d) => {
+      // The shingle table feeds both the signature pipeline and the
+      // Jaccard verification join — persist it so the tokenize+shingle
+      // pass runs once (at scale: a checkpoint of the shingled corpus).
       val sh = Tables.documents(s, d)
         .select(col("doc_id"), TF.tokens(col("text")).as("toks"))
         .select(col("doc_id"), TF.shingles3(col("toks")).as("shingles"))
+        .cache()
+      // All 8 band signatures in one map-side pass (nested transform +
+      // array_min) — no explode/shuffle of |shingles|×|bands| rows.
+      // At 100 TB signature computation stays embarrassingly parallel;
+      // only the 8-rows-per-doc signature table ever shuffles.
       val sig = sh
-        .select(col("doc_id"), explode(col("shingles")).as("shingle"))
-        .select(col("doc_id"), col("shingle"),
-          explode(sequence(lit(0), lit(7))).as("band"))
-        .groupBy(col("doc_id"), col("band"))
-        .agg(min(md5(concat(col("band").cast("string"), lit("|"), col("shingle")))).as("sig"))
+        .select(col("doc_id"), explode(transform(
+          sequence(lit(0), lit(7)),
+          b => struct(
+            b.as("band"),
+            array_min(transform(col("shingles"),
+              sgl => md5(concat(b.cast("string"), lit("|"), sgl)))).as("sig")))).as("bs"))
+        .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
       val cand = sig.as("a")
         .join(sig.as("b"),
           col("a.band") === col("b.band") && col("a.sig") === col("b.sig")

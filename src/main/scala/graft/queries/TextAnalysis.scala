@@ -97,11 +97,14 @@ object TextAnalysis extends QueryModule {
   val langId = QueryDef(
     "q_lang_id",
     (s, d) => {
+      // Bigrams feed both the per-language profile and the per-doc
+      // scoring — persist to avoid exploding the corpus twice.
       val bg = Tables.documents(s, d)
         .select(col("doc_id"), col("lang"),
           explode(transform(
             sequence(lit(1), length(col("text")) - 1),
             i => substr(col("text"), i, lit(2)))).as("bigram"))
+        .cache()
       val profile = bg.groupBy(col("lang"), col("bigram"))
         .agg(count(lit(1)).as("cnt"))
         .withColumn("rnk", row_number().over(
