@@ -1,0 +1,37 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Source/sink surface (SURVEY.md §2.1) beyond the parquet tables:
+  * csv/json readers with explicit schemas (schema inference is a full
+  * extra pass — never use it at scale), in-memory literal tables for
+  * tests, and partitioned parquet writing (the at-scale sink layout).
+  */
+object Sources {
+
+  def parquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** CSV with explicit schema — header tolerated, no inference pass. */
+  def csv(spark: SparkSession, path: String, schema: StructType,
+      header: Boolean = true): DataFrame =
+    spark.read.option("header", header.toString).schema(schema).csv(path)
+
+  /** JSON-lines with explicit schema (inference would scan twice). */
+  def jsonLines(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  /** In-memory literal rows (unit-test / VALUES source). */
+  def inMemory(spark: SparkSession, rows: Seq[org.apache.spark.sql.Row],
+      schema: StructType): DataFrame =
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+
+  /** Parquet sink; partitionBy columns give the directory layout that
+    * enables partition pruning for downstream readers at scale.
+    */
+  def writeParquet(df: DataFrame, path: String, partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
+  }
+}

@@ -1,0 +1,63 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming twins of the batch event-time queries
+  * (SURVEY.md §2.9). Each transform takes a DataFrame with the events
+  * schema (event_id, ts timestamp, user_id, event_type, value, …) and
+  * works unchanged on a batch frame or a `readStream` frame — the
+  * windowing semantics are shared with graft.queries.EventsTime; the
+  * watermark bounds state so a 100 TB/day stream runs in constant
+  * memory per key-window.
+  *
+  * Deployment shape: `spark.readStream.schema(s).parquet(dir)` (or a
+  * Kafka source) → one of these transforms → `writeStream` with
+  * checkpointing. Tested via MemoryStream in EventStreamsSpec.
+  */
+object EventStreams {
+
+  /** Tumbling 10-minute counts/sums per event type. Append mode emits
+    * a window once the watermark passes its end; state is one row per
+    * open (window, type).
+    */
+  def tumblingCounts(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("total_value"))
+      .select(col("window.start").as("bucket_start"), col("event_type"),
+        col("cnt"), col("total_value"))
+
+  /** Sliding windows (10 min width, 5 min slide). */
+  def slidingCounts(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("bucket_start"), col("cnt"))
+
+  /** Gap-based sessionization per user via the native session_window
+    * operator; state per open session, closed by the watermark.
+    */
+  def sessionCounts(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("session_value"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"), col("cnt"), col("session_value"))
+
+  /** Stateful exact-once dedup on the event key. In streaming mode the
+    * watermark lets Spark drop per-key state once duplicates can no
+    * longer arrive (dropDuplicatesWithinWatermark); the batch twin is
+    * plain dropDuplicates.
+    */
+  def dedupEvents(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    if (events.isStreaming)
+      events.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(Seq("event_id"))
+    else
+      events.dropDuplicates(Seq("event_id"))
+}

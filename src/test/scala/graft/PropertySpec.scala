@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Algebraic laws over generated data (SURVEY.md §5.3), using raw
+  * ScalaCheck generators with fixed seeds (no scalatestplus bridge —
+  * it isn't in the offline dependency set). Generators mirror the
+  * fixture domains (FIXTURES.md) so the laws also hold on the real
+  * tables.
+  */
+class PropertySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val rowGen = for {
+    flag <- Gen.oneOf("N", "A", "R")
+    qty <- Gen.choose(1, 50)
+    price <- Gen.choose(100.0, 10000.0)
+  } yield (flag, qty, price)
+
+  private val rowsGen = Gen.listOfN(60, rowGen)
+
+  /** Deterministic samples: one per seed. */
+  private def samples(n: Int): Seq[List[(String, Int, Double)]] =
+    (1 to n).map(i => rowsGen.pureApply(Gen.Parameters.default, Seed(i.toLong)))
+
+  test("count(a union all b) == count(a) + count(b)") {
+    for (Seq(a, b) <- samples(6).grouped(2)) {
+      val da = a.toDF("flag", "qty", "price")
+      val db = b.toDF("flag", "qty", "price")
+      assert(da.unionAll(db).count() === da.count() + db.count())
+    }
+  }
+
+  test("filter commutes with projection") {
+    for (rows <- samples(3)) {
+      val df = rows.toDF("flag", "qty", "price")
+      val l = df.filter($"qty" > 25).select($"flag", $"qty")
+        .collect().toSeq.sortBy(_.toString)
+      val r = df.select($"flag", $"qty").filter($"qty" > 25)
+        .collect().toSeq.sortBy(_.toString)
+      assert(l === r)
+    }
+  }
+
+  test("sum of group sums equals global sum (integer domain)") {
+    for (rows <- samples(3)) {
+      val df = rows.toDF("flag", "qty", "price")
+      val grouped = df.groupBy($"flag").agg(sum($"qty").as("s"))
+        .agg(sum($"s")).head().getLong(0)
+      val global = df.agg(sum($"qty")).head().getLong(0)
+      assert(grouped === global)
+    }
+  }
+
+  test("row_number over a partition is a permutation of 1..n") {
+    for (rows <- samples(3)) {
+      val df = rows.zipWithIndex
+        .map { case ((f, q, p), i) => (f, q, p, i.toLong) }
+        .toDF("flag", "qty", "price", "id")
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"flag").orderBy($"qty", $"id")
+      val bad = df.withColumn("rn", row_number().over(w))
+        .groupBy($"flag")
+        .agg(count(lit(1)).as("n"), sum($"rn").as("s"))
+        .filter($"s" =!= $"n" * ($"n" + 1) / 2)
+        .count()
+      assert(bad === 0)
+    }
+  }
+
+  test("dropDuplicates is idempotent and bounded by distinct key count") {
+    for (rows <- samples(3)) {
+      val df = rows.toDF("flag", "qty", "price")
+      val once = df.dropDuplicates(Seq("flag", "qty"))
+      assert(once.count() === once.dropDuplicates(Seq("flag", "qty")).count())
+      assert(once.count() === df.select($"flag", $"qty").distinct().count())
+    }
+  }
+}
