@@ -1,0 +1,15 @@
+package graft
+
+import graft.functions.expressions.CosineSimilarity
+import org.apache.spark.sql.SparkSessionExtensions
+
+/** Session-extension entry point: register graft's native expressions
+  * at session build time via
+  * `spark.sql.extensions=graft.GraftExtensions` (or
+  * `.withExtensions(new GraftExtensions)`).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(extensions: SparkSessionExtensions): Unit =
+    extensions.injectFunction(
+      (CosineSimilarity.identifier, CosineSimilarity.info, CosineSimilarity.builder))
+}

@@ -28,6 +28,13 @@ object VectorFunctions {
   /** Cosine similarity = dot / (|a|·|b|). */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Fused single-pass cosine via the native codegen expression
+    * (bit-identical to [[cosine]]; see expressions.CosineSimilarity).
+    * Requires CosineSimilarity.register(spark) or GraftExtensions.
+    */
+  def cosineFast(a: Column, b: Column): Column =
+    call_function(graft.functions.expressions.CosineSimilarity.name, a, b)
+
   /** Squared L2 distance. */
   def l2Squared(a: Column, b: Column): Column =
     aggregate(

@@ -198,6 +198,7 @@ object Dedup extends QueryModule {
   val dedupEmbedding = QueryDef(
     "q_dedup_embedding",
     (s, d) => {
+      graft.functions.expressions.CosineSimilarity.register(s)
       val e = Tables.embeddings(s, d)
       val probes = e.filter(col("vec_id") < 20)
         .select(col("vec_id").as("probe_id"), col("label"),
@@ -209,7 +210,7 @@ object Dedup extends QueryModule {
           col("embedding").as("cand_emb")), Seq("label"))
         .filter(col("probe_id") =!= col("cand_id"))
         .select(col("probe_id"), col("cand_id"),
-          VF.cosine(col("probe_emb"), col("cand_emb")).as("cos"))
+          VF.cosineFast(col("probe_emb"), col("cand_emb")).as("cos"))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
         .select(col("probe_id"), col("cand_id").as("nearest_id"),

@@ -26,6 +26,7 @@ object Similarity extends QueryModule {
   val cosineTopK = QueryDef(
     "q_cosine_topk",
     (s, d) => {
+      graft.functions.expressions.CosineSimilarity.register(s)
       val e = Tables.embeddings(s, d)
       val queries = broadcast(e.filter(col("vec_id") < 3)
         .select(col("vec_id").as("query_id"), col("embedding").as("query_emb")))
@@ -36,7 +37,7 @@ object Similarity extends QueryModule {
           col("embedding").as("cand_emb")))
         .filter(col("query_id") =!= col("neighbor_id"))
         .select(col("query_id"), col("neighbor_id"),
-          VF.cosine(col("query_emb"), col("cand_emb")).as("cos"))
+          VF.cosineFast(col("query_emb"), col("cand_emb")).as("cos"))
         .withColumn("rank", row_number().over(w).cast("long"))
         .filter(col("rank") <= 5)
         .select(col("query_id"), col("neighbor_id"), col("rank"),
@@ -62,6 +63,7 @@ object Similarity extends QueryModule {
   val annIvf = QueryDef(
     "q_ann_ivf",
     (s, d) => {
+      graft.functions.expressions.CosineSimilarity.register(s)
       val e = Tables.embeddings(s, d)
       val queries = broadcast(e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("query_id"), col("label"),
@@ -73,7 +75,7 @@ object Similarity extends QueryModule {
           col("embedding").as("cand_emb")), Seq("label"))
         .filter(col("query_id") =!= col("neighbor_id"))
         .select(col("query_id"), col("neighbor_id"),
-          VF.cosine(col("query_emb"), col("cand_emb")).as("cos"))
+          VF.cosineFast(col("query_emb"), col("cand_emb")).as("cos"))
         .withColumn("rank", row_number().over(w).cast("long"))
         .filter(col("rank") <= 3)
         .select(col("query_id"), col("neighbor_id"), col("rank"),

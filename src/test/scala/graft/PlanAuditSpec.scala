@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.execution.ExplainMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan audit (SURVEY.md §7 Step 5): asserts the plan
+  * properties that make these queries scale — predicate pushdown into
+  * the parquet scan, column pruning, broadcast joins for dims,
+  * TakeOrderedAndProject for global top-k, two-phase aggregation, and
+  * whole-stage codegen (including the native cosine expression).
+  * These assertions guard against regressions that would silently
+  * turn a scalable plan into a slow one.
+  */
+class PlanAuditSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, TestSpark.sf0001)
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+  }
+
+  /** Codegen view. AQE wraps the plan and reports 0 subtrees before
+    * execution, so disable it for the inspection only.
+    */
+  private def codegenPlan(name: String): String = {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = SparkEntry.queries(name)(spark, TestSpark.sf0001)
+      df.queryExecution.explainString(ExplainMode.fromString("codegen"))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("filters are pushed into the parquet scan") {
+    val p = plan("q_filter_predicates")
+    assert(p.contains("PushedFilters:"), p)
+    assert(p.contains("IsNotNull"), "expected not-null filters pushed")
+    assert(p.contains("GreaterThanOrEqual") || p.contains("GreaterThan"),
+      "expected range filters pushed")
+  }
+
+  test("scans are column-pruned to the needed columns") {
+    val p = plan("q_pricing_summary")
+    // lineitem has 11 columns; the query needs 7
+    assert(p.contains("ReadSchema"), p)
+    assert(!p.contains("l_orderkey"), "pruned column still read:\n" + p)
+    assert(!p.contains("l_partkey"), "pruned column still read:\n" + p)
+  }
+
+  test("aggregation is two-phase (partial + final HashAggregate)") {
+    val p = plan("q_pricing_summary")
+    assert(p.contains("partial_sum"), "no map-side partial aggregation:\n" + p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    assert(codegenPlan("q_pricing_summary").contains("WholeStageCodegen"),
+      "aggregate not codegen'd")
+  }
+
+  test("star join broadcasts the small dimensions") {
+    val p = plan("q_join_star")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("global top-k compiles to TakeOrderedAndProject (no full sort)") {
+    val p = plan("q_sort_limit")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("native cosine expression participates in codegen") {
+    assert(plan("q_cosine_topk").contains("cosine_sim"))
+    val cg = codegenPlan("q_cosine_topk")
+    assert(cg.contains("WholeStageCodegen"), cg.take(2000))
+    // the fused loop body from CosineSimilarity.doGenCode is inlined
+    assert(cg.contains("getFloat"), "fused cosine loop not in generated code")
+  }
+
+  test("semi/anti joins stay semi/anti physically (no join+distinct)") {
+    assert(plan("q_join_semi").contains("LeftSemi"), plan("q_join_semi"))
+    assert(plan("q_join_anti").contains("LeftAnti"), plan("q_join_anti"))
+  }
+
+  test("as-of join is a single window pass, not a range self-join") {
+    val p = plan("q_join_asof")
+    assert(p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), "as-of must not be a cartesian join")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "as-of must not be a BNL join")
+  }
+}
