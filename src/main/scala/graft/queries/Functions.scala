@@ -202,6 +202,94 @@ object Functions extends QueryModule {
       LIMIT 100
     """))
 
+  /** Map functions over a derived map column (no stored map columns
+    * exist — §1.2; maps appear as derived results only).
+    */
+  val mapFuncs = QueryDef(
+    "q_map_funcs",
+    (s, d) =>
+      Tables.events(s, d)
+        .select(col("event_id"),
+          map(lit("k"), get_json_object(col("props"), "$.k").cast("long"),
+            lit("k2"), get_json_object(col("props"), "$.k").cast("long") * 2).as("m"))
+        .select(col("event_id"),
+          element_at(col("m"), "k").as("k_value"),
+          element_at(col("m"), "k2").as("k_doubled"),
+          size(col("m")).cast("long").as("n_keys"),
+          array_join(map_keys(col("m")), ",").as("keys_str"),
+          array_join(transform(map_values(col("m")), v => v.cast("string")), ",")
+            .as("vals_str"))
+        .orderBy(col("event_id")),
+    Some("""
+      SELECT event_id,
+             m['k'][1] AS k_value,
+             m['k2'][1] AS k_doubled,
+             CAST(cardinality(m) AS BIGINT) AS n_keys,
+             array_to_string(map_keys(m), ',') AS keys_str,
+             array_to_string(list_transform(map_values(m), v -> CAST(v AS VARCHAR)), ',') AS vals_str
+      FROM (
+        SELECT event_id,
+               MAP {'k': CAST(props->>'k' AS BIGINT),
+                    'k2': CAST(props->>'k' AS BIGINT) * 2} AS m
+        FROM events)
+      ORDER BY event_id
+    """))
+
+  /** posexplode: token positions (0-based) for a bounded doc slice. */
+  val posExplode = QueryDef(
+    "q_posexplode",
+    (s, d) =>
+      Tables.documents(s, d)
+        .filter(col("doc_id") < 5)
+        .select(col("doc_id"),
+          posexplode(expr("filter(split(text, ' '), t -> t != '')")))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"), col("col").as("token"))
+        .orderBy(col("doc_id"), col("pos")),
+    Some("""
+      SELECT doc_id, u['pos'] AS pos, u['token'] AS token
+      FROM (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(toks)),
+                 i -> {'pos': i - 1, 'token': toks[i]})) AS u
+        FROM (
+          SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+          FROM documents
+          WHERE doc_id < 5))
+      ORDER BY doc_id, pos
+    """))
+
+  /** stack (unpivot): wide per-status price stats → long (metric,
+    * value) rows; oracle is the equivalent UNION ALL.
+    */
+  val stackUnpivot = QueryDef(
+    "q_unpivot",
+    (s, d) =>
+      Tables.orders(s, d)
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          round(min(col("o_totalprice")), 2).as("min_price"),
+          round(max(col("o_totalprice")), 2).as("max_price"),
+          round(avg(col("o_totalprice")), 4).as("avg_price"))
+        .selectExpr("o_orderstatus",
+          "stack(3, 'min', min_price, 'max', max_price, 'avg', avg_price) AS (metric, value)")
+        .orderBy(col("o_orderstatus"), col("metric")),
+    Some("""
+      WITH stats AS (
+        SELECT o_orderstatus,
+               round(min(o_totalprice), 2) AS min_price,
+               round(max(o_totalprice), 2) AS max_price,
+               round(avg(o_totalprice), 4) AS avg_price
+        FROM orders GROUP BY o_orderstatus)
+      SELECT o_orderstatus, metric, value FROM (
+        SELECT o_orderstatus, 'min' AS metric, min_price AS value FROM stats
+        UNION ALL
+        SELECT o_orderstatus, 'max', max_price FROM stats
+        UNION ALL
+        SELECT o_orderstatus, 'avg', avg_price FROM stats)
+      ORDER BY o_orderstatus, metric
+    """))
+
   def defs: Seq[QueryDef] = Seq(
-    stringFuncs, dateFuncs, mathFuncs, arrayFuncs, jsonFuncs, explodeTokens)
+    stringFuncs, dateFuncs, mathFuncs, arrayFuncs, jsonFuncs, explodeTokens,
+    mapFuncs, posExplode, stackUnpivot)
 }
