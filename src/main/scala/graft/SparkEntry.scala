@@ -21,6 +21,7 @@ object SparkEntry {
     q.Similarity,
     q.TextAnalysis,
     q.Multimodal,
+    q.Subqueries,
   )
 
   def all: Seq[QueryDef] = {

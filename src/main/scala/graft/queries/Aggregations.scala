@@ -254,7 +254,33 @@ object Aggregations extends QueryModule {
       ORDER BY l_returnflag
     """))
 
+  /** Pivot: per-user event counts spread across the five event types.
+    * Pivot values are pinned (never inferred — inference is an extra
+    * distinct pass and nondeterministic column order at scale).
+    */
+  val pivotQ = QueryDef(
+    "q_pivot",
+    (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+        .count()
+        .na.fill(0L)
+        .orderBy(col("user_id")),
+    Some("""
+      SELECT user_id,
+             count(*) FILTER (WHERE event_type = 'click') AS click,
+             count(*) FILTER (WHERE event_type = 'view') AS view,
+             count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+             count(*) FILTER (WHERE event_type = 'signup') AS signup,
+             count(*) FILTER (WHERE event_type = 'error') AS error
+      FROM events
+      GROUP BY user_id
+      ORDER BY user_id
+    """))
+
   def defs: Seq[QueryDef] = Seq(
     aggGlobal, countDistinctQ, approxDistinct, rollupQ, cubeQ,
-    groupingSetsQ, aggFiltered, maxByQ, collectQ, statsQ, percentileQ)
+    groupingSetsQ, aggFiltered, maxByQ, collectQ, statsQ, percentileQ,
+    pivotQ)
 }

@@ -126,5 +126,70 @@ object Similarity extends QueryModule {
       ORDER BY label
     """))
 
-  def defs: Seq[QueryDef] = Seq(cosineTopK, annIvf, vectorStats)
+  /** LSH-bucketed ANN: 8 "random" hyperplanes (deterministically, the
+    * embeddings of vec_id 100..107), bucket = packed sign bits of the
+    * plane dots, candidates = same-bucket vectors, then exact cosine
+    * rerank within the bucket. Unlike q_ann_ivf this needs no
+    * precomputed cluster labels — the at-scale path when no coarse
+    * quantizer exists: one broadcast of 8 planes, one shuffle on the
+    * 8-bit bucket key.
+    */
+  val annLsh = QueryDef(
+    "q_ann_lsh",
+    (s, d) => {
+      graft.functions.expressions.CosineSimilarity.register(s)
+      val e = Tables.embeddings(s, d)
+      val planes = broadcast(
+        e.filter(col("vec_id") >= 100 && col("vec_id") < 108)
+          .select((col("vec_id") - 100).as("plane_no"),
+            col("embedding").as("plane_emb")))
+      val bucketed = e.crossJoin(planes)
+        .select(col("vec_id"), col("embedding"),
+          when(VF.dot(col("embedding"), col("plane_emb")) > 0,
+            pow(lit(2), col("plane_no")).cast("long")).otherwise(0L).as("bit"))
+        .groupBy(col("vec_id"))
+        .agg(first(col("embedding")).as("embedding"), sum(col("bit")).as("bucket"))
+      val probes = bucketed.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("bucket"),
+          col("embedding").as("probe_emb"))
+      val w = Window.partitionBy(col("probe_id"))
+        .orderBy(col("cos").desc, col("cand_id"))
+      probes
+        .join(bucketed.select(col("vec_id").as("cand_id"), col("bucket"),
+          col("embedding").as("cand_emb")), Seq("bucket"))
+        .filter(col("probe_id") =!= col("cand_id"))
+        .select(col("probe_id"), col("bucket"), col("cand_id"),
+          VF.cosineFast(col("probe_emb"), col("cand_emb")).as("cos"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("probe_id"), col("bucket"), col("cand_id").as("nearest_id"),
+          round(col("cos"), 4).as("cosine"))
+        .orderBy(col("probe_id"))
+    },
+    Some(s"""
+      WITH planes AS (
+        SELECT vec_id - 100 AS plane_no, embedding AS plane_emb
+        FROM embeddings WHERE vec_id >= 100 AND vec_id < 108),
+      bucketed AS (
+        SELECT e.vec_id, e.embedding,
+               CAST(sum(CASE WHEN list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                                   CAST(p.plane_emb AS DOUBLE[])) > 0
+                        THEN CAST(round(pow(2, p.plane_no)) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+        FROM embeddings e CROSS JOIN planes p
+        GROUP BY e.vec_id, e.embedding),
+      scored AS (
+        SELECT a.vec_id AS probe_id, a.bucket, b.vec_id AS cand_id, $duckCos AS cos
+        FROM bucketed a JOIN bucketed b
+          ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+        WHERE a.vec_id < 10)
+      SELECT probe_id, bucket, cand_id AS nearest_id, round(cos, 4) AS cosine
+      FROM (
+        SELECT probe_id, bucket, cand_id, cos,
+               row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, cand_id) AS rn
+        FROM scored)
+      WHERE rn = 1
+      ORDER BY probe_id
+    """))
+
+  def defs: Seq[QueryDef] = Seq(cosineTopK, annIvf, vectorStats, annLsh)
 }
