@@ -112,7 +112,33 @@ object SetOps extends QueryModule {
       ORDER BY nationkey
     """))
 
+  /** unionByName: columns matched by NAME across differently-ordered
+    * projections (positional union would silently mis-align).
+    */
+  val setUnionByName = QueryDef(
+    "q_set_union_by_name",
+    (s, d) => {
+      val a = Tables.customer(s, d)
+        .select(col("c_custkey").as("id"), col("c_mktsegment").as("seg"))
+      val b = Tables.customer(s, d)
+        .filter(col("c_nationkey") < 5)
+        .select(col("c_mktsegment").as("seg"), col("c_custkey").as("id"))
+      a.unionByName(b)
+        .groupBy(col("seg"))
+        .agg(count(lit(1)).as("cnt"), countDistinct(col("id")).as("distinct_ids"))
+        .orderBy(col("seg"))
+    },
+    Some("""
+      SELECT seg, count(*) AS cnt, count(DISTINCT id) AS distinct_ids
+      FROM (
+        SELECT c_custkey AS id, c_mktsegment AS seg FROM customer
+        UNION ALL
+        SELECT c_custkey AS id, c_mktsegment AS seg FROM customer WHERE c_nationkey < 5)
+      GROUP BY seg
+      ORDER BY seg
+    """))
+
   def defs: Seq[QueryDef] = Seq(
     setUnion, setUnionAll, setIntersect, setIntersectAll,
-    setExcept, setExceptAll)
+    setExcept, setExceptAll, setUnionByName)
 }

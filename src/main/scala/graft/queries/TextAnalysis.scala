@@ -281,7 +281,65 @@ object TextAnalysis extends QueryModule {
       ORDER BY doc_id
     """))
 
+  /** Capstone: the full training-data cleaning pipeline in one plan —
+    * quality filter → exact dedup (keep lowest doc_id per text hash) →
+    * near-dup drop (keep lowest doc_id per 80-char-prefix hash) →
+    * embedding-availability join → per-language summary. Each stage
+    * is a window/join on a hash bucket; the whole pipeline is three
+    * shuffles regardless of corpus size.
+    */
+  val cleanCorpus = QueryDef(
+    "q_clean_corpus",
+    (s, d) => {
+      val quality = Tables.documents(s, d)
+        .withColumn("toks", TF.tokens(col("text")))
+        .filter(size(col("toks")) >= 20
+          && size(filter(col("toks"), t => length(t) <= 3))
+            < size(col("toks")) * 0.8)
+      val wText = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+      val wPrefix = Window.partitionBy(md5(substring(col("text"), 1, 80)))
+        .orderBy(col("doc_id"))
+      val kept = quality
+        .withColumn("first_exact", first(col("doc_id")).over(wText))
+        .withColumn("first_prefix", first(col("doc_id")).over(wPrefix))
+        .filter(col("doc_id") === col("first_exact")
+          && col("doc_id") === col("first_prefix"))
+      kept
+        .join(Tables.embeddings(s, d).select(col("vec_id")),
+          col("doc_id") === col("vec_id"), "left")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("kept_docs"),
+          count(col("vec_id")).as("with_embedding"),
+          round(avg(col("n_chars")), 4).as("avg_chars"))
+        .orderBy(col("lang"))
+    },
+    Some("""
+      WITH quality AS (
+        SELECT doc_id, text, lang, n_chars
+        FROM (
+          SELECT doc_id, text, lang, n_chars,
+                 len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_tokens,
+                 len(list_filter(string_split(text, ' '),
+                     t -> t <> '' AND length(t) <= 3)) AS n_short
+          FROM documents)
+        WHERE n_tokens >= 20 AND n_short < n_tokens * 0.8),
+      kept AS (
+        SELECT doc_id, lang, n_chars
+        FROM (
+          SELECT doc_id, lang, n_chars,
+                 first_value(doc_id) OVER (PARTITION BY md5(text) ORDER BY doc_id) AS first_exact,
+                 first_value(doc_id) OVER (PARTITION BY md5(substr(text, 1, 80)) ORDER BY doc_id) AS first_prefix
+          FROM quality)
+        WHERE doc_id = first_exact AND doc_id = first_prefix)
+      SELECT lang, count(*) AS kept_docs,
+             count(vec_id) AS with_embedding,
+             round(avg(n_chars), 4) AS avg_chars
+      FROM kept LEFT JOIN embeddings ON doc_id = vec_id
+      GROUP BY lang
+      ORDER BY lang
+    """))
+
   def defs: Seq[QueryDef] = Seq(
     textJaccard, ngramJaccard, langId, langStats, textQuality,
-    tokenStats, docFingerprint)
+    tokenStats, docFingerprint, cleanCorpus)
 }

@@ -28,7 +28,16 @@ object Windows extends QueryModule {
           row_number().over(unique).cast("long").as("rn"),
           rank().over(byBal).cast("long").as("rnk"),
           dense_rank().over(byBal).cast("long").as("drnk"),
-          ntile(4).over(unique).cast("long").as("quartile"))
+          ntile(4).over(unique).cast("long").as("quartile"),
+          // int-ratio windows produce IDENTICAL doubles in both
+          // engines (exact integer division) — cast to float32 (an
+          // IEEE-deterministic rounding) instead of round(), which
+          // diverges when the exact decimal ends on the boundary
+          percent_rank().over(byBal).cast("float").as("pct_rank"),
+          cume_dist().over(byBal).cast("float").as("cume"),
+          nth_value(col("c_custkey"), 2).over(
+            unique.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+            .as("second_richest"))
         .orderBy(col("c_custkey"))
     },
     Some("""
@@ -36,7 +45,11 @@ object Windows extends QueryModule {
              row_number() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rn,
              rank()       OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC) AS rnk,
              dense_rank() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC) AS drnk,
-             ntile(4)     OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS quartile
+             ntile(4)     OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS quartile,
+             CAST(percent_rank() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC) AS FLOAT) AS pct_rank,
+             CAST(cume_dist()    OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC) AS FLOAT) AS cume,
+             nth_value(c_custkey, 2) OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_richest
       FROM customer
       ORDER BY c_custkey
     """))
