@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** User-facing facade: build a correctly-configured session, register
+  * the tables as temp views, and run SQL or the named inventory
+  * queries — the surface a user of the reference engine would switch
+  * to.
+  *
+  * {{{
+  * val spark = Graft.session()
+  * Graft.registerTables(spark, "/data/sf100")
+  * spark.sql("SELECT ... FROM lineitem JOIN orders ON ...")
+  * Graft.run(spark, "q_pricing_summary", "/data/sf100")
+  * }}}
+  */
+object Graft {
+
+  /** Recommended session: UTC, graft native functions injected, AQE
+    * coalescing tuned; shuffle partitions default to available cores
+    * (override for cluster deployments).
+    */
+  def session(master: String = s"local[${Runtime.getRuntime.availableProcessors()}]",
+      shufflePartitions: Option[Int] = None): SparkSession = {
+    val parts = shufflePartitions
+      .getOrElse(Runtime.getRuntime.availableProcessors())
+    SparkSession.builder()
+      .master(master)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.shuffle.partitions", parts.toString)
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+  }
+
+  /** Register every table under `sfDir` as a temp view (so spark.sql
+    * text matches the oracle dialect's table names), plus graft's
+    * session-scoped functions.
+    */
+  def registerTables(spark: SparkSession, sfDir: String): Unit = {
+    functions.expressions.CosineSimilarity.register(spark)
+    functions.MinHashSignature.register(spark)
+    Tables.names.foreach { n =>
+      val df = if (n == "events") Tables.events(spark, sfDir) // nanos fix
+               else Tables.load(spark, sfDir, n)
+      df.createOrReplaceTempView(n)
+    }
+  }
+
+  /** Run a named inventory query (SURVEY.md §2.12). */
+  def run(spark: SparkSession, name: String, sfDir: String): DataFrame =
+    SparkEntry.queries.getOrElse(name,
+      throw new IllegalArgumentException(
+        s"unknown query '$name'; available: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}"))
+      .apply(spark, sfDir)
+
+  /** The declared inventory names. */
+  def inventory: Seq[String] = SparkEntry.all.map(_.name)
+}

@@ -22,6 +22,7 @@ object SparkEntry {
     q.TextAnalysis,
     q.Multimodal,
     q.Subqueries,
+    q.Analytics,
   )
 
   def all: Seq[QueryDef] = {

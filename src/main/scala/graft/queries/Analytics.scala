@@ -1,0 +1,162 @@
+package graft.queries
+
+import graft.{QueryDef, QueryModule, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Classic composite analytics (TPC-H-style): multi-clause queries
+  * combining the §2 primitives the way a reference OLAP workload
+  * does — selective scans feeding broadcast-dim joins, grouped
+  * revenue math, windowed ranking over aggregates. These validate the
+  * primitives compose, and their plans follow the same scale shapes
+  * (SCALING.md).
+  */
+object Analytics extends QueryModule {
+
+  /** Q3 analog — shipping priority: revenue of unshipped lineitems
+    * for one market segment, top 10 orders.
+    */
+  val shippingPriority = QueryDef(
+    "q_shipping_priority",
+    (s, d) => {
+      val cutoff = lit("1997-06-01").cast("timestamp")
+      val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      val o = Tables.orders(s, d).filter(col("o_orderdate") < cutoff)
+      val l = Tables.lineitem(s, d).filter(col("l_shipdate") > cutoff)
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    },
+    Some("""
+      SELECT l_orderkey, o_orderdate, o_orderpriority,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      WHERE c_mktsegment = 'BUILDING'
+        AND o_orderdate < TIMESTAMP '1997-06-01 00:00:00'
+        AND l_shipdate  > TIMESTAMP '1997-06-01 00:00:00'
+      GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      ORDER BY revenue DESC, l_orderkey
+      LIMIT 10
+    """))
+
+  /** Q6 analog — forecast revenue change: tight range predicates, one
+    * global aggregate; the canonical pushdown showcase.
+    */
+  val forecastRevenue = QueryDef(
+    "q_forecast_revenue",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp")
+          && col("l_shipdate") < lit("1998-01-01").cast("timestamp")
+          && col("l_discount").between(0.03, 0.07)
+          && col("l_quantity") < 24)
+        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+          count(lit(1)).as("qualifying_lines")),
+    Some("""
+      SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+             count(*) AS qualifying_lines
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+        AND l_discount BETWEEN 0.03 AND 0.07
+        AND l_quantity < 24
+    """))
+
+  /** Q14 analog — promo revenue share: conditional aggregation over a
+    * fact⋈dim join (part side broadcastable).
+    */
+  val promoRevenue = QueryDef(
+    "q_promo_revenue",
+    (s, d) => {
+      val l = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp")
+          && col("l_shipdate") < lit("1997-07-01").cast("timestamp"))
+      l.join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+        .agg(
+          round(sum(when(col("p_type").like("PROMO%"),
+            col("l_extendedprice") * (lit(1) - col("l_discount"))).otherwise(0.0)), 2)
+            .as("promo_revenue"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("total_revenue"))
+    },
+    Some("""
+      SELECT round(sum(CASE WHEN p_type LIKE 'PROMO%'
+                       THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END), 2) AS promo_revenue,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1997-07-01 00:00:00'
+    """))
+
+  /** Q15 analog — top supplier per nation: windowed rank over grouped
+    * revenue (aggregate → window, two shuffles).
+    */
+  val topSupplier = QueryDef(
+    "q_top_supplier",
+    (s, d) => {
+      val revenue = Tables.lineitem(s, d)
+        .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_nationkey"), col("s_suppkey"), col("s_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+      val w = Window.partitionBy(col("s_nationkey"))
+        .orderBy(col("revenue").desc, col("s_suppkey"))
+      revenue
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") === 1)
+        .select(col("s_nationkey"), col("s_suppkey"), col("s_name"), col("revenue"))
+        .orderBy(col("s_nationkey"))
+    },
+    Some("""
+      SELECT s_nationkey, s_suppkey, s_name, revenue
+      FROM (
+        SELECT s_nationkey, s_suppkey, s_name, revenue,
+               row_number() OVER (PARTITION BY s_nationkey
+                 ORDER BY revenue DESC, s_suppkey) AS rn
+        FROM (
+          SELECT s_nationkey, s_suppkey, s_name,
+                 round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+          FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+          GROUP BY s_nationkey, s_suppkey, s_name))
+      WHERE rn = 1
+      ORDER BY s_nationkey
+    """))
+
+  /** Q16 analog — parts/supplier stats: distinct supplier counts per
+    * (brand, type-prefix, size) excluding one brand via anti filter.
+    */
+  val partsStats = QueryDef(
+    "q_parts_stats",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d).filter(col("p_brand") =!= "Brand#1")),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("p_brand"),
+          substring(col("p_type"), 1, 6).as("type_prefix"),
+          col("p_size"), col("l_suppkey"))
+        .groupBy(col("p_brand"), col("type_prefix"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_count"))
+        .orderBy(col("supplier_count").desc, col("p_brand"),
+          col("type_prefix"), col("p_size"))
+        .limit(50),
+    Some("""
+      SELECT p_brand, type_prefix, p_size, supplier_count
+      FROM (
+        SELECT p_brand, substr(p_type, 1, 6) AS type_prefix, p_size,
+               count(DISTINCT l_suppkey) AS supplier_count
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_brand <> 'Brand#1'
+        GROUP BY p_brand, type_prefix, p_size)
+      ORDER BY supplier_count DESC, p_brand, type_prefix, p_size
+      LIMIT 50
+    """))
+
+  def defs: Seq[QueryDef] = Seq(
+    shippingPriority, forecastRevenue, promoRevenue, topSupplier, partsStats)
+}
