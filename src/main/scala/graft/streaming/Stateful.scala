@@ -1,0 +1,43 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Typed event row matching the events table schema. */
+case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+    event_type: String, value: Double)
+
+/** Accumulated per-user state output. */
+case class UserStats(user_id: Long, events: Long, total_value: Double)
+
+/** Arbitrary stateful processing (SURVEY.md §2.9 last row):
+  * mapGroupsWithState keeps a per-key accumulator that survives
+  * across micro-batches — the escape hatch when windowed aggregation
+  * can't express the state machine. Works on batch frames too (one
+  * "batch" of state). State size is O(|users|), bounded; at scale add
+  * a timeout (GroupStateTimeout) to expire idle keys.
+  */
+object Stateful {
+
+  /** Running per-user event count + value total, updated per batch. */
+  def userStats(events: Dataset[Event]): Dataset[UserStats] = {
+    implicit val statsEnc = Encoders.product[UserStats]
+    implicit val stateEnc = Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble)
+    implicit val keyEnc = Encoders.scalaLong
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[Event], state: GroupState[(Long, Double)]) =>
+          val (c0, s0) = state.getOption.getOrElse((0L, 0.0))
+          var c = c0
+          var s = s0
+          it.foreach { e => c += 1; s += e.value }
+          state.update((c, s))
+          UserStats(user, c, math.round(s * 100.0) / 100.0)
+      }
+  }
+
+  /** The streaming output mode mapGroupsWithState requires. */
+  val outputMode: OutputMode = OutputMode.Update()
+}

@@ -1,0 +1,65 @@
+package graft
+
+import java.sql.Timestamp
+import graft.functions.SkewJoin
+import graft.streaming.{Event, Stateful}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class StatefulSkewSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def t(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  test("mapGroupsWithState accumulates across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = Stateful.userStats(input.toDS())
+      .writeStream.format("memory").queryName("stateful_test")
+      .outputMode(Stateful.outputMode).start()
+    try {
+      input.addData(Event(1, t(0), 1, "click", 1.5), Event(2, t(1), 1, "view", 2.5))
+      q.processAllAvailable()
+      input.addData(Event(3, t(2), 1, "click", 4.0), Event(4, t(3), 2, "view", 9.0))
+      q.processAllAvailable()
+      // update mode appends one row per updated key per batch; the
+      // LAST row per user carries the accumulated state
+      val last = spark.table("stateful_test")
+        .groupBy($"user_id")
+        .agg(max(struct($"events", $"total_value")).as("s"))
+        .select($"user_id", $"s.events", $"s.total_value")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(last === Set((1L, 3L, 8.0), (2L, 1L, 9.0)))
+    } finally q.stop()
+  }
+
+  test("stateful userStats also runs on a batch Dataset") {
+    import spark.implicits._
+    val batch = Seq(
+      Event(1, t(0), 1, "click", 1.0), Event(2, t(1), 1, "view", 2.0),
+      Event(3, t(2), 2, "click", 5.0)).toDS()
+    val out = Stateful.userStats(batch).collect()
+      .map(s => (s.user_id, s.events, s.total_value)).toSet
+    assert(out === Set((1L, 2L, 3.0), (2L, 1L, 5.0)))
+  }
+
+  test("salted join equals the plain join") {
+    import spark.implicits._
+    // skewed big side: 90% of rows share key 1
+    val big = (1 to 1000).map(i => (if (i <= 900) 1L else (i % 7).toLong, i))
+      .toDF("k", "payload")
+    val small = Seq((0L, "a"), (1L, "b"), (2L, "c"), (3L, "d"),
+      (4L, "e"), (5L, "f"), (6L, "g")).toDF("k", "tag")
+    val plain = big.join(small, Seq("k"))
+      .select($"k", $"payload", $"tag")
+      .collect().map(_.toSeq).toSeq.sortBy(_.toString)
+    val salted = SkewJoin.saltedInnerJoin(big, small, "k", salts = 8)
+      .select($"k", $"payload", $"tag")
+      .collect().map(_.toSeq).toSeq.sortBy(_.toString)
+    assert(salted === plain)
+    assert(plain.nonEmpty)
+  }
+}
