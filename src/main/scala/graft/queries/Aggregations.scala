@@ -279,8 +279,28 @@ object Aggregations extends QueryModule {
       ORDER BY user_id
     """))
 
+  /** Fixed-width histogram: integer bucket math on both engines
+    * (floor of price/width, capped), no boundary ambiguity.
+    */
+  val histogramQ = QueryDef(
+    "q_histogram",
+    (s, d) =>
+      Tables.orders(s, d)
+        .select(least(floor(col("o_totalprice") / 50000.0), lit(9.0))
+          .cast("long").as("bucket"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("bucket")),
+    Some("""
+      SELECT CAST(least(floor(o_totalprice / 50000.0), 9.0) AS BIGINT) AS bucket,
+             count(*) AS cnt
+      FROM orders
+      GROUP BY bucket
+      ORDER BY bucket
+    """))
+
   def defs: Seq[QueryDef] = Seq(
     aggGlobal, countDistinctQ, approxDistinct, rollupQ, cubeQ,
     groupingSetsQ, aggFiltered, maxByQ, collectQ, statsQ, percentileQ,
-    pivotQ)
+    pivotQ, histogramQ)
 }

@@ -342,7 +342,57 @@ object TextAnalysis extends QueryModule {
       ORDER BY lang
     """))
 
+  /** TF-IDF: term frequency from per-doc token counts, inverse
+    * document frequency from corpus document frequency, top-3 terms
+    * per doc for a bounded probe set. The df table is |vocabulary|
+    * rows (broadcastable); everything else is map-side per doc.
+    */
+  val tfIdf = QueryDef(
+    "q_tf_idf",
+    (s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), explode(TF.tokens(col("text"))).as("token"))
+      val nDocs = Tables.documents(s, d).count()
+      val tf = toks.groupBy(col("doc_id"), col("token"))
+        .agg(count(lit(1)).as("tf"))
+      val df = toks.select(col("doc_id"), col("token")).distinct()
+        .groupBy(col("token")).agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("tfidf").desc, col("token"))
+      tf.filter(col("doc_id") < 10)
+        .join(broadcast(df), Seq("token"))
+        .select(col("doc_id"), col("token"),
+          round(col("tf") * log(lit(nDocs.toDouble) / col("df")), 6).as("tfidf"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 3)
+        .select(col("doc_id"), col("rn").as("rank"), col("token"), col("tfidf"))
+        .orderBy(col("doc_id"), col("rank"))
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS token
+        FROM documents),
+      tf AS (
+        SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY doc_id, token),
+      df AS (
+        SELECT token, count(*) AS df
+        FROM (SELECT DISTINCT doc_id, token FROM toks) GROUP BY token),
+      n AS (SELECT count(*) AS n_docs FROM documents),
+      scored AS (
+        SELECT doc_id, token,
+               round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+        FROM tf JOIN df USING (token) CROSS JOIN n
+        WHERE doc_id < 10)
+      SELECT doc_id, rank, token, tfidf
+      FROM (
+        SELECT doc_id, token, tfidf,
+               row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rank
+        FROM scored)
+      WHERE rank <= 3
+      ORDER BY doc_id, rank
+    """))
+
   def defs: Seq[QueryDef] = Seq(
     textJaccard, ngramJaccard, langId, langStats, textQuality,
-    tokenStats, docFingerprint, cleanCorpus)
+    tokenStats, docFingerprint, cleanCorpus, tfIdf)
 }
