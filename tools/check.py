@@ -47,6 +47,11 @@ def main():
         scols, dcols = sorted(spark_rel.columns), sorted(duck_rel.columns)
         if scols != dcols:
             print(f"FAIL  {name}: columns spark={scols} duck={dcols}"); bad += 1; continue
+        stypes = dict(zip(spark_rel.columns, [str(t) for t in spark_rel.types]))
+        dtypes = dict(zip(duck_rel.columns, [str(t) for t in duck_rel.types]))
+        tdiff = {c: (stypes[c], dtypes[c]) for c in scols if stypes[c] != dtypes[c]}
+        if tdiff:
+            print(f"TYPE  {name}: {tdiff}")
         q = ", ".join(f'"{c}"' for c in scols)
         srows = [tuple(norm(v) for v in r) for r in
                  con.sql(f"SELECT {q} FROM spark_rel").fetchall()]
