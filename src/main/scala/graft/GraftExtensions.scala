@@ -9,7 +9,11 @@ import org.apache.spark.sql.SparkSessionExtensions
   * `.withExtensions(new GraftExtensions)`).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(extensions: SparkSessionExtensions): Unit =
+  override def apply(extensions: SparkSessionExtensions): Unit = {
     extensions.injectFunction(
       (CosineSimilarity.identifier, CosineSimilarity.info, CosineSimilarity.builder))
+    // Rewrite the portable declarative cosine shape to the fused
+    // codegen expression automatically.
+    extensions.injectOptimizerRule(_ => plans.RewriteCosineToNative)
+  }
 }
