@@ -289,7 +289,53 @@ object Functions extends QueryModule {
       ORDER BY o_orderstatus, metric
     """))
 
+  /** Ordered string aggregation (listagg ≡ string_agg): canonical
+    * per-group concatenation with an explicit WITHIN GROUP order.
+    */
+  val stringAgg = QueryDef(
+    "q_string_agg",
+    (s, d) => {
+      Tables.nation(s, d).createOrReplaceTempView("nation_sa_v")
+      s.sql("""
+        SELECT n_regionkey,
+               listagg(n_name, '|') WITHIN GROUP (ORDER BY n_name) AS nations
+        FROM nation_sa_v
+        GROUP BY n_regionkey
+        ORDER BY n_regionkey
+      """)
+    },
+    Some("""
+      SELECT n_regionkey,
+             string_agg(n_name, '|' ORDER BY n_name) AS nations
+      FROM nation
+      GROUP BY n_regionkey
+      ORDER BY n_regionkey
+    """))
+
+  /** Bitwise operators on integer keys. */
+  val bitwiseFuncs = QueryDef(
+    "q_bitwise",
+    (s, d) =>
+      Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          (col("o_orderkey").bitwiseAND(255L)).as("low_byte"),
+          (col("o_orderkey").bitwiseOR(4096L)).as("with_flag"),
+          (col("o_orderkey").bitwiseXOR(col("o_custkey"))).as("key_xor"),
+          shiftleft(col("o_orderkey"), 2).as("shifted"),
+          shiftright(col("o_orderkey"), 3).as("down_shifted"))
+        .orderBy(col("o_orderkey")),
+    Some("""
+      SELECT o_orderkey,
+             o_orderkey & 255 AS low_byte,
+             o_orderkey | 4096 AS with_flag,
+             xor(o_orderkey, o_custkey) AS key_xor,
+             o_orderkey << 2 AS shifted,
+             o_orderkey >> 3 AS down_shifted
+      FROM orders
+      ORDER BY o_orderkey
+    """))
+
   def defs: Seq[QueryDef] = Seq(
     stringFuncs, dateFuncs, mathFuncs, arrayFuncs, jsonFuncs, explodeTokens,
-    mapFuncs, posExplode, stackUnpivot)
+    mapFuncs, posExplode, stackUnpivot, stringAgg, bitwiseFuncs)
 }

@@ -19,10 +19,14 @@ object Subqueries extends QueryModule {
     "q_subquery_scalar",
     (s, d) => {
       Tables.customer(s, d).createOrReplaceTempView("customer_sq_v")
+      // round(avg, 6): the group averages differ between engines at
+      // ~1 ulp (different partial-sum order); rounding both sides
+      // keeps the comparison threshold identical (balances have 2
+      // decimals, so a 6-decimal threshold can't create new ties)
       s.sql("""
         SELECT c_custkey, c_nationkey, c_acctbal
         FROM customer_sq_v c
-        WHERE c_acctbal > (SELECT avg(c2.c_acctbal)
+        WHERE c_acctbal > (SELECT round(avg(c2.c_acctbal), 6)
                            FROM customer_sq_v c2
                            WHERE c2.c_nationkey = c.c_nationkey)
         ORDER BY c_custkey
@@ -31,7 +35,7 @@ object Subqueries extends QueryModule {
     Some("""
       SELECT c_custkey, c_nationkey, c_acctbal
       FROM customer c
-      WHERE c_acctbal > (SELECT avg(c2.c_acctbal)
+      WHERE c_acctbal > (SELECT round(avg(c2.c_acctbal), 6)
                          FROM customer c2
                          WHERE c2.c_nationkey = c.c_nationkey)
       ORDER BY c_custkey
