@@ -164,6 +164,45 @@ object EventsTime extends QueryModule {
       ORDER BY event_id
     """))
 
+  /** Calendar gap-filling: generate every day of a month (sequence/
+    * generate_series), left-join daily order counts, zero-fill — the
+    * standard dense time-series idiom (missing days must appear).
+    */
+  val gapFill = QueryDef(
+    "q_gap_fill",
+    (s, d) => {
+      val days = s.range(1)
+        .select(explode(expr(
+          "sequence(DATE'1997-01-01', DATE'1997-01-31', INTERVAL 1 DAY)")).as("day"))
+      val daily = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp")
+          && col("o_orderdate") < lit("1997-02-01").cast("timestamp"))
+        .groupBy(col("o_orderdate").cast("date").as("day"))
+        .agg(count(lit(1)).as("orders"),
+          round(sum(col("o_totalprice")), 2).as("revenue"))
+      days.join(daily, Seq("day"), "left")
+        .select(col("day"),
+          coalesce(col("orders"), lit(0L)).as("orders"),
+          round(coalesce(col("revenue"), lit(0.0)), 2).as("revenue"))
+        .orderBy(col("day"))
+    },
+    Some("""
+      WITH days AS (
+        SELECT CAST(g AS DATE) AS day
+        FROM generate_series(DATE '1997-01-01', DATE '1997-01-31', INTERVAL 1 DAY) t(g)),
+      daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS orders,
+               round(sum(o_totalprice), 2) AS revenue
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1997-02-01 00:00:00'
+        GROUP BY day)
+      SELECT day, coalesce(orders, 0) AS orders,
+             round(coalesce(revenue, 0.0), 2) AS revenue
+      FROM days LEFT JOIN daily USING (day)
+      ORDER BY day
+    """))
+
   def defs: Seq[QueryDef] = Seq(
-    tumbling, sliding, sessionize, sessionWindowNative, dedupRows)
+    tumbling, sliding, sessionize, sessionWindowNative, dedupRows, gapFill)
 }

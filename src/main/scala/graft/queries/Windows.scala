@@ -177,7 +177,35 @@ object Windows extends QueryModule {
       LIMIT 10
     """))
 
+  /** Numeric RANGE frame (non-time): per customer, how many of their
+    * orders fall within ±5000 of each order's price, via the SQL
+    * entry point (the typed DSL's rangeBetween is integral-only).
+    */
+  val windowRangeNumeric = QueryDef(
+    "q_window_range_numeric",
+    (s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders_rn_v")
+      s.sql("""
+        SELECT o_orderkey, o_custkey,
+               count(*) OVER w AS similar_priced,
+               round(sum(o_totalprice) OVER w, 2) AS similar_total
+        FROM orders_rn_v
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice
+                     RANGE BETWEEN 5000.0 PRECEDING AND 5000.0 FOLLOWING)
+        ORDER BY o_orderkey
+      """)
+    },
+    Some("""
+      SELECT o_orderkey, o_custkey,
+             count(*) OVER w AS similar_priced,
+             round(sum(o_totalprice) OVER w, 2) AS similar_total
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice
+                   RANGE BETWEEN 5000.0 PRECEDING AND 5000.0 FOLLOWING)
+      ORDER BY o_orderkey
+    """))
+
   def defs: Seq[QueryDef] = Seq(
     windowRank, windowAnalytic, windowRunning, windowRangeRolling,
-    topKPerGroup, sortLimit)
+    topKPerGroup, sortLimit, windowRangeNumeric)
 }
