@@ -203,6 +203,58 @@ object EventsTime extends QueryModule {
       ORDER BY day
     """))
 
+  /** Funnel analysis: signup → first click strictly after → first
+    * purchase strictly after that, per user; output the stage
+    * counts and median time-to-convert. Each stage is an aggregate
+    * then an equi-join on user_id — three bounded shuffles, the
+    * standard scalable funnel shape (no per-user iteration).
+    */
+  val funnel = QueryDef(
+    "q_funnel",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      val signup = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("us")).as("s_us"))
+      val click = ev.filter(col("event_type") === "click")
+        .join(signup, Seq("user_id"))
+        .filter(col("us") > col("s_us"))
+        .groupBy(col("user_id"), col("s_us")).agg(min(col("us")).as("c_us"))
+      val purchase = ev.filter(col("event_type") === "purchase")
+        .join(click, Seq("user_id"))
+        .filter(col("us") > col("c_us"))
+        .groupBy(col("user_id"), col("s_us"), col("c_us"))
+        .agg(min(col("us")).as("p_us"))
+      signup.agg(count(lit(1)).as("signed_up")).crossJoin(
+        click.agg(count(lit(1)).as("clicked_after")).crossJoin(
+          purchase.agg(count(lit(1)).as("purchased_after"),
+            round(expr("percentile((p_us - s_us) / 1e6, 0.5)"), 2)
+              .as("median_convert_sec"))))
+    },
+    Some("""
+      WITH ev AS (
+        SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+      signup AS (
+        SELECT user_id, min(us) AS s_us FROM ev
+        WHERE event_type = 'signup' GROUP BY user_id),
+      click AS (
+        SELECT e.user_id, s_us, min(us) AS c_us
+        FROM ev e JOIN signup USING (user_id)
+        WHERE event_type = 'click' AND us > s_us
+        GROUP BY e.user_id, s_us),
+      purchase AS (
+        SELECT e.user_id, s_us, c_us, min(us) AS p_us
+        FROM ev e JOIN click USING (user_id)
+        WHERE event_type = 'purchase' AND us > c_us
+        GROUP BY e.user_id, s_us, c_us)
+      SELECT (SELECT count(*) FROM signup) AS signed_up,
+             (SELECT count(*) FROM click) AS clicked_after,
+             (SELECT count(*) FROM purchase) AS purchased_after,
+             (SELECT round(quantile_cont((p_us - s_us) / 1e6, 0.5), 2)
+              FROM purchase) AS median_convert_sec
+    """))
+
   def defs: Seq[QueryDef] = Seq(
-    tumbling, sliding, sessionize, sessionWindowNative, dedupRows, gapFill)
+    tumbling, sliding, sessionize, sessionWindowNative, dedupRows, gapFill,
+    funnel)
 }
