@@ -29,6 +29,7 @@ object Graft {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.shuffle.partitions", parts.toString)
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true") // events.ts (Tables.events)
       .withExtensions(new GraftExtensions)
       .getOrCreate()
   }

@@ -34,16 +34,17 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
   /** events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses to
-    * read natively. Read it as a long (legacy nanosAsLong conf) and
-    * truncate ns→µs into a proper TimestampType — the same truncation
-    * DuckDB applies on `CAST(ts AS TIMESTAMP)`, so oracle SQL stays
-    * aligned (SURVEY.md §5).
+    * read natively. Read it as a long (requires
+    * `spark.sql.legacy.parquet.nanosAsLong=true`, set once at session
+    * build — Graft.session / Verify / Bench / TestSpark) and truncate
+    * ns→µs into a proper TimestampType — the same truncation DuckDB
+    * applies on `CAST(ts AS TIMESTAMP)`, so oracle SQL stays aligned
+    * (SURVEY.md §5). Conf is NOT set here: mutating session conf
+    * during concurrent plan construction is racy.
     */
-  def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  def events(s: SparkSession, d: String): DataFrame =
     load(s, d, "events")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-  }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }

@@ -11,7 +11,7 @@ import org.apache.spark.sql.functions._
   * key's partition into `salts` pieces.
   *
   * Join results are identical to the unsalted join (verified in
-  * SkewJoinSpec); cost is `salts`× replication of the small side.
+  * StatefulSkewSpec); cost is `salts`× replication of the small side.
   */
 object SkewJoin {
 

@@ -21,9 +21,18 @@ import org.apache.spark.sql.SparkSession
   * Numeric contract: identical operation order to the fold version
   * (left-to-right, double accumulation), so results are bit-identical
   * and the DuckDB oracles are unchanged.
+  *
+  * Null contract (matches the declarative form exactly, so the
+  * RewriteCosineToNative substitution is semantics-preserving):
+  * mismatched lengths → null (zip_with null-pads → null product →
+  * null fold), any null element → null (null propagates through the
+  * fold), zero norm (incl. both-empty) → null (Spark Divide yields
+  * null on a zero divisor in non-ANSI mode).
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
+
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult = {
     def ok(dt: DataType) = dt match {
@@ -43,12 +52,14 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var dot = 0.0
     var nx = 0.0
     var ny = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xv = x.getFloat(i).toDouble
       val yv = y.getFloat(i).toDouble
       dot += xv * yv
@@ -56,7 +67,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
       ny += yv * yv
       i += 1
     }
-    dot / (math.sqrt(nx) * math.sqrt(ny))
+    val denom = math.sqrt(nx) * math.sqrt(ny)
+    if (denom == 0.0) null else dot / denom
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -68,19 +80,32 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val ny = ctx.freshName("ny")
       val xv = ctx.freshName("xv")
       val yv = ctx.freshName("yv")
+      val anyNull = ctx.freshName("anyNull")
+      val denom = ctx.freshName("denom")
+      // nullSafeCodeGen sets ev.isNull=false before this block; start
+      // from true and only clear it on a fully-defined result.
       s"""
-        final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-        double $dot = 0.0;
-        double $nx = 0.0;
-        double $ny = 0.0;
-        for (int $i = 0; $i < $n; $i++) {
-          final double $xv = (double) $a.getFloat($i);
-          final double $yv = (double) $b.getFloat($i);
-          $dot += $xv * $yv;
-          $nx += $xv * $xv;
-          $ny += $yv * $yv;
+        ${ev.isNull} = true;
+        final int $n = $a.numElements();
+        if ($n == $b.numElements()) {
+          double $dot = 0.0;
+          double $nx = 0.0;
+          double $ny = 0.0;
+          boolean $anyNull = false;
+          for (int $i = 0; $i < $n; $i++) {
+            if ($a.isNullAt($i) || $b.isNullAt($i)) { $anyNull = true; break; }
+            final double $xv = (double) $a.getFloat($i);
+            final double $yv = (double) $b.getFloat($i);
+            $dot += $xv * $yv;
+            $nx += $xv * $xv;
+            $ny += $yv * $yv;
+          }
+          final double $denom = java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny);
+          if (!$anyNull && $denom != 0.0) {
+            ${ev.isNull} = false;
+            ${ev.value} = $dot / $denom;
+          }
         }
-        ${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
       """
     })
 

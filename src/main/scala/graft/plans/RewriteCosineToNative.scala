@@ -4,7 +4,7 @@ import graft.functions.expressions.CosineSimilarity
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.DoubleType
+import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
 
 /** Optimizer rule (SURVEY.md §4 "custom work" tier): recognize the
   * portable cosine-similarity shape
@@ -15,10 +15,13 @@ import org.apache.spark.sql.types.DoubleType
   * (what graft.functions.VectorFunctions.cosine builds, and what a
   * user writing plain declarative SQL would produce) and replace it
   * with the fused, allocation-free codegen expression
-  * CosineSimilarity. Semantics are bit-identical (same operation
-  * order), so this is a pure physical-cost rewrite — the engine
-  * optimizes the declarative form automatically instead of asking
-  * users to call a special function.
+  * CosineSimilarity. Semantics are identical: same operation order
+  * (bit-identical values) AND same null behavior (mismatched lengths,
+  * null elements, and zero norms all yield null in both forms — see
+  * CosineSimilarity's null contract). The rewrite only fires on
+  * array<float> inputs: optimizer rules run post-analysis, so
+  * checkInputDataTypes is never re-run, and an unguarded match on
+  * e.g. array<int> would reinterpret int bits via getFloat.
   *
   * Injected by GraftExtensions (or
   * `spark.experimental.extraOptimizations`).
@@ -44,12 +47,18 @@ object RewriteCosineToNative extends Rule[LogicalPlan] {
     }
   }
 
+  private def isFloatArray(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {
       case Divide(DotFold(a, b),
             Multiply(Sqrt(DotFold(a2, a3)), Sqrt(DotFold(b2, b3)), _), _)
           if a.semanticEquals(a2) && a.semanticEquals(a3)
-            && b.semanticEquals(b2) && b.semanticEquals(b3) =>
+            && b.semanticEquals(b2) && b.semanticEquals(b3)
+            && isFloatArray(a) && isFloatArray(b) =>
         CosineSimilarity(a, b)
     }
 }

@@ -205,7 +205,13 @@ object Aggregations extends QueryModule {
     """))
 
   /** Statistical aggregates: sample stddev/variance, correlation,
-    * covariance. round(4) absorbs accumulation-order noise.
+    * covariance. FLOAT casts (not decimal rounding) absorb
+    * accumulation-order noise: the merge order of partial moments
+    * varies with task completion order, flipping the last ulps of the
+    * double — `round(x, 4)` of a value sitting on a `.xxx5` boundary
+    * then flips the rounded digit run-to-run (observed in round 1's
+    * driver run), while a float cast discards ~29 mantissa bits and
+    * collapses that noise with no decimal-boundary hazard.
     */
   val statsQ = QueryDef(
     "q_stats",
@@ -213,17 +219,17 @@ object Aggregations extends QueryModule {
       Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"))
         .agg(
-          round(stddev_samp(col("l_quantity")), 4).as("qty_stddev"),
-          round(var_samp(col("l_quantity")), 4).as("qty_var"),
-          round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("qty_price_corr"),
-          round(covar_samp(col("l_discount"), col("l_tax")), 6).as("disc_tax_covar"))
+          stddev_samp(col("l_quantity")).cast("float").as("qty_stddev"),
+          var_samp(col("l_quantity")).cast("float").as("qty_var"),
+          corr(col("l_quantity"), col("l_extendedprice")).cast("float").as("qty_price_corr"),
+          covar_samp(col("l_discount"), col("l_tax")).cast("float").as("disc_tax_covar"))
         .orderBy(col("l_returnflag")),
     Some("""
       SELECT l_returnflag,
-             round(stddev_samp(l_quantity), 4) AS qty_stddev,
-             round(var_samp(l_quantity), 4) AS qty_var,
-             round(corr(l_quantity, l_extendedprice), 4) AS qty_price_corr,
-             round(covar_samp(l_discount, l_tax), 6) AS disc_tax_covar
+             CAST(stddev_samp(l_quantity) AS FLOAT) AS qty_stddev,
+             CAST(var_samp(l_quantity) AS FLOAT) AS qty_var,
+             CAST(corr(l_quantity, l_extendedprice) AS FLOAT) AS qty_price_corr,
+             CAST(covar_samp(l_discount, l_tax) AS FLOAT) AS disc_tax_covar
       FROM lineitem
       GROUP BY l_returnflag
       ORDER BY l_returnflag

@@ -88,11 +88,17 @@ object TextAnalysis extends QueryModule {
     """))
 
   /** Character-bigram language ID: build a top-20-bigram profile per
-    * language from the corpus itself, score each doc's distinct
-    * bigrams against every profile, predict the argmax (lang-asc
-    * tiebreak). Self-contained, deterministic, and join-based — the
-    * profile side is tiny (|langs|×20) and broadcastable at any
-    * corpus size.
+    * language from a deterministic 20% corpus sample, score each doc's
+    * distinct bigrams against every profile, predict the argmax
+    * (lang-asc tiebreak). Self-contained, deterministic, and
+    * join-based — the profile side is tiny (|langs|×20) and
+    * broadcastable at any corpus size.
+    *
+    * The profile pass reads only `doc_id % 5 = 0` (a deterministic
+    * sample, NOT rand(): reproducible and oracle-mirrorable): a
+    * character-frequency profile converges with a tiny sample, so
+    * burning a full-corpus bigram explode on it is waste — at 100 TB
+    * the scoring pass is the only full read.
     */
   val langId = QueryDef(
     "q_lang_id",
@@ -106,6 +112,7 @@ object TextAnalysis extends QueryModule {
         sequence(lit(1), length(c) - 1), i => substr(c, i, lit(2)))
       val docs = Tables.documents(s, d)
       val profile = docs
+        .filter(pmod(col("doc_id"), lit(5)) === 0)
         .select(col("lang"), explode(bigrams(col("text"))).as("bigram"))
         .groupBy(col("lang"), col("bigram"))
         .agg(count(lit(1)).as("cnt"))
@@ -140,7 +147,7 @@ object TextAnalysis extends QueryModule {
         FROM (
           SELECT lang, bigram,
                  row_number() OVER (PARTITION BY lang ORDER BY count(*) DESC, bigram) AS rnk
-          FROM bg GROUP BY lang, bigram)
+          FROM bg WHERE doc_id % 5 = 0 GROUP BY lang, bigram)
         WHERE rnk <= 20),
       docbg AS (SELECT DISTINCT doc_id, bigram FROM bg),
       score AS (
@@ -344,15 +351,24 @@ object TextAnalysis extends QueryModule {
 
   /** TF-IDF: term frequency from per-doc token counts, inverse
     * document frequency from corpus document frequency, top-3 terms
-    * per doc for a bounded probe set. The df table is |vocabulary|
-    * rows (broadcastable); everything else is map-side per doc.
+    * per doc for a bounded probe set.
+    *
+    * Scale notes: the corpus document count is a LAZY one-row
+    * `agg(count)` cross-joined into the plan (no driver-side action at
+    * plan build — one Spark job total per run, and the subtree is a
+    * 1-row broadcast-nested-loop, free). The df table is |vocabulary|
+    * rows — billions of tokens at web scale, so it is NOT broadcast:
+    * the filtered probe side (doc_id < 10, ≤ a few thousand rows) is
+    * the broadcastable one, and AQE picks that up on its own from
+    * runtime stats.
     */
   val tfIdf = QueryDef(
     "q_tf_idf",
     (s, d) => {
       val toks = Tables.documents(s, d)
         .select(col("doc_id"), explode(TF.tokens(col("text"))).as("token"))
-      val nDocs = Tables.documents(s, d).count()
+      val nDocs = Tables.documents(s, d)
+        .agg(count(lit(1)).cast("double").as("n_docs"))
       val tf = toks.groupBy(col("doc_id"), col("token"))
         .agg(count(lit(1)).as("tf"))
       val df = toks.select(col("doc_id"), col("token")).distinct()
@@ -360,9 +376,10 @@ object TextAnalysis extends QueryModule {
       val w = Window.partitionBy(col("doc_id"))
         .orderBy(col("tfidf").desc, col("token"))
       tf.filter(col("doc_id") < 10)
-        .join(broadcast(df), Seq("token"))
+        .join(df, Seq("token"))
+        .crossJoin(nDocs)
         .select(col("doc_id"), col("token"),
-          round(col("tf") * log(lit(nDocs.toDouble) / col("df")), 6).as("tfidf"))
+          round(col("tf") * log(col("n_docs") / col("df")), 6).as("tfidf"))
         .withColumn("rn", row_number().over(w).cast("long"))
         .filter(col("rn") <= 3)
         .select(col("doc_id"), col("rn").as("rank"), col("token"), col("tfidf"))
