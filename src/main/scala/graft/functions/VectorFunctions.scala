@@ -25,8 +25,20 @@ object VectorFunctions {
   /** Euclidean (L2) norm. */
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity = dot / (|a|·|b|). */
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Cosine similarity = dot / (|a|·|b|), null when either norm is
+    * zero. The zero guard matters under Spark 4's default ANSI mode,
+    * where a bare Divide by 0.0 throws instead of returning null; with
+    * the guard the divisor becomes NULL and division yields null in
+    * both ANSI and legacy modes — the same contract as the fused
+    * expressions.CosineSimilarity (so RewriteCosineToNative stays
+    * semantics-preserving). `when` rather than `nullif`: nullif's
+    * common-expression hoisting would split the divisor across
+    * projections and defeat the rewrite rule's pattern match.
+    */
+  def cosine(a: Column, b: Column): Column = {
+    val normProduct = norm(a) * norm(b)
+    dot(a, b) / when(normProduct =!= lit(0.0), normProduct)
+  }
 
   /** Fused single-pass cosine via the native codegen expression
     * (bit-identical to [[cosine]]; see expressions.CosineSimilarity).

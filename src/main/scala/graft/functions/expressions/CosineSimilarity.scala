@@ -26,8 +26,9 @@ import org.apache.spark.sql.SparkSession
   * RewriteCosineToNative substitution is semantics-preserving):
   * mismatched lengths → null (zip_with null-pads → null product →
   * null fold), any null element → null (null propagates through the
-  * fold), zero norm (incl. both-empty) → null (Spark Divide yields
-  * null on a zero divisor in non-ANSI mode).
+  * fold), zero norm (incl. both-empty) → null (the declarative form's
+  * nullif divisor guard — required under Spark 4's default ANSI mode,
+  * where an unguarded Divide by 0.0 would throw).
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {

@@ -10,7 +10,12 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
   * portable cosine-similarity shape
   *
   *   aggregate(zip_with(a, b, (x,y) -> double(x)*double(y)), 0.0, +)
-  *     / (sqrt(dot(a,a)) * sqrt(dot(b,b)))
+  *     / nullif(sqrt(dot(a,a)) * sqrt(dot(b,b)), 0.0)
+  *
+  * (the guarded divisor is what VectorFunctions.cosine builds; a bare
+  * unguarded divisor is also matched, but only in legacy non-ANSI
+  * sessions where Divide-by-zero already yields null — under ANSI the
+  * bare form throws, which the fused expression does not replicate)
   *
   * (what graft.functions.VectorFunctions.cosine builds, and what a
   * user writing plain declarative SQL would produce) and replace it
@@ -52,13 +57,51 @@ object RewriteCosineToNative extends Rule[LogicalPlan] {
     case _ => false
   }
 
+  /** Matches the norm product sqrt(dot(a,a)) * sqrt(dot(b,b)). */
+  private object NormProduct {
+    def unapply(e: Expression): Option[(Expression, Expression, Expression, Expression)] =
+      e match {
+        case Multiply(Sqrt(DotFold(a2, a3)), Sqrt(DotFold(b2, b3)), _) =>
+          Some((a2, a3, b2, b3))
+        case _ => None
+      }
+  }
+
+  /** Matches the zero-guarded divisor VectorFunctions.cosine builds:
+    * CASE WHEN normProduct != 0.0 THEN normProduct END (no else →
+    * null), plus the equivalent If/nullif expansions.
+    */
+  private object GuardedNormProduct {
+    def unapply(e: Expression): Option[(Expression, Expression, Expression, Expression)] = {
+      val inner = e match {
+        case CaseWhen(Seq((Not(EqualTo(x, Literal(0.0, DoubleType))), y)), None)
+            if x.semanticEquals(y) => Some(y)
+        case If(Not(EqualTo(x, Literal(0.0, DoubleType))), y, Literal(null, _))
+            if x.semanticEquals(y) => Some(y)
+        case If(EqualTo(x, Literal(0.0, DoubleType)), Literal(null, _), y)
+            if x.semanticEquals(y) => Some(y)
+        case _ => None
+      }
+      inner.flatMap(NormProduct.unapply)
+    }
+  }
+
+  private def sameVectors(a: Expression, b: Expression,
+      parts: (Expression, Expression, Expression, Expression)): Boolean = {
+    val (a2, a3, b2, b3) = parts
+    a.semanticEquals(a2) && a.semanticEquals(a3) &&
+      b.semanticEquals(b2) && b.semanticEquals(b3) &&
+      isFloatArray(a) && isFloatArray(b)
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {
-      case Divide(DotFold(a, b),
-            Multiply(Sqrt(DotFold(a2, a3)), Sqrt(DotFold(b2, b3)), _), _)
-          if a.semanticEquals(a2) && a.semanticEquals(a3)
-            && b.semanticEquals(b2) && b.semanticEquals(b3)
-            && isFloatArray(a) && isFloatArray(b) =>
+      case Divide(DotFold(a, b), GuardedNormProduct(parts), _)
+          if sameVectors(a, b, parts) =>
+        CosineSimilarity(a, b)
+      // bare divisor: null-on-zero only holds outside ANSI mode
+      case Divide(DotFold(a, b), NormProduct(parts), _)
+          if !conf.ansiEnabled && sameVectors(a, b, parts) =>
         CosineSimilarity(a, b)
     }
 }

@@ -305,8 +305,94 @@ object Aggregations extends QueryModule {
       ORDER BY bucket
     """))
 
+  /** Deterministic mode: most frequent o_orderpriority per order
+    * status, ties broken lexicographically-smallest. Spark's native
+    * `mode()` leaves ties arbitrary, so the portable formulation is
+    * counts + min_by over (cnt desc, value asc) — expressed as min_by
+    * on a (negated-count, value) struct, which both engines order
+    * identically. Two map-side-combining aggregations, no window —
+    * shuffle volume is |status×priority| then |status| rows.
+    */
+  val modeQ = QueryDef(
+    "q_mode",
+    (s, d) =>
+      Tables.orders(s, d)
+        .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("o_orderstatus"))
+        .agg(min_by(col("o_orderpriority"),
+          struct((-col("cnt")).as("nc"), col("o_orderpriority").as("v"))).as("mode_priority"),
+          max(col("cnt")).as("mode_count"))
+        .orderBy(col("o_orderstatus")),
+    Some("""
+      SELECT o_orderstatus, o_orderpriority AS mode_priority, cnt AS mode_count
+      FROM (
+        SELECT o_orderstatus, o_orderpriority, cnt,
+               row_number() OVER (PARTITION BY o_orderstatus
+                 ORDER BY cnt DESC, o_orderpriority) AS rn
+        FROM (
+          SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
+          FROM orders GROUP BY o_orderstatus, o_orderpriority))
+      WHERE rn = 1
+      ORDER BY o_orderstatus
+    """))
+
+  /** any_value on a column functionally dependent on the group key
+    * (customer name per customer key): the one formulation where
+    * any_value is deterministic and therefore oracle-able — and
+    * exactly the real-world use (SELECT the dependent columns without
+    * dragging them through GROUP BY). */
+  val anyValueQ = QueryDef(
+    "q_any_value",
+    (s, d) =>
+      Tables.orders(s, d)
+        .join(Tables.customer(s, d),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("o_custkey"))
+        .agg(any_value(col("c_name")).as("customer_name"),
+          count(lit(1)).as("order_count"),
+          round(sum(col("o_totalprice")), 2).as("total_spent"))
+        .filter(col("order_count") >= 15)
+        .orderBy(col("o_custkey")),
+    Some("""
+      SELECT o_custkey,
+             any_value(c_name) AS customer_name,
+             count(*) AS order_count,
+             round(sum(o_totalprice), 2) AS total_spent
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY o_custkey
+      HAVING count(*) >= 15
+      ORDER BY o_custkey
+    """))
+
+  /** Discrete percentile: the smallest actual element whose cumulative
+    * distribution reaches p (Postgres percentile_disc convention —
+    * verified identical to DuckDB's quantile_disc). Deterministic by
+    * construction: the result is a value at a rank position, so
+    * duplicate values cannot flip it.
+    */
+  val percentileDiscQ = QueryDef(
+    "q_percentile_disc",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY l_quantity)").as("qty_p25"),
+          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity)").as("qty_median"),
+          expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY l_extendedprice)").as("price_p90"))
+        .orderBy(col("l_returnflag")),
+    Some("""
+      SELECT l_returnflag,
+             quantile_disc(l_quantity, 0.25) AS qty_p25,
+             quantile_disc(l_quantity, 0.5) AS qty_median,
+             quantile_disc(l_extendedprice, 0.9) AS price_p90
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag
+    """))
+
   def defs: Seq[QueryDef] = Seq(
     aggGlobal, countDistinctQ, approxDistinct, rollupQ, cubeQ,
     groupingSetsQ, aggFiltered, maxByQ, collectQ, statsQ, percentileQ,
-    pivotQ, histogramQ)
+    pivotQ, histogramQ, modeQ, anyValueQ, percentileDiscQ)
 }

@@ -127,28 +127,22 @@ object Similarity extends QueryModule {
     """))
 
   /** LSH-bucketed ANN: 8 "random" hyperplanes (deterministically, the
-    * embeddings of vec_id 100..107), bucket = packed sign bits of the
-    * plane dots, candidates = same-bucket vectors, then exact cosine
-    * rerank within the bucket. Unlike q_ann_ivf this needs no
-    * precomputed cluster labels — the at-scale path when no coarse
-    * quantizer exists: one broadcast of 8 planes, one shuffle on the
-    * 8-bit bucket key.
+    * embeddings of vec_id 100..107 via LshAnn.planesFrom), bucket =
+    * packed sign bits of the plane dots, candidates = same-bucket
+    * vectors, then exact cosine rerank within the bucket. Unlike
+    * q_ann_ivf this needs no precomputed cluster labels — the at-scale
+    * path when no coarse quantizer exists: one broadcast of 8 planes,
+    * one shuffle on the 8-bit bucket key. Plane count is a parameter
+    * of LshAnn (8 here suits the toy fixture; 16-24 bits at real
+    * corpus sizes — see AnnLshSpec's 16-plane variant).
     */
   val annLsh = QueryDef(
     "q_ann_lsh",
     (s, d) => {
       graft.functions.expressions.CosineSimilarity.register(s)
       val e = Tables.embeddings(s, d)
-      val planes = broadcast(
-        e.filter(col("vec_id") >= 100 && col("vec_id") < 108)
-          .select((col("vec_id") - 100).as("plane_no"),
-            col("embedding").as("plane_emb")))
-      val bucketed = e.crossJoin(planes)
-        .select(col("vec_id"), col("embedding"),
-          when(VF.dot(col("embedding"), col("plane_emb")) > 0,
-            pow(lit(2), col("plane_no")).cast("long")).otherwise(0L).as("bit"))
-        .groupBy(col("vec_id"))
-        .agg(first(col("embedding")).as("embedding"), sum(col("bit")).as("bucket"))
+      val bucketed = graft.functions.LshAnn.bucketize(
+        e, graft.functions.LshAnn.planesFrom(e, 100, 8))
       val probes = bucketed.filter(col("vec_id") < 10)
         .select(col("vec_id").as("probe_id"), col("bucket"),
           col("embedding").as("probe_emb"))

@@ -31,6 +31,21 @@ class KMeansLiteSpec extends AnyFunSuite {
     assert(sizes === sizes)
   }
 
+  test("10 iterations stay fast: per-iteration localCheckpoint bounds the plan") {
+    val points = Tables.embeddings(spark, TestSpark.sf0001)
+      .select(col("vec_id"), col("embedding")).limit(200)
+    val t0 = System.nanoTime()
+    val (_, assigned) = KMeansLite.fit(points, k = 5, iterations = 10)
+    assert(assigned.count() === 200)
+    // lineage is truncated each iteration, so the final plan is one
+    // iteration deep, not ten: a LogicalRDD scan, no 10-deep join chain
+    val plan = assigned.queryExecution.optimizedPlan.toString
+    assert(plan.contains("LogicalRDD") || plan.contains("Scan ExistingRDD"),
+      "expected checkpointed lineage in final plan:\n" + plan.take(1500))
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(secs < 120.0, s"10 iterations took ${secs}s — lineage blowup?")
+  }
+
   test("learned assignment improves q_ann_ivf-style probe quality vs labels") {
     // sanity: learned clusters agree with ground-truth labels far
     // better than chance (same-cluster pairs should mostly share label)

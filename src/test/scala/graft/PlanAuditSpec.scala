@@ -72,6 +72,31 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(cg.contains("getFloat"), "fused cosine loop not in generated code")
   }
 
+  test("q_tf_idf builds lazily: no Spark job at plan construction, no vocab broadcast hint") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit = { jobs.incrementAndGet(); () }
+    }
+    // first access to a table runs a parquet footer/schema job; that
+    // load-time cost is memoized in Tables and is not what this test
+    // polices — touch the table before listening
+    Tables.documents(spark, TestSpark.sf0001)
+    spark.sparkContext.addSparkListener(l)
+    val df =
+      try {
+        val d = SparkEntry.queries("q_tf_idf")(spark, TestSpark.sf0001)
+        d.queryExecution.optimizedPlan // force analysis + optimization, still no action
+        Thread.sleep(500) // job-start events post asynchronously
+        d
+      } finally spark.sparkContext.removeSparkListener(l)
+    assert(jobs.get() === 0, "building q_tf_idf launched a Spark job (driver-side action)")
+    // the |vocabulary|-row df table must not carry a broadcast hint —
+    // at web scale it OOMs the driver; AQE broadcasts the small probe side
+    val logical = df.queryExecution.optimizedPlan.toString.toLowerCase
+    assert(!logical.contains("broadcast"), "unexpected broadcast hint:\n" + logical.take(2000))
+  }
+
   test("semi/anti joins stay semi/anti physically (no join+distinct)") {
     assert(plan("q_join_semi").contains("LeftSemi"), plan("q_join_semi"))
     assert(plan("q_join_anti").contains("LeftAnti"), plan("q_join_anti"))

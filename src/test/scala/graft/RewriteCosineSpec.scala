@@ -51,4 +51,45 @@ class RewriteCosineSpec extends AnyFunSuite {
       assert(df.count() === 30)
     } finally spark.experimental.extraOptimizations = Nil
   }
+
+  test("rule does not fire on non-float arrays") {
+    // The cosine shape over array<int> analyzes fine (casts to double),
+    // but getFloat on int storage would reinterpret bits — the rewrite
+    // must leave it to the declarative (correct) form.
+    spark.experimental.extraOptimizations = Seq(RewriteCosineToNative)
+    try {
+      val ints = spark.range(5)
+        .select(transform(sequence(lit(1), lit(4)), i => i * col("id").cast("int")).as("a"))
+        .select(col("a"), reverse(col("a")).as("b"))
+      val df = ints.select(VF.cosine(col("a"), col("b")).as("c"))
+      val optimized = df.queryExecution.optimizedPlan.toString
+      assert(!optimized.contains("cosine_sim"), optimized)
+      assert(df.count() === 5)
+    } finally spark.experimental.extraOptimizations = Nil
+  }
+
+  test("fused expression matches declarative null semantics on edge cases") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    graft.functions.expressions.CosineSimilarity.register(spark)
+    val schema = StructType(Seq(
+      StructField("id", IntegerType, nullable = false),
+      StructField("a", ArrayType(FloatType, containsNull = true)),
+      StructField("b", ArrayType(FloatType, containsNull = true))))
+    val rows = java.util.Arrays.asList(
+      Row(0, Array[java.lang.Float](1f, 2f), Array[java.lang.Float](3f, 4f)),   // normal
+      Row(1, Array[java.lang.Float](1f, 2f), Array[java.lang.Float](3f)),       // length mismatch
+      Row(2, Array[java.lang.Float](1f, null), Array[java.lang.Float](3f, 4f)), // null element
+      Row(3, Array[java.lang.Float](0f, 0f), Array[java.lang.Float](3f, 4f)),   // zero norm
+      Row(4, Array.empty[java.lang.Float], Array.empty[java.lang.Float]),       // both empty
+      Row(5, null, Array[java.lang.Float](3f, 4f)))                             // null array
+    val df = spark.createDataFrame(rows, schema)
+    val declarative = df.select(col("id"), VF.cosine(col("a"), col("b")).as("c"))
+      .collect().map(r => r.getInt(0) -> (if (r.isNullAt(1)) null else r.getDouble(1))).toMap
+    val fused = df.select(col("id"), VF.cosineFast(col("a"), col("b")).as("c"))
+      .collect().map(r => r.getInt(0) -> (if (r.isNullAt(1)) null else r.getDouble(1))).toMap
+    assert(declarative === fused)
+    assert(fused(0) != null)              // the normal row produces a value
+    assert((1 to 5).forall(fused(_) == null)) // every edge case is null in BOTH forms
+  }
 }
