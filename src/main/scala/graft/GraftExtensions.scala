@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.expressions.CosineSimilarity
+import graft.functions.expressions.{CosineSimilarity, DotProduct}
 import org.apache.spark.sql.SparkSessionExtensions
 
 /** Session-extension entry point: register graft's native expressions
@@ -12,6 +12,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(extensions: SparkSessionExtensions): Unit = {
     extensions.injectFunction(
       (CosineSimilarity.identifier, CosineSimilarity.info, CosineSimilarity.builder))
+    extensions.injectFunction(
+      (DotProduct.identifier, DotProduct.info, DotProduct.builder))
     // Rewrite the portable declarative cosine shape to the fused
     // codegen expression automatically.
     extensions.injectOptimizerRule(_ => plans.RewriteCosineToNative)

@@ -32,12 +32,17 @@ object LshAnn {
 
   /** Adds the packed sign-bit `bucket` key: bit i set iff
     * dot(embedding, plane_i) > 0. Output: (vec_id, embedding, bucket).
+    * The side test uses the fused codegen DotProduct — this is the
+    * corpus × planes hot loop, and the fold-based dot's per-row array
+    * allocation was the dominant cost of q_ann_lsh in round 1.
     */
-  def bucketize(e: DataFrame, planes: DataFrame): DataFrame =
+  def bucketize(e: DataFrame, planes: DataFrame): DataFrame = {
+    graft.functions.expressions.DotProduct.register(e.sparkSession)
     e.crossJoin(planes)
       .select(col("vec_id"), col("embedding"),
-        when(VF.dot(col("embedding"), col("plane_emb")) > 0,
+        when(VF.dotFast(col("embedding"), col("plane_emb")) > 0,
           pow(lit(2), col("plane_no")).cast("long")).otherwise(0L).as("bit"))
       .groupBy(col("vec_id"))
       .agg(first(col("embedding")).as("embedding"), sum(col("bit")).as("bucket"))
+  }
 }

@@ -47,6 +47,13 @@ object VectorFunctions {
   def cosineFast(a: Column, b: Column): Column =
     call_function(graft.functions.expressions.CosineSimilarity.name, a, b)
 
+  /** Fused single-pass dot product (bit-identical to [[dot]]; see
+    * expressions.DotProduct). Requires DotProduct.register(spark) or
+    * GraftExtensions.
+    */
+  def dotFast(a: Column, b: Column): Column =
+    call_function(graft.functions.expressions.DotProduct.name, a, b)
+
   /** Squared L2 distance. */
   def l2Squared(a: Column, b: Column): Column =
     aggregate(

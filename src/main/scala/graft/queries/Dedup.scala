@@ -72,9 +72,11 @@ object Dedup extends QueryModule {
     """))
 
   /** MinHash + LSH near-dup candidates: distinct word-3-gram shingles
-    * → 8 single-row bands, band signature = min over shingles of
-    * md5(band|shingle) → self-join on (band, signature) buckets →
-    * candidate pairs verified with true shingle-set Jaccard.
+    * → 8 single-row bands, band signature = min over shingles of an
+    * 8-hex-char slice of the shingle's digest (band b reads chars
+    * [8b, 8b+8) of md5(s)·md5('x'|s)) → self-join on (band,
+    * signature) buckets → candidate pairs verified with true
+    * shingle-set Jaccard.
     *
     * The self-join is on the band-signature bucket, so work scales
     * with bucket occupancy (near-dup density), not corpus².
@@ -82,23 +84,33 @@ object Dedup extends QueryModule {
   val dedupMinhash = QueryDef(
     "q_dedup_minhash",
     (s, d) => {
-      // The shingle table feeds both the signature pipeline and the
-      // Jaccard verification join — persist it so the tokenize+shingle
-      // pass runs once (at scale: a checkpoint of the shingled corpus).
+      // The shingle table feeds the signature pipeline AND both sides
+      // of the Jaccard verification join. Measured: recomputing the
+      // (cheap, codegen-fused) tokenize+shingle pass per use beats
+      // .persist() here — caching costs a materialization barrier and
+      // row-format conversion that exceed the recompute. At 100 TB,
+      // checkpoint the shingled corpus once instead if it feeds many
+      // downstream consumers.
       val sh = Tables.documents(s, d)
         .select(col("doc_id"), TF.tokens(col("text")).as("toks"))
         .select(col("doc_id"), TF.shingles3(col("toks")).as("shingles"))
       // All 8 band signatures in one map-side pass (nested transform +
       // array_min) — no explode/shuffle of |shingles|×|bands| rows.
+      // Hashing cost: md5 dominates this query (round-1 bench), so
+      // each shingle is hashed ONCE into 64 hex chars (two md5 calls,
+      // not one per band) and band b's hash is the 8-hex-char slice
+      // [8b, 8b+8) — eight 32-bit minhash functions from two digests.
       // At 100 TB signature computation stays embarrassingly parallel;
       // only the 8-rows-per-doc signature table ever shuffles.
       val sig = sh
+        .select(col("doc_id"), transform(col("shingles"),
+          sgl => concat(md5(sgl), md5(concat(lit("x"), sgl)))).as("hs"))
         .select(col("doc_id"), explode(transform(
           sequence(lit(0), lit(7)),
           b => struct(
             b.as("band"),
-            array_min(transform(col("shingles"),
-              sgl => md5(concat(b.cast("string"), lit("|"), sgl)))).as("sig")))).as("bs"))
+            array_min(transform(col("hs"),
+              h => h.substr(b * 8 + 1, lit(8)))).as("sig")))).as("bs"))
         .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
       // Standard LSH bucket cap: signatures shared by > 10 docs are
       // degenerate stop-shingle buckets — candidate work inside them
@@ -133,7 +145,8 @@ object Dedup extends QueryModule {
                i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS shingles
         FROM tok),
       sig AS (
-        SELECT doc_id, band, min(md5(CAST(band AS VARCHAR) || '|' || shingle)) AS sig
+        SELECT doc_id, band,
+               min(substr(md5(shingle) || md5('x' || shingle), band * 8 + 1, 8)) AS sig
         FROM sh, unnest(shingles) AS u(shingle), generate_series(0, 7) AS g(band)
         GROUP BY doc_id, band),
       ok AS (
