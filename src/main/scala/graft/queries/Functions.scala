@@ -335,7 +335,40 @@ object Functions extends QueryModule {
       ORDER BY o_orderkey
     """))
 
+  /** Regex family: matching, global replace, extract, and match
+    * counting — plus the chained text-normalization shape (lowercase →
+    * strip non-alphanumerics → collapse whitespace) every LLM-corpus
+    * cleaner runs before dedup. Patterns stay in the character-class
+    * subset where Java and RE2 regex semantics coincide. Dialect note:
+    * DuckDB regexp_replace needs the 'g' flag to match Spark's
+    * replace-all; match counts come from len(regexp_extract_all).
+    */
+  val regexFuncs = QueryDef(
+    "q_regex_funcs",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          trim(regexp_replace(
+            regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "),
+            " +", " ")).as("normalized"),
+          col("text").rlike("[0-9]").as("has_digit"),
+          regexp_count(col("text"), lit("[0-9]+")).cast("long").as("num_runs"),
+          regexp_extract(col("text"), "^(\\w+)", 1).as("first_word"))
+        .orderBy(col("doc_id")),
+    Some("""
+      SELECT doc_id,
+             trim(regexp_replace(
+               regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+               ' +', ' ', 'g')) AS normalized,
+             regexp_matches(text, '[0-9]') AS has_digit,
+             CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS num_runs,
+             regexp_extract(text, '^(\w+)', 1) AS first_word
+      FROM documents
+      ORDER BY doc_id
+    """))
+
   def defs: Seq[QueryDef] = Seq(
     stringFuncs, dateFuncs, mathFuncs, arrayFuncs, jsonFuncs, explodeTokens,
-    mapFuncs, posExplode, stackUnpivot, stringAgg, bitwiseFuncs)
+    mapFuncs, posExplode, stackUnpivot, stringAgg, bitwiseFuncs, regexFuncs)
 }

@@ -124,6 +124,38 @@ object Relational extends QueryModule {
       ORDER BY c_mktsegment, c_nationkey
     """))
 
+  /** Deterministic hash-stratified sampling: keep rows whose
+    * md5(key)'s first hex digit is 0-3 (a reproducible ~25% Bernoulli
+    * sample — no rand(), so reruns, retries, and the oracle all see
+    * the same sample), reported per stratum. This is the sampling
+    * primitive a 100 TB pipeline uses instead of TABLESAMPLE: pure
+    * map-side, stable under partition reshuffles, and joinable (the
+    * same key always lands in or out).
+    */
+  val hashSample = QueryDef(
+    "q_sample_stratified",
+    (s, d) =>
+      Tables.documents(s, d)
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("total_docs"),
+          count(when(substring(md5(col("doc_id").cast("string")), 1, 1) <= "3", 1))
+            .as("sampled_docs"))
+        .withColumn("sample_rate",
+          (col("sampled_docs").cast("double") / col("total_docs")).cast("float"))
+        .orderBy(col("lang")),
+    Some("""
+      SELECT lang, total_docs, sampled_docs,
+             CAST(CAST(sampled_docs AS DOUBLE) / total_docs AS FLOAT) AS sample_rate
+      FROM (
+        SELECT lang, count(*) AS total_docs,
+               count(*) FILTER (substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= '3')
+                 AS sampled_docs
+        FROM documents GROUP BY lang)
+      ORDER BY lang
+    """))
+
   def defs: Seq[QueryDef] =
-    Seq(pricingSummary, filterPredicates, conditionalExpr, distinctProjection)
+    Seq(pricingSummary, filterPredicates, conditionalExpr, distinctProjection,
+      hashSample)
 }

@@ -103,11 +103,14 @@ object TextAnalysis extends QueryModule {
   val langId = QueryDef(
     "q_lang_id",
     (s, d) => {
-      // Two independent single-pass subtrees: the profile needs bigram
-      // MULTIPLICITY (full explode → partial-agg collapses map-side);
-      // doc scoring needs DISTINCT bigrams — deduped map-side with
-      // array_distinct BEFORE exploding, which removes the corpus-wide
-      // distinct shuffle entirely.
+      // Profile pass: sampled explode → partial-agg collapses map-side.
+      // Scoring pass: NO explode at all — the per-language profiles
+      // collapse to 20-element arrays (|langs| rows, broadcast), each
+      // doc crossJoins those |langs| rows, and hits =
+      // size(array_intersect(distinct doc bigrams, profile array)).
+      // That replaces the |corpus|×|bigrams-per-doc| exploded join
+      // (~2000 rows/doc) with |langs| rows/doc — the scoring pass
+      // stays one map-side codegen stage at any corpus size.
       def bigrams(c: org.apache.spark.sql.Column) = transform(
         sequence(lit(1), length(c) - 1), i => substr(c, i, lit(2)))
       val docs = Tables.documents(s, d)
@@ -119,12 +122,15 @@ object TextAnalysis extends QueryModule {
         .withColumn("rnk", row_number().over(
           Window.partitionBy(col("lang")).orderBy(col("cnt").desc, col("bigram"))))
         .filter(col("rnk") <= 20)
-        .select(col("lang").as("profile_lang"), col("bigram"))
-      val docbg = docs
-        .select(col("doc_id"), explode(array_distinct(bigrams(col("text")))).as("bigram"))
-      val score = docbg.join(broadcast(profile), Seq("bigram"))
-        .groupBy(col("doc_id"), col("profile_lang"))
-        .agg(count(lit(1)).as("hits"))
+        .groupBy(col("lang"))
+        .agg(collect_list(col("bigram")).as("profile_bigrams"))
+        .select(col("lang").as("profile_lang"), col("profile_bigrams"))
+      val score = docs
+        .select(col("doc_id"), array_distinct(bigrams(col("text"))).as("db"))
+        .crossJoin(broadcast(profile))
+        .select(col("doc_id"), col("profile_lang"),
+          size(array_intersect(col("db"), col("profile_bigrams"))).cast("long").as("hits"))
+        .filter(col("hits") > 0) // join semantics: no shared bigram → no score row
       val pred = score
         .withColumn("rn", row_number().over(
           Window.partitionBy(col("doc_id")).orderBy(col("hits").desc, col("profile_lang"))))
