@@ -40,4 +40,40 @@ object Stateful {
 
   /** The streaming output mode mapGroupsWithState requires. */
   val outputMode: OutputMode = OutputMode.Update()
+
+  /** An emitted anomaly: an event whose value exceeded `factor` × the
+    * user's running mean at arrival time.
+    */
+  case class Anomaly(user_id: Long, event_id: Long, value: Double,
+      running_mean: Double)
+
+  /** flatMapGroupsWithState twin — the 0..n-outputs-per-key shape that
+    * mapGroupsWithState (exactly 1 output) can't express: maintain a
+    * running per-user mean and emit ONLY the events that arrive more
+    * than `factor`× above it (then fold them into the mean). State is
+    * two numbers per user; emission count per batch is data-dependent.
+    * Append output mode, so a downstream file sink works directly.
+    */
+  def anomalies(events: Dataset[Event], factor: Double = 3.0): Dataset[Anomaly] = {
+    implicit val outEnc = Encoders.product[Anomaly]
+    implicit val stateEnc = Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble)
+    implicit val keyEnc = Encoders.scalaLong
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[Event], state: GroupState[(Long, Double)]) =>
+          var (n, sum) = state.getOption.getOrElse((0L, 0.0))
+          val out = scala.collection.mutable.ArrayBuffer.empty[Anomaly]
+          // deterministic order within the group regardless of shuffle
+          it.toSeq.sortBy(_.event_id).foreach { e =>
+            val mean = if (n == 0) e.value else sum / n
+            if (n > 0 && e.value > factor * mean)
+              out += Anomaly(user, e.event_id, e.value,
+                math.round(mean * 100.0) / 100.0)
+            n += 1; sum += e.value
+          }
+          state.update((n, sum))
+          out.iterator
+      }
+  }
 }

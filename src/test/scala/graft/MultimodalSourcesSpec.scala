@@ -49,6 +49,22 @@ class MultimodalSourcesSpec extends AnyFunSuite {
     assert(fromJson.count() === slice.count())
   }
 
+  test("orc source/sink round-trip with partition layout") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-orc").toString
+    val slice = Tables.orders(spark, TestSpark.sf0001)
+    Sources.writeOrc(slice, s"$tmp/orders_orc", partitionBy = Seq("o_orderstatus"))
+    val back = Sources.orc(spark, s"$tmp/orders_orc")
+    assert(back.count() === slice.count())
+    // partitioned layout reorders rows → double-sum ulp drift is expected
+    val sumBack = back.agg(sum("o_totalprice")).head().getDouble(0)
+    val sumOrig = slice.agg(sum("o_totalprice")).head().getDouble(0)
+    assert(math.abs(sumBack - sumOrig) / sumOrig < 1e-12)
+    // pushdown reaches the ORC scan like parquet
+    val plan = back.filter(col("o_totalprice") > 100000)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") || plan.contains("pushed"), plan.take(800))
+  }
+
   test("in-memory source and partitioned parquet sink") {
     val schema = StructType(Seq(
       StructField("k", LongType), StructField("part", StringType)))

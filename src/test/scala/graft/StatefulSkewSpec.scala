@@ -46,6 +46,40 @@ class StatefulSkewSpec extends AnyFunSuite {
     assert(out === Set((1L, 2L, 3.0), (2L, 1L, 5.0)))
   }
 
+  test("flatMapGroupsWithState anomalies: 0..n outputs per key, state across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = Stateful.anomalies(input.toDS(), factor = 3.0)
+      .writeStream.format("memory").queryName("anomaly_test")
+      .outputMode("append").start()
+    try {
+      // batch 1: user 1 baseline mean 2.0 after two events; no anomaly
+      // (first event never flags, 3.0 < 3×1.0 is false → wait: 3.0 !> 3.0)
+      input.addData(Event(1, t(0), 1, "click", 1.0), Event(2, t(1), 1, "view", 3.0))
+      q.processAllAvailable()
+      assert(spark.table("anomaly_test").count() === 0)
+      // batch 2: mean is now 2.0; 9.0 > 6.0 flags, 2.0 does not
+      input.addData(Event(3, t(2), 1, "click", 9.0), Event(4, t(3), 1, "view", 2.0))
+      q.processAllAvailable()
+      val out = spark.table("anomaly_test").as[Stateful.Anomaly].collect()
+      assert(out.map(a => (a.user_id, a.event_id, a.value)).toSet === Set((1L, 3L, 9.0)))
+      assert(out.head.running_mean === 2.0) // state carried from batch 1
+    } finally q.stop()
+  }
+
+  test("anomalies also runs on a batch Dataset") {
+    import spark.implicits._
+    val batch = Seq(
+      Event(1, t(0), 1, "click", 1.0), Event(2, t(1), 1, "view", 1.0),
+      Event(3, t(2), 1, "click", 10.0), Event(4, t(3), 2, "view", 100.0)).toDS()
+    val out = Stateful.anomalies(batch).collect()
+      .map(a => (a.user_id, a.event_id)).toSet
+    // user 1: mean 1.0 after two events, 10.0 > 3 flags; user 2's first
+    // event never flags (no baseline)
+    assert(out === Set((1L, 3L)))
+  }
+
   test("salted join equals the plain join") {
     import spark.implicits._
     // skewed big side: 90% of rows share key 1
