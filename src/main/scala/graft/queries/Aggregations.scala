@@ -61,6 +61,23 @@ object Aggregations extends QueryModule {
         .orderBy(col("l_returnflag")),
     None)
 
+  /** Approximate percentiles via Spark's t-digest-style sketch
+    * (mergeable partials — the at-scale replacement for exact
+    * percentile's full shuffle of values). Approximate ⇒ no oracle
+    * (rows-only); ApproxSpec bounds the error against the exact
+    * percentile instead.
+    */
+  val approxPercentileQ = QueryDef(
+    "q_approx_percentile",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("price_median_approx"),
+          expr("approx_percentile(l_extendedprice, 0.9, 10000)").as("price_p90_approx"))
+        .orderBy(col("l_returnflag")),
+    None)
+
   /** ROLLUP subtotal lattice; gid computed portably as
     * grouping(a)*2+grouping(b) (engine-native grouping_id bit orders
     * differ). NULLS FIRST pinned on both sides (Spark default asc is
@@ -394,5 +411,6 @@ object Aggregations extends QueryModule {
   def defs: Seq[QueryDef] = Seq(
     aggGlobal, countDistinctQ, approxDistinct, rollupQ, cubeQ,
     groupingSetsQ, aggFiltered, maxByQ, collectQ, statsQ, percentileQ,
-    pivotQ, histogramQ, modeQ, anyValueQ, percentileDiscQ)
+    pivotQ, histogramQ, modeQ, anyValueQ, percentileDiscQ,
+    approxPercentileQ)
 }

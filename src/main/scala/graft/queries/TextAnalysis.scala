@@ -88,17 +88,18 @@ object TextAnalysis extends QueryModule {
     """))
 
   /** Character-bigram language ID: build a top-20-bigram profile per
-    * language from a deterministic 20% corpus sample, score each doc's
+    * language from a deterministic 5% corpus sample, score each doc's
     * distinct bigrams against every profile, predict the argmax
     * (lang-asc tiebreak). Self-contained, deterministic, and
     * join-based — the profile side is tiny (|langs|×20) and
     * broadcastable at any corpus size.
     *
-    * The profile pass reads only `doc_id % 5 = 0` (a deterministic
+    * The profile pass reads only `doc_id % 20 = 0` (a deterministic
     * sample, NOT rand(): reproducible and oracle-mirrorable): a
     * character-frequency profile converges with a tiny sample, so
     * burning a full-corpus bigram explode on it is waste — at 100 TB
-    * the scoring pass is the only full read.
+    * the scoring pass is the only full read, and the profile sample
+    * rate shrinks with corpus size.
     */
   val langId = QueryDef(
     "q_lang_id",
@@ -115,7 +116,7 @@ object TextAnalysis extends QueryModule {
         sequence(lit(1), length(c) - 1), i => substr(c, i, lit(2)))
       val docs = Tables.documents(s, d)
       val profile = docs
-        .filter(pmod(col("doc_id"), lit(5)) === 0)
+        .filter(pmod(col("doc_id"), lit(20)) === 0)
         .select(col("lang"), explode(bigrams(col("text"))).as("bigram"))
         .groupBy(col("lang"), col("bigram"))
         .agg(count(lit(1)).as("cnt"))
@@ -153,7 +154,7 @@ object TextAnalysis extends QueryModule {
         FROM (
           SELECT lang, bigram,
                  row_number() OVER (PARTITION BY lang ORDER BY count(*) DESC, bigram) AS rnk
-          FROM bg WHERE doc_id % 5 = 0 GROUP BY lang, bigram)
+          FROM bg WHERE doc_id % 20 = 0 GROUP BY lang, bigram)
         WHERE rnk <= 20),
       docbg AS (SELECT DISTINCT doc_id, bigram FROM bg),
       score AS (

@@ -10,7 +10,7 @@ import org.scalatest.funsuite.AnyFunSuite
 class InventorySpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
-  private val approxExempt = Set("q_approx_count_distinct")
+  private val approxExempt = Set("q_approx_count_distinct", "q_approx_percentile")
 
   test("query names are unique and nonempty") {
     val names = SparkEntry.all.map(_.name)
