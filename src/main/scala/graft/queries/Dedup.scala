@@ -262,6 +262,43 @@ object Dedup extends QueryModule {
       ORDER BY probe_id
     """))
 
+  /** Fuzzy dedup by edit distance: candidate pairs come from shared
+    * 40-char-prefix hash buckets (never all-pairs — same contract as
+    * every dedup here), then Levenshtein distance over the first 120
+    * chars scores each pair. Levenshtein is integer-exact in both
+    * engines, so the oracle needs no rounding care; the length cap
+    * bounds the O(len²) DP cost per pair, which is what makes edit
+    * distance usable at corpus scale at all.
+    */
+  val dedupFuzzy = QueryDef(
+    "q_dedup_fuzzy",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"),
+          md5(substring(col("text"), 1, 40)).as("bucket"),
+          substring(col("text"), 1, 120).as("head"))
+      docs.as("a")
+        .join(docs.as("b"),
+          col("a.bucket") === col("b.bucket")
+            && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"),
+          levenshtein(col("a.head"), col("b.head")).cast("long").as("edit_dist"))
+        .filter(col("edit_dist") <= 40)
+        .orderBy(col("doc1"), col("doc2"))
+    },
+    Some("""
+      WITH h AS (
+        SELECT doc_id, md5(substr(text, 1, 40)) AS bucket,
+               substr(text, 1, 120) AS head
+        FROM documents)
+      SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+             CAST(levenshtein(a.head, b.head) AS BIGINT) AS edit_dist
+      FROM h a JOIN h b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+      WHERE levenshtein(a.head, b.head) <= 40
+      ORDER BY doc1, doc2
+    """))
+
   def defs: Seq[QueryDef] = Seq(
-    dedupExact, dedupFingerprint, dedupMinhash, dedupSimhash, dedupEmbedding)
+    dedupExact, dedupFingerprint, dedupMinhash, dedupSimhash, dedupEmbedding,
+    dedupFuzzy)
 }
