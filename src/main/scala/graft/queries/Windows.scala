@@ -205,7 +205,42 @@ object Windows extends QueryModule {
       ORDER BY o_orderkey
     """))
 
+  /** IGNORE NULLS analytics — forward-fill (LOCF): sensor-style "last
+    * known good value" carried over gaps. The gaps are synthesized
+    * deterministically (non-click events report no value), then
+    * last(..., ignoreNulls) over the running frame fills them; also
+    * the first non-null reading per user via first(..., ignoreNulls).
+    * One window pass, same shuffle profile as any running total.
+    */
+  val windowIgnoreNulls = QueryDef(
+    "q_window_ignore_nulls",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"),
+          when(col("event_type") === "click", col("value")).as("reading"),
+          col("ts"))
+        .select(col("event_id"), col("user_id"), col("reading"),
+          last(col("reading"), ignoreNulls = true).over(run).as("filled"),
+          first(col("reading"), ignoreNulls = true).over(run).as("first_reading"))
+        .orderBy(col("event_id"))
+    },
+    Some("""
+      SELECT event_id, user_id, reading,
+             last_value(reading IGNORE NULLS) OVER w AS filled,
+             first_value(reading IGNORE NULLS) OVER w AS first_reading
+      FROM (
+        SELECT event_id, user_id, ts,
+               CASE WHEN event_type = 'click' THEN value END AS reading
+        FROM events)
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      ORDER BY event_id
+    """))
+
   def defs: Seq[QueryDef] = Seq(
     windowRank, windowAnalytic, windowRunning, windowRangeRolling,
-    topKPerGroup, sortLimit, windowRangeNumeric)
+    topKPerGroup, sortLimit, windowRangeNumeric, windowIgnoreNulls)
 }
