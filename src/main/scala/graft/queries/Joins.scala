@@ -231,6 +231,48 @@ object Joins extends QueryModule {
       ORDER BY purchase_id
     """))
 
+  /** Forward as-of join — the mirror of q_join_asof: for each
+    * purchase, the NEXT click/view by the same user strictly after
+    * it (attribution's "what did they do next"). Same single-pass
+    * union+window rewrite with the frame reversed
+    * (1 following → unbounded following, first_value IGNORE NULLS);
+    * identical one-shuffle linear profile.
+    */
+  val joinAsOfForward = QueryDef(
+    "q_join_asof_forward",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .filter(col("event_type").isin("purchase", "click", "view"))
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+          when(col("event_type") =!= "purchase", col("event_id")).as("c_id"),
+          when(col("event_type") =!= "purchase", col("ts")).as("c_ts"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(1, Window.unboundedFollowing)
+      ev.withColumn("next_click_id", first(col("c_id"), ignoreNulls = true).over(w))
+        .withColumn("next_click_ts", first(col("c_ts"), ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("next_click_id"), col("next_click_ts"))
+        .orderBy(col("purchase_id"))
+    },
+    Some("""
+      SELECT purchase_id, user_id, next_click_id, next_click_ts
+      FROM (
+        SELECT event_id AS purchase_id, user_id, event_type,
+               first_value(CASE WHEN event_type <> 'purchase' THEN event_id END IGNORE NULLS)
+                 OVER w AS next_click_id,
+               first_value(CASE WHEN event_type <> 'purchase' THEN CAST(ts AS TIMESTAMP) END IGNORE NULLS)
+                 OVER w AS next_click_ts
+        FROM events
+        WHERE event_type IN ('purchase', 'click', 'view')
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+      )
+      WHERE event_type = 'purchase'
+      ORDER BY purchase_id
+    """))
+
   /** Multi-way star join (TPC-H Q5 analog): fact → orders → customer
     * plus broadcast nation/region. The two sub-25-row dims are
     * explicitly broadcast so the big tables only shuffle on their
@@ -273,5 +315,5 @@ object Joins extends QueryModule {
 
   def defs: Seq[QueryDef] = Seq(
     joinInner, joinLeft, joinRight, joinFull, joinSemi, joinAnti,
-    joinCross, joinThetaRange, joinAsOf, joinStar)
+    joinCross, joinThetaRange, joinAsOf, joinAsOfForward, joinStar)
 }
