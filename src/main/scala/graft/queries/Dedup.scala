@@ -216,6 +216,68 @@ object Dedup extends QueryModule {
       ORDER BY doc_id
     """))
 
+  /** SimHash Hamming-1 probing: near-dup candidates whose 16-bit
+    * fingerprints differ in EXACTLY one bit — the standard widening
+    * beyond exact-fingerprint buckets (q_dedup_simhash). Each doc
+    * probes its 16 single-bit-flip fingerprints (explode ×16, map
+    * side) and equi-joins the fingerprint table; the probe-side
+    * doc_id < match-side doc_id keeps each pair exactly once (the
+    * reverse flip fails the inequality). At 100 TB this is 16 bucket
+    * lookups per doc instead of a Hamming range scan — candidate work
+    * still scales with bucket occupancy.
+    */
+  val dedupSimhashHamming = QueryDef(
+    "q_dedup_simhash_hamming",
+    (s, d) => {
+      val votes = Tables.documents(s, d)
+        .select(col("doc_id"), explode(TF.tokens(col("text"))).as("token"))
+        .select(col("doc_id"), md5(col("token")).as("h"))
+        .select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(15))).as("bit"))
+        .select(col("doc_id"), col("bit"),
+          ((instr(lit("0123456789abcdef"),
+            substr(col("h"), col("bit") + 1, lit(1))) - 1) % 2 * 2 - 1).as("vote"))
+      val fp = votes
+        .groupBy(col("doc_id"), col("bit"))
+        .agg(sum(col("vote")).as("score"))
+        .groupBy(col("doc_id"))
+        .agg(sum(when(col("score") > 0,
+          pow(lit(2), col("bit")).cast("long")).otherwise(0L)).as("simhash16"))
+      val probes = fp
+        .select(col("doc_id"), col("simhash16"),
+          explode(sequence(lit(0), lit(15))).as("i"))
+        .select(col("doc_id").as("doc1"), col("simhash16").as("fp1"),
+          col("simhash16").bitwiseXOR(pow(lit(2), col("i")).cast("long")).as("probe_fp"))
+      probes
+        .join(fp.select(col("doc_id").as("doc2"), col("simhash16").as("fp2")),
+          col("probe_fp") === col("fp2") && col("doc1") < col("doc2"))
+        .select(col("doc1"), col("doc2"), col("fp1"), col("fp2"))
+        .orderBy(col("doc1"), col("doc2"))
+    },
+    Some("""
+      WITH votes AS (
+        SELECT doc_id, bit,
+               ((instr('0123456789abcdef', substr(h, CAST(bit + 1 AS INT), 1)) - 1) % 2) * 2 - 1 AS vote
+        FROM (
+          SELECT doc_id, md5(token) AS h
+          FROM (SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS token
+                FROM documents)
+        ), generate_series(0, 15) AS g(bit)),
+      fp AS (
+        SELECT doc_id,
+               CAST(sum(CASE WHEN score > 0 THEN CAST(round(pow(2, bit)) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash16
+        FROM (SELECT doc_id, bit, sum(vote) AS score FROM votes GROUP BY doc_id, bit)
+        GROUP BY doc_id),
+      probes AS (
+        SELECT doc_id AS doc1, simhash16 AS fp1,
+               xor(simhash16, CAST(round(pow(2, i)) AS BIGINT)) AS probe_fp
+        FROM fp, generate_series(0, 15) AS g(i))
+      SELECT doc1, doc2, fp1, fp2
+      FROM probes
+      JOIN (SELECT doc_id AS doc2, simhash16 AS fp2 FROM fp) b
+        ON probe_fp = fp2 AND doc1 < doc2
+      ORDER BY doc1, doc2
+    """))
+
   /** Embedding-cosine near-dup: for each probe vector, its single
     * most-similar neighbor within the same cluster label (the coarse
     * bucket). Join key = label, so candidate scoring is bucket-local —
@@ -299,6 +361,6 @@ object Dedup extends QueryModule {
     """))
 
   def defs: Seq[QueryDef] = Seq(
-    dedupExact, dedupFingerprint, dedupMinhash, dedupSimhash, dedupEmbedding,
-    dedupFuzzy)
+    dedupExact, dedupFingerprint, dedupMinhash, dedupSimhash,
+    dedupSimhashHamming, dedupEmbedding, dedupFuzzy)
 }
