@@ -240,7 +240,38 @@ object Windows extends QueryModule {
       ORDER BY event_id
     """))
 
+  /** Distinct count over a running window — neither engine supports
+    * COUNT(DISTINCT) OVER natively, so the portable rewrite is the
+    * set-aggregate over the frame: collect_set size in Spark,
+    * list_distinct(list(...)) length in DuckDB. State per row is the
+    * frame's distinct set — bounded here by |event types| (5), which
+    * is what makes it viable at scale; for high-cardinality values
+    * use the approx sketch instead.
+    */
+  val windowCountDistinct = QueryDef(
+    "q_window_count_distinct",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"),
+          size(collect_set(col("event_type")).over(w)).cast("long")
+            .as("distinct_types_so_far"))
+        .orderBy(col("event_id"))
+    },
+    Some("""
+      SELECT event_id, user_id,
+             CAST(len(list_distinct(list(event_type) OVER w)) AS BIGINT)
+               AS distinct_types_so_far
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      ORDER BY event_id
+    """))
+
   def defs: Seq[QueryDef] = Seq(
     windowRank, windowAnalytic, windowRunning, windowRangeRolling,
-    topKPerGroup, sortLimit, windowRangeNumeric, windowIgnoreNulls)
+    topKPerGroup, sortLimit, windowRangeNumeric, windowIgnoreNulls,
+    windowCountDistinct)
 }
