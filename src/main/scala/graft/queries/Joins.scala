@@ -313,7 +313,40 @@ object Joins extends QueryModule {
       ORDER BY r_name, n_name
     """))
 
+  /** Bucketed interval join (RangeJoin.bucketed): orders matched to
+    * price bands via the bucket-expansion rewrite — an EQUI-join on
+    * the quantized bucket instead of the nested-loop a raw BETWEEN
+    * predicate plans as (RangeJoinSpec asserts the hash-join plan).
+    * The oracle is the naive range join: same semantics, different
+    * physical strategy, which is the whole point.
+    */
+  val joinRangeBucketed = QueryDef(
+    "q_join_range_bucketed",
+    (s, d) => {
+      val bands = s.range(0, 51)
+        .select(col("id").as("band_id"), (col("id") * 4000.0).as("lo"),
+          (col("id") * 4000.0 + 3999.0).as("hi"))
+      graft.functions.RangeJoin.bucketed(
+          Tables.orders(s, d).select(col("o_orderkey"), col("o_totalprice")),
+          bands, "o_totalprice", "lo", "hi", bucketWidth = 4000.0)
+        .groupBy(col("band_id"))
+        .agg(count(lit(1)).as("orders_in_band"),
+          round(sum(col("o_totalprice")), 2).as("band_total"))
+        .orderBy(col("band_id"))
+    },
+    Some("""
+      SELECT band_id, count(*) AS orders_in_band,
+             round(sum(o_totalprice), 2) AS band_total
+      FROM orders
+      JOIN (SELECT i AS band_id, i * 4000.0 AS lo, i * 4000.0 + 3999.0 AS hi
+            FROM generate_series(0, 50) AS g(i)) b
+        ON o_totalprice BETWEEN lo AND hi
+      GROUP BY band_id
+      ORDER BY band_id
+    """))
+
   def defs: Seq[QueryDef] = Seq(
     joinInner, joinLeft, joinRight, joinFull, joinSemi, joinAnti,
-    joinCross, joinThetaRange, joinAsOf, joinAsOfForward, joinStar)
+    joinCross, joinThetaRange, joinAsOf, joinAsOfForward, joinStar,
+    joinRangeBucketed)
 }
