@@ -20,6 +20,11 @@ class GraftFacadeSpec extends AnyFunSuite {
       FROM embeddings a JOIN embeddings b ON a.vec_id = 0 AND b.vec_id = 1
     """).head().getDouble(0)
     assert(cos > -1.0 && cos < 1.0)
+    val dot = spark.sql("""
+      SELECT dot_product(a.embedding, a.embedding) AS d
+      FROM embeddings a WHERE a.vec_id = 0
+    """).head().getDouble(0)
+    assert(dot > 0.0)
     // events view carries the ns→µs fix
     assert(spark.sql("SELECT count(*) FROM events WHERE ts IS NOT NULL")
       .head().getLong(0) > 0)
