@@ -416,7 +416,87 @@ object TextAnalysis extends QueryModule {
       ORDER BY doc_id, rank
     """))
 
+  /** Class-balanced capping: keep at most 30 docs per language
+    * (deterministic doc_id order) — the downsample-the-majority-class
+    * op a training-mixture builder runs. One window pass on the
+    * stratum key; at 100 TB the per-class cap bounds output size
+    * regardless of input skew.
+    */
+  val sampleBalanced = QueryDef(
+    "q_sample_balanced",
+    (s, d) => {
+      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          row_number().over(w).cast("long").as("rn"))
+        .filter(col("rn") <= 30)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("kept"),
+          min(col("doc_id")).as("first_kept"),
+          max(col("doc_id")).as("last_kept"))
+        .orderBy(col("lang"))
+    },
+    Some("""
+      SELECT lang, count(*) AS kept,
+             min(doc_id) AS first_kept, max(doc_id) AS last_kept
+      FROM (
+        SELECT doc_id, lang,
+               row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+        FROM documents)
+      WHERE rn <= 30
+      GROUP BY lang
+      ORDER BY lang
+    """))
+
+  /** Vocabulary coverage: the top-25 corpus tokens by frequency with
+    * each token's cumulative share of all token occurrences — the
+    * curve a tokenizer/vocab builder reads to pick a vocab size.
+    * Token counts partial-aggregate map-side; the top-25 slice is
+    * sort+limit (TakeOrderedAndProject — per-partition heaps, no
+    * global sort), and only THAT 25-row slice enters the
+    * single-partition cumulative window. A global running window over
+    * the full |vocabulary| table would be a one-partition sort at
+    * web-scale vocab sizes — deliberately avoided.
+    */
+  val vocabCoverage = QueryDef(
+    "q_vocab_coverage",
+    (s, d) => {
+      val counts = Tables.documents(s, d)
+        .select(explode(TF.tokens(col("text"))).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      val total = counts.agg(sum(col("cnt")).as("total"))
+      val top25 = counts.orderBy(col("cnt").desc, col("token")).limit(25)
+      val w = Window.orderBy(col("cnt").desc, col("token"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      top25.crossJoin(total)
+        .withColumn("rank", row_number()
+          .over(Window.orderBy(col("cnt").desc, col("token"))).cast("long"))
+        .withColumn("cum_share",
+          (sum(col("cnt")).over(w).cast("double") / col("total")).cast("float"))
+        .select(col("rank"), col("token"), col("cnt"), col("cum_share"))
+        .orderBy(col("rank"))
+    },
+    Some("""
+      WITH counts AS (
+        SELECT token, count(*) AS cnt
+        FROM (SELECT unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS token
+              FROM documents)
+        GROUP BY token),
+      t AS (SELECT sum(cnt) AS total FROM counts)
+      SELECT rank, token, cnt, cum_share
+      FROM (
+        SELECT token, cnt,
+               row_number() OVER (ORDER BY cnt DESC, token) AS rank,
+               CAST(CAST(sum(cnt) OVER (ORDER BY cnt DESC, token
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                 / total AS FLOAT) AS cum_share
+        FROM counts, t)
+      WHERE rank <= 25
+      ORDER BY rank
+    """))
+
   def defs: Seq[QueryDef] = Seq(
     textJaccard, ngramJaccard, langId, langStats, textQuality,
-    tokenStats, docFingerprint, cleanCorpus, tfIdf)
+    tokenStats, docFingerprint, cleanCorpus, tfIdf, sampleBalanced,
+    vocabCoverage)
 }
