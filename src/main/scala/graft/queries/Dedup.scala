@@ -128,6 +128,15 @@ object Dedup extends QueryModule {
             && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
         .distinct()
+      // Jaccard verify joins the full shingle table twice. Measured
+      // alternatives both LOSE: .persist(sh) adds a materialization
+      // barrier (above), and restructuring to tokenize only candidate
+      // docs (semi-join on exploded candidate ids before tokenization)
+      // re-evaluates the whole candidate pipeline 3× because
+      // ReuseExchange does not unify the differently-projected uses —
+      // 3× slower, reverted. The straightforward two-join form keeps
+      // the candidate pipeline single-use and the tokenize pass
+      // codegen-fused per join side.
       cand
         .join(sh.select(col("doc_id").as("doc1"), col("shingles").as("sh1")), Seq("doc1"))
         .join(sh.select(col("doc_id").as("doc2"), col("shingles").as("sh2")), Seq("doc2"))
