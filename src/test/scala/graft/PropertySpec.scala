@@ -80,4 +80,41 @@ class PropertySpec extends AnyFunSuite {
       assert(once.count() === df.select($"flag", $"qty").distinct().count())
     }
   }
+
+  private val intervalGen = for {
+    lo <- Gen.choose(0.0, 9000.0)
+    span <- Gen.choose(1.0, 2500.0)
+    id <- Gen.choose(0L, 1000000L)
+  } yield (id, lo, lo + span)
+
+  test("bucketed range join equals naive join for random intervals and widths") {
+    import graft.functions.RangeJoin
+    for (seed <- 1 to 3) {
+      val pts = Gen.listOfN(80, Gen.choose(0.0, 12000.0))
+        .pureApply(Gen.Parameters.default, Seed(seed.toLong))
+        .zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("pid", "v")
+      val ivs = Gen.listOfN(30, intervalGen)
+        .pureApply(Gen.Parameters.default, Seed(seed.toLong + 100))
+        .toDF("iid", "lo", "hi")
+      for (width <- Seq(97.0, 1000.0, 5000.0)) {
+        val naive = pts.join(ivs, $"v" >= $"lo" && $"v" <= $"hi")
+          .select($"pid", $"iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val bucketed = RangeJoin.bucketed(pts, ivs, "v", "lo", "hi", width)
+          .select($"pid", $"iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        assert(bucketed === naive, s"seed=$seed width=$width")
+      }
+    }
+  }
+
+  test("LSH bucket assignment is invariant to corpus partitioning") {
+    import graft.functions.LshAnn
+    val emb = Tables.embeddings(spark, TestSpark.sf0001)
+      .select(col("vec_id"), col("embedding"))
+    def buckets(df: org.apache.spark.sql.DataFrame) =
+      LshAnn.bucketize(df, LshAnn.planesFrom(emb, 100, 8))
+        .select($"vec_id", $"bucket")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(buckets(emb) === buckets(emb.repartition(13)))
+  }
 }
