@@ -270,8 +270,39 @@ object Windows extends QueryModule {
       ORDER BY event_id
     """))
 
+  /** Share-of-total (RATIO_TO_REPORT): each nation's revenue as a
+    * fraction of the global total, via an unpartitioned window sum
+    * over the |nations|-row AGGREGATE (25 rows — the window never
+    * sees fact-table rows, so the single-partition frame is free;
+    * putting the window over the raw fact table instead would
+    * serialize the corpus through one partition).
+    */
+  val windowShareOfTotal = QueryDef(
+    "q_share_of_total",
+    (s, d) => {
+      val perNation = Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+        .groupBy(col("c_nationkey"))
+        .agg(sum(col("o_totalprice")).as("rev"))
+      val w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      perNation
+        .select(col("c_nationkey"),
+          round(col("rev"), 2).as("revenue"),
+          (col("rev") / sum(col("rev")).over(w)).cast("float").as("share"))
+        .orderBy(col("c_nationkey"))
+    },
+    Some("""
+      SELECT c_nationkey, round(rev, 2) AS revenue,
+             CAST(rev / sum(rev) OVER () AS FLOAT) AS share
+      FROM (
+        SELECT c_nationkey, sum(o_totalprice) AS rev
+        FROM customer JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_nationkey)
+      ORDER BY c_nationkey
+    """))
+
   def defs: Seq[QueryDef] = Seq(
     windowRank, windowAnalytic, windowRunning, windowRangeRolling,
     topKPerGroup, sortLimit, windowRangeNumeric, windowIgnoreNulls,
-    windowCountDistinct)
+    windowCountDistinct, windowShareOfTotal)
 }
