@@ -369,7 +369,41 @@ object Dedup extends QueryModule {
       ORDER BY doc1, doc2
     """))
 
+  /** Keep-policy dedup: within each exact-duplicate group (same
+    * prefix fingerprint), keep the LONGEST document, ties to the
+    * lowest doc_id — the policy choice real pipelines make instead of
+    * "first seen wins". One aggregation via min_by on a
+    * (neg-length, doc_id) struct: no window, map-side combining, and
+    * the keeper decision shuffles one row per group.
+    */
+  val dedupKeepBest = QueryDef(
+    "q_dedup_keep_best",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), md5(substring(col("text"), 1, 80)).as("bucket"),
+          length(col("text")).cast("long").as("len"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("group_size"),
+          min_by(col("doc_id"),
+            struct((-col("len")).as("nl"), col("doc_id").as("id"))).as("kept_doc"),
+          max(col("len")).as("kept_len"))
+        .filter(col("group_size") > 1)
+        .orderBy(col("bucket")),
+    Some("""
+      SELECT bucket, group_size, kept_doc, kept_len
+      FROM (
+        SELECT bucket, count(*) AS group_size, max(len) AS kept_len,
+               first(doc_id ORDER BY -len, doc_id) AS kept_doc
+        FROM (
+          SELECT doc_id, md5(substr(text, 1, 80)) AS bucket,
+                 CAST(length(text) AS BIGINT) AS len
+          FROM documents)
+        GROUP BY bucket)
+      WHERE group_size > 1
+      ORDER BY bucket
+    """))
+
   def defs: Seq[QueryDef] = Seq(
     dedupExact, dedupFingerprint, dedupMinhash, dedupSimhash,
-    dedupSimhashHamming, dedupEmbedding, dedupFuzzy)
+    dedupSimhashHamming, dedupEmbedding, dedupFuzzy, dedupKeepBest)
 }
