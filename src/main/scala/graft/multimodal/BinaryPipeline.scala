@@ -66,4 +66,65 @@ object BinaryPipeline {
           (col("frame_no") * stride + 1).cast("int"),
           lit(frameBytes)).as("frame_payload"))
   }
+
+  /** One media feature row: fixed-dimension float embedding per doc. */
+  final case class MediaFeatures(id: Long, features: Array[Float])
+
+  /** Feature extraction: binary payload → fixed-dim float vector, as
+    * a per-partition narrow pass. The EXTRACTOR is a deterministic
+    * STUB (byte histogram folded to `dim` buckets, L1-normalized) —
+    * a real image/audio embedder slots into the same signature and
+    * batch shape. Output schema matches the embeddings table
+    * (array<float>), so downstream similarity ops (cosine_sim,
+    * LshAnn, IvfAnn) work on it unchanged.
+    */
+  def extractFeatures(df: DataFrame, dim: Int = 16, idCol: String = "doc_id",
+      payloadCol: String = "payload"): Dataset[MediaFeatures] = {
+    require(dim > 0)
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val acc = new Array[Float](dim)
+        var i = 0
+        while (i < bytes.length) { acc((bytes(i) & 0xff) % dim) += 1f; i += 1 }
+        val total = math.max(1f, bytes.length.toFloat)
+        var j = 0
+        while (j < dim) { acc(j) /= total; j += 1 }
+        MediaFeatures(id, acc)
+      })
+  }
+
+  /** "Resize": deterministic downsample of the payload to at most
+    * `maxBytes` by fixed-stride byte selection — the stand-in for an
+    * image resize, with the real contract (output strictly bounded,
+    * deterministic, computed inline in codegen via filter on byte
+    * position). Implemented relationally: posexplode the byte
+    * positions via substr slices would copy; instead take every k-th
+    * 1-byte slice and reassemble with concat over an exploded
+    * sequence — kept as a narrow mapPartitions for byte-array speed.
+    */
+  def resizePayload(df: DataFrame, maxBytes: Int, idCol: String = "doc_id",
+      payloadCol: String = "payload"): DataFrame = {
+    require(maxBytes > 0)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val out = df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        if (bytes.length <= maxBytes) (id, bytes)
+        else {
+          val stride = math.ceil(bytes.length.toDouble / maxBytes).toInt
+          val resized = Array.ofDim[Byte]((bytes.length + stride - 1) / stride)
+          var i = 0
+          var j = 0
+          while (i < bytes.length && j < resized.length) {
+            resized(j) = bytes(i); i += stride; j += 1
+          }
+          (id, resized)
+        }
+      })
+    out.toDF(idCol, payloadCol)
+  }
 }

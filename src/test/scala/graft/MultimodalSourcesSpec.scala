@@ -33,6 +33,41 @@ class MultimodalSourcesSpec extends AnyFunSuite {
     assert(rows.forall(_.getAs[Array[Byte]]("frame_payload").length <= 16))
   }
 
+  test("feature extraction yields normalized fixed-dim vectors usable by similarity ops") {
+    val docs = Tables.documents(spark, TestSpark.sf0001).limit(20)
+    val feats = BinaryPipeline.extractFeatures(
+      BinaryPipeline.withPayload(docs, "text"), dim = 16)
+    val rows = feats.collect()
+    assert(rows.length === 20)
+    assert(rows.forall(_.features.length === 16))
+    // L1-normalized histogram: sums to ~1
+    assert(rows.forall(f => math.abs(f.features.map(_.toDouble).sum - 1.0) < 1e-3))
+    // the array<float> output plugs into the native cosine directly
+    graft.functions.expressions.CosineSimilarity.register(spark)
+    val df = feats.toDF()
+    val sim = df.as("a").crossJoin(df.as("b"))
+      .filter(col("a.id") < col("b.id")).limit(5)
+      .select(graft.functions.VectorFunctions
+        .cosineFast(col("a.features"), col("b.features")).as("c"))
+      .collect()
+    assert(sim.forall(r => !r.isNullAt(0) && r.getDouble(0) <= 1.0 + 1e-9))
+  }
+
+  test("resizePayload bounds output bytes and keeps small payloads intact") {
+    val docs = Tables.documents(spark, TestSpark.sf0001).limit(20)
+    val withBin = BinaryPipeline.withPayload(docs, "text")
+    val resized = BinaryPipeline.resizePayload(withBin, maxBytes = 64)
+    val sizes = resized.select(col("doc_id"),
+      octet_length(col("payload")).as("n")).collect()
+    assert(sizes.length === 20)
+    assert(sizes.forall(_.getAs[Int]("n") <= 64))
+    // payloads already under the cap pass through unchanged
+    val small = BinaryPipeline.resizePayload(
+      withBin.withColumn("payload", substr(col("payload"), lit(1), lit(10))), 64)
+    assert(small.select(octet_length(col("payload")).as("n"))
+      .collect().forall(_.getAs[Int]("n") <= 10))
+  }
+
   test("csv and json sources round-trip a table slice") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-src").toString
     val slice = Tables.nation(spark, TestSpark.sf0001)
