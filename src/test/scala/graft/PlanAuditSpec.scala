@@ -108,4 +108,29 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), "as-of must not be a cartesian join")
     assert(!p.contains("BroadcastNestedLoopJoin"), "as-of must not be a BNL join")
   }
+
+  /** Queries whose plan legitimately contains a BroadcastNestedLoopJoin:
+    * every one has a deliberately-broadcast TINY side (≤ a few dozen
+    * rows — probe sets, plane tables, language profiles, 1-row scalar
+    * aggregates). Anything NOT on this list acquiring a BNL (or ANY
+    * query acquiring a CartesianProduct) is a scale regression.
+    */
+  private val bnlAllowed = Set(
+    "q_cosine_topk", "q_ann_lsh", "q_lang_id", "q_tf_idf", "q_join_cross",
+    "q_dedup_embedding", "q_vector_stats", "q_clean_corpus", "q_vocab_coverage",
+    "q_text_jaccard", "q_text_ngram_jaccard", "q_forecast_revenue",
+    "q_promo_revenue", "q_subquery_scalar", "q_funnel", "q_gap_fill")
+
+  test("no query plans a CartesianProduct; BNL only on the tiny-broadcast list") {
+    val offenders = SparkEntry.all.flatMap { q =>
+      val p = SparkEntry.queries(q.name)(spark, TestSpark.sf0001)
+        .queryExecution.executedPlan.toString
+      val cart = p.contains("CartesianProduct")
+      val bnl = p.contains("BroadcastNestedLoopJoin") && !bnlAllowed(q.name)
+      if (cart) Some(s"${q.name}: CartesianProduct")
+      else if (bnl) Some(s"${q.name}: unexpected BroadcastNestedLoopJoin")
+      else None
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
 }
