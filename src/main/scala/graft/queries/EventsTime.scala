@@ -254,7 +254,45 @@ object EventsTime extends QueryModule {
               FROM purchase) AS median_convert_sec
     """))
 
+  /** Cohort retention: users grouped by their first-activity week,
+    * tracked by how many remain active N weeks later — the classic
+    * product-analytics matrix. Three bounded aggregations: per-user
+    * first week (|users| rows), distinct user-week activity (|users|
+    * × |weeks|), then the cohort×period matrix (|weeks|²) — every
+    * shuffle key is bounded, nothing is quadratic in events.
+    */
+  val cohortRetention = QueryDef(
+    "q_cohort_retention",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), date_trunc("week", col("ts")).as("week"))
+      val firstWeek = ev.groupBy(col("user_id"))
+        .agg(min(col("week")).as("cohort_week"))
+      val activity = ev.dropDuplicates(Seq("user_id", "week"))
+      activity.join(firstWeek, Seq("user_id"))
+        .select(col("cohort_week"),
+          floor(datediff(col("week"), col("cohort_week")) / 7).cast("long")
+            .as("period"))
+        .groupBy(col("cohort_week"), col("period"))
+        .agg(count(lit(1)).as("active_users"))
+        .orderBy(col("cohort_week"), col("period"))
+    },
+    Some("""
+      WITH ev AS (
+        SELECT user_id, CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS week
+        FROM events),
+      first_week AS (
+        SELECT user_id, min(week) AS cohort_week FROM ev GROUP BY user_id),
+      activity AS (SELECT DISTINCT user_id, week FROM ev)
+      SELECT cohort_week,
+             CAST(floor(date_diff('day', cohort_week, week) / 7) AS BIGINT) AS period,
+             count(*) AS active_users
+      FROM activity JOIN first_week USING (user_id)
+      GROUP BY cohort_week, period
+      ORDER BY cohort_week, period
+    """))
+
   def defs: Seq[QueryDef] = Seq(
     tumbling, sliding, sessionize, sessionWindowNative, dedupRows, gapFill,
-    funnel)
+    funnel, cohortRetention)
 }
