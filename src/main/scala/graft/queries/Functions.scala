@@ -368,7 +368,64 @@ object Functions extends QueryModule {
       ORDER BY doc_id
     """))
 
+  /** Second string family: translate, repeat, reverse, split_part,
+    * left/right slices — (initcap is skipped: absent in the oracle
+    * dialect). All codegen'd built-ins, one span over the scan.
+    */
+  val stringFuncs2 = QueryDef(
+    "q_string_funcs2",
+    (s, d) =>
+      Tables.part(s, d)
+        .select(
+          col("p_partkey"),
+          translate(col("p_name"), "aeiou", "AEIOU").as("vowels_up"),
+          expr("repeat(p_brand, 2)").as("brand_twice"),
+          reverse(col("p_type")).as("type_rev"),
+          expr("split_part(p_type, ' ', 1)").as("type_first"),
+          expr("left(p_name, 4)").as("name_left4"),
+          expr("right(p_name, 3)").as("name_right3"))
+        .orderBy(col("p_partkey")),
+    Some("""
+      SELECT p_partkey,
+             translate(p_name, 'aeiou', 'AEIOU') AS vowels_up,
+             repeat(p_brand, 2) AS brand_twice,
+             reverse(p_type) AS type_rev,
+             split_part(p_type, ' ', 1) AS type_first,
+             left(p_name, 4) AS name_left4,
+             right(p_name, 3) AS name_right3
+      FROM part
+      ORDER BY p_partkey
+    """))
+
+  /** Second date family: month-end, day-of-week (normalized to
+    * DuckDB's Sunday=0), ISO week, calendar-clamped add_months, and
+    * string formatting.
+    */
+  val dateFuncs2 = QueryDef(
+    "q_date_funcs2",
+    (s, d) =>
+      Tables.orders(s, d)
+        .select(
+          col("o_orderkey"),
+          last_day(col("o_orderdate")).cast("date").as("month_end"),
+          (dayofweek(col("o_orderdate")) - 1).cast("long").as("dow"),
+          weekofyear(col("o_orderdate")).cast("long").as("iso_week"),
+          add_months(col("o_orderdate"), 1).cast("date").as("next_month"),
+          date_format(col("o_orderdate"), "yyyy-MM").as("ym"))
+        .orderBy(col("o_orderkey")),
+    Some("""
+      SELECT o_orderkey,
+             CAST(last_day(CAST(o_orderdate AS TIMESTAMP)) AS DATE) AS month_end,
+             CAST(date_part('dow', o_orderdate) AS BIGINT) AS dow,
+             CAST(date_part('week', o_orderdate) AS BIGINT) AS iso_week,
+             CAST(date_add(CAST(o_orderdate AS TIMESTAMP), INTERVAL 1 MONTH) AS DATE) AS next_month,
+             strftime(CAST(o_orderdate AS TIMESTAMP), '%Y-%m') AS ym
+      FROM orders
+      ORDER BY o_orderkey
+    """))
+
   def defs: Seq[QueryDef] = Seq(
     stringFuncs, dateFuncs, mathFuncs, arrayFuncs, jsonFuncs, explodeTokens,
-    mapFuncs, posExplode, stackUnpivot, stringAgg, bitwiseFuncs, regexFuncs)
+    mapFuncs, posExplode, stackUnpivot, stringAgg, bitwiseFuncs, regexFuncs,
+    stringFuncs2, dateFuncs2)
 }

@@ -109,6 +109,26 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), "as-of must not be a BNL join")
   }
 
+  test("sortWithinPartitions sorts locally with no Exchange") {
+    import org.apache.spark.sql.functions.{col, spark_partition_id}
+    val df = Tables.lineitem(spark, TestSpark.sf0001)
+      .repartition(4, col("l_orderkey"))
+      .sortWithinPartitions(col("l_extendedprice"))
+    // exactly one Exchange (the explicit repartition); the sort adds none
+    val plan = df.queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(plan).size === 1, plan.take(1200))
+    assert(plan.contains("Sort"), plan.take(1200))
+    // every partition is internally sorted
+    val unsorted = df
+      .select(spark_partition_id().as("pid"), col("l_extendedprice"))
+      .mapPartitions { it =>
+        val vals = it.map(_.getDouble(1)).toSeq
+        Iterator.single(vals.zip(vals.sorted).forall { case (a, b) => a == b })
+      }(org.apache.spark.sql.Encoders.scalaBoolean)
+      .collect()
+    assert(unsorted.forall(identity), "found an unsorted partition")
+  }
+
   /** Queries whose plan legitimately contains a BroadcastNestedLoopJoin:
     * every one has a deliberately-broadcast TINY side (≤ a few dozen
     * rows — probe sets, plane tables, language profiles, 1-row scalar
