@@ -424,8 +424,41 @@ object Functions extends QueryModule {
       ORDER BY o_orderkey
     """))
 
+  /** Transcendental math family: trig, exponentials, logs, sign.
+    * Every transcendental output is FLOAT-cast — libm implementations
+    * differ between engines in the last double ulp, and a float cast
+    * collapses that without decimal-boundary hazards (same rationale
+    * as q_stats). sign() is exact and stays integral.
+    */
+  val mathFuncs2 = QueryDef(
+    "q_math_funcs2",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          sin(col("l_quantity")).cast("float").as("qty_sin"),
+          cos(col("l_quantity")).cast("float").as("qty_cos"),
+          atan2(col("l_quantity"), lit(10.0)).cast("float").as("qty_atan2"),
+          exp(col("l_quantity") / 50.0).cast("float").as("qty_exp"),
+          log2(col("l_quantity")).cast("float").as("qty_log2"),
+          log10(col("l_extendedprice")).cast("float").as("price_log10"),
+          signum(col("l_quantity") - 25.0).cast("long").as("qty_side"))
+        .orderBy(col("l_orderkey"), col("l_linenumber")),
+    Some("""
+      SELECT l_orderkey, l_linenumber,
+             CAST(sin(l_quantity) AS FLOAT) AS qty_sin,
+             CAST(cos(l_quantity) AS FLOAT) AS qty_cos,
+             CAST(atan2(l_quantity, 10.0) AS FLOAT) AS qty_atan2,
+             CAST(exp(l_quantity / 50.0) AS FLOAT) AS qty_exp,
+             CAST(log2(l_quantity) AS FLOAT) AS qty_log2,
+             CAST(log10(l_extendedprice) AS FLOAT) AS price_log10,
+             CAST(sign(l_quantity - 25.0) AS BIGINT) AS qty_side
+      FROM lineitem
+      ORDER BY l_orderkey, l_linenumber
+    """))
+
   def defs: Seq[QueryDef] = Seq(
     stringFuncs, dateFuncs, mathFuncs, arrayFuncs, jsonFuncs, explodeTokens,
     mapFuncs, posExplode, stackUnpivot, stringAgg, bitwiseFuncs, regexFuncs,
-    stringFuncs2, dateFuncs2)
+    stringFuncs2, dateFuncs2, mathFuncs2)
 }
