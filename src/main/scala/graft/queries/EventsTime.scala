@@ -292,7 +292,48 @@ object EventsTime extends QueryModule {
       ORDER BY cohort_week, period
     """))
 
+  /** Rolling 7-day active users (WAU): for each active calendar day,
+    * the count of DISTINCT users active in the trailing week. A
+    * rolling sum of daily actives would double-count, and a
+    * day-BETWEEN range join would plan as a nested loop (the plan
+    * guard caught exactly that) — so each distinct (user, day) row
+    * EXPLODES into the 7 observation days it contributes to (map-side
+    * ×7) and a count-distinct per day finishes it. One equi semi-join
+    * restricts observation days to days with activity. No range join
+    * anywhere; work is |user-days| × 7.
+    */
+  val wauRolling = QueryDef(
+    "q_wau_rolling",
+    (s, d) => {
+      val activity = Tables.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+        .dropDuplicates(Seq("user_id", "day"))
+      val contrib = activity
+        .select(col("user_id"), explode(sequence(
+          col("day"), date_add(col("day"), 6))).as("obs_day"))
+      contrib
+        .join(activity.select(col("day").as("obs_day")).distinct(),
+          Seq("obs_day"), "left_semi")
+        .groupBy(col("obs_day"))
+        .agg(countDistinct(col("user_id")).as("wau"))
+        .orderBy(col("obs_day"))
+    },
+    Some("""
+      WITH activity AS (
+        SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+        FROM events),
+      contrib AS (
+        SELECT user_id,
+               CAST(unnest(generate_series(day, day + 6, INTERVAL 1 DAY)) AS DATE) AS obs_day
+        FROM activity)
+      SELECT obs_day, count(DISTINCT user_id) AS wau
+      FROM contrib
+      WHERE obs_day IN (SELECT day FROM activity)
+      GROUP BY obs_day
+      ORDER BY obs_day
+    """))
+
   def defs: Seq[QueryDef] = Seq(
     tumbling, sliding, sessionize, sessionWindowNative, dedupRows, gapFill,
-    funnel, cohortRetention)
+    funnel, cohortRetention, wauRolling)
 }
