@@ -333,7 +333,40 @@ object EventsTime extends QueryModule {
       ORDER BY obs_day
     """))
 
+  /** DAU/MAU stickiness: per day, daily actives over that calendar
+    * month's distinct actives — two bounded count-distinct
+    * aggregations joined on month, ratio float-cast (exact int ratio;
+    * float is fully deterministic where round() can boundary-flip).
+    */
+  val stickiness = QueryDef(
+    "q_stickiness",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day"),
+          date_trunc("month", col("ts")).as("month"))
+      val dau = ev.groupBy(col("day"), col("month"))
+        .agg(countDistinct(col("user_id")).as("dau"))
+      val mau = ev.groupBy(col("month"))
+        .agg(countDistinct(col("user_id")).as("mau"))
+      dau.join(mau, Seq("month"))
+        .select(col("day"), col("dau"), col("mau"),
+          (col("dau").cast("double") / col("mau")).cast("float").as("stickiness"))
+        .orderBy(col("day"))
+    },
+    Some("""
+      WITH ev AS (
+        SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+               CAST(date_trunc('month', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS month
+        FROM events),
+      dau AS (SELECT day, month, count(DISTINCT user_id) AS dau FROM ev GROUP BY day, month),
+      mau AS (SELECT month, count(DISTINCT user_id) AS mau FROM ev GROUP BY month)
+      SELECT day, dau, mau,
+             CAST(CAST(dau AS DOUBLE) / mau AS FLOAT) AS stickiness
+      FROM dau JOIN mau USING (month)
+      ORDER BY day
+    """))
+
   def defs: Seq[QueryDef] = Seq(
     tumbling, sliding, sessionize, sessionWindowNative, dedupRows, gapFill,
-    funnel, cohortRetention, wauRolling)
+    funnel, cohortRetention, wauRolling, stickiness)
 }
