@@ -366,7 +366,45 @@ object EventsTime extends QueryModule {
       ORDER BY day
     """))
 
+  /** Running-mean anomaly detection, declaratively: events whose
+    * value exceeds 3× the user's mean over all PRIOR events (by
+    * event_id order). This is the batch twin of
+    * streaming.Stateful.anomalies — StatefulSkewSpec asserts the two
+    * implementations produce identical rows — expressed as one window
+    * pass so it is oracle-checkable and scales like any running
+    * window.
+    */
+  val anomalies = QueryDef(
+    "q_anomaly",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("value"),
+          avg(col("value")).over(w).as("m"),
+          count(lit(1)).over(w).as("n"))
+        .filter(col("n") > 0 && col("value") > col("m") * 3)
+        .select(col("user_id"), col("event_id"), col("value"),
+          // float cast, not round(2): the window avg lands on .xx5
+          // boundaries where engines' rounding diverges (observed at
+          // sf0.01 row 119: 34.285 → 34.29 vs 34.28)
+          col("m").cast("float").as("running_mean"))
+        .orderBy(col("user_id"), col("event_id"))
+    },
+    Some("""
+      SELECT user_id, event_id, value, CAST(m AS FLOAT) AS running_mean
+      FROM (
+        SELECT user_id, event_id, value,
+               avg(value) OVER w AS m,
+               count(*) OVER w AS n
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+      WHERE n > 0 AND value > m * 3
+      ORDER BY user_id, event_id
+    """))
+
   def defs: Seq[QueryDef] = Seq(
     tumbling, sliding, sessionize, sessionWindowNative, dedupRows, gapFill,
-    funnel, cohortRetention, wauRolling, stickiness)
+    funnel, cohortRetention, wauRolling, stickiness, anomalies)
 }

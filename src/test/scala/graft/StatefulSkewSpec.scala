@@ -80,6 +80,19 @@ class StatefulSkewSpec extends AnyFunSuite {
     assert(out === Set((1L, 3L)))
   }
 
+  test("Stateful.anomalies (batch) matches the declarative q_anomaly window form") {
+    import spark.implicits._
+    val ev = Tables.events(spark, TestSpark.sf0001)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[Event]
+    val stateful = Stateful.anomalies(ev, factor = 3.0)
+      .collect().map(a => (a.user_id, a.event_id)).toSet
+    val declarative = SparkEntry.queries("q_anomaly")(spark, TestSpark.sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(stateful === declarative)
+    assert(declarative.nonEmpty)
+  }
+
   test("salted join equals the plain join") {
     import spark.implicits._
     // skewed big side: 90% of rows share key 1
