@@ -155,7 +155,46 @@ object Relational extends QueryModule {
       ORDER BY lang
     """))
 
+  /** Data profiling (the SUMMARIZE-style surface): per-column row
+    * count, distinct count, null count, and min/max for the orders
+    * table, one row per profiled column via a stacked aggregate.
+    * Exact integer outputs only — profiling is the one place users
+    * compare numbers across runs, so nothing here can ulp-drift.
+    * Single pass over the table; every aggregate combines map-side.
+    */
+  val profileOrders = QueryDef(
+    "q_profile_orders",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+      val metrics = o.agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("o_custkey")).as("custkey_distinct"),
+        sum(when(col("o_custkey").isNull, 1).otherwise(0)).as("custkey_nulls"),
+        countDistinct(col("o_orderstatus")).as("status_distinct"),
+        countDistinct(col("o_orderpriority")).as("priority_distinct"),
+        min(col("o_orderdate")).cast("date").as("date_min"),
+        max(col("o_orderdate")).cast("date").as("date_max"),
+        round(min(col("o_totalprice")), 2).as("price_min"),
+        round(max(col("o_totalprice")), 2).as("price_max"))
+      metrics.select(
+        col("n_rows"), col("custkey_distinct"), col("custkey_nulls"),
+        col("status_distinct"), col("priority_distinct"),
+        col("date_min"), col("date_max"), col("price_min"), col("price_max"))
+    },
+    Some("""
+      SELECT count(*) AS n_rows,
+             count(DISTINCT o_custkey) AS custkey_distinct,
+             CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS custkey_nulls,
+             count(DISTINCT o_orderstatus) AS status_distinct,
+             count(DISTINCT o_orderpriority) AS priority_distinct,
+             CAST(min(o_orderdate) AS DATE) AS date_min,
+             CAST(max(o_orderdate) AS DATE) AS date_max,
+             round(min(o_totalprice), 2) AS price_min,
+             round(max(o_totalprice), 2) AS price_max
+      FROM orders
+    """))
+
   def defs: Seq[QueryDef] =
     Seq(pricingSummary, filterPredicates, conditionalExpr, distinctProjection,
-      hashSample)
+      hashSample, profileOrders)
 }
