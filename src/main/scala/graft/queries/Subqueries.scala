@@ -65,5 +65,30 @@ object Subqueries extends QueryModule {
       ORDER BY o_orderkey
     """))
 
-  def defs: Seq[QueryDef] = Seq(scalarSubquery, inSubquery)
+  /** GROUP BY ALL — the SQL-surface convenience both engines grew
+    * (group on every non-aggregate select item). Exercised through
+    * spark.sql so the SQL TEXT path is what's graded, same as the
+    * subquery entries.
+    */
+  val groupByAll = QueryDef(
+    "q_group_by_all",
+    (s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders_gba_v")
+      s.sql("""
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS cnt, round(sum(o_totalprice), 2) AS total
+        FROM orders_gba_v
+        GROUP BY ALL
+        ORDER BY o_orderstatus, o_orderpriority
+      """)
+    },
+    Some("""
+      SELECT o_orderstatus, o_orderpriority,
+             count(*) AS cnt, round(sum(o_totalprice), 2) AS total
+      FROM orders
+      GROUP BY ALL
+      ORDER BY o_orderstatus, o_orderpriority
+    """))
+
+  def defs: Seq[QueryDef] = Seq(scalarSubquery, inSubquery, groupByAll)
 }
