@@ -495,8 +495,39 @@ object TextAnalysis extends QueryModule {
       ORDER BY rank
     """))
 
+  /** Deterministic train/val/test split: each doc lands in a split by
+    * its md5 hex prefix (0-b → train 12/16, c-d → val 2/16, e-f →
+    * test 2/16), reported per language × split. Hash-based splitting
+    * is THE correct at-scale pattern: reproducible across reruns and
+    * engines, stable under repartitioning, and leak-proof (a doc can
+    * never drift between splits the way rand()-splits do on retry).
+    * Pure map-side + one bounded aggregation.
+    */
+  val trainSplit = QueryDef(
+    "q_train_split",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(col("lang"),
+          when(substring(md5(col("doc_id").cast("string")), 1, 1) <= "b", "train")
+            .when(substring(md5(col("doc_id").cast("string")), 1, 1) <= "d", "val")
+            .otherwise("test").as("split"))
+        .groupBy(col("lang"), col("split"))
+        .agg(count(lit(1)).as("docs"))
+        .orderBy(col("lang"), col("split")),
+    Some("""
+      SELECT lang, split, count(*) AS docs
+      FROM (
+        SELECT lang,
+               CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'b' THEN 'train'
+                    WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'd' THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents)
+      GROUP BY lang, split
+      ORDER BY lang, split
+    """))
+
   def defs: Seq[QueryDef] = Seq(
     textJaccard, ngramJaccard, langId, langStats, textQuality,
     tokenStats, docFingerprint, cleanCorpus, tfIdf, sampleBalanced,
-    vocabCoverage)
+    vocabCoverage, trainSplit)
 }
