@@ -27,6 +27,18 @@ object TextFunctions {
         i => concat_ws(" ",
           element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2))))
 
+  /** Distinct word 5-gram shingles over a token array (contamination
+    * scans use longer grams than near-dup's 3-grams — a shared
+    * 5-gram is strong evidence of copied text, not common phrasing).
+    */
+  def shingles5(toks: Column): Column =
+    array_distinct(
+      transform(
+        sequence(lit(1), size(toks) - 4),
+        i => concat_ws(" ",
+          element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2),
+          element_at(toks, i + 3), element_at(toks, i + 4))))
+
   /** Distinct character n-gram array over raw text. */
   def charNgrams(text: Column, n: Int): Column =
     array_distinct(

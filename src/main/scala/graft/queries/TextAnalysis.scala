@@ -526,8 +526,65 @@ object TextAnalysis extends QueryModule {
       ORDER BY lang, split
     """))
 
+  /** Decontamination check: which TEST documents share a 5-gram with
+    * any TRAIN document (the benchmark-contamination scan every
+    * training-data pipeline runs before eval). Splits come from the
+    * same hash rule as q_train_split; overlap detection joins distinct
+    * 5-gram md5s of test docs against the train side's — a hash
+    * equi-join on the shingle digest, never a text scan of pairs. At
+    * 100 TB the train shingle table is huge but the join is
+    * shuffle-partitioned on the digest; the test side is tiny by
+    * construction.
+    */
+  val contamination = QueryDef(
+    "q_contamination",
+    (s, d) => {
+      val split = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"),
+          when(substring(md5(col("doc_id").cast("string")), 1, 1) <= "b", "train")
+            .when(substring(md5(col("doc_id").cast("string")), 1, 1) <= "d", "val")
+            .otherwise("test").as("split"))
+      def grams(df: org.apache.spark.sql.DataFrame) = df
+        .select(col("doc_id"),
+          explode(array_distinct(TF.shingles5(TF.tokens(col("text"))))).as("g"))
+        .select(col("doc_id"), md5(col("g")).as("gh"))
+      val trainGrams = grams(split.filter(col("split") === "train"))
+        .select(col("gh")).distinct()
+      grams(split.filter(col("split") === "test"))
+        .join(trainGrams, Seq("gh"), "left_semi")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("shared_grams"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH split AS (
+        SELECT doc_id, text,
+               CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'b' THEN 'train'
+                    WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'd' THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents),
+      toks AS (
+        SELECT doc_id, split, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+        FROM split),
+      grams AS (
+        SELECT doc_id, split,
+               md5(g) AS gh
+        FROM (
+          SELECT doc_id, split,
+                 unnest(list_distinct(list_transform(
+                   generate_series(1, len(toks) - 4),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4]))) AS g
+          FROM toks)),
+      train_grams AS (SELECT DISTINCT gh FROM grams WHERE split = 'train')
+      SELECT doc_id, count(*) AS shared_grams
+      FROM grams
+      WHERE split = 'test' AND gh IN (SELECT gh FROM train_grams)
+      GROUP BY doc_id
+      ORDER BY doc_id
+    """))
+
   def defs: Seq[QueryDef] = Seq(
     textJaccard, ngramJaccard, langId, langStats, textQuality,
     tokenStats, docFingerprint, cleanCorpus, tfIdf, sampleBalanced,
-    vocabCoverage, trainSplit)
+    vocabCoverage, trainSplit, contamination)
 }
