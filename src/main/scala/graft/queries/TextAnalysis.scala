@@ -544,10 +544,14 @@ object TextAnalysis extends QueryModule {
           when(substring(md5(col("doc_id").cast("string")), 1, 1) <= "b", "train")
             .when(substring(md5(col("doc_id").cast("string")), 1, 1) <= "d", "val")
             .otherwise("test").as("split"))
+      // 16-hex-char (64-bit) digest slice: halves the distinct/join
+      // shuffle payload vs full md5; collision odds at even 10^9 grams
+      // are ~1e-20 per pair — and a collision only over-reports
+      // contamination (conservative direction for this scan)
       def grams(df: org.apache.spark.sql.DataFrame) = df
         .select(col("doc_id"),
           explode(array_distinct(TF.shingles5(TF.tokens(col("text"))))).as("g"))
-        .select(col("doc_id"), md5(col("g")).as("gh"))
+        .select(col("doc_id"), substring(md5(col("g")), 1, 16).as("gh"))
       val trainGrams = grams(split.filter(col("split") === "train"))
         .select(col("gh")).distinct()
       grams(split.filter(col("split") === "test"))
@@ -568,7 +572,7 @@ object TextAnalysis extends QueryModule {
         FROM split),
       grams AS (
         SELECT doc_id, split,
-               md5(g) AS gh
+               substr(md5(g), 1, 16) AS gh
         FROM (
           SELECT doc_id, split,
                  unnest(list_distinct(list_transform(
