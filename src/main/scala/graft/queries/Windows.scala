@@ -301,8 +301,53 @@ object Windows extends QueryModule {
       ORDER BY c_nationkey
     """))
 
+  /** Gaps-and-islands: each customer's longest streak of CONSECUTIVE
+    * order months. The island key is the classic
+    * `month_number - row_number()` trick — consecutive months share a
+    * constant difference — so the whole pattern is one window pass
+    * plus two bounded aggregations; work scales with |customer×month|,
+    * never with raw orders.
+    */
+  val orderStreaks = QueryDef(
+    "q_order_streaks",
+    (s, d) => {
+      val months = Tables.orders(s, d)
+        .select(col("o_custkey"),
+          (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+            .cast("long").as("mnum"))
+        .distinct()
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("mnum"))
+      months
+        .withColumn("grp", col("mnum") - row_number().over(w))
+        .groupBy(col("o_custkey"), col("grp"))
+        .agg(count(lit(1)).as("streak"))
+        .groupBy(col("o_custkey"))
+        .agg(max(col("streak")).as("longest_streak"))
+        .filter(col("longest_streak") >= 4)
+        .orderBy(col("o_custkey"))
+    },
+    Some("""
+      WITH months AS (
+        SELECT DISTINCT o_custkey,
+               CAST(date_part('year', o_orderdate) * 12
+                    + date_part('month', o_orderdate) AS BIGINT) AS mnum
+        FROM orders),
+      islands AS (
+        SELECT o_custkey,
+               mnum - row_number() OVER (PARTITION BY o_custkey ORDER BY mnum) AS grp
+        FROM months)
+      SELECT o_custkey, longest_streak
+      FROM (
+        SELECT o_custkey, max(streak) AS longest_streak
+        FROM (SELECT o_custkey, grp, count(*) AS streak
+              FROM islands GROUP BY o_custkey, grp)
+        GROUP BY o_custkey)
+      WHERE longest_streak >= 4
+      ORDER BY o_custkey
+    """))
+
   def defs: Seq[QueryDef] = Seq(
     windowRank, windowAnalytic, windowRunning, windowRangeRolling,
     topKPerGroup, sortLimit, windowRangeNumeric, windowIgnoreNulls,
-    windowCountDistinct, windowShareOfTotal)
+    windowCountDistinct, windowShareOfTotal, orderStreaks)
 }
