@@ -587,8 +587,43 @@ object TextAnalysis extends QueryModule {
       ORDER BY doc_id
     """))
 
+  /** Corpus profiling (the text-table SUMMARIZE): doc count, language
+    * cardinality, exact duplicate-text count, and length/token
+    * distribution in one map-side-combining pass — the health check a
+    * pipeline runs on every ingest batch.
+    */
+  val profileDocuments = QueryDef(
+    "q_profile_documents",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("text"),
+          length(col("text")).cast("long").as("len"),
+          size(TF.tokens(col("text"))).cast("long").as("ntok"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(col("lang")).as("n_langs"),
+          (count(lit(1)) - countDistinct(md5(col("text")))).as("exact_dup_docs"),
+          min(col("len")).as("len_min"),
+          max(col("len")).as("len_max"),
+          round(avg(col("len")), 2).as("len_avg"),
+          min(col("ntok")).as("tok_min"),
+          max(col("ntok")).as("tok_max")),
+    Some("""
+      SELECT count(*) AS n_docs,
+             count(DISTINCT lang) AS n_langs,
+             count(*) - count(DISTINCT md5(text)) AS exact_dup_docs,
+             min(len) AS len_min, max(len) AS len_max,
+             round(avg(len), 2) AS len_avg,
+             min(ntok) AS tok_min, max(ntok) AS tok_max
+      FROM (
+        SELECT lang, text,
+               CAST(length(text) AS BIGINT) AS len,
+               CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS ntok
+        FROM documents)
+    """))
+
   def defs: Seq[QueryDef] = Seq(
     textJaccard, ngramJaccard, langId, langStats, textQuality,
     tokenStats, docFingerprint, cleanCorpus, tfIdf, sampleBalanced,
-    vocabCoverage, trainSplit, contamination)
+    vocabCoverage, trainSplit, contamination, profileDocuments)
 }
