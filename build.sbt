@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify harness tail-captures stdout and parses the LAST line as
+// JSON. With fork:=true sbt's default output strategy decorates every forked
+// stdout line with an "[info] " prefix and appends its own
+// "[success] Total time: …" trailer — both defeat the parse. StdoutOutput
+// passes the forked process's stdout through verbatim; showSuccess drops the
+// trailer.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

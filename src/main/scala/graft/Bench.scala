@@ -52,7 +52,11 @@ object Bench {
         override def call(): Double = {
           val s = System.nanoTime()
           try { fn(spark, sfDir).count(); (System.nanoTime() - s) / 1e9 }
-          catch { case _: Throwable => -1.0 } // failure marker
+          catch { case e: Throwable => // failure marker; diagnose on stderr
+            System.err.println(s"[bench] $name FAILED: $e")
+            e.getStackTrace.take(5).foreach(f => System.err.println(s"[bench]   at $f"))
+            -1.0
+          }
         }
       })
     }
