@@ -34,6 +34,34 @@ import org.apache.spark.sql.functions._
   */
 object ParquetDml {
 
+  import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+
+  /** Null-safe partition membership: `isin` compares with `=` and so
+    * never matches a NULL partition value; rows living in the
+    * `__HIVE_DEFAULT_PARTITION__` directory would silently escape
+    * every DML. Split the null case into an explicit `isNull` branch.
+    */
+  private def partitionIn(partitionCol: String, vals: Seq[Any]): Column = {
+    val (nulls, nonNulls) = vals.partition(_ == null)
+    val branches =
+      (if (nonNulls.nonEmpty) Seq(col(partitionCol).isin(nonNulls: _*)) else Nil) ++
+      (if (nulls.nonEmpty) Seq(col(partitionCol).isNull) else Nil)
+    branches.reduceOption(_ || _).getOrElse(lit(false))
+  }
+
+  /** Directory name for a partition value, matching what Spark's
+    * writer produces: %-escaped special characters and the Hive
+    * default-partition sentinel for NULL. Without this, cleanup of a
+    * fully-deleted partition with e.g. a ':' or space in the value
+    * (or a NULL) would target a directory that does not exist and
+    * leave the real one stale.
+    */
+  private def partitionDirName(partitionCol: String, v: Any): String = {
+    val s = if (v == null) ExternalCatalogUtils.DEFAULT_PARTITION_NAME
+            else ExternalCatalogUtils.escapePathName(v.toString)
+    s"${ExternalCatalogUtils.escapePathName(partitionCol)}=$s"
+  }
+
   private def dynamicOverwrite(df: DataFrame, path: String, partitionCol: String): Unit =
     df.write
       .mode("overwrite")
@@ -53,8 +81,8 @@ object ParquetDml {
       .map(_.get(0)).toSeq
     if (affected.nonEmpty) {
       val kept = t
-        .filter(col(partitionCol).isin(affected: _*)) // pruned scan
-        .filter(!coalesce(cond, lit(false)))          // survivors only
+        .filter(partitionIn(partitionCol, affected)) // pruned scan
+        .filter(!coalesce(cond, lit(false)))         // survivors only
       // dynamic overwrite only rewrites partitions PRESENT in the
       // output — a fully-deleted partition would survive as stale
       // files. Materialize the survivor set first (localCheckpoint:
@@ -67,7 +95,7 @@ object ParquetDml {
       val fs = new org.apache.hadoop.fs.Path(path)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       affected.filterNot(surviving).foreach { v =>
-        fs.delete(new org.apache.hadoop.fs.Path(path, s"$partitionCol=$v"), true)
+        fs.delete(new org.apache.hadoop.fs.Path(path, partitionDirName(partitionCol, v)), true)
       }
     }
   }
@@ -85,10 +113,20 @@ object ParquetDml {
     val affected = t.filter(cond).select(partitionCol).distinct().collect()
       .map(_.get(0)).toSeq
     if (affected.nonEmpty) {
-      val rewritten = sets.foldLeft(
-        t.filter(col(partitionCol).isin(affected: _*))) { case (df, (c, e)) =>
-        df.withColumn(c, when(coalesce(cond, lit(false)), e).otherwise(col(c)))
-      }
+      // SQL UPDATE semantics: WHERE and every SET expression see the
+      // ORIGINAL row. A withColumn-per-set fold would re-resolve cond
+      // and later set expressions against already-updated columns
+      // (e.g. SET price = price*2, flag = price > 100 would read the
+      // doubled price). One select over the original slice binds
+      // everything to pre-update values.
+      val slice = t.filter(partitionIn(partitionCol, affected))
+      val matched = coalesce(cond, lit(false))
+      val rewritten = slice.select(t.columns.toSeq.map { c =>
+        sets.get(c) match {
+          case Some(e) => when(matched, e).otherwise(col(c)).as(c)
+          case None    => col(c)
+        }
+      }: _*)
       // materialize before overwriting the path being read (see delete)
       dynamicOverwrite(rewritten.localCheckpoint(), path, partitionCol)
     }
@@ -114,10 +152,21 @@ object ParquetDml {
     val t = spark.read.parquet(path)
     require(source.columns.sorted.sameElements(t.columns.sorted),
       s"merge source schema ${source.columns.mkString(",")} must match target ${t.columns.mkString(",")}")
+    // Name match alone lets a type-mismatched source silently corrupt
+    // the rewritten partitions (unionByName would cast or fail late).
+    val targetTypes = t.schema.map(f => f.name -> f.dataType).toMap
+    source.schema.foreach { f =>
+      require(targetTypes(f.name) == f.dataType,
+        s"merge source column '${f.name}' has type ${f.dataType}, target has ${targetTypes(f.name)}")
+    }
+    // SQL MERGE raises when a target row matches multiple source rows;
+    // a duplicate-keyed source here would both replace and re-insert.
+    require(source.groupBy(key).count().filter(col("count") > 1).isEmpty,
+      s"merge source has duplicate values for key '$key'")
     val affected = source.select(partitionCol).distinct().collect()
       .map(_.get(0)).toSeq
     if (affected.nonEmpty) {
-      val targetSlice = t.filter(col(partitionCol).isin(affected: _*))
+      val targetSlice = t.filter(partitionIn(partitionCol, affected))
       // survivors: target rows in affected partitions whose key has no
       // source version (left_anti = the NOT-matched-target branch)
       val survivors = targetSlice.join(source.select(key), Seq(key), "left_anti")

@@ -68,8 +68,10 @@ object Stateful {
           it.toSeq.sortBy(_.event_id).foreach { e =>
             val mean = if (n == 0) e.value else sum / n
             if (n > 0 && e.value > factor * mean)
-              out += Anomaly(user, e.event_id, e.value,
-                math.round(mean * 100.0) / 100.0)
+              // float cast (not round-to-2dp) so the emitted mean is
+              // bit-identical with q_anomaly's `cast("float")` column —
+              // StatefulSkewSpec compares full rows across the twins
+              out += Anomaly(user, e.event_id, e.value, mean.toFloat.toDouble)
             n += 1; sum += e.value
           }
           state.update((n, sum))

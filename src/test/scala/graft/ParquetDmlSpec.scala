@@ -83,6 +83,68 @@ class ParquetDmlSpec extends AnyFunSuite {
     }
   }
 
+  test("update binds cond and every set expr to the ORIGINAL row (SQL UPDATE semantics)") {
+    val path = freshTable()
+    val cond = col("o_orderstatus") === "F" && col("o_totalprice") < 50000
+    val origMatched = spark.read.parquet(path).filter(cond).count()
+    assert(origMatched > 0)
+    // If sets were applied as a sequential fold, the o_comment set would
+    // re-evaluate cond against the already-doubled price and skip every
+    // row whose original price was in [25000, 50000).
+    ParquetDml.update(spark, path, "o_orderstatus", cond,
+      Map("o_totalprice" -> (col("o_totalprice") * 2),
+        "o_orderpriority" -> lit("UPDATED")))
+    val after = spark.read.parquet(path)
+    assert(after.filter(col("o_orderpriority") === "UPDATED").count() === origMatched,
+      "a set expression saw post-update values of an earlier set")
+  }
+
+  test("update set expressions referencing each other's columns swap, not chain") {
+    val path = freshTable()
+    val t = spark.read.parquet(path)
+    val cond = col("o_orderstatus") === "P"
+    val pairsBefore = t.filter(cond).select("o_orderkey", "o_custkey")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairsBefore.nonEmpty)
+    ParquetDml.update(spark, path, "o_orderstatus", cond,
+      Map("o_orderkey" -> col("o_custkey"), "o_custkey" -> col("o_orderkey")))
+    val pairsAfter = spark.read.parquet(path).filter(cond)
+      .select("o_orderkey", "o_custkey")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairsAfter === pairsBefore.map(_.swap), "set exprs chained instead of swapping")
+  }
+
+  test("delete handles NULL and special-character partition values (escaped dirs)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_dml_esc").toString
+    val path = s"$dir/t"
+    Seq((1, "a:b c", 10), (2, null, 20), (3, "plain", 30))
+      .toDF("id", "part", "v").write.partitionBy("part").parquet(path)
+    assert(new java.io.File(s"$path/part=a%3Ab c").exists() ||
+      new java.io.File(path).listFiles().exists(_.getName.startsWith("part=a%3A")),
+      "precondition: writer escapes ':' in partition dir")
+    ParquetDml.delete(spark, path, "part", col("id") =!= 3)
+    val after = spark.read.parquet(path)
+    assert(after.count() === 1 && after.select("id").head().getInt(0) === 3)
+    val leftoverDirs = new java.io.File(path).listFiles().filter(_.isDirectory).map(_.getName).toSet
+    assert(!leftoverDirs.exists(_.startsWith("part=a%3A")), "escaped partition dir left stale")
+    assert(!leftoverDirs.contains("part=__HIVE_DEFAULT_PARTITION__"), "null partition dir left stale")
+  }
+
+  test("merge rejects duplicate source keys and type-mismatched source columns") {
+    val path = freshTable()
+    val t = spark.read.parquet(path)
+    val one = t.filter(col("o_orderstatus") === "F").limit(1)
+      .select(t.columns.map(col).toSeq: _*).localCheckpoint()
+    intercept[IllegalArgumentException] {
+      ParquetDml.merge(spark, path, "o_orderstatus", one.unionByName(one), "o_orderkey")
+    }
+    intercept[IllegalArgumentException] {
+      ParquetDml.merge(spark, path, "o_orderstatus",
+        one.withColumn("o_totalprice", col("o_totalprice").cast("string")), "o_orderkey")
+    }
+  }
+
   test("merge upserts: matched rows replaced, new rows inserted, other partitions untouched") {
     val path = freshTable()
     val t = spark.read.parquet(path)

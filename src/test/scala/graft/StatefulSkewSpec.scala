@@ -86,9 +86,9 @@ class StatefulSkewSpec extends AnyFunSuite {
       .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
       .as[Event]
     val stateful = Stateful.anomalies(ev, factor = 3.0)
-      .collect().map(a => (a.user_id, a.event_id)).toSet
+      .collect().map(a => (a.user_id, a.event_id, a.value, a.running_mean.toFloat)).toSet
     val declarative = SparkEntry.queries("q_anomaly")(spark, TestSpark.sf0001)
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getFloat(3))).toSet
     assert(stateful === declarative)
     assert(declarative.nonEmpty)
   }
