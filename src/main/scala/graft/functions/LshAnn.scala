@@ -35,14 +35,49 @@ object LshAnn {
     * The side test uses the fused codegen DotProduct — this is the
     * corpus × planes hot loop, and the fold-based dot's per-row array
     * allocation was the dominant cost of q_ann_lsh in round 1.
+    *
+    * `nPlanes` is the count the planes table MUST have: a sparse
+    * [start, start+n) id range would silently shrink the key space
+    * (missing bits always 0) and degrade recall with no error. The
+    * check runs inside the aggregation (raise_error per group), so it
+    * fails loudly at execution without an eager count job at
+    * plan-build time.
     */
-  def bucketize(e: DataFrame, planes: DataFrame): DataFrame = {
+  def bucketize(e: DataFrame, planes: DataFrame, nPlanes: Int): DataFrame = {
+    require(nPlanes >= 1 && nPlanes <= 62,
+      s"plane count must fit a long bucket key, got $nPlanes")
     graft.functions.expressions.DotProduct.register(e.sparkSession)
     e.crossJoin(planes)
       .select(col("vec_id"), col("embedding"),
         when(VF.dotFast(col("embedding"), col("plane_emb")) > 0,
           pow(lit(2), col("plane_no")).cast("long")).otherwise(0L).as("bit"))
       .groupBy(col("vec_id"))
-      .agg(first(col("embedding")).as("embedding"), sum(col("bit")).as("bucket"))
+      .agg(first(col("embedding")).as("embedding"), sum(col("bit")).as("bucket"),
+        count(lit(1)).as("np"))
+      .select(col("vec_id"), col("embedding"),
+        when(col("np") === nPlanes, col("bucket"))
+          .otherwise(raise_error(concat(
+            lit(s"LshAnn.bucketize: expected $nPlanes planes, joined "),
+            col("np").cast("string")))).as("bucket"))
+  }
+
+  /** Multi-probe expansion: one row per (vector, probed bucket), the
+    * probed set being the vector's own bucket plus every
+    * Hamming-distance-1 neighbor (each single sign bit flipped) —
+    * 1+n rows per probe. This is how recall is recovered WITHOUT
+    * shrinking the key space: a near neighbor that disagrees with the
+    * probe on exactly one plane still meets it in the flipped bucket,
+    * while the corpus side stays bucketed at full width (the same
+    * trick as q_dedup_simhash_hamming). Output keeps the original
+    * bucket as `own_bucket` and the probed one as `bucket` (the join
+    * key against a `bucketize` output).
+    */
+  def hamming1Probes(bucketed: DataFrame, n: Int): DataFrame = {
+    require(n >= 1 && n <= 62, s"plane count must fit a long bucket key, got $n")
+    val flips = array((lit(0L) +: (0 until n).map(i => lit(1L << i))): _*)
+    bucketed
+      .withColumn("flip", explode(flips))
+      .select(col("vec_id"), col("embedding"), col("bucket").as("own_bucket"),
+        col("bucket").bitwiseXOR(col("flip")).as("bucket"))
   }
 }

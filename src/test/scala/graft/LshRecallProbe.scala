@@ -24,7 +24,7 @@ object LshRecallProbe {
       .select(col("probe_id"), col("cand_id")).cache()
     brute.count()
     for (planes <- Seq(2, 3, 4, 6, 8)) {
-      val bucketed = LshAnn.bucketize(emb, LshAnn.planesFrom(emb, 100, planes))
+      val bucketed = LshAnn.bucketize(emb, LshAnn.planesFrom(emb, 100, planes), planes)
       val probes = bucketed.filter(col("vec_id") < 20)
         .select(col("vec_id").as("probe_id"), col("bucket"), col("embedding").as("probe_emb"))
       val wL = Window.partitionBy(col("probe_id")).orderBy(col("cos").desc, col("cand_id"))

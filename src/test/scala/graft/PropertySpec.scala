@@ -112,7 +112,7 @@ class PropertySpec extends AnyFunSuite {
     val emb = Tables.embeddings(spark, TestSpark.sf0001)
       .select(col("vec_id"), col("embedding"))
     def buckets(df: org.apache.spark.sql.DataFrame) =
-      LshAnn.bucketize(df, LshAnn.planesFrom(emb, 100, 8))
+      LshAnn.bucketize(df, LshAnn.planesFrom(emb, 100, 8), 8)
         .select($"vec_id", $"bucket")
         .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(buckets(emb) === buckets(emb.repartition(13)))
