@@ -157,6 +157,52 @@ object Analytics extends QueryModule {
       LIMIT 50
     """))
 
+  /** EMA of order totals per customer (TimeSeries.ema as a graded
+    * row): ema_0 = v_0, ema_i = 0.25·v_i + 0.75·ema_{i-1} ordered by
+    * (o_orderdate, o_orderkey). The recurrence can't be a window
+    * function (each value depends on the previous OUTPUT), so the
+    * Spark side is the sorted-fold flatMapGroups operator — one
+    * shuffle on the series key, linear per series. The oracle is a
+    * DuckDB recursive CTE stepping rn→rn+1. Numerics: alpha=0.25 and
+    * 1-alpha=0.75 are exactly representable, both engines run the
+    * identical IEEE op sequence, and the output rounding
+    * (round(e·1e6)/1e6, half-up on positive values) matches
+    * TimeSeries.ema's math.round contract.
+    */
+  val emaOrders = QueryDef(
+    "q_ema",
+    (s, d) => {
+      val src = Tables.orders(s, d).filter(col("o_custkey") < 50)
+        .select(col("o_custkey"), col("o_orderkey"),
+          unix_micros(col("o_orderdate").cast("timestamp")).as("ord"),
+          col("o_totalprice"))
+      graft.functions.TimeSeries
+        .ema(src, 0.25, "o_custkey", "o_orderkey", "ord", "o_totalprice")
+        .toDF()
+        .select(col("series_id").as("o_custkey"), col("seq").as("o_orderkey"),
+          col("value").as("price"), col("ema").as("ema_price"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    },
+    Some("""
+      WITH RECURSIVE ordered AS (
+        SELECT o_custkey, o_orderkey, CAST(o_totalprice AS DOUBLE) AS price,
+               row_number() OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey) AS rn
+        FROM orders WHERE o_custkey < 50),
+      rec AS (
+        SELECT o_custkey, o_orderkey, price, rn, price AS ema
+        FROM ordered WHERE rn = 1
+        UNION ALL
+        SELECT o.o_custkey, o.o_orderkey, o.price, o.rn,
+               0.25 * o.price + 0.75 * r.ema
+        FROM ordered o JOIN rec r
+          ON o.o_custkey = r.o_custkey AND o.rn = r.rn + 1)
+      SELECT o_custkey, o_orderkey, price,
+             round(ema * 1000000) / 1000000.0 AS ema_price
+      FROM rec ORDER BY o_custkey, o_orderkey
+    """))
+
   def defs: Seq[QueryDef] = Seq(
-    shippingPriority, forecastRevenue, promoRevenue, topSupplier, partsStats)
+    shippingPriority, forecastRevenue, promoRevenue, topSupplier, partsStats,
+    emaOrders)
 }

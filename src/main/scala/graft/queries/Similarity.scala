@@ -202,5 +202,46 @@ object Similarity extends QueryModule {
       ORDER BY probe_id
     """))
 
-  def defs: Seq[QueryDef] = Seq(cosineTopK, annIvf, vectorStats, annLsh)
+  /** One Lloyd's assignment step (KMeansLite.assign) as a graded row:
+    * 5 deterministic centroids (the embeddings of vec_id 200..204,
+    * promoted to double), every point assigned to its nearest by L2²
+    * with a cluster-id tiebreak. This is the oracle-checkable core of
+    * the IVF quantizer build: the broadcast cross join against a k-row
+    * centroid table never shuffles the corpus, so the step is linear
+    * at any corpus size. Numerics: Spark folds (x-y)² elementwise in
+    * double; the oracle expands |a|²-2a·b+|b|² — the two agree to
+    * last-ulp and the FLOAT cast collapses the difference (memory:
+    * stats-agg rule). Ties beyond ulp don't occur on random vectors.
+    */
+  val kmeansAssign = QueryDef(
+    "q_kmeans_assign",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      val centroids = e.filter(col("vec_id").between(200, 204))
+        .select((col("vec_id") - 199).as("cluster_id"),
+          transform(col("embedding"), x => x.cast("double")).as("centroid"))
+      graft.functions.KMeansLite.assign(e, centroids)
+        .select(col("vec_id"), col("cluster_id"),
+          col("dist").cast("float").as("dist"))
+        .orderBy(col("vec_id"))
+    },
+    Some("""
+      WITH centroids AS (
+        SELECT vec_id - 199 AS cluster_id, CAST(embedding AS DOUBLE[]) AS centroid
+        FROM embeddings WHERE vec_id BETWEEN 200 AND 204),
+      scored AS (
+        SELECT e.vec_id, c.cluster_id,
+               list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))
+                 - 2 * list_dot_product(CAST(e.embedding AS DOUBLE[]), c.centroid)
+                 + list_dot_product(c.centroid, c.centroid) AS dist
+        FROM embeddings e CROSS JOIN centroids c),
+      ranked AS (
+        SELECT vec_id, cluster_id, dist,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster_id) AS rn
+        FROM scored)
+      SELECT vec_id, cluster_id, CAST(dist AS FLOAT) AS dist
+      FROM ranked WHERE rn = 1 ORDER BY vec_id
+    """))
+
+  def defs: Seq[QueryDef] = Seq(cosineTopK, annIvf, vectorStats, annLsh, kmeansAssign)
 }
