@@ -345,8 +345,42 @@ object Joins extends QueryModule {
       ORDER BY band_id
     """))
 
+  /** Skew-salted fact⋈dim join (SkewJoin.saltedInnerJoin as a graded
+    * row). events.event_type has a handful of distinct values, so a
+    * shuffle join on it concentrates each type's rows in ONE task —
+    * the canonical hot-key shape at 100 TB. The salted form splits
+    * every hot key across 8 (key, salt) sub-partitions; the small
+    * per-type dim is replicated 8×, so results are identical to the
+    * plain join (the oracle). Output re-aggregates to per-type rows,
+    * which also proves the salt column doesn't leak. SkewJoinPlanSpec
+    * asserts the physical partitioning includes __salt and the
+    * per-partition row counts are balanced.
+    */
+  val joinSkewed = QueryDef(
+    "q_join_skewed",
+    (s, d) => {
+      val ev = Tables.events(s, d).select(col("event_type"), col("value"))
+      val dim = ev.groupBy(col("event_type"))
+        .agg(avg(col("value")).as("type_avg"))
+      graft.functions.SkewJoin.saltedInnerJoin(ev, dim, "event_type", salts = 8)
+        .filter(col("value") > lit(2.0) * col("type_avg"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("hot_cnt"),
+          round(sum(col("value")), 2).as("hot_sum"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      WITH dim AS (
+        SELECT event_type, avg(value) AS type_avg FROM events GROUP BY event_type)
+      SELECT e.event_type, count(*) AS hot_cnt, round(sum(e.value), 2) AS hot_sum
+      FROM events e JOIN dim d ON e.event_type = d.event_type
+      WHERE e.value > 2.0 * d.type_avg
+      GROUP BY e.event_type
+      ORDER BY e.event_type
+    """))
+
   def defs: Seq[QueryDef] = Seq(
     joinInner, joinLeft, joinRight, joinFull, joinSemi, joinAnti,
     joinCross, joinThetaRange, joinAsOf, joinAsOfForward, joinStar,
-    joinRangeBucketed)
+    joinRangeBucketed, joinSkewed)
 }

@@ -109,4 +109,36 @@ class StatefulSkewSpec extends AnyFunSuite {
     assert(salted === plain)
     assert(plain.nonEmpty)
   }
+
+  /** The q_join_skewed guarantee: with broadcast off (forcing a real
+    * shuffle join, the 100 TB shape), the salted join's exchanges
+    * partition on (key, __salt) and no single task carries a hot
+    * key's whole row set — the plain join's worst partition must be
+    * strictly worse than the salted one's.
+    */
+  test("q_join_skewed's salted shuffle splits the hot key across partitions") {
+    import spark.implicits._
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val big = (1 to 2000).map(i => (if (i <= 1800) 1L else (i % 7).toLong, i))
+        .toDF("k", "payload")
+      val small = (0L to 6L).map(k => (k, s"tag$k")).toDF("k", "tag")
+      val salted = SkewJoin.saltedInnerJoin(big, small, "k", salts = 8)
+      val planStr = salted.queryExecution.executedPlan.toString
+      assert(planStr.contains("__salt"),
+        "salted join should shuffle on (k, __salt):\n" + planStr)
+      def partSizes(df: org.apache.spark.sql.DataFrame): Seq[Int] =
+        df.rdd.mapPartitions(it => Iterator(it.size)).collect().toSeq
+      val plainMax = partSizes(big.join(small, Seq("k"))).max
+      val saltedMax = partSizes(salted).max
+      assert(saltedMax < plainMax,
+        s"salting should shrink the hottest partition: salted=$saltedMax plain=$plainMax")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+  }
 }
