@@ -112,16 +112,28 @@ object Dedup extends QueryModule {
             array_min(transform(col("hs"),
               h => h.substr(b * 8 + 1, lit(8)))).as("sig")))).as("bs"))
         .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+      // The signature table is 8 small rows/doc — the natural
+      // materialization point. Downstream it feeds the bucket cap AND
+      // both sides of the candidate self-join; without a checkpoint
+      // each use re-runs the whole tokenize→md5→band-min pipeline
+      // (ReuseExchange can't unify them — different projections).
+      // Lazy localCheckpoint materializes it once on first use
+      // (MinhashProfile: 6.6s → 3.7s at sf0.1). At 100 TB this is the
+      // documented "checkpoint the signature table once" pattern —
+      // its size is 8×n_docs tiny rows, independent of text length.
+      val sigM = sig.localCheckpoint(false)
       // Standard LSH bucket cap: signatures shared by > 10 docs are
       // degenerate stop-shingle buckets — candidate work inside them
       // is quadratic noise (this corpus: ~25% of pairs from <6% of
       // buckets, with zero true near-dups lost). At 100 TB the cap is
-      // what bounds the self-join's worst partition.
-      val okBuckets = sig.groupBy(col("band"), col("sig"))
-        .agg(count(lit(1)).as("bucket_n"))
+      // what bounds the self-join's worst partition. Expressed as a
+      // count-over-window so the cap is one pass over sigM instead of
+      // an aggregate joined back.
+      val wOk = Window.partitionBy(col("band"), col("sig"))
+      val sigOk = sigM
+        .withColumn("bucket_n", count(lit(1)).over(wOk))
         .filter(col("bucket_n").between(2, 10))
-        .select(col("band"), col("sig"))
-      val sigOk = sig.join(okBuckets, Seq("band", "sig"))
+        .drop("bucket_n")
       val cand = sigOk.as("a")
         .join(sigOk.as("b"),
           col("a.band") === col("b.band") && col("a.sig") === col("b.sig")

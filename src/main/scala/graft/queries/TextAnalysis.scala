@@ -37,10 +37,15 @@ object TextAnalysis extends QueryModule {
     "q_text_jaccard",
     (s, d) =>
       prefixPairs(s, d)
+        // bind token arrays to attributes first: jaccard() references
+        // each side twice, and an inline tokens(text) would re-run the
+        // split+filter per reference (HOF lambdas are interpreted — no
+        // common-subexpression elimination across evaluations)
         .select(col("doc1"), col("doc2"),
-          round(TF.jaccard(
-            array_distinct(TF.tokens(col("text1"))),
-            array_distinct(TF.tokens(col("text2")))), 4).as("token_jaccard"))
+          array_distinct(TF.tokens(col("text1"))).as("t1"),
+          array_distinct(TF.tokens(col("text2"))).as("t2"))
+        .select(col("doc1"), col("doc2"),
+          round(TF.jaccard(col("t1"), col("t2")), 4).as("token_jaccard"))
         .orderBy(col("doc1"), col("doc2")),
     Some(s"""
       WITH $duckPrefixPairs
@@ -62,10 +67,18 @@ object TextAnalysis extends QueryModule {
     "q_text_ngram_jaccard",
     (s, d) =>
       prefixPairs(s, d)
+        // staged projections (toks → shingles → jaccard): each stage's
+        // array is bound to an attribute so the next stage's HOF
+        // lambdas read a materialized array instead of re-evaluating
+        // the producer expression per element (see q_text_jaccard)
         .select(col("doc1"), col("doc2"),
-          round(TF.jaccard(
-            TF.shingles3(TF.tokens(col("text1"))),
-            TF.shingles3(TF.tokens(col("text2")))), 4).as("shingle_jaccard"))
+          TF.tokens(col("text1")).as("toks1"),
+          TF.tokens(col("text2")).as("toks2"))
+        .select(col("doc1"), col("doc2"),
+          TF.shingles3(col("toks1")).as("s1"),
+          TF.shingles3(col("toks2")).as("s2"))
+        .select(col("doc1"), col("doc2"),
+          round(TF.jaccard(col("s1"), col("s2")), 4).as("shingle_jaccard"))
         .orderBy(col("doc1"), col("doc2")),
     Some(s"""
       WITH $duckPrefixPairs,
@@ -253,12 +266,15 @@ object TextAnalysis extends QueryModule {
     "q_token_stats",
     (s, d) =>
       Tables.documents(s, d)
+        // ws_tokens bound once: tokens(text) is referenced twice below
+        .select(col("doc_id"), col("text"),
+          size(TF.tokens(col("text"))).cast("long").as("ws_tokens"))
         .select(col("doc_id"),
-          size(TF.tokens(col("text"))).cast("long").as("ws_tokens"),
+          col("ws_tokens"),
           expr("cast(size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)) AS bigint)")
             .as("bpe_tokens"),
           round(length(col("text")).cast("double")
-            / size(TF.tokens(col("text"))), 6).as("chars_per_token"))
+            / col("ws_tokens"), 6).as("chars_per_token"))
         .orderBy(col("doc_id")),
     Some("""
       SELECT doc_id,
@@ -548,9 +564,15 @@ object TextAnalysis extends QueryModule {
       // shuffle payload vs full md5; collision odds at even 10^9 grams
       // are ~1e-20 per pair — and a collision only over-reports
       // contamination (conservative direction for this scan)
+      // tokens bound to an attribute before shingling: inline
+      // shingles5(tokens(text)) re-runs the split+filter for every
+      // element_at inside the (interpreted) transform lambda — ~15×
+      // slower on this corpus (ContamProbe: 5.8s → 0.4s for the
+      // train-side explode at sf0.1)
       def grams(df: org.apache.spark.sql.DataFrame) = df
+        .select(col("doc_id"), TF.tokens(col("text")).as("toks"))
         .select(col("doc_id"),
-          explode(array_distinct(TF.shingles5(TF.tokens(col("text"))))).as("g"))
+          explode(array_distinct(TF.shingles5(col("toks")))).as("g"))
         .select(col("doc_id"), substring(md5(col("g")), 1, 16).as("gh"))
       val trainGrams = grams(split.filter(col("split") === "train"))
         .select(col("gh")).distinct()
