@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.expressions.{CosineSimilarity, DotProduct}
+import graft.functions.expressions.{CharNgrams, CosineSimilarity, DotProduct, WordNgrams}
 import org.apache.spark.sql.SparkSessionExtensions
 
 /** Session-extension entry point: register graft's native expressions
@@ -14,6 +14,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (CosineSimilarity.identifier, CosineSimilarity.info, CosineSimilarity.builder))
     extensions.injectFunction(
       (DotProduct.identifier, DotProduct.info, DotProduct.builder))
+    extensions.injectFunction(
+      (CharNgrams.identifier, CharNgrams.info, CharNgrams.builder))
+    extensions.injectFunction(
+      (WordNgrams.identifier, WordNgrams.info, WordNgrams.builder))
     // Rewrite the portable declarative cosine shape to the fused
     // codegen expression automatically.
     extensions.injectOptimizerRule(_ => plans.RewriteCosineToNative)

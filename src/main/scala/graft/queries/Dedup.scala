@@ -91,9 +91,10 @@ object Dedup extends QueryModule {
       // row-format conversion that exceed the recompute. At 100 TB,
       // checkpoint the shingled corpus once instead if it feeds many
       // downstream consumers.
+      graft.functions.expressions.WordNgrams.register(s)
       val sh = Tables.documents(s, d)
         .select(col("doc_id"), TF.tokens(col("text")).as("toks"))
-        .select(col("doc_id"), TF.shingles3(col("toks")).as("shingles"))
+        .select(col("doc_id"), TF.shinglesFast(col("toks"), 3).as("shingles"))
       // All 8 band signatures in one map-side pass (nested transform +
       // array_min) — no explode/shuffle of |shingles|×|bands| rows.
       // Hashing cost: md5 dominates this query (round-1 bench), so

@@ -65,7 +65,8 @@ object TextAnalysis extends QueryModule {
     */
   val ngramJaccard = QueryDef(
     "q_text_ngram_jaccard",
-    (s, d) =>
+    (s, d) => {
+      graft.functions.expressions.WordNgrams.register(s)
       prefixPairs(s, d)
         // staged projections (toks → shingles → jaccard): each stage's
         // array is bound to an attribute so the next stage's HOF
@@ -75,11 +76,12 @@ object TextAnalysis extends QueryModule {
           TF.tokens(col("text1")).as("toks1"),
           TF.tokens(col("text2")).as("toks2"))
         .select(col("doc1"), col("doc2"),
-          TF.shingles3(col("toks1")).as("s1"),
-          TF.shingles3(col("toks2")).as("s2"))
+          TF.shinglesFast(col("toks1"), 3).as("s1"),
+          TF.shinglesFast(col("toks2"), 3).as("s2"))
         .select(col("doc1"), col("doc2"),
           round(TF.jaccard(col("s1"), col("s2")), 4).as("shingle_jaccard"))
-        .orderBy(col("doc1"), col("doc2")),
+        .orderBy(col("doc1"), col("doc2"))
+    },
     Some(s"""
       WITH $duckPrefixPairs,
       sh AS (
@@ -125,8 +127,12 @@ object TextAnalysis extends QueryModule {
       // That replaces the |corpus|×|bigrams-per-doc| exploded join
       // (~2000 rows/doc) with |langs| rows/doc — the scoring pass
       // stays one map-side codegen stage at any corpus size.
-      def bigrams(c: org.apache.spark.sql.Column) = transform(
-        sequence(lit(1), length(c) - 1), i => substr(c, i, lit(2)))
+      // native kernel: raw (with-duplicates) bigram list — the
+      // interpreted transform∘sequence twin was the query's dominant
+      // cost (LangIdProbe: 1.6s of string building at sf0.1)
+      graft.functions.expressions.CharNgrams.register(s)
+      def bigrams(c: org.apache.spark.sql.Column) = call_function(
+        graft.functions.expressions.CharNgrams.name, c, lit(2))
       val docs = Tables.documents(s, d)
       val profile = docs
         .filter(pmod(col("doc_id"), lit(20)) === 0)
@@ -293,15 +299,17 @@ object TextAnalysis extends QueryModule {
   val docFingerprint = QueryDef(
     "q_doc_fingerprint",
     (s, d) =>
+      {
+      graft.functions.expressions.CharNgrams.register(s)
       Tables.documents(s, d)
         .select(col("doc_id"),
-          explode(transform(
-            sequence(lit(1), length(col("text")) - 7),
-            i => substr(col("text"), i, lit(8)))).as("shingle"))
+          explode(call_function(graft.functions.expressions.CharNgrams.name,
+            col("text"), lit(8))).as("shingle"))
         .groupBy(col("doc_id"))
         .agg(min(md5(col("shingle"))).as("fingerprint"),
           countDistinct(col("shingle")).as("distinct_shingles"))
-        .orderBy(col("doc_id")),
+        .orderBy(col("doc_id"))
+      },
     Some("""
       SELECT doc_id, min(md5(shingle)) AS fingerprint,
              count(DISTINCT shingle) AS distinct_shingles
@@ -569,10 +577,11 @@ object TextAnalysis extends QueryModule {
       // element_at inside the (interpreted) transform lambda — ~15×
       // slower on this corpus (ContamProbe: 5.8s → 0.4s for the
       // train-side explode at sf0.1)
+      graft.functions.expressions.WordNgrams.register(s)
       def grams(df: org.apache.spark.sql.DataFrame) = df
         .select(col("doc_id"), TF.tokens(col("text")).as("toks"))
         .select(col("doc_id"),
-          explode(array_distinct(TF.shingles5(col("toks")))).as("g"))
+          explode(TF.shinglesFast(col("toks"), 5)).as("g"))
         .select(col("doc_id"), substring(md5(col("g")), 1, 16).as("gh"))
       val trainGrams = grams(split.filter(col("split") === "train"))
         .select(col("gh")).distinct()
