@@ -1,0 +1,71 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan fingerprint regression guard (VERDICT r2 item 8):
+  * pins join strategies and exchange counts for representative
+  * queries so a plan regression (a lost broadcast, an extra shuffle,
+  * a join strategy flip) fails `sbt test` instead of waiting for a
+  * bench read. Fingerprints are exact-match at sf0.001 with AQE off
+  * (AQE re-plans at runtime; the static plan is the stable contract).
+  *
+  * Two modes:
+  *  - default: what the planner does at this SF (auto-broadcast on);
+  *  - hint mode (autoBroadcastJoinThreshold=-1): ONLY explicit
+  *    broadcast() hints survive — the 100 TB shape, where dims are
+  *    small relative to facts but far above any auto threshold.
+  *    Removing a hint flips the join to SortMergeJoin here and fails.
+  *
+  * Regenerate after an intentional plan change:
+  * `sbt "Test/runMain graft.FingerprintDump"`.
+  */
+class PlanFingerprintSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def fingerprint(name: String): Map[String, Int] =
+    FingerprintDump.fingerprint(spark, name, TestSpark.sf0001)
+
+  private def withNoAutoBroadcast[T](f: => T): T = {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try f finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  private val expectedDefault = Map(
+    "q_pricing_summary" -> Map("Exchange hashpartitioning" -> 1, "Exchange rangepartitioning" -> 1),
+    "q_join_star" -> Map("BroadcastExchange" -> 4, "BroadcastHashJoin" -> 4, "Exchange hashpartitioning" -> 1, "Exchange rangepartitioning" -> 1),
+    "q_join_skewed" -> Map("BroadcastExchange" -> 1, "BroadcastHashJoin" -> 1, "Exchange hashpartitioning" -> 2, "Exchange rangepartitioning" -> 1),
+    "q_join_range_bucketed" -> Map("BroadcastExchange" -> 1, "BroadcastHashJoin" -> 1, "Exchange hashpartitioning" -> 1, "Exchange rangepartitioning" -> 1),
+    "q_topk_per_group" -> Map("Exchange hashpartitioning" -> 1, "Exchange rangepartitioning" -> 1, "WindowGroupLimit" -> 2),
+    "q_sort_limit" -> Map("TakeOrderedAndProject" -> 1),
+    "q_contamination" -> Map("BroadcastExchange" -> 1, "BroadcastHashJoin" -> 1, "Exchange hashpartitioning" -> 2, "Exchange rangepartitioning" -> 1),
+    "q_ann_ivf" -> Map("BroadcastExchange" -> 1, "BroadcastHashJoin" -> 1, "Exchange hashpartitioning" -> 1, "Exchange rangepartitioning" -> 1, "WindowGroupLimit" -> 2),
+    "q_shipping_priority" -> Map("BroadcastExchange" -> 2, "BroadcastHashJoin" -> 2, "Exchange hashpartitioning" -> 1, "TakeOrderedAndProject" -> 1),
+    "q_kmeans_assign" -> Map("BroadcastExchange" -> 1, "BroadcastNestedLoopJoin" -> 1, "Exchange hashpartitioning" -> 1, "Exchange rangepartitioning" -> 1, "WindowGroupLimit" -> 2),
+    "q_ema" -> Map("Exchange hashpartitioning" -> 1, "Exchange rangepartitioning" -> 1),
+  )
+
+  test("plan fingerprints are unchanged (default planner)") {
+    val diffs = expectedDefault.toSeq.sortBy(_._1).flatMap { case (name, want) =>
+      val got = fingerprint(name)
+      if (got == want) None else Some(s"$name:\n  want $want\n  got  $got")
+    }
+    assert(diffs.isEmpty, diffs.mkString("\n"))
+  }
+
+  test("explicit broadcast hints survive with auto-broadcast disabled") {
+    withNoAutoBroadcast {
+      // q_join_star hints exactly its two sub-25-row dims
+      // (nation/region); fact-side joins (orders, customer) are
+      // deliberately shuffle joins — the at-scale shape. With the
+      // auto threshold off, ONLY the hints keep those two broadcast.
+      val star = fingerprint("q_join_star")
+      assert(star.getOrElse("BroadcastHashJoin", 0) === 2,
+        s"q_join_star lost a broadcast hint: $star")
+      assert(star.getOrElse("SortMergeJoin", 0) === 2, star.toString)
+      val promo = fingerprint("q_promo_revenue")
+      assert(promo.getOrElse("BroadcastHashJoin", 0) === 1,
+        s"q_promo_revenue lost its broadcast hint: $promo")
+    }
+  }
+}
