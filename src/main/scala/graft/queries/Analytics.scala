@@ -202,7 +202,79 @@ object Analytics extends QueryModule {
       FROM rec ORDER BY o_custkey, o_orderkey
     """))
 
+  /** Q18 analog — large-volume orders: orders whose lineitem quantity
+    * total exceeds a threshold, with customer context. The
+    * aggregate-then-semi-join shape: the heavy groupBy runs on the
+    * fact table first, the joins only see the tiny qualifying set.
+    */
+  val largeOrders = QueryDef(
+    "q_large_orders",
+    (s, d) => {
+      val big = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity")).as("total_qty"))
+        .filter(col("total_qty") > 200)
+      big.join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("o_orderkey"), col("o_orderdate"),
+          col("o_totalprice"), col("total_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+    },
+    Some("""
+      SELECT c_name, o_orderkey, o_orderdate, o_totalprice, total_qty
+      FROM (
+        SELECT l_orderkey, sum(l_quantity) AS total_qty
+        FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 200) big
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey
+      LIMIT 100
+    """))
+
+  /** Q8 analog — market share: one nation's share of total revenue
+    * per order year. Share is a ratio of two full-precision sums,
+    * FLOAT-cast to absorb the engines' different partial-sum merge
+    * orders (memory: stats-agg rule); the displayed totals round at 2.
+    */
+  val marketShare = QueryDef(
+    "q_market_share",
+    (s, d) => {
+      val rev = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(year(col("o_orderdate")).cast("long").as("o_year"),
+          (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"),
+          col("n_name"))
+      rev.groupBy(col("o_year"))
+        .agg(round(sum(col("rev")), 2).as("total_revenue"),
+          round(sum(when(col("n_name") === "NATION_3", col("rev")).otherwise(0.0)), 2)
+            .as("nation3_revenue"),
+          (sum(when(col("n_name") === "NATION_3", col("rev")).otherwise(0.0))
+            / sum(col("rev"))).cast("float").as("nation3_share"))
+        .orderBy(col("o_year"))
+    },
+    Some("""
+      SELECT o_year,
+             round(sum(rev), 2) AS total_revenue,
+             round(sum(CASE WHEN n_name = 'NATION_3' THEN rev ELSE 0.0 END), 2) AS nation3_revenue,
+             CAST(sum(CASE WHEN n_name = 'NATION_3' THEN rev ELSE 0.0 END)
+                  / sum(rev) AS FLOAT) AS nation3_share
+      FROM (
+        SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+               l_extendedprice * (1 - l_discount) AS rev,
+               n_name
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey)
+      GROUP BY o_year
+      ORDER BY o_year
+    """))
+
   def defs: Seq[QueryDef] = Seq(
     shippingPriority, forecastRevenue, promoRevenue, topSupplier, partsStats,
-    emaOrders)
+    emaOrders, largeOrders, marketShare)
 }

@@ -653,8 +653,202 @@ object TextAnalysis extends QueryModule {
         FROM documents)
     """))
 
+  /** Within-document repetition signals (the Gopher-style repetition
+    * gates): duplicate-token fraction, duplicate-bigram fraction, and
+    * top-token share per document. Heavily repetitious machine text
+    * scores high on all three. Pure map-side array math over bound
+    * token arrays (native bigrams), plus one explode→two-level-agg for
+    * the per-doc modal token count — linear at any corpus size.
+    * Ratios are int/int with denominators ≤ 100, whose exact decimals
+    * terminate within 6 places — round(6) is engine-safe here.
+    */
+  val repetition = QueryDef(
+    "q_repetition",
+    (s, d) => {
+      graft.functions.expressions.WordNgrams.register(s)
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), TF.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), col("toks"),
+          call_function(graft.functions.expressions.WordNgrams.name,
+            col("toks"), lit(2)).as("g2"))
+        .select(col("doc_id"),
+          size(col("toks")).cast("long").as("n_tokens"),
+          size(array_distinct(col("toks"))).cast("long").as("n_distinct"),
+          size(col("g2")).cast("long").as("n_bigrams"),
+          size(array_distinct(col("g2"))).cast("long").as("nd_bigrams"))
+      val top = Tables.documents(s, d)
+        .select(col("doc_id"), explode(TF.tokens(col("text"))).as("tok"))
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id")).agg(max(col("c")).as("top_token_cnt"))
+      base.join(top, Seq("doc_id"))
+        .select(col("doc_id"), col("n_tokens"),
+          round(lit(1.0) - col("n_distinct").cast("double") / col("n_tokens"), 6)
+            .as("dup_token_frac"),
+          round(lit(1.0) - col("nd_bigrams").cast("double") / col("n_bigrams"), 6)
+            .as("dup_bigram_frac"),
+          round(col("top_token_cnt").cast("double") / col("n_tokens"), 6)
+            .as("top_token_share"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        FROM documents),
+      base AS (
+        SELECT doc_id,
+               CAST(len(toks) AS BIGINT) AS n_tokens,
+               CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+               CAST(len(toks) - 1 AS BIGINT) AS n_bigrams,
+               CAST(len(list_distinct(list_transform(
+                 generate_series(1, len(toks) - 1),
+                 i -> toks[i] || ' ' || toks[i + 1]))) AS BIGINT) AS nd_bigrams
+        FROM t),
+      top AS (
+        SELECT doc_id, max(c) AS top_token_cnt
+        FROM (SELECT doc_id, u, count(*) AS c
+              FROM t, unnest(toks) AS un(u) GROUP BY doc_id, u)
+        GROUP BY doc_id)
+      SELECT b.doc_id, b.n_tokens,
+             round(1.0 - CAST(n_distinct AS DOUBLE) / n_tokens, 6) AS dup_token_frac,
+             round(1.0 - CAST(nd_bigrams AS DOUBLE) / n_bigrams, 6) AS dup_bigram_frac,
+             round(CAST(top_token_cnt AS DOUBLE) / n_tokens, 6) AS top_token_share
+      FROM base b JOIN top USING (doc_id)
+      ORDER BY doc_id
+    """))
+
+  /** C4/Gopher-style boolean quality gates, reported as per-language
+    * pass counts: token-count range, mean-token-length range, and a
+    * stopword-presence check (the corpus's own high-frequency terms
+    * play the stopword role). One map-side pass + one bounded
+    * aggregation — the shape of every corpus-gate report at 100 TB.
+    */
+  val qualityRules = QueryDef(
+    "q_quality_rules",
+    (s, d) => {
+      val stop = array(lit("join"), lit("hash"), lit("row"), lit("scan"), lit("filter"))
+      Tables.documents(s, d)
+        .select(col("lang"), col("text"), TF.tokens(col("text")).as("toks"),
+          length(col("text")).cast("long").as("len_chars"),
+          (length(col("text")) - length(regexp_replace(col("text"), " ", "")))
+            .cast("long").as("n_spaces"))
+        .select(col("lang"),
+          size(col("toks")).cast("long").as("n_tokens"),
+          ((col("len_chars") - col("n_spaces")).cast("double")
+            / size(col("toks"))).as("avg_tok"),
+          arrays_overlap(col("toks"), stop).as("has_stop"))
+        .select(col("lang"),
+          col("n_tokens").between(20, 80).as("ok_len"),
+          col("avg_tok").between(3.0, 9.0).as("ok_avg"),
+          col("has_stop"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          count(when(col("ok_len"), 1)).as("pass_len"),
+          count(when(col("ok_avg"), 1)).as("pass_avg"),
+          count(when(col("has_stop"), 1)).as("has_stopword"),
+          count(when(col("ok_len") && col("ok_avg") && col("has_stop"), 1))
+            .as("pass_all"))
+        .orderBy(col("lang"))
+    },
+    Some("""
+      WITH per_doc AS (
+        SELECT lang,
+               CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens,
+               CAST(length(text) - (length(text) - length(replace(text, ' ', ''))) AS DOUBLE)
+                 / len(list_filter(string_split(text, ' '), x -> x <> '')) AS avg_tok,
+               list_has_any(list_filter(string_split(text, ' '), x -> x <> ''),
+                 ['join', 'hash', 'row', 'scan', 'filter']) AS has_stop
+        FROM documents)
+      SELECT lang, count(*) AS n_docs,
+             count(CASE WHEN n_tokens BETWEEN 20 AND 80 THEN 1 END) AS pass_len,
+             count(CASE WHEN avg_tok BETWEEN 3.0 AND 9.0 THEN 1 END) AS pass_avg,
+             count(CASE WHEN has_stop THEN 1 END) AS has_stopword,
+             count(CASE WHEN n_tokens BETWEEN 20 AND 80 AND avg_tok BETWEEN 3.0 AND 9.0
+                        AND has_stop THEN 1 END) AS pass_all
+      FROM per_doc
+      GROUP BY lang
+      ORDER BY lang
+    """))
+
+  /** Deny-list term redaction (the PII-scrub shape, with the corpus's
+    * own terms standing in for PII patterns since the synthetic text
+    * carries no emails/digits): token-level replacement keeps the
+    * operation codegen-friendly and regex-dialect-free; output carries
+    * the hit count and an md5 of the redacted text (not the text —
+    * the verify artifact stays small). Pure map-side.
+    */
+  val redactTerms = QueryDef(
+    "q_redact_terms",
+    (s, d) => {
+      val deny = Seq("customer", "supplier", "aggregate")
+      Tables.documents(s, d)
+        .select(col("doc_id"), TF.tokens(col("text")).as("toks"))
+        .select(col("doc_id"),
+          size(filter(col("toks"), t => t.isin(deny: _*))).cast("long").as("n_hits"),
+          md5(array_join(transform(col("toks"),
+            t => when(t.isin(deny: _*), lit("<redacted>")).otherwise(t)), " "))
+            .as("redacted_md5"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        FROM documents)
+      SELECT doc_id,
+             CAST(len(list_filter(toks,
+               x -> x IN ('customer', 'supplier', 'aggregate'))) AS BIGINT) AS n_hits,
+             md5(array_to_string(list_transform(toks,
+               x -> CASE WHEN x IN ('customer', 'supplier', 'aggregate')
+                         THEN '<redacted>' ELSE x END), ' ')) AS redacted_md5
+      FROM t
+      ORDER BY doc_id
+    """))
+
+  /** Unigram language-model scoring: train token frequencies on the
+    * deterministic 5% sample (the q_lang_id sampling contract), score
+    * every document by the average negative log-probability of its
+    * in-vocabulary tokens. High avg_nll = surprising/low-quality text;
+    * `matched` exposes OOV coverage. The vocab is corpus-bounded and
+    * the scoring join is broadcast-friendly; the corpus-total scalar
+    * rides a lazy 1-row cross join (the q_tf_idf pattern — no job at
+    * plan build). FLOAT cast absorbs the engines' last-ulp ln()/merge
+    * differences (memory: stats-agg rule).
+    */
+  val unigramLogprob = QueryDef(
+    "q_unigram_logprob",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val vocab = docs.filter(pmod(col("doc_id"), lit(20)) === 0)
+        .select(explode(TF.tokens(col("text"))).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      val total = vocab.agg(sum(col("cnt")).as("total"))
+      docs.select(col("doc_id"), explode(TF.tokens(col("text"))).as("tok"))
+        .join(vocab, Seq("tok"))
+        .crossJoin(total)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("matched"),
+          avg(-log(col("cnt").cast("double") / col("total")))
+            .cast("float").as("avg_nll"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH samp AS (
+        SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+        FROM documents WHERE doc_id % 20 = 0),
+      vocab AS (SELECT tok, count(*) AS cnt FROM samp GROUP BY tok),
+      tot AS (SELECT sum(cnt) AS total FROM vocab),
+      dt AS (
+        SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+        FROM documents)
+      SELECT doc_id, count(*) AS matched,
+             CAST(avg(-ln(CAST(cnt AS DOUBLE) / total)) AS FLOAT) AS avg_nll
+      FROM dt JOIN vocab USING (tok) CROSS JOIN tot
+      GROUP BY doc_id
+      ORDER BY doc_id
+    """))
+
   def defs: Seq[QueryDef] = Seq(
     textJaccard, ngramJaccard, langId, langStats, textQuality,
     tokenStats, docFingerprint, cleanCorpus, tfIdf, sampleBalanced,
-    vocabCoverage, trainSplit, contamination, profileDocuments)
+    vocabCoverage, trainSplit, contamination, profileDocuments,
+    repetition, qualityRules, redactTerms, unigramLogprob)
 }
