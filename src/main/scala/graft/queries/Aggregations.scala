@@ -408,9 +408,37 @@ object Aggregations extends QueryModule {
       ORDER BY l_returnflag
     """))
 
+  /** Linear-regression aggregate family (regr_slope/intercept/r2/
+    * count): price-vs-quantity fit per return flag. Both engines use
+    * the standard moment formulas but merge partials in different
+    * orders, so every regression output is FLOAT-cast (the q_stats
+    * rule); regr_count is exact.
+    */
+  val regressionQ = QueryDef(
+    "q_regression",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("regr_count(l_extendedprice, l_quantity)").as("n"),
+          expr("regr_slope(l_extendedprice, l_quantity)").cast("float").as("slope"),
+          expr("regr_intercept(l_extendedprice, l_quantity)").cast("float").as("intercept"),
+          expr("regr_r2(l_extendedprice, l_quantity)").cast("float").as("r2"))
+        .orderBy(col("l_returnflag")),
+    Some("""
+      SELECT l_returnflag,
+             CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n,
+             CAST(regr_slope(l_extendedprice, l_quantity) AS FLOAT) AS slope,
+             CAST(regr_intercept(l_extendedprice, l_quantity) AS FLOAT) AS intercept,
+             CAST(regr_r2(l_extendedprice, l_quantity) AS FLOAT) AS r2
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag
+    """))
+
   def defs: Seq[QueryDef] = Seq(
     aggGlobal, countDistinctQ, approxDistinct, rollupQ, cubeQ,
     groupingSetsQ, aggFiltered, maxByQ, collectQ, statsQ, percentileQ,
     pivotQ, histogramQ, modeQ, anyValueQ, percentileDiscQ,
-    approxPercentileQ)
+    approxPercentileQ, regressionQ)
 }

@@ -90,5 +90,89 @@ object Subqueries extends QueryModule {
       ORDER BY o_orderstatus, o_orderpriority
     """))
 
-  def defs: Seq[QueryDef] = Seq(scalarSubquery, inSubquery, groupByAll)
+  /** Recursive CTE (new SQL surface in Spark 4): generate the month
+    * calendar recursively, left-join monthly order revenue onto it —
+    * the recursion replaces q_gap_fill's sequence() calendar with the
+    * standard SQL idiom. The recursive part is driver-cheap (24 rows);
+    * the revenue aggregation is the usual distributed groupBy.
+    * DuckDB date_trunc returns DATE, so the Spark side truncates via
+    * to_date(date_trunc(...)) to align types (memory rule).
+    */
+  val recursiveCalendar = QueryDef(
+    "q_recursive_calendar",
+    (s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders_rec_v")
+      s.sql("""
+        WITH RECURSIVE months(m) AS (
+          SELECT DATE '1996-01-01'
+          UNION ALL
+          SELECT m + INTERVAL '1' MONTH FROM months WHERE m < DATE '1997-12-01'
+        ),
+        rev AS (
+          SELECT to_date(date_trunc('month', o_orderdate)) AS m,
+                 count(*) AS order_count,
+                 round(sum(o_totalprice), 2) AS revenue
+          FROM orders_rec_v
+          GROUP BY 1
+        )
+        SELECT months.m AS month_start,
+               coalesce(order_count, 0) AS order_count,
+               coalesce(revenue, 0.0) AS revenue
+        FROM months LEFT JOIN rev ON months.m = rev.m
+        ORDER BY month_start
+      """)
+    },
+    Some("""
+      WITH RECURSIVE months(m) AS (
+        SELECT DATE '1996-01-01'
+        UNION ALL
+        SELECT m + INTERVAL 1 MONTH FROM months WHERE m < DATE '1997-12-01'
+      ),
+      rev AS (
+        SELECT date_trunc('month', o_orderdate) AS m,
+               count(*) AS order_count,
+               round(sum(o_totalprice), 2) AS revenue
+        FROM orders
+        GROUP BY 1
+      )
+      SELECT months.m AS month_start,
+             coalesce(order_count, 0) AS order_count,
+             coalesce(revenue, 0.0) AS revenue
+      FROM months LEFT JOIN rev ON months.m = rev.m
+      ORDER BY month_start
+    """))
+
+  /** LATERAL correlated derived table (SQL-text surface): each order
+    * row fans out to a 2-row computed relation referencing the outer
+    * columns — the standard lateral shape that predates generator
+    * functions. Aggregated down so the graded artifact stays small.
+    */
+  val lateralJoin = QueryDef(
+    "q_lateral",
+    (s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders_lat_v")
+      s.sql("""
+        SELECT l.kind, count(*) AS cnt, round(sum(l.v), 2) AS total
+        FROM orders_lat_v o JOIN LATERAL (
+          SELECT 'net' AS kind, o.o_totalprice * 0.9 AS v
+          UNION ALL
+          SELECT 'gross' AS kind, o.o_totalprice * 1.1 AS v
+        ) l
+        GROUP BY l.kind
+        ORDER BY l.kind
+      """)
+    },
+    Some("""
+      SELECT l.kind, count(*) AS cnt, round(sum(l.v), 2) AS total
+      FROM orders o, LATERAL (
+        SELECT 'net' AS kind, o.o_totalprice * 0.9 AS v
+        UNION ALL
+        SELECT 'gross' AS kind, o.o_totalprice * 1.1 AS v
+      ) l
+      GROUP BY l.kind
+      ORDER BY l.kind
+    """))
+
+  def defs: Seq[QueryDef] = Seq(scalarSubquery, inSubquery, groupByAll,
+    recursiveCalendar, lateralJoin)
 }
