@@ -81,9 +81,13 @@ object Dedup extends QueryModule {
     * The self-join is on the band-signature bucket, so work scales
     * with bucket occupancy (near-dup density), not corpus².
     */
-  val dedupMinhash = QueryDef(
-    "q_dedup_minhash",
-    (s, d) => {
+  /** The MinHash+LSH candidate/verify pipeline, shared by
+    * q_dedup_minhash (emits the verified pair list) and
+    * q_dedup_cluster (runs connected components over those pairs).
+    * Returns the UNSORTED verified edge list (doc1 < doc2, jaccard).
+    */
+  private def minhashPairs(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
       // The shingle table feeds the signature pipeline AND both sides
       // of the Jaccard verification join. Measured: recomputing the
       // (cheap, codegen-fused) tokenize+shingle pass per use beats
@@ -156,10 +160,15 @@ object Dedup extends QueryModule {
         .select(col("doc1"), col("doc2"),
           round(TF.jaccard(col("sh1"), col("sh2")), 4).as("jaccard"))
         .filter(col("jaccard") >= 0.1)
-        .orderBy(col("doc1"), col("doc2"))
-    },
-    Some("""
-      WITH tok AS (
+  }
+
+  /** DuckDB mirror of [[minhashPairs]], ending in a `verified(doc1,
+    * doc2, jaccard)` CTE — shared by both minhash-family oracles.
+    * Callers prefix `WITH ` (or `WITH RECURSIVE `, which DuckDB
+    * requires on the clause list that contains a recursive member).
+    */
+  private val minhashVerifiedCte = """
+      tok AS (
         SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
         FROM documents),
       sh AS (
@@ -178,17 +187,101 @@ object Dedup extends QueryModule {
         SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
         FROM sig a
         JOIN ok USING (band, sig)
-        JOIN sig b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)
-      SELECT doc1, doc2, jaccard
-      FROM (
-        SELECT doc1, doc2,
-               round(CAST(len(list_intersect(s1.shingles, s2.shingles)) AS DOUBLE)
-                     / len(list_distinct(list_concat(s1.shingles, s2.shingles))), 4) AS jaccard
-        FROM cand
-        JOIN sh s1 ON doc1 = s1.doc_id
-        JOIN sh s2 ON doc2 = s2.doc_id)
-      WHERE jaccard >= 0.1
+        JOIN sig b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+      verified AS (
+        SELECT doc1, doc2, jaccard
+        FROM (
+          SELECT doc1, doc2,
+                 round(CAST(len(list_intersect(s1.shingles, s2.shingles)) AS DOUBLE)
+                       / len(list_distinct(list_concat(s1.shingles, s2.shingles))), 4) AS jaccard
+          FROM cand
+          JOIN sh s1 ON doc1 = s1.doc_id
+          JOIN sh s2 ON doc2 = s2.doc_id)
+        WHERE jaccard >= 0.1)"""
+
+  val dedupMinhash = QueryDef(
+    "q_dedup_minhash",
+    (s, d) => minhashPairs(s, d).orderBy(col("doc1"), col("doc2")),
+    Some(s"""
+      WITH $minhashVerifiedCte
+      SELECT doc1, doc2, jaccard FROM verified
       ORDER BY doc1, doc2
+    """))
+
+  /** Connected components over the LSH-verified near-dup pairs — the
+    * final step of a web-scale dedup pipeline: near-dup similarity is
+    * not transitive, so pair output alone over-keeps (A~B, B~C but
+    * A≁C leaves both A and C); clustering the pair graph and keeping
+    * one canonical doc per component is the standard resolution.
+    * Labels converge by Pregel-style min-label propagation: every doc
+    * starts as its own label; each round takes the min over
+    * neighbours' labels; fixpoint after `diameter` rounds.
+    *
+    * Scale design: the edge list (LSH-capped, near-dup-density-sized —
+    * orders of magnitude smaller than the corpus) is localCheckpointed
+    * once; each round is one shuffle of the label table (2 longs per
+    * clustered doc) plus one O(1)-row driver action (sum of labels —
+    * monotonically decreasing, so equality IS the fixpoint test). At
+    * 100 TB that is ~diameter (≤ ~10 for near-dup chains) tiny
+    * shuffles, independent of corpus size — the same loop GraphX/
+    * GraphFrames connectedComponents runs, without the library
+    * dependency. The iteration cap guards pathological inputs.
+    */
+  val dedupCluster = QueryDef(
+    "q_dedup_cluster",
+    (s, d) => {
+      val edges0 = minhashPairs(s, d)
+        .select(col("doc1"), col("doc2"))
+      // symmetrize once; checkpoint so the per-round joins never
+      // re-run the minhash pipeline behind it
+      val edges = edges0
+        .union(edges0.select(col("doc2").as("doc1"), col("doc1").as("doc2")))
+        .localCheckpoint(true)
+      var labels = edges.select(col("doc1").as("doc_id"))
+        .distinct()
+        .withColumn("label", col("doc_id"))
+        .localCheckpoint(true)
+      var lastSum = labels.agg(sum(col("label"))).head().getLong(0)
+      var converged = false
+      var iter = 0
+      while (!converged && iter < 20) {
+        val nbrMin = edges
+          .join(labels, edges("doc2") === labels("doc_id"))
+          .groupBy(edges("doc1").as("doc_id"))
+          .agg(min(col("label")).as("nbr_min"))
+        labels = labels.as("l")
+          .join(nbrMin.as("n"), Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
+          .localCheckpoint(true)
+        val s2 = labels.agg(sum(col("label"))).head().getLong(0)
+        converged = s2 == lastSum
+        lastSum = s2
+        iter += 1
+      }
+      require(converged, s"label propagation did not converge in $iter rounds")
+      val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
+      labels
+        .join(sizes, Seq("label"))
+        .select(col("doc_id"), col("label").as("cluster_id"), col("cluster_size"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH RECURSIVE $minhashVerifiedCte,
+      edges AS (
+        SELECT doc1 AS a, doc2 AS b FROM verified
+        UNION ALL
+        SELECT doc2 AS a, doc1 AS b FROM verified),
+      walk(node, root) AS (
+        SELECT DISTINCT a, a FROM edges
+        UNION
+        SELECT e.b, walk.root FROM walk JOIN edges e ON e.a = walk.node),
+      lab AS (
+        SELECT node AS doc_id, min(root) AS cluster_id FROM walk GROUP BY node)
+      SELECT doc_id, cluster_id,
+             count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+      FROM lab
+      ORDER BY doc_id
     """))
 
   /** 16-bit SimHash: per token, bit i's vote is ±1 by the parity of
@@ -417,6 +510,6 @@ object Dedup extends QueryModule {
     """))
 
   def defs: Seq[QueryDef] = Seq(
-    dedupExact, dedupFingerprint, dedupMinhash, dedupSimhash,
+    dedupExact, dedupFingerprint, dedupMinhash, dedupCluster, dedupSimhash,
     dedupSimhashHamming, dedupEmbedding, dedupFuzzy, dedupKeepBest)
 }
