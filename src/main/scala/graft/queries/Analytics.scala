@@ -274,7 +274,113 @@ object Analytics extends QueryModule {
       ORDER BY o_year
     """))
 
+  /** Q21 analog — suppliers who kept orders waiting: the supplier's
+    * line shipped late (> 90 days after the order date — this schema
+    * has no commit/receipt dates), another supplier participated in
+    * the order, and no OTHER supplier shipped late. The double
+    * correlation (EXISTS + NOT EXISTS, both with an inequality on the
+    * correlated key) is the hardest subquery shape in TPC-H; here it
+    * is expressed directly as a left-semi then left-anti join, each
+    * an equi-join on l_orderkey (the shuffle key) with the supplier
+    * inequality as the join residual — no cartesian anywhere, and at
+    * 100 TB all three lineitem reads shuffle on the same key so AQE
+    * can reuse the exchange.
+    */
+  val waitingOrders = QueryDef(
+    "q_waiting_orders",
+    (s, d) => {
+      val o = Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), col("o_orderdate"))
+      val l = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      val late = l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val otherLines = l.select(col("l_orderkey").as("x_orderkey"),
+        col("l_suppkey").as("x_suppkey"))
+      val otherLate = late.select(col("l_orderkey").as("y_orderkey"),
+        col("l_suppkey").as("y_suppkey"))
+      late
+        .join(otherLines,
+          col("l_orderkey") === col("x_orderkey")
+            && col("l_suppkey") =!= col("x_suppkey"), "left_semi")
+        .join(otherLate,
+          col("l_orderkey") === col("y_orderkey")
+            && col("l_suppkey") =!= col("y_suppkey"), "left_anti")
+        .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+        .join(Tables.nation(s, d), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"), col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(25)
+    },
+    Some("""
+      SELECT n_name, s_name, count(*) AS numwait
+      FROM lineitem l1
+      JOIN orders   ON o_orderkey = l1.l_orderkey AND o_orderstatus = 'F'
+      JOIN supplier ON s_suppkey = l1.l_suppkey
+      JOIN nation   ON n_nationkey = s_nationkey
+      WHERE l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+        AND EXISTS (
+          SELECT 1 FROM lineitem l2
+          WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        AND NOT EXISTS (
+          SELECT 1 FROM lineitem l3
+          JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey AND o3.o_orderstatus = 'F'
+          WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+            AND l3.l_shipdate > o3.o_orderdate + INTERVAL 90 DAY)
+      GROUP BY n_name, s_name
+      ORDER BY numwait DESC, s_name
+      LIMIT 25
+    """))
+
+  /** Q22 analog — promising inactive customers: high-balance
+    * customers (above the float-cast average of positive balances —
+    * the q_stats determinism rule applied to a filter threshold) in
+    * odd custkey buckets (the schema has no phone country code) with
+    * no recent order (every customer in this corpus has SOME order,
+    * so Q22's "never ordered" is rephrased as "none since
+    * 2000-01-01"). Scalar-aggregate threshold via a broadcast 1-row
+    * crossJoin (the q_tf_idf pattern — no driver action), then an
+    * anti-join against the date-filtered orders on the customer key —
+    * the filter is pushed into the orders scan, so the anti-join's
+    * build side shrinks before the shuffle.
+    */
+  val globalCustomers = QueryDef(
+    "q_global_customers",
+    (s, d) => {
+      val cust = Tables.customer(s, d)
+        .withColumn("bucket", col("c_custkey") % 10)
+        .filter(col("bucket").isin(1, 3, 5, 7, 9))
+      val avgBal = cust.filter(col("c_acctbal") > 0)
+        .agg(avg(col("c_acctbal")).cast("float").as("avg_bal"))
+      cust.crossJoin(broadcast(avgBal))
+        .filter(col("c_acctbal") > col("avg_bal"))
+        .join(Tables.orders(s, d)
+          .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+          .select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("numcust"),
+          round(sum(col("c_acctbal")), 2).as("totacctbal"))
+        .orderBy(col("bucket"))
+    },
+    Some("""
+      SELECT bucket, count(*) AS numcust, round(sum(c_acctbal), 2) AS totacctbal
+      FROM (SELECT c_custkey, c_acctbal, c_custkey % 10 AS bucket FROM customer) c
+      WHERE bucket IN (1, 3, 5, 7, 9)
+        AND c_acctbal > (
+          SELECT CAST(avg(c_acctbal) AS FLOAT) FROM customer
+          WHERE c_acctbal > 0 AND c_custkey % 10 IN (1, 3, 5, 7, 9))
+        AND NOT EXISTS (
+          SELECT 1 FROM orders
+          WHERE o_custkey = c.c_custkey
+            AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+      GROUP BY bucket
+      ORDER BY bucket
+    """))
+
   def defs: Seq[QueryDef] = Seq(
     shippingPriority, forecastRevenue, promoRevenue, topSupplier, partsStats,
-    emaOrders, largeOrders, marketShare)
+    emaOrders, largeOrders, marketShare, waitingOrders, globalCustomers)
 }
