@@ -60,4 +60,38 @@ object EventStreams {
         .dropDuplicatesWithinWatermark(Seq("event_id"))
     else
       events.dropDuplicates(Seq("event_id"))
+
+  /** Stream-stream join: pair each click with the views by the same
+    * user in the preceding `within` interval. Both sides are
+    * watermarked and the join carries an event-time range condition —
+    * the two requirements that let Spark bound the join state (each
+    * side's buffered rows expire once the other side's watermark
+    * passes `ts + within`), so a 100 TB/day two-stream join runs in
+    * state proportional to `within` × rate, not stream length. The
+    * equality key (user_id) is the shuffle key on both sides.
+    *
+    * `joinType` "inner" emits matches as they form; "left_outer"
+    * additionally emits click-with-null-view rows, but only once the
+    * watermark proves no matching view can still arrive (Spark
+    * requires the watermark + time-bound for exactly this reason).
+    * The same call works on batch frames (withWatermark is a no-op),
+    * which is what the spec compares against.
+    */
+  def clickViewJoin(clicks: DataFrame, views: DataFrame,
+      within: String = "10 minutes", watermark: String = "1 minute",
+      joinType: String = "inner"): DataFrame = {
+    val c = clicks.withWatermark("ts", watermark)
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+    val v = views.withWatermark("ts", watermark)
+      .select(col("event_id").as("view_id"), col("user_id").as("view_user"),
+        col("ts").as("view_ts"))
+    c.join(v,
+      col("user_id") === col("view_user")
+        && col("view_ts") >= col("click_ts") - expr(s"INTERVAL $within")
+        && col("view_ts") <= col("click_ts"),
+      joinType)
+      .select(col("user_id"), col("click_id"), col("click_ts"),
+        col("view_id"), col("view_ts"))
+  }
 }

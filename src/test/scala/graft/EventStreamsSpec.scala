@@ -89,4 +89,65 @@ class EventStreamsSpec extends AnyFunSuite {
       assert(spark.table("session_test").count() >= 2)
     } finally q.stop()
   }
+
+  // clicks at 10:00 (u1), 10:12 (u1), 10:55 (u2); views at 10:05 (u1 —
+  // within 10 min of the 10:12 click), 10:30 (u1 — matches nothing),
+  // 10:50 (u2 — within 10 min of the 10:55 click)
+  private val clicks = Seq(
+    Ev(10, t(0), 1, "click", 1.0),
+    Ev(11, t(12), 1, "click", 2.0),
+    Ev(12, t(55), 2, "click", 3.0))
+  private val views = Seq(
+    Ev(20, t(5), 1, "view", 0.0),
+    Ev(21, t(30), 1, "view", 0.0),
+    Ev(22, t(50), 2, "view", 0.0))
+
+  test("stream-stream inner join matches the batch twin") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ci = MemoryStream[Ev]; val vi = MemoryStream[Ev]
+    val q = EventStreams.clickViewJoin(ci.toDF(), vi.toDF())
+      .writeStream.format("memory").queryName("ssj_inner_test")
+      .outputMode("append").start()
+    try {
+      ci.addData(clicks: _*); vi.addData(views: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("ssj_inner_test")
+        .orderBy($"click_id", $"view_id").collect().map(_.toSeq).toSeq
+      val batch = EventStreams.clickViewJoin(clicks.toDF(), views.toDF())
+        .orderBy($"click_id", $"view_id").collect().map(_.toSeq).toSeq
+      assert(streamed === batch)
+      assert(streamed.map(r => (r(1), r(3))) === Seq((11L, 20L), (12L, 22L)))
+    } finally q.stop()
+  }
+
+  test("stream-stream left-outer join emits null-view rows after the watermark passes") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ci = MemoryStream[Ev]; val vi = MemoryStream[Ev]
+    val q = EventStreams.clickViewJoin(ci.toDF(), vi.toDF(),
+      joinType = "left_outer")
+      .writeStream.format("memory").queryName("ssj_outer_test")
+      .outputMode("append").start()
+    try {
+      ci.addData(clicks: _*); vi.addData(views: _*)
+      q.processAllAvailable()
+      // push the watermark far past every click so unmatched clicks
+      // are provably final and their null rows emit
+      ci.addData(Ev(99, t(59, 59), 9, "click", 0.0))
+      vi.addData(Ev(98, t(59, 59), 9, "view", 0.0))
+      q.processAllAvailable()
+      val out = spark.table("ssj_outer_test")
+        .filter($"click_id" < 90)
+        .orderBy($"click_id", $"view_id").collect()
+      // click 10 (10:00, u1) has no view in [09:50, 10:00] → null view
+      assert(out.map(r => (r.getLong(1), Option(r.get(3)))) ===
+        Seq((10L, None), (11L, Some(20L)), (12L, Some(22L))))
+      val batch = EventStreams.clickViewJoin(clicks.toDF(), views.toDF(),
+        joinType = "left_outer")
+        .orderBy($"click_id", $"view_id")
+        .collect().map(r => (r.getLong(1), Option(r.get(3)))).toSeq
+      assert(batch === Seq((10L, None), (11L, Some(20L)), (12L, Some(22L))))
+    } finally q.stop()
+  }
 }
