@@ -236,11 +236,17 @@ object Dedup extends QueryModule {
       // re-run the minhash pipeline behind it
       val edges = edges0
         .union(edges0.select(col("doc2").as("doc1"), col("doc1").as("doc2")))
-        .localCheckpoint(true)
-      var labels = edges.select(col("doc1").as("doc_id"))
-        .distinct()
-        .withColumn("label", col("doc_id"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
+      // Seed with the 1-hop minimum: the node set (distinct edge
+      // endpoints) needs a shuffle on doc_id anyway, so that shuffle
+      // performs propagation round 1 for free. least(doc1, min(doc2))
+      // because the symmetric edge list lists every endpoint as doc1.
+      var labels = edges
+        .groupBy(col("doc1"))
+        .agg(min(col("doc2")).as("nbr_min"))
+        .select(col("doc1").as("doc_id"),
+          least(col("doc1"), col("nbr_min")).as("label"))
+        .localCheckpoint(false)
       var lastSum = labels.agg(sum(col("label"))).head().getLong(0)
       var converged = false
       var iter = 0
@@ -253,7 +259,7 @@ object Dedup extends QueryModule {
           .join(nbrMin.as("n"), Seq("doc_id"), "left")
           .select(col("doc_id"),
             least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
-          .localCheckpoint(true)
+          .localCheckpoint(false)
         val s2 = labels.agg(sum(col("label"))).head().getLong(0)
         converged = s2 == lastSum
         lastSum = s2
