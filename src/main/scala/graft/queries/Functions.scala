@@ -178,6 +178,43 @@ object Functions extends QueryModule {
       ORDER BY event_id
     """))
 
+  /** VARIANT semi-structured path (new in Spark 4): parse_json into
+    * the binary VARIANT type once, then typed variant_get extraction —
+    * the engine-native answer to schemaless JSON columns. Unlike
+    * get_json_object (string re-parse per access, q_json_funcs), the
+    * document parses once and fields extract from the binary encoding,
+    * which is the 100 TB-friendly path when many fields are read.
+    * try_parse_json exercises the malformed-input contract (NULL, not
+    * error). Aggregated per event_type so the VARIANT column itself
+    * (not oracle-comparable) stays internal to the plan.
+    */
+  val variantFuncs = QueryDef(
+    "q_variant_funcs",
+    (s, d) =>
+      Tables.events(s, d)
+        .select(col("event_type"),
+          expr("variant_get(parse_json(props), '$.k', 'bigint')").as("k"),
+          expr("variant_get(try_parse_json(props), '$.missing', 'bigint')").as("m"))
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"),
+          max(col("k")).as("max_k"),
+          count(col("m")).as("missing_non_null"))
+        .orderBy(col("event_type")),
+    Some("""
+      SELECT event_type,
+             count(*) AS n_events,
+             CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+             min(CAST(props->>'k' AS BIGINT)) AS min_k,
+             max(CAST(props->>'k' AS BIGINT)) AS max_k,
+             count(CAST(props->>'missing' AS BIGINT)) AS missing_non_null
+      FROM events
+      GROUP BY event_type
+      ORDER BY event_type
+    """))
+
   /** Generator: explode tokenized text into a token-frequency table.
     * Trailing-space tokens filtered on both sides. The explode
     * multiplies rows ~60× before the partial aggregate collapses them
@@ -458,7 +495,7 @@ object Functions extends QueryModule {
     """))
 
   def defs: Seq[QueryDef] = Seq(
-    stringFuncs, dateFuncs, mathFuncs, arrayFuncs, jsonFuncs, explodeTokens,
-    mapFuncs, posExplode, stackUnpivot, stringAgg, bitwiseFuncs, regexFuncs,
-    stringFuncs2, dateFuncs2, mathFuncs2)
+    stringFuncs, dateFuncs, mathFuncs, arrayFuncs, jsonFuncs, variantFuncs,
+    explodeTokens, mapFuncs, posExplode, stackUnpivot, stringAgg, bitwiseFuncs,
+    regexFuncs, stringFuncs2, dateFuncs2, mathFuncs2)
 }

@@ -846,9 +846,56 @@ object TextAnalysis extends QueryModule {
       ORDER BY doc_id
     """))
 
+  /** Zipf-law fit of the corpus vocabulary: regress log(frequency) on
+    * log(rank) over the top 200 unigrams — the slope is the Zipf
+    * exponent (≈ −1 for natural text; a corpus-health metric that
+    * flags synthetic or boilerplate-heavy data). One explode+count
+    * shuffle builds the vocabulary, TakeOrdered keeps the head (the
+    * rank window runs on 200 rows, never the full vocabulary — the
+    * q_vocab_coverage trick), and the regression aggregate reduces to
+    * a single row. Ties in frequency are rank-broken by token so both
+    * engines agree exactly; regression outputs float-cast (q_stats
+    * rule).
+    */
+  val zipfFit = QueryDef(
+    "q_zipf_fit",
+    (s, d) => {
+      val top = Tables.documents(s, d)
+        .select(explode(TF.tokens(col("text"))).as("tok"))
+        .groupBy(col("tok"))
+        .agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("tok"))
+        .limit(200)
+      top
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("freq").desc, col("tok"))))
+        .agg(
+          count(lit(1)).as("n_terms"),
+          expr("regr_slope(ln(cast(freq AS double)), ln(cast(rank AS double)))")
+            .cast("float").as("zipf_slope"),
+          expr("regr_r2(ln(cast(freq AS double)), ln(cast(rank AS double)))")
+            .cast("float").as("fit_r2"))
+    },
+    Some("""
+      WITH vocab AS (
+        SELECT tok, count(*) AS freq
+        FROM (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+              FROM documents)
+        GROUP BY tok
+        ORDER BY freq DESC, tok
+        LIMIT 200),
+      ranked AS (
+        SELECT freq, row_number() OVER (ORDER BY freq DESC, tok) AS rank
+        FROM vocab)
+      SELECT count(*) AS n_terms,
+             CAST(regr_slope(ln(CAST(freq AS DOUBLE)), ln(CAST(rank AS DOUBLE))) AS FLOAT) AS zipf_slope,
+             CAST(regr_r2(ln(CAST(freq AS DOUBLE)), ln(CAST(rank AS DOUBLE))) AS FLOAT) AS fit_r2
+      FROM ranked
+    """))
+
   def defs: Seq[QueryDef] = Seq(
     textJaccard, ngramJaccard, langId, langStats, textQuality,
     tokenStats, docFingerprint, cleanCorpus, tfIdf, sampleBalanced,
     vocabCoverage, trainSplit, contamination, profileDocuments,
-    repetition, qualityRules, redactTerms, unigramLogprob)
+    repetition, qualityRules, redactTerms, unigramLogprob, zipfFit)
 }

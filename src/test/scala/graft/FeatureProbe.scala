@@ -20,6 +20,11 @@ object FeatureProbe {
     tryQ("lateral_explode", "SELECT t.x, e.col FROM t JOIN LATERAL explode(array(t.x, t.y)) e")
     tryQ("recursive", "WITH RECURSIVE r(n) AS (SELECT 1 UNION ALL SELECT n + 1 FROM r WHERE n < 5) SELECT sum(n) FROM r")
     tryQ("qualify-like", "SELECT x FROM t QUALIFY row_number() OVER (ORDER BY x) = 1")
+    tryQ("variant", "SELECT variant_get(parse_json('{\"k\": 42, \"s\": \"hi\"}'), '$.k', 'bigint') v, " +
+      "variant_get(parse_json('{\"k\": 42, \"s\": \"hi\"}'), '$.s', 'string') s2")
+    tryQ("variant_typeof", "SELECT schema_of_variant(parse_json('{\"k\": 42}')) t2, " +
+      "is_variant_null(try_parse_json('nope')) n")
+    tryQ("observe", "SELECT 1") // placeholder; observe() probed via API if needed
     spark.stop()
   }
 }
