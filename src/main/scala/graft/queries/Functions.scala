@@ -494,8 +494,37 @@ object Functions extends QueryModule {
       ORDER BY l_orderkey, l_linenumber
     """))
 
+  /** ANSI-safe `try_*` family: Spark 4 runs ANSI mode by default
+    * (division by zero and overflow THROW), so production pipelines
+    * over dirty data use try_divide / try_cast / try_add — NULL on
+    * failure instead of killing a 1000-executor job 6 hours in. DuckDB
+    * mirrors: CASE-guarded division, TRY_CAST, and plain + (the sums
+    * here cannot overflow HUGEINT).
+    */
+  val tryFuncs = QueryDef(
+    "q_try_funcs",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          expr("try_divide(l_extendedprice, l_quantity - 17)").cast("float")
+            .as("price_per_extra_unit"),
+          expr("try_cast(concat('x', l_returnflag) AS int)").as("bad_int"),
+          expr("try_cast(l_quantity AS int)").as("qty_int"),
+          expr("try_add(l_orderkey, l_linenumber)").as("key_sum"))
+        .orderBy(col("l_orderkey"), col("l_linenumber")),
+    Some("""
+      SELECT l_orderkey, l_linenumber,
+             CAST(CASE WHEN l_quantity - 17 = 0 THEN NULL
+                  ELSE l_extendedprice / (l_quantity - 17) END AS FLOAT) AS price_per_extra_unit,
+             TRY_CAST(concat('x', l_returnflag) AS INT) AS bad_int,
+             TRY_CAST(l_quantity AS INT) AS qty_int,
+             l_orderkey + l_linenumber AS key_sum
+      FROM lineitem
+      ORDER BY l_orderkey, l_linenumber
+    """))
+
   def defs: Seq[QueryDef] = Seq(
     stringFuncs, dateFuncs, mathFuncs, arrayFuncs, jsonFuncs, variantFuncs,
     explodeTokens, mapFuncs, posExplode, stackUnpivot, stringAgg, bitwiseFuncs,
-    regexFuncs, stringFuncs2, dateFuncs2, mathFuncs2)
+    regexFuncs, stringFuncs2, dateFuncs2, mathFuncs2, tryFuncs)
 }

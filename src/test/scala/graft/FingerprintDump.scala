@@ -22,11 +22,12 @@ object FingerprintDump {
 
   def main(args: Array[String]): Unit = {
     val spark = TestSpark.spark
-    val names = Seq(
+    val names = if (args.nonEmpty) args.toSeq else Seq(
       "q_pricing_summary", "q_join_star", "q_join_skewed",
       "q_join_range_bucketed", "q_topk_per_group", "q_sort_limit",
       "q_dedup_minhash", "q_contamination", "q_ann_ivf", "q_ann_lsh",
-      "q_tf_idf", "q_shipping_priority", "q_kmeans_assign", "q_ema")
+      "q_tf_idf", "q_shipping_priority", "q_kmeans_assign", "q_ema",
+      "q_waiting_orders", "q_global_customers", "q_zipf_fit")
     names.foreach { n =>
       val fp = fingerprint(spark, n, TestSpark.sf0001).toSeq.sorted
         .map { case (k, v) => s""""$k" -> $v""" }.mkString(", ")

@@ -43,6 +43,16 @@ class PlanFingerprintSpec extends AnyFunSuite {
     "q_shipping_priority" -> Map("BroadcastExchange" -> 2, "BroadcastHashJoin" -> 2, "Exchange hashpartitioning" -> 1, "TakeOrderedAndProject" -> 1),
     "q_kmeans_assign" -> Map("BroadcastExchange" -> 1, "BroadcastNestedLoopJoin" -> 1, "Exchange hashpartitioning" -> 1, "Exchange rangepartitioning" -> 1, "WindowGroupLimit" -> 2),
     "q_ema" -> Map("Exchange hashpartitioning" -> 1, "Exchange rangepartitioning" -> 1),
+    // Q21 shape: semi+anti correlation joins; at sf0.001 the planner
+    // broadcasts the small sides (5 BHJ), one SMJ on the lineitem
+    // self-correlation — a lost TakeOrdered or a CartesianProduct here
+    // is the regression this pin guards
+    "q_waiting_orders" -> Map("BroadcastExchange" -> 5, "BroadcastHashJoin" -> 5, "Exchange hashpartitioning" -> 3, "SortMergeJoin" -> 1, "TakeOrderedAndProject" -> 1),
+    // Q22 shape: 1-row threshold BNL (allowlisted) + anti BHJ
+    "q_global_customers" -> Map("BroadcastExchange" -> 2, "BroadcastHashJoin" -> 1, "BroadcastNestedLoopJoin" -> 1, "Exchange hashpartitioning" -> 1, "Exchange rangepartitioning" -> 1),
+    // one vocab-count shuffle, then TakeOrdered(200) BEFORE the
+    // single-partition rank window — the q_vocab_coverage contract
+    "q_zipf_fit" -> Map("Exchange hashpartitioning" -> 1, "TakeOrderedAndProject" -> 1),
   )
 
   test("plan fingerprints are unchanged (default planner)") {
