@@ -436,9 +436,42 @@ object Aggregations extends QueryModule {
       ORDER BY l_returnflag
     """))
 
+  /** Higher central moments: population skewness (m3/m2^1.5) and
+    * excess kurtosis (m4/m2²−3). Spark's skewness/kurtosis use the
+    * population formulas; DuckDB's use sample-corrected ones, so the
+    * oracle computes the population moments explicitly from a
+    * two-pass CTE (μ join back) — the definitions, not the builtin
+    * names, are the contract. Outputs float-cast (q_stats rule: the
+    * one-pass moment merge is order-sensitive in the last ulp).
+    */
+  val momentsQ = QueryDef(
+    "q_moments",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n"),
+          skewness(col("l_extendedprice")).cast("float").as("skew"),
+          kurtosis(col("l_extendedprice")).cast("float").as("kurt"))
+        .orderBy(col("l_returnflag")),
+    Some("""
+      WITH mu AS (
+        SELECT l_returnflag, avg(l_extendedprice) AS m
+        FROM lineitem GROUP BY l_returnflag)
+      SELECT l.l_returnflag,
+             count(*) AS n,
+             CAST(avg(pow(l_extendedprice - m, 3))
+                  / pow(avg(pow(l_extendedprice - m, 2)), 1.5) AS FLOAT) AS skew,
+             CAST(avg(pow(l_extendedprice - m, 4))
+                  / pow(avg(pow(l_extendedprice - m, 2)), 2) - 3 AS FLOAT) AS kurt
+      FROM lineitem l JOIN mu ON l.l_returnflag = mu.l_returnflag
+      GROUP BY l.l_returnflag
+      ORDER BY l.l_returnflag
+    """))
+
   def defs: Seq[QueryDef] = Seq(
     aggGlobal, countDistinctQ, approxDistinct, rollupQ, cubeQ,
     groupingSetsQ, aggFiltered, maxByQ, collectQ, statsQ, percentileQ,
     pivotQ, histogramQ, modeQ, anyValueQ, percentileDiscQ,
-    approxPercentileQ, regressionQ)
+    approxPercentileQ, regressionQ, momentsQ)
 }

@@ -346,8 +346,54 @@ object Windows extends QueryModule {
       ORDER BY o_custkey
     """))
 
+  /** Distribution-position window functions: percent_rank
+    * ((rank−1)/(n−1)) and cume_dist (rows ≤ current / n). Both are
+    * exact rational divisions of counts, so the doubles are
+    * bit-identical across engines — rounded to 6dp only to keep the
+    * artifact tidy. Same single-shuffle window shape as q_window_rank.
+    */
+  val windowPct = QueryDef(
+    "q_window_pct",
+    (s, d) => {
+      val w = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          round(cume_dist().over(w), 6).as("cume"))
+        .orderBy(col("o_orderkey"))
+    },
+    Some("""
+      SELECT o_orderkey, o_orderstatus, o_totalprice,
+             round(percent_rank() OVER w, 6) AS pct_rank,
+             round(cume_dist() OVER w, 6) AS cume
+      FROM orders
+      WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+      ORDER BY o_orderkey
+    """))
+
+  /** Explicit null-ordering semantics: Spark's ASC default is NULLS
+    * FIRST, DuckDB's is NULLS LAST — unpinned null placement is a
+    * classic cross-engine silent diff, so both sides pin ASC NULLS
+    * LAST on a key that actually contains nulls (nullif-projected).
+    */
+  val nullOrdering = QueryDef(
+    "q_null_ordering",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), nullif(col("lang"), lit("en")).as("other_lang"))
+        .orderBy(col("other_lang").asc_nulls_last, col("doc_id"))
+        .limit(300),
+    Some("""
+      SELECT doc_id, nullif(lang, 'en') AS other_lang
+      FROM documents
+      ORDER BY other_lang ASC NULLS LAST, doc_id
+      LIMIT 300
+    """))
+
   def defs: Seq[QueryDef] = Seq(
     windowRank, windowAnalytic, windowRunning, windowRangeRolling,
     topKPerGroup, sortLimit, windowRangeNumeric, windowIgnoreNulls,
-    windowCountDistinct, windowShareOfTotal, orderStreaks)
+    windowCountDistinct, windowShareOfTotal, orderStreaks, windowPct,
+    nullOrdering)
 }
