@@ -380,7 +380,75 @@ object Analytics extends QueryModule {
       ORDER BY bucket
     """))
 
+  /** Q4 analog — order priority checking: orders in a quarter having
+    * at least one late-shipping lineitem (EXISTS → left-semi on the
+    * order key), counted per priority. The semi-join shuffles on
+    * o_orderkey; the count is a 5-row aggregate.
+    */
+  val priorityCount = QueryDef(
+    "q_priority_count",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp")
+          && col("o_orderdate") < lit("1997-04-01").cast("timestamp"))
+      val lateLines = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d).select(col("o_orderkey").as("lo_key"),
+          col("o_orderdate").as("lo_date")),
+          col("l_orderkey") === col("lo_key"))
+        .filter(col("l_shipdate") > col("lo_date") + expr("INTERVAL 60 DAYS"))
+        .select(col("l_orderkey"))
+      o.join(lateLines, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy(col("o_orderpriority"))
+    },
+    Some("""
+      SELECT o_orderpriority, count(*) AS order_count
+      FROM orders o
+      WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
+        AND EXISTS (
+          SELECT 1 FROM lineitem
+          WHERE l_orderkey = o.o_orderkey
+            AND l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority
+    """))
+
+  /** Q13 analog — customer order-count distribution: orders per
+    * customer (left join so zero-order customers would count), then
+    * the histogram of those counts — the double-aggregation shape
+    * (fact-sized shuffle on custkey, then a tiny count-of-counts).
+    */
+  val custDist = QueryDef(
+    "q_custdist",
+    (s, d) => {
+      val perCust = Tables.customer(s, d)
+        .join(Tables.orders(s, d)
+          .filter(col("o_orderpriority") =!= "4-NOT SPECIFIED")
+          .select(col("o_custkey"), col("o_orderkey")),
+          col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+      perCust
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    },
+    Some("""
+      SELECT c_count, count(*) AS custdist
+      FROM (
+        SELECT c_custkey, count(o_orderkey) AS c_count
+        FROM customer
+        LEFT JOIN orders ON c_custkey = o_custkey
+          AND o_orderpriority <> '4-NOT SPECIFIED'
+        GROUP BY c_custkey)
+      GROUP BY c_count
+      ORDER BY custdist DESC, c_count DESC
+    """))
+
   def defs: Seq[QueryDef] = Seq(
     shippingPriority, forecastRevenue, promoRevenue, topSupplier, partsStats,
-    emaOrders, largeOrders, marketShare, waitingOrders, globalCustomers)
+    emaOrders, largeOrders, marketShare, waitingOrders, globalCustomers,
+    priorityCount, custDist)
 }
