@@ -404,7 +404,52 @@ object EventsTime extends QueryModule {
       ORDER BY user_id, event_id
     """))
 
+  /** Time-series resampling (OHLC downsample): collapse the event
+    * stream into 15-minute bars per event type — open/close are
+    * first/last value in (ts, event_id) order (windowed first_value/
+    * last_value, deterministic under duplicate timestamps), high/low/
+    * volume are plain aggregates. One shuffle on the bar key; the
+    * window and the groupBy share the same partitioning so the
+    * exchange is reused. The standard market-data/metrics downsample.
+    */
+  val ohlc = QueryDef(
+    "q_ohlc",
+    (s, d) => {
+      val w = Window
+        .partitionBy(col("event_type"), col("bucket"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.events(s, d)
+        .withColumn("bucket", window(col("ts"), "15 minutes").getField("start"))
+        .withColumn("open", first(col("value")).over(w))
+        .withColumn("close", last(col("value")).over(w))
+        .groupBy(col("event_type"), col("bucket"))
+        .agg(
+          min(col("value")).as("low"),
+          max(col("value")).as("high"),
+          first(col("open")).as("open"),
+          first(col("close")).as("close"),
+          count(lit(1)).as("volume"))
+        .select(col("event_type"), col("bucket"),
+          col("open"), col("high"), col("low"), col("close"), col("volume"))
+        .orderBy(col("event_type"), col("bucket"))
+    },
+    Some("""
+      SELECT event_type, bucket,
+             first(value ORDER BY ts, event_id) AS open,
+             max(value) AS high,
+             min(value) AS low,
+             last(value ORDER BY ts, event_id) AS close,
+             count(*) AS volume
+      FROM (
+        SELECT event_type, value, ts, event_id,
+               time_bucket(INTERVAL '15 minutes', CAST(ts AS TIMESTAMP)) AS bucket
+        FROM events)
+      GROUP BY event_type, bucket
+      ORDER BY event_type, bucket
+    """))
+
   def defs: Seq[QueryDef] = Seq(
     tumbling, sliding, sessionize, sessionWindowNative, dedupRows, gapFill,
-    funnel, cohortRetention, wauRolling, stickiness, anomalies)
+    funnel, cohortRetention, wauRolling, stickiness, anomalies, ohlc)
 }
