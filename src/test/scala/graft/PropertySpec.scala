@@ -117,4 +117,39 @@ class PropertySpec extends AnyFunSuite {
         .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(buckets(emb) === buckets(emb.repartition(13)))
   }
+
+  /** Misra-Gries laws on generated streams, checked WITHOUT Spark
+    * (the Aggregator's reduce/merge are pure): any split of a stream
+    * into partial sketches that are then merged must (a) keep at most
+    * k counters, (b) never overcount, (c) undercount each item by at
+    * most total/(k+1) — the mergeable-summaries contract that makes
+    * partial+final aggregation safe at any partitioning.
+    */
+  test("Misra-Gries reduce/merge laws hold on generated streams") {
+    import graft.functions.HeavyHitters
+    val hh = new HeavyHitters(5)
+    val itemGen = Gen.frequency(
+      (8, Gen.const("hot")), (4, Gen.const("warm")),
+      (1, Gen.oneOf("a", "b", "c", "d", "e", "f", "g")))
+    val streamGen = Gen.listOfN(400, itemGen)
+    for (seed <- 1 to 8) {
+      val stream = streamGen.pureApply(Gen.Parameters.default, Seed(seed.toLong))
+      val exact = stream.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      val bound = stream.size / 6 // n/(k+1), k=5
+      // split at a seed-dependent point, sketch each half, merge
+      val cut = 50 + (seed * 37) % 300
+      val (s1, s2) = stream.splitAt(cut)
+      val merged = hh.merge(
+        s1.foldLeft(hh.zero)(hh.reduce),
+        s2.foldLeft(hh.zero)(hh.reduce))
+      assert(merged.size <= 5)
+      merged.foreach { case (item, c) =>
+        val truth = exact.getOrElse(item, 0L)
+        assert(c <= truth, s"seed=$seed $item overcounted")
+        assert(truth - c <= bound, s"seed=$seed $item past bound")
+      }
+      val guaranteed = exact.filter(_._2 > bound).keySet
+      assert(guaranteed.subsetOf(merged.keySet), s"seed=$seed lost $guaranteed")
+    }
+  }
 }
