@@ -515,7 +515,58 @@ object Dedup extends QueryModule {
       ORDER BY bucket
     """))
 
+  /** Incremental-ingest dedup — the daily-batch production shape: the
+    * "new batch" (docs with doc_id ≥ 400, standing in for today's
+    * crawl) dedups (a) against the historical corpus via a left-anti
+    * join on the content hash, then (b) within itself via the usual
+    * first-id-wins window. At 100 TB the history side is a hash-only
+    * column (or a Bloom/HLL digest of it); the anti-join shuffles on
+    * the hash, so each day's cost scales with the BATCH, not with
+    * history — history is pre-hashed once and appended to daily.
+    */
+  val dedupIncremental = QueryDef(
+    "q_dedup_incremental",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), md5(col("text")).as("text_hash"),
+          substring(md5(substring(col("text"), 1, 80)), 1, 16).as("prefix_hash"))
+      val history = docs.filter(col("doc_id") < 400)
+        .select(col("text_hash").as("h_hash"), col("prefix_hash").as("h_prefix"))
+      val batch = docs.filter(col("doc_id") >= 400)
+      val w = Window.partitionBy(col("prefix_hash")).orderBy(col("doc_id"))
+      batch
+        // (a) drop batch docs whose exact hash OR prefix family
+        // already exists in history
+        .join(history.select(col("h_hash")),
+          col("text_hash") === col("h_hash"), "left_anti")
+        .join(history.select(col("h_prefix")).distinct(),
+          col("prefix_hash") === col("h_prefix"), "left_anti")
+        // (b) within-batch: first doc_id per prefix family survives
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("prefix_hash"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH hashed AS (
+        SELECT doc_id, md5(text) AS text_hash,
+               substr(md5(substr(text, 1, 80)), 1, 16) AS prefix_hash
+        FROM documents),
+      history AS (SELECT * FROM hashed WHERE doc_id < 400),
+      batch   AS (SELECT * FROM hashed WHERE doc_id >= 400)
+      SELECT doc_id, prefix_hash
+      FROM (
+        SELECT doc_id, prefix_hash,
+               row_number() OVER (PARTITION BY prefix_hash ORDER BY doc_id) AS rn
+        FROM batch b
+        WHERE NOT EXISTS (SELECT 1 FROM history h WHERE h.text_hash = b.text_hash)
+          AND NOT EXISTS (SELECT 1 FROM history h WHERE h.prefix_hash = b.prefix_hash))
+      WHERE rn = 1
+      ORDER BY doc_id
+    """))
+
   def defs: Seq[QueryDef] = Seq(
     dedupExact, dedupFingerprint, dedupMinhash, dedupCluster, dedupSimhash,
-    dedupSimhashHamming, dedupEmbedding, dedupFuzzy, dedupKeepBest)
+    dedupSimhashHamming, dedupEmbedding, dedupFuzzy, dedupKeepBest,
+    dedupIncremental)
 }

@@ -391,9 +391,40 @@ object Windows extends QueryModule {
       LIMIT 300
     """))
 
+  /** Exact rolling median: percentile(x, 0.5) over a 5-row trailing
+    * frame per customer (Spark's `median` refuses a frame; the
+    * percentile form is the documented equivalent). DuckDB mirror is
+    * quantile_cont — both interpolate the midpoint of the two middle
+    * values, float-cast to collapse interpolation ulp. Exact windowed
+    * percentiles buffer the frame per row, so the 100 TB guidance in
+    * the Scaladoc of q_approx_percentile applies: beyond small frames
+    * switch to the sketch.
+    */
+  val windowMedian = QueryDef(
+    "q_window_median",
+    (s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(-4, Window.currentRow)
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"),
+          expr("percentile(o_totalprice, 0.5)")
+            .over(w).cast("float").as("rolling_median_price"))
+        .orderBy(col("o_orderkey"))
+    },
+    Some("""
+      SELECT o_orderkey, o_custkey,
+             CAST(quantile_cont(o_totalprice, 0.5) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS FLOAT)
+               AS rolling_median_price
+      FROM orders
+      ORDER BY o_orderkey
+    """))
+
   def defs: Seq[QueryDef] = Seq(
     windowRank, windowAnalytic, windowRunning, windowRangeRolling,
     topKPerGroup, sortLimit, windowRangeNumeric, windowIgnoreNulls,
     windowCountDistinct, windowShareOfTotal, orderStreaks, windowPct,
-    nullOrdering)
+    nullOrdering, windowMedian)
 }

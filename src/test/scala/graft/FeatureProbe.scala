@@ -25,6 +25,8 @@ object FeatureProbe {
     tryQ("variant_typeof", "SELECT schema_of_variant(parse_json('{\"k\": 42}')) t2, " +
       "is_variant_null(try_parse_json('nope')) n")
     tryQ("observe", "SELECT 1") // placeholder; observe() probed via API if needed
+    tryQ("window_median", "SELECT x, median(y) OVER (ORDER BY x ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) m FROM t")
+    tryQ("window_percentile", "SELECT x, percentile(y, 0.5) OVER (ORDER BY x ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) m FROM t")
     spark.stop()
   }
 }
