@@ -469,9 +469,34 @@ object Aggregations extends QueryModule {
       ORDER BY l.l_returnflag
     """))
 
+  /** Multi-percentile in one pass: percentile(x, array(...)) computes
+    * the whole quantile vector from a single sort/buffer per group
+    * instead of one aggregate per quantile — the summary-statistics
+    * shape (p25/p50/p75/p99) every profiling pipeline emits. DuckDB
+    * mirror is the list-typed quantile_cont; both interpolate
+    * identically and the driver compare handles array columns.
+    */
+  val percentileMultiQ = QueryDef(
+    "q_percentile_multi",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(expr(
+          "transform(percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D, 0.99D)), x -> cast(x AS float))")
+          .as("price_quantiles"))
+        .orderBy(col("l_returnflag")),
+    Some("""
+      SELECT l_returnflag,
+             [CAST(q AS FLOAT) FOR q IN quantile_cont(l_extendedprice, [0.25, 0.5, 0.75, 0.99])]
+               AS price_quantiles
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag
+    """))
+
   def defs: Seq[QueryDef] = Seq(
     aggGlobal, countDistinctQ, approxDistinct, rollupQ, cubeQ,
     groupingSetsQ, aggFiltered, maxByQ, collectQ, statsQ, percentileQ,
     pivotQ, histogramQ, modeQ, anyValueQ, percentileDiscQ,
-    approxPercentileQ, regressionQ, momentsQ)
+    approxPercentileQ, regressionQ, momentsQ, percentileMultiQ)
 }

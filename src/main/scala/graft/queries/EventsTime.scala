@@ -449,7 +449,54 @@ object EventsTime extends QueryModule {
       ORDER BY event_type, bucket
     """))
 
+  /** Last-touch attribution: each purchase is credited to the user's
+    * most recent prior click within 24 h. The classic asof shape done
+    * as ONE pass: carry the last click (id, ts) forward per user with
+    * an IGNORE NULLS window (no self-join), then apply the lookback
+    * tolerance as a filter — at 100 TB this is one shuffle on
+    * user_id vs. the naive time-range self-join's quadratic blowup
+    * on active users. Epoch-µs arithmetic keeps the tolerance exact
+    * on both engines.
+    */
+  val attribution = QueryDef(
+    "q_attribution",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .filter(col("event_type").isin("click", "purchase"))
+        .withColumn("click_id",
+          last(when(col("event_type") === "click", col("event_id")), ignoreNulls = true).over(w))
+        .withColumn("click_us",
+          last(when(col("event_type") === "click", unix_micros(col("ts"))), ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          when(col("click_us") >= unix_micros(col("ts")) - lit(86400000000L),
+            col("click_id")).as("attributed_click"))
+        .orderBy(col("purchase_id"))
+    },
+    Some("""
+      SELECT purchase_id, user_id,
+             CASE WHEN click_us >= ts_us - 86400000000 THEN click_id END AS attributed_click
+      FROM (
+        SELECT event_id AS purchase_id, user_id, event_type,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+               last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+                 OVER w AS click_id,
+               last_value(CASE WHEN event_type = 'click'
+                 THEN epoch_us(CAST(ts AS TIMESTAMP)) END IGNORE NULLS)
+                 OVER w AS click_us
+        FROM events
+        WHERE event_type IN ('click', 'purchase')
+        WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      WHERE event_type = 'purchase'
+      ORDER BY purchase_id
+    """))
+
   def defs: Seq[QueryDef] = Seq(
     tumbling, sliding, sessionize, sessionWindowNative, dedupRows, gapFill,
-    funnel, cohortRetention, wauRolling, stickiness, anomalies, ohlc)
+    funnel, cohortRetention, wauRolling, stickiness, anomalies, ohlc,
+    attribution)
 }
