@@ -447,8 +447,77 @@ object Analytics extends QueryModule {
       ORDER BY custdist DESC, c_count DESC
     """))
 
+  /** Q10 analog — returned-item revenue: customers ranked by revenue
+    * of their returned lineitems in a quarter; fact⋈fact on the order
+    * key, dims broadcast, top 20 via TakeOrdered.
+    */
+  val returnedRevenue = QueryDef(
+    "q_returned_revenue",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp")
+          && col("o_orderdate") < lit("1997-04-01").cast("timestamp"))
+      Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    },
+    Some("""
+      SELECT c_custkey, c_name, n_name,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation   ON c_nationkey = n_nationkey
+      WHERE l_returnflag = 'R'
+        AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
+      GROUP BY c_custkey, c_name, n_name
+      ORDER BY revenue DESC, c_custkey
+      LIMIT 20
+    """))
+
+  /** Q5 analog — local-supplier revenue: per nation, revenue from
+    * lineitems where the supplier and the ordering customer share the
+    * nation. The supplier-nation equality is a second equi-condition
+    * on the same joined row set (no extra shuffle), nation/supplier
+    * dims broadcast, facts shuffle on the order key once.
+    */
+  val localSupplierRevenue = QueryDef(
+    "q_local_supplier_revenue",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.supplier(s, d)),
+          col("l_suppkey") === col("s_suppkey")
+            && col("s_nationkey") === col("c_nationkey"))
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"),
+          count(lit(1)).as("local_lines"))
+        .orderBy(col("revenue").desc, col("n_name")),
+    Some("""
+      SELECT n_name,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+             count(*) AS local_lines
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+      JOIN nation   ON c_nationkey = n_nationkey
+      GROUP BY n_name
+      ORDER BY revenue DESC, n_name
+    """))
+
   def defs: Seq[QueryDef] = Seq(
     shippingPriority, forecastRevenue, promoRevenue, topSupplier, partsStats,
     emaOrders, largeOrders, marketShare, waitingOrders, globalCustomers,
-    priorityCount, custDist)
+    priorityCount, custDist, returnedRevenue, localSupplierRevenue)
 }
