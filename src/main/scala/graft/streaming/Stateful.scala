@@ -78,4 +78,51 @@ object Stateful {
           out.iterator
       }
   }
+
+  /** A session closed by event-time timeout. */
+  case class ClosedSession(user_id: Long, events: Long,
+      total_value: Double, last_event_us: Long)
+
+  /** Timeout-driven state expiry — the arbitrary-state capability the
+    * other ops here don't exercise: a per-user session accumulates
+    * silently (no per-batch emission) and is emitted EXACTLY ONCE,
+    * when the event-time watermark passes last-event + `gapMs`
+    * (GroupStateTimeout.EventTimeTimeout + setTimeoutTimestamp). This
+    * is how idle keys leave state on an unbounded keyspace — without
+    * a timeout, per-key state on a 100 TB/day stream grows forever.
+    * The native session_window aggregate covers the common aggregate
+    * case; this is the shape for session state machines it can't
+    * express. Streaming-only (timeouts never fire on a batch frame —
+    * Spark's documented batch semantics for flatMapGroupsWithState).
+    */
+  def expiredSessions(events: Dataset[Event],
+      gapMs: Long = 60000L): Dataset[ClosedSession] = {
+    implicit val outEnc = Encoders.product[ClosedSession]
+    implicit val stateEnc =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble, Encoders.scalaLong)
+    implicit val keyEnc = Encoders.scalaLong
+    events
+      .withWatermark("ts", "0 seconds")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, it: Iterator[Event],
+            state: GroupState[(Long, Double, Long)]) =>
+          if (state.hasTimedOut) {
+            val (n, sum, lastUs) = state.get
+            state.remove()
+            Iterator.single(ClosedSession(user, n,
+              math.round(sum * 100.0) / 100.0, lastUs))
+          } else {
+            var (n, sum, lastUs) = state.getOption.getOrElse((0L, 0.0, 0L))
+            it.toSeq.sortBy(_.event_id).foreach { e =>
+              n += 1; sum += e.value
+              lastUs = math.max(lastUs, e.ts.getTime * 1000L)
+            }
+            state.update((n, sum, lastUs))
+            state.setTimeoutTimestamp(lastUs / 1000L + gapMs)
+            Iterator.empty
+          }
+      }
+  }
 }

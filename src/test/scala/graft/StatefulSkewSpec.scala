@@ -46,6 +46,39 @@ class StatefulSkewSpec extends AnyFunSuite {
     assert(out === Set((1L, 2L, 3.0), (2L, 1L, 5.0)))
   }
 
+  test("EventTimeTimeout expires idle sessions exactly once") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = Stateful.expiredSessions(input.toDS(), gapMs = 60000L)
+      .writeStream.format("memory").queryName("session_timeout_test")
+      .outputMode("append").start()
+    try {
+      // batch 1: user 1 has two events ending 10:01; user 2 one at 10:02.
+      // Watermark after this batch = 10:02 (delay 0) — nobody timed out
+      // yet (user 1 expires at 10:02 only when the watermark EXCEEDS it).
+      input.addData(Event(1, t(0), 1, "click", 1.5),
+        Event(2, t(1), 1, "view", 2.25), Event(3, t(2), 2, "click", 5.0))
+      q.processAllAvailable()
+      // batch 2: an unrelated user far in the future pushes the
+      // watermark past both timeouts → both sessions emit, closed.
+      input.addData(Event(99, t(30), 9, "click", 0.0))
+      q.processAllAvailable()
+      // one more empty-ish batch so timeout processing definitely runs
+      input.addData(Event(100, t(31), 9, "view", 0.0))
+      q.processAllAvailable()
+      val out = spark.table("session_timeout_test")
+        .as[Stateful.ClosedSession].collect()
+        .map(cs => (cs.user_id, cs.events, cs.total_value)).toSet
+      assert(out.contains((1L, 2L, 3.75)) && out.contains((2L, 1L, 5.0)),
+        s"expected users 1 and 2 closed, got $out")
+      // exactly once: no duplicate closures per user
+      val perUser = spark.table("session_timeout_test")
+        .as[Stateful.ClosedSession].collect().groupBy(_.user_id)
+      assert(perUser.forall(_._2.length == 1), perUser.toString)
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState anomalies: 0..n outputs per key, state across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
