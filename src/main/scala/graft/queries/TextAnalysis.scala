@@ -893,9 +893,56 @@ object TextAnalysis extends QueryModule {
       FROM ranked
     """))
 
+  /** Training-shard planning: pack documents into ~2k-token output
+    * shards (budget sized to the synthetic corpus so several shards
+    * per language exist; at real scale this is the 50-100M-token
+    * shard knob). Greedy bin-packing is inherently sequential, so the
+    * distributable contract is cumulative-budget sharding: docs take
+    * a deterministic order (hash of id — decorrelates shard fill from
+    * doc_id order), a running token cumsum assigns shard =
+    * floor((cum − tokens)/budget), and the summary emits per-shard
+    * doc/token counts. At 100 TB the window runs per language
+    * partition (the natural training-mix unit), so no global sort —
+    * one shuffle on lang, linear within.
+    */
+  val shardPlan = QueryDef(
+    "q_shard_plan",
+    (s, d) => {
+      val budget = 2000L
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("ord"), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          size(TF.tokens(col("text"))).cast("long").as("tokens"),
+          md5(col("doc_id").cast("string")).as("ord"))
+        .withColumn("cum", sum(col("tokens")).over(w))
+        .withColumn("shard", ((col("cum") - col("tokens")) / budget).cast("long"))
+        .groupBy(col("lang"), col("shard"))
+        .agg(count(lit(1)).as("docs"), sum(col("tokens")).as("shard_tokens"))
+        .orderBy(col("lang"), col("shard"))
+    },
+    Some("""
+      SELECT lang, shard, count(*) AS docs,
+             CAST(sum(tokens) AS BIGINT) AS shard_tokens
+      FROM (
+        SELECT lang, doc_id, tokens,
+               CAST(floor((sum(tokens) OVER (PARTITION BY lang ORDER BY ord, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tokens)
+                 / 2000) AS BIGINT) AS shard
+        FROM (
+          SELECT doc_id, lang,
+                 CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS tokens,
+                 md5(CAST(doc_id AS VARCHAR)) AS ord
+          FROM documents))
+      GROUP BY lang, shard
+      ORDER BY lang, shard
+    """))
+
   def defs: Seq[QueryDef] = Seq(
     textJaccard, ngramJaccard, langId, langStats, textQuality,
     tokenStats, docFingerprint, cleanCorpus, tfIdf, sampleBalanced,
     vocabCoverage, trainSplit, contamination, profileDocuments,
-    repetition, qualityRules, redactTerms, unigramLogprob, zipfFit)
+    repetition, qualityRules, redactTerms, unigramLogprob, zipfFit,
+    shardPlan)
 }
