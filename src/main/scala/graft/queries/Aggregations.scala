@@ -494,9 +494,51 @@ object Aggregations extends QueryModule {
       ORDER BY l_returnflag
     """))
 
+  /** Winsorized mean — the robust-stats data-cleaning shape: compute
+    * per-group p05/p95, clip every value into [p05, p95], aggregate
+    * the clipped column next to the raw mean. Two passes expressed as
+    * an aggregate joined back (group count is tiny, the join
+    * broadcasts); the clip itself is codegen'd least/greatest. Floats
+    * cast per the interpolated-percentile rule.
+    */
+  val winsorizeQ = QueryDef(
+    "q_winsorize",
+    (s, d) => {
+      val bounds = Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag").as("bf"))
+        .agg(expr("percentile(l_extendedprice, 0.05D)").as("p05"),
+          expr("percentile(l_extendedprice, 0.95D)").as("p95"))
+      Tables.lineitem(s, d)
+        .join(broadcast(bounds), col("l_returnflag") === col("bf"))
+        .select(col("l_returnflag"),
+          col("l_extendedprice").as("raw"),
+          least(greatest(col("l_extendedprice"), col("p05")), col("p95")).as("clipped"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          avg(col("raw")).cast("float").as("raw_mean"),
+          avg(col("clipped")).cast("float").as("winsorized_mean"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""
+      WITH bounds AS (
+        SELECT l_returnflag AS bf,
+               quantile_cont(l_extendedprice, 0.05) AS p05,
+               quantile_cont(l_extendedprice, 0.95) AS p95
+        FROM lineitem GROUP BY l_returnflag)
+      SELECT l_returnflag,
+             count(*) AS n,
+             CAST(avg(l_extendedprice) AS FLOAT) AS raw_mean,
+             CAST(avg(least(greatest(l_extendedprice, p05), p95)) AS FLOAT)
+               AS winsorized_mean
+      FROM lineitem JOIN bounds ON l_returnflag = bf
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag
+    """))
+
   def defs: Seq[QueryDef] = Seq(
     aggGlobal, countDistinctQ, approxDistinct, rollupQ, cubeQ,
     groupingSetsQ, aggFiltered, maxByQ, collectQ, statsQ, percentileQ,
     pivotQ, histogramQ, modeQ, anyValueQ, percentileDiscQ,
-    approxPercentileQ, regressionQ, momentsQ, percentileMultiQ)
+    approxPercentileQ, regressionQ, momentsQ, percentileMultiQ,
+    winsorizeQ)
 }
