@@ -247,7 +247,12 @@ object Dedup extends QueryModule {
         .select(col("doc1").as("doc_id"),
           least(col("doc1"), col("nbr_min")).as("label"))
         .localCheckpoint(false)
-      var lastSum = labels.agg(sum(col("label"))).head().getLong(0)
+      // sum over an empty label table is NULL — a re-seeded corpus
+      // with zero near-dup edges must yield an empty result, not an
+      // NPE (coalesce also materializes the lazy checkpoints)
+      def labelSum(): Long = labels
+        .agg(coalesce(sum(col("label")), lit(0L))).head().getLong(0)
+      var lastSum = labelSum()
       var converged = false
       var iter = 0
       while (!converged && iter < 20) {
@@ -260,7 +265,7 @@ object Dedup extends QueryModule {
           .select(col("doc_id"),
             least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
           .localCheckpoint(false)
-        val s2 = labels.agg(sum(col("label"))).head().getLong(0)
+        val s2 = labelSum()
         converged = s2 == lastSum
         lastSum = s2
         iter += 1
