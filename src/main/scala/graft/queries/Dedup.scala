@@ -230,13 +230,16 @@ object Dedup extends QueryModule {
   val dedupCluster = QueryDef(
     "q_dedup_cluster",
     (s, d) => {
-      val edges0 = minhashPairs(s, d)
+      // checkpoint the pair list BEFORE symmetrizing: a union of two
+      // branches of the un-checkpointed pipeline would evaluate the
+      // expensive minhash subtree once per branch (ReuseExchange only
+      // dedupes up to the last common shuffle); the checkpoint pins a
+      // single evaluation and the swap reads the checkpointed rows
+      val pairs = minhashPairs(s, d)
         .select(col("doc1"), col("doc2"))
-      // symmetrize once; checkpoint so the per-round joins never
-      // re-run the minhash pipeline behind it
-      val edges = edges0
-        .union(edges0.select(col("doc2").as("doc1"), col("doc1").as("doc2")))
         .localCheckpoint(false)
+      val edges = pairs
+        .union(pairs.select(col("doc2").as("doc1"), col("doc1").as("doc2")))
       // Seed with the 1-hop minimum: the node set (distinct edge
       // endpoints) needs a shuffle on doc_id anyway, so that shuffle
       // performs propagation round 1 for free. least(doc1, min(doc2))
