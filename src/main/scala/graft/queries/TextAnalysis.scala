@@ -989,10 +989,63 @@ object TextAnalysis extends QueryModule {
       ORDER BY doc_id, chunk_id
     """))
 
+  /** Split-drift detection via Population Stability Index: compare
+    * the document-length distribution of the train split (same md5
+    * hash rule as q_train_split) against the rest of the corpus over
+    * 10 fixed-width buckets; PSI term per bucket =
+    * (p−q)·ln(p/q) with +0.5/+5 Laplace smoothing so empty buckets
+    * stay finite. A leak-proof hash split SHOULD show ≈0 drift — this
+    * is the pipeline health check that catches a biased split or an
+    * upstream distribution shift between snapshots. One map-side
+    * bucketing pass + a 10-row aggregate + the 1-row totals
+    * crossJoin (q_tf_idf pattern); counts are exact integers, so only
+    * the final float-cast term carries float risk.
+    */
+  val driftPsi = QueryDef(
+    "q_drift_psi",
+    (s, d) => {
+      val isTrain =
+        substring(md5(col("doc_id").cast("string")), 1, 1) <= "b"
+      val hist = Tables.documents(s, d)
+        .select(least(floor(col("n_chars") / 60).cast("long"), lit(9L))
+          .as("bucket"), isTrain.as("is_train"))
+        .groupBy(col("bucket"))
+        .agg(count(when(col("is_train"), 1)).as("train_docs"),
+          count(when(!col("is_train"), 1)).as("other_docs"))
+      val tot = hist.agg(sum(col("train_docs")).as("train_total"),
+        sum(col("other_docs")).as("other_total"))
+      val p = (col("train_docs") + 0.5) / (col("train_total") + 5.0)
+      val q = (col("other_docs") + 0.5) / (col("other_total") + 5.0)
+      hist.crossJoin(broadcast(tot))
+        .select(col("bucket"), col("train_docs"), col("other_docs"),
+          ((p - q) * log(p / q)).cast("float").as("psi_term"))
+        .orderBy(col("bucket"))
+    },
+    Some("""
+      WITH hist AS (
+        SELECT least(CAST(floor(n_chars / 60) AS BIGINT), 9) AS bucket,
+               count(*) FILTER (WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'b')
+                 AS train_docs,
+               count(*) FILTER (WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) > 'b')
+                 AS other_docs
+        FROM documents GROUP BY 1),
+      tot AS (
+        SELECT sum(train_docs) AS train_total, sum(other_docs) AS other_total
+        FROM hist)
+      SELECT bucket, train_docs, other_docs,
+             CAST(((train_docs + 0.5) / (train_total + 5.0)
+                   - (other_docs + 0.5) / (other_total + 5.0))
+                  * ln(((train_docs + 0.5) / (train_total + 5.0))
+                       / ((other_docs + 0.5) / (other_total + 5.0))) AS FLOAT)
+               AS psi_term
+      FROM hist CROSS JOIN tot
+      ORDER BY bucket
+    """))
+
   def defs: Seq[QueryDef] = Seq(
     textJaccard, ngramJaccard, langId, langStats, textQuality,
     tokenStats, docFingerprint, cleanCorpus, tfIdf, sampleBalanced,
     vocabCoverage, trainSplit, contamination, profileDocuments,
     repetition, qualityRules, redactTerms, unigramLogprob, zipfFit,
-    shardPlan, chunkDocs)
+    shardPlan, chunkDocs, driftPsi)
 }
