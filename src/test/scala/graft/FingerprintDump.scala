@@ -27,7 +27,9 @@ object FingerprintDump {
       "q_join_range_bucketed", "q_topk_per_group", "q_sort_limit",
       "q_dedup_minhash", "q_contamination", "q_ann_ivf", "q_ann_lsh",
       "q_tf_idf", "q_shipping_priority", "q_kmeans_assign", "q_ema",
-      "q_waiting_orders", "q_global_customers", "q_zipf_fit")
+      "q_waiting_orders", "q_global_customers", "q_zipf_fit",
+      "q_min_price_supplier", "q_volume_shipping", "q_dominant_supplier",
+      "q_knn_join", "q_small_qty_revenue")
     names.foreach { n =>
       val fp = fingerprint(spark, n, TestSpark.sf0001).toSeq.sorted
         .map { case (k, v) => s""""$k" -> $v""" }.mkString(", ")

@@ -53,6 +53,17 @@ class PlanFingerprintSpec extends AnyFunSuite {
     // one vocab-count shuffle, then TakeOrdered(200) BEFORE the
     // single-partition rank window — the q_vocab_coverage contract
     "q_zipf_fit" -> Map("Exchange hashpartitioning" -> 1, "TakeOrderedAndProject" -> 1),
+    // Q2 shape: ONE fact shuffle (the per-part min agg) + broadcast dims
+    "q_min_price_supplier" -> Map("BroadcastExchange" -> 3, "BroadcastHashJoin" -> 3, "Exchange hashpartitioning" -> 1, "Exchange rangepartitioning" -> 1),
+    // Q7 shape: bloc-filtered dims all broadcast, one fact shuffle
+    "q_volume_shipping" -> Map("BroadcastExchange" -> 5, "BroadcastHashJoin" -> 5, "Exchange hashpartitioning" -> 1, "Exchange rangepartitioning" -> 1),
+    // Q20 shape: two-level reagg + SMJ join-back of the two sum tables
+    "q_dominant_supplier" -> Map("BroadcastExchange" -> 4, "BroadcastHashJoin" -> 4, "Exchange hashpartitioning" -> 5, "Exchange rangepartitioning" -> 1, "SortMergeJoin" -> 1),
+    // bucketed kNN: label equi-join + per-source WindowGroupLimit —
+    // a CartesianProduct here means the bucket restriction was lost
+    "q_knn_join" -> Map("BroadcastExchange" -> 1, "BroadcastHashJoin" -> 1, "Exchange hashpartitioning" -> 1, "Exchange rangepartitioning" -> 1, "WindowGroupLimit" -> 2),
+    // Q17 shape: brand slice aggregated then joined back (SMJ at this SF)
+    "q_small_qty_revenue" -> Map("BroadcastExchange" -> 2, "BroadcastHashJoin" -> 2, "Exchange hashpartitioning" -> 2, "SortMergeJoin" -> 1),
   )
 
   test("plan fingerprints are unchanged (default planner)") {
