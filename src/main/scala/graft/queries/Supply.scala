@@ -177,12 +177,16 @@ object Supply extends QueryModule {
       ORDER BY nation, o_year DESC
     """))
 
-  /** Q11 analog — important parts: parts whose shipped-quantity share
-    * exceeds 0.06% of the corpus total (stock value rebased on
-    * quantity: the sums are integral doubles, so the HAVING threshold
-    * compares exact values — engine-stable, unlike a revenue-product
-    * sum). Scalar total via the 1-row broadcast crossJoin (q_tf_idf
-    * pattern, no driver action); one shuffle on the part key.
+  /** Q11 analog — important parts: parts whose shipped quantity
+    * exceeds 1.4× the AVERAGE part's (stock value rebased on
+    * quantity: integral-double sums are exact, so the HAVING
+    * threshold compares engine-stable values — unlike a
+    * revenue-product sum). The threshold is relative to the average
+    * rather than Q11's fixed corpus share so the selected fraction is
+    * scale-INVARIANT (a fixed share of total selects ~nothing once
+    * the part count grows 10×). Scalar threshold via the 1-row
+    * broadcast crossJoin (q_tf_idf pattern, no driver action); one
+    * shuffle on the part key.
     */
   val importantParts = QueryDef(
     "q_important_parts",
@@ -190,18 +194,19 @@ object Supply extends QueryModule {
       val perPart = Tables.lineitem(s, d)
         .groupBy(col("l_partkey"))
         .agg(sum(col("l_quantity")).as("total_qty"))
-      val total = perPart.agg(sum(col("total_qty")).as("corpus_qty"))
-      perPart.crossJoin(broadcast(total))
-        .filter(col("total_qty") > col("corpus_qty") * 0.0006)
+      val thresh = perPart.agg((avg(col("total_qty")) * 1.4).as("qty_thresh"))
+      perPart.crossJoin(broadcast(thresh))
+        .filter(col("total_qty") > col("qty_thresh"))
         .select(col("l_partkey"), col("total_qty"))
         .orderBy(col("total_qty").desc, col("l_partkey"))
     },
     Some("""
-      SELECT l_partkey, sum(l_quantity) AS total_qty
-      FROM lineitem
-      GROUP BY l_partkey
-      HAVING sum(l_quantity) >
-        (SELECT sum(l_quantity) * 0.0006 FROM lineitem)
+      WITH pp AS (
+        SELECT l_partkey, sum(l_quantity) AS total_qty
+        FROM lineitem GROUP BY l_partkey)
+      SELECT l_partkey, total_qty
+      FROM pp
+      WHERE total_qty > (SELECT avg(total_qty) * 1.4 FROM pp)
       ORDER BY total_qty DESC, l_partkey
     """))
 
