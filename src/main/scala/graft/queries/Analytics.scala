@@ -381,9 +381,14 @@ object Analytics extends QueryModule {
     """))
 
   /** Q4 analog — order priority checking: orders in a quarter having
-    * at least one late-shipping lineitem (EXISTS → left-semi on the
-    * order key), counted per priority. The semi-join shuffles on
-    * o_orderkey; the count is a 5-row aggregate.
+    * at least one late-shipping lineitem, counted per priority. The
+    * EXISTS collapses to ONE join + reaggregation: quarter-filtered
+    * orders join their lines (shuffle on the order key), the late
+    * filter runs as a join residual-side predicate, and the
+    * distinct-qualifying-orders aggregate REUSES the join's hash
+    * partitioning (no extra exchange) before the 5-row priority
+    * count. One scan of each table — the earlier semi-join form read
+    * orders twice and lineitem against the UNFILTERED order set.
     */
   val priorityCount = QueryDef(
     "q_priority_count",
@@ -391,13 +396,11 @@ object Analytics extends QueryModule {
       val o = Tables.orders(s, d)
         .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp")
           && col("o_orderdate") < lit("1997-04-01").cast("timestamp"))
-      val lateLines = Tables.lineitem(s, d)
-        .join(Tables.orders(s, d).select(col("o_orderkey").as("lo_key"),
-          col("o_orderdate").as("lo_date")),
-          col("l_orderkey") === col("lo_key"))
-        .filter(col("l_shipdate") > col("lo_date") + expr("INTERVAL 60 DAYS"))
-        .select(col("l_orderkey"))
-      o.join(lateLines, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      o.join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_shipdate")),
+          col("o_orderkey") === col("l_orderkey"))
+        .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+        .groupBy(col("o_orderkey"), col("o_orderpriority")).agg(count(lit(1)))
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("order_count"))
         .orderBy(col("o_orderpriority"))
