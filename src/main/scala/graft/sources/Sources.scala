@@ -46,4 +46,24 @@ object Sources {
     val w = df.write.mode("overwrite")
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).orc(path)
   }
+
+  /** XML reader (Spark 4 built-in source) with explicit schema —
+    * rowTag selects the repeated element; like csv/json, never
+    * infer at scale. Row-oriented text format: no pushdown/pruning,
+    * so land XML into parquet at ingest and query the columnar copy.
+    */
+  def xml(spark: SparkSession, path: String, schema: StructType,
+      rowTag: String): DataFrame =
+    spark.read.option("rowTag", rowTag).schema(schema).xml(path)
+
+  /** XML sink (one rowTag element per row). */
+  def writeXml(df: DataFrame, path: String, rowTag: String): Unit =
+    df.write.mode("overwrite").option("rowTag", rowTag).xml(path)
+
+  /** Line-oriented text reader: one `value` string column per line —
+    * the raw-corpus ingest shape (each line a document/record) that
+    * feeds the text-analysis operators before any structure exists.
+    */
+  def textLines(spark: SparkSession, path: String): DataFrame =
+    spark.read.text(path)
 }

@@ -100,6 +100,34 @@ class MultimodalSourcesSpec extends AnyFunSuite {
     assert(plan.contains("PushedFilters") || plan.contains("pushed"), plan.take(800))
   }
 
+  test("xml source/sink round-trip (Spark 4 built-in)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-xml").toString
+    // XML has no timestamp-precision contract like parquet; use the
+    // integer/string dim table for an exact round-trip
+    val slice = Tables.nation(spark, TestSpark.sf0001)
+    Sources.writeXml(slice, s"$tmp/nation_xml", rowTag = "nation")
+    val back = Sources.xml(spark, s"$tmp/nation_xml", slice.schema, rowTag = "nation")
+    assert(back.count() === slice.count())
+    assert(back.agg(sum("n_nationkey")).head().getLong(0)
+      === slice.agg(sum("n_nationkey")).head().getLong(0))
+    // full-row equality, not just counts
+    assert(back.exceptAll(slice).isEmpty && slice.exceptAll(back).isEmpty)
+  }
+
+  test("line-text source reads a raw corpus one line per row") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-txt").toString
+    val docs = Tables.documents(spark, TestSpark.sf0001).limit(50)
+      .select(regexp_replace(col("text"), "[\\r\\n]", " ").as("value"))
+    docs.write.mode("overwrite").text(s"$tmp/corpus")
+    val back = Sources.textLines(spark, s"$tmp/corpus")
+    assert(back.columns.toSeq === Seq("value"))
+    assert(back.count() === 50)
+    // the raw-ingest shape feeds tokenization directly
+    val toks = back.select(org.apache.spark.sql.functions.size(
+      split(col("value"), "\\s+")).as("n"))
+    assert(toks.agg(org.apache.spark.sql.functions.min("n")).head().getInt(0) >= 1)
+  }
+
   test("in-memory source and partitioned parquet sink") {
     val schema = StructType(Seq(
       StructField("k", LongType), StructField("part", StringType)))
