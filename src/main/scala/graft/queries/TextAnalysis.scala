@@ -1042,10 +1042,68 @@ object TextAnalysis extends QueryModule {
       ORDER BY bucket
     """))
 
+  /** Token co-occurrence PMI over the top-30 vocabulary — the
+    * phrase-mining / tokenizer-analysis pass: which frequent tokens
+    * appear in the same documents far more (or less) often than
+    * independence predicts. PMI(a,b) = ln(docs(a,b)·N / (docs(a)·
+    * docs(b))) on document-level occurrence. Candidate pairing is
+    * vocabulary-BOUNDED, never corpus-wide: the top-30 vocab
+    * (TakeOrdered) broadcasts back onto the doc-token table, and the
+    * within-doc self-join is bucket-local on doc_id with ≤ C(30,2)
+    * pairs per doc. Counts are exact integers; only the final
+    * float-cast PMI carries float math.
+    */
+  val cooccurrence = QueryDef(
+    "q_cooccurrence",
+    (s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(array_distinct(TF.tokens(col("text")))).as("tok"))
+      val vocab = toks.groupBy(col("tok"))
+        .agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("tok")).limit(30)
+      val dt = toks.join(broadcast(vocab), Seq("tok"))
+      val nDocs = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+      dt.as("a")
+        .join(dt.as("b"),
+          col("a.doc_id") === col("b.doc_id") && col("a.tok") < col("b.tok"))
+        .groupBy(col("a.tok").as("tok1"), col("b.tok").as("tok2"),
+          col("a.c").as("c1"), col("b.c").as("c2"))
+        .agg(count(lit(1)).as("pair_docs"))
+        .crossJoin(broadcast(nDocs))
+        .select(col("tok1"), col("tok2"), col("pair_docs"),
+          log(col("pair_docs") * col("n_docs") / (col("c1") * col("c2")))
+            .cast("float").as("pmi"))
+        .orderBy(col("pair_docs").desc, col("tok1"), col("tok2"))
+        .limit(30)
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_filter(string_split(text, ' '),
+                 t -> t <> ''))) AS tok
+        FROM documents),
+      vocab AS (
+        SELECT tok, count(*) AS c FROM toks
+        GROUP BY tok ORDER BY c DESC, tok LIMIT 30),
+      dt AS (SELECT doc_id, t.tok, c FROM toks t JOIN vocab USING (tok)),
+      pairs AS (
+        SELECT a.tok AS tok1, b.tok AS tok2, a.c AS c1, b.c AS c2,
+               count(*) AS pair_docs
+        FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.tok < b.tok
+        GROUP BY 1, 2, 3, 4),
+      n AS (SELECT count(*) AS n_docs FROM documents)
+      SELECT tok1, tok2, pair_docs,
+             CAST(ln(pair_docs * n_docs / (c1 * c2)) AS FLOAT) AS pmi
+      FROM pairs CROSS JOIN n
+      ORDER BY pair_docs DESC, tok1, tok2
+      LIMIT 30
+    """))
+
   def defs: Seq[QueryDef] = Seq(
     textJaccard, ngramJaccard, langId, langStats, textQuality,
     tokenStats, docFingerprint, cleanCorpus, tfIdf, sampleBalanced,
     vocabCoverage, trainSplit, contamination, profileDocuments,
     repetition, qualityRules, redactTerms, unigramLogprob, zipfFit,
-    shardPlan, chunkDocs, driftPsi)
+    shardPlan, chunkDocs, driftPsi, cooccurrence)
 }

@@ -144,7 +144,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_unigram_logprob", // lazy 1-row corpus-total cross join (tf_idf pattern)
     "q_global_customers", // 1-row avg-balance threshold cross join (tf_idf pattern)
     "q_important_parts", // 1-row corpus-total threshold cross join (tf_idf pattern)
-    "q_drift_psi") // 1-row split-totals cross join (tf_idf pattern)
+    "q_drift_psi", // 1-row split-totals cross join (tf_idf pattern)
+    "q_cooccurrence") // 1-row doc-count cross join (tf_idf pattern)
 
   test("no query plans a CartesianProduct; BNL only on the tiny-broadcast list") {
     val offenders = SparkEntry.all.flatMap { q =>
