@@ -523,8 +523,45 @@ object Functions extends QueryModule {
       ORDER BY l_orderkey, l_linenumber
     """))
 
+  /** The remaining §2.8 generators: inline (explode an array of
+    * structs into columns) and explode_outer (null-preserving — the
+    * row survives with a NULL where plain explode would drop it).
+    * DuckDB twins: unnest(…, recursive := true) flattens the struct
+    * fields; the outer contract is unnest(coalesce(arr, [NULL])).
+    */
+  val generatorFuncs = QueryDef(
+    "q_generator_funcs",
+    (s, d) => {
+      val base = Tables.orders(s, d).filter(col("o_custkey") < 10)
+      base
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          inline(array(
+            struct(lit("base").as("kind"), col("o_totalprice").as("amount")),
+            struct(lit("tax").as("kind"),
+              round(col("o_totalprice") * 0.1, 2).as("amount")))))
+        .withColumn("flag",
+          explode_outer(when(col("o_orderstatus") === "O", array(lit("open")))
+            .otherwise(lit(null).cast("array<string>"))))
+        .select(col("o_orderkey"), col("kind"), col("amount"), col("flag"))
+        .orderBy(col("o_orderkey"), col("kind"))
+    },
+    Some("""
+      WITH s1 AS (
+        SELECT o_orderkey, o_orderstatus,
+               unnest([
+                 {'kind': 'base', 'amount': o_totalprice},
+                 {'kind': 'tax',  'amount': round(o_totalprice * 0.1, 2)}],
+                 recursive := true)
+        FROM orders WHERE o_custkey < 10)
+      SELECT o_orderkey, kind, amount,
+             unnest(coalesce(CASE WHEN o_orderstatus = 'O' THEN ['open'] END,
+                             [NULL])) AS flag
+      FROM s1
+      ORDER BY o_orderkey, kind
+    """))
+
   def defs: Seq[QueryDef] = Seq(
     stringFuncs, dateFuncs, mathFuncs, arrayFuncs, jsonFuncs, variantFuncs,
     explodeTokens, mapFuncs, posExplode, stackUnpivot, stringAgg, bitwiseFuncs,
-    regexFuncs, stringFuncs2, dateFuncs2, mathFuncs2, tryFuncs)
+    regexFuncs, stringFuncs2, dateFuncs2, mathFuncs2, tryFuncs, generatorFuncs)
 }
