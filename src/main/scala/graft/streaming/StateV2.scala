@@ -1,8 +1,8 @@
 package graft.streaming
 
 import org.apache.spark.sql.{Dataset, Encoders}
-import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode,
-  StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, MapState,
+  OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Arbitrary stateful processing on the v2 API (SURVEY.md §2.9):
   * `transformWithState` + `StatefulProcessor` — Spark 4's successor to
@@ -98,5 +98,57 @@ object StateV2 {
       .groupByKey(_.user_id)
       .transformWithState(new SessionTimerProcessor(gapMs),
         TimeMode.EventTime(), OutputMode.Append())
+  }
+
+  /** One (user, event_type) count row, emitted on every update. */
+  case class TypeCount(user_id: Long, event_type: String, n: Long,
+      recent_ids: Seq[Long])
+
+  /** MapState + ListState in one processor — the two v2 state shapes
+    * the twins above don't exercise: a per-user MAP of event-type
+    * counts (point lookups/updates against RocksDB — the v1 API would
+    * deserialize the whole blob per key per batch; MapState touches
+    * only the entries the batch hits) and a bounded LIST of the k
+    * most recent event ids (append-heavy state where rewriting a
+    * whole array per event would be quadratic). Emits the updated
+    * types each batch, with the trimmed recent-id window.
+    */
+  class TypeCountsProcessor(keepRecent: Int)
+      extends StatefulProcessor[Long, Event, TypeCount] {
+    @transient private var counts: MapState[String, Long] = _
+    @transient private var recent: ListState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      counts = getHandle.getMapState("counts",
+        Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+      recent = getHandle.getListState("recent",
+        Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(user: Long, rows: Iterator[Event],
+        timers: TimerValues): Iterator[TypeCount] = {
+      val batch = rows.toSeq.sortBy(_.event_id)
+      batch.foreach { e =>
+        val cur = if (counts.containsKey(e.event_type))
+          counts.getValue(e.event_type) else 0L
+        counts.updateValue(e.event_type, cur + 1)
+        recent.appendValue(e.event_id)
+      }
+      // trim the recent-id window to the last keepRecent entries
+      val ids = recent.get().toSeq.takeRight(keepRecent)
+      recent.put(ids.toArray)
+      val touched = batch.map(_.event_type).distinct.sorted
+      touched.iterator.map(t => TypeCount(user, t, counts.getValue(t), ids))
+    }
+  }
+
+  def typeCounts(events: Dataset[Event],
+      keepRecent: Int = 3): Dataset[TypeCount] = {
+    implicit val keyEnc = Encoders.scalaLong
+    implicit val outEnc = Encoders.product[TypeCount]
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new TypeCountsProcessor(keepRecent),
+        TimeMode.None(), OutputMode.Update())
   }
 }

@@ -98,6 +98,32 @@ class StateV2Spec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("MapState counts per event type; ListState keeps a trimmed recent window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = StateV2.typeCounts(input.toDS(), keepRecent = 3)
+      .writeStream.format("memory").queryName("tws_map")
+      .outputMode("update").start()
+    try {
+      input.addData(Event(1, t(0), 1, "click", 1.0), Event(2, t(1), 1, "view", 2.0),
+        Event(3, t(2), 1, "click", 3.0))
+      q.processAllAvailable()
+      input.addData(Event(4, t(3), 1, "click", 4.0), Event(5, t(4), 1, "buy", 5.0))
+      q.processAllAvailable()
+      val rows = spark.table("tws_map").as[StateV2.TypeCount].collect()
+      // batch 2 emitted the updated types with accumulated counts
+      val batch2 = rows.filter(r => r.recent_ids == Seq(3L, 4L, 5L))
+        .map(r => (r.event_type, r.n)).toSet
+      assert(batch2 === Set(("click", 3L), ("buy", 1L)),
+        s"got ${rows.mkString(", ")}")
+      // batch 1 rows carried the un-trimmed (≤3) window [1,2,3]
+      val batch1 = rows.filter(r => r.recent_ids == Seq(1L, 2L, 3L))
+        .map(r => (r.event_type, r.n)).toSet
+      assert(batch1 === Set(("click", 2L), ("view", 1L)), rows.mkString(", "))
+    } finally q.stop()
+  }
+
   test("re-armed timers fire at the LATEST session end, not the first") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
