@@ -535,10 +535,44 @@ object Aggregations extends QueryModule {
       ORDER BY l_returnflag
     """))
 
+  /** Equi-DEPTH histogram — q_histogram's fixed-width twin: decile
+    * bins each holding ~10% of rows, with the value range per bin
+    * (the quantization table feature binning / data profiling needs).
+    * ntile(10) over a TOTAL order (price, orderkey tiebreak) is
+    * deterministic in both engines; counts/min/max are exact. The
+    * single-partition ntile window is the known cost — at 100 TB use
+    * approx percentile boundaries instead (q_approx_percentile) and
+    * a broadcast range join; this is the exact-oracle formulation.
+    */
+  val histogramEquidepthQ = QueryDef(
+    "q_histogram_equidepth",
+    (s, d) =>
+      Tables.orders(s, d)
+        .select(col("o_totalprice"),
+          ntile(10).over(org.apache.spark.sql.expressions.Window
+            .orderBy(col("o_totalprice"), col("o_orderkey")))
+            .cast("long").as("decile"))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("cnt"),
+          min(col("o_totalprice")).as("lo"),
+          max(col("o_totalprice")).as("hi"))
+        .orderBy(col("decile")),
+    Some("""
+      SELECT decile, count(*) AS cnt, min(o_totalprice) AS lo,
+             max(o_totalprice) AS hi
+      FROM (
+        SELECT o_totalprice,
+               CAST(ntile(10) OVER (ORDER BY o_totalprice, o_orderkey)
+                 AS BIGINT) AS decile
+        FROM orders)
+      GROUP BY decile
+      ORDER BY decile
+    """))
+
   def defs: Seq[QueryDef] = Seq(
     aggGlobal, countDistinctQ, approxDistinct, rollupQ, cubeQ,
     groupingSetsQ, aggFiltered, maxByQ, collectQ, statsQ, percentileQ,
     pivotQ, histogramQ, modeQ, anyValueQ, percentileDiscQ,
     approxPercentileQ, regressionQ, momentsQ, percentileMultiQ,
-    winsorizeQ)
+    winsorizeQ, histogramEquidepthQ)
 }
