@@ -25,6 +25,25 @@ class ApproxSpec extends AnyFunSuite {
     }
   }
 
+  test("approx_top_k recovers the exact heavy hitters (Spark 4 built-in)") {
+    // event_type is low-cardinality with clear frequency separation,
+    // so the sketch's top-3 must match the exact top-3 set and the
+    // reported counts must be exact for items that fit the sketch
+    val exact = Tables.events(spark, TestSpark.sf0001)
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("event_type")).limit(3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sketch = Tables.events(spark, TestSpark.sf0001)
+      .agg(expr("approx_top_k(event_type, 3)").as("tk"))
+      .selectExpr("explode(tk) AS e").selectExpr("e.item", "e.count")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sketch.keySet === exact.keySet,
+      s"sketch $sketch vs exact $exact")
+    exact.foreach { case (k, n) =>
+      assert(sketch(k) === n, s"$k count ${sketch(k)} vs exact $n")
+    }
+  }
+
   test("approx_count_distinct lands within 5% of exact count distinct") {
     val approx = SparkEntry.queries("q_approx_count_distinct")(spark, TestSpark.sf0001)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
