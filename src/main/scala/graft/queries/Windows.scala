@@ -177,6 +177,29 @@ object Windows extends QueryModule {
       LIMIT 10
     """))
 
+  /** Keyset-free pagination: page 3 of the price-ranked orders via
+    * LIMIT+OFFSET over a TOTAL order (unique tiebreak — without it,
+    * page boundaries are nondeterministic and rows repeat or vanish
+    * between pages). Spark still plans a top-(offset+limit) heap per
+    * partition, so cost grows with page DEPTH — at 100 TB deep pages
+    * should switch to keyset pagination (WHERE (price, key) < last
+    * seen), which this formulation's total order makes possible.
+    */
+  val pagination = QueryDef(
+    "q_pagination",
+    (s, d) =>
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .offset(20)
+        .limit(10),
+    Some("""
+      SELECT o_orderkey, o_totalprice
+      FROM orders
+      ORDER BY o_totalprice DESC, o_orderkey
+      LIMIT 10 OFFSET 20
+    """))
+
   /** Numeric RANGE frame (non-time): per customer, how many of their
     * orders fall within ±5000 of each order's price, via the SQL
     * entry point (the typed DSL's rangeBetween is integral-only).
@@ -426,5 +449,5 @@ object Windows extends QueryModule {
     windowRank, windowAnalytic, windowRunning, windowRangeRolling,
     topKPerGroup, sortLimit, windowRangeNumeric, windowIgnoreNulls,
     windowCountDistinct, windowShareOfTotal, orderStreaks, windowPct,
-    nullOrdering, windowMedian)
+    nullOrdering, windowMedian, pagination)
 }

@@ -24,6 +24,34 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(out > 0)
   }
 
+  test("SQL-defined scalar and table functions (CREATE FUNCTION ... RETURN)") {
+    // scalar SQL UDF: declarative body, inlined by the optimizer —
+    // unlike a Scala closure UDF it stays visible to Catalyst
+    spark.sql("""
+      CREATE OR REPLACE TEMPORARY FUNCTION discounted_price(
+        price DOUBLE, discount DOUBLE)
+      RETURNS DOUBLE
+      RETURN price * (1 - discount)""")
+    Tables.lineitem(spark, TestSpark.sf0001)
+      .createOrReplaceTempView("lineitem_udf_v")
+    val viaUdf = spark.sql("""
+      SELECT round(sum(discounted_price(l_extendedprice, l_discount)), 2) AS r
+      FROM lineitem_udf_v""").collect()(0).getDouble(0)
+    val direct = spark.sql("""
+      SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS r
+      FROM lineitem_udf_v""").collect()(0).getDouble(0)
+    assert(viaUdf === direct)
+    // table-valued SQL UDF
+    spark.sql("""
+      CREATE OR REPLACE TEMPORARY FUNCTION price_tiers(hi DOUBLE)
+      RETURNS TABLE(tier STRING, cutoff DOUBLE)
+      RETURN SELECT 'mid' AS tier, hi / 2 AS cutoff
+             UNION ALL SELECT 'high', hi""")
+    val tiers = spark.sql("SELECT * FROM price_tiers(100.0) ORDER BY cutoff")
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(tiers === Seq(("mid", 50.0), ("high", 100.0)))
+  }
+
   test("positional parameters bind in order") {
     val out = spark.sql("SELECT ? + ?, ?", Array(1, 2, "x")).collect()(0)
     assert(out.get(0) === 3)
