@@ -569,10 +569,49 @@ object Aggregations extends QueryModule {
       ORDER BY decile
     """))
 
+  /** Median absolute deviation per group — the robust dispersion
+    * measure outlier pipelines prefer over stddev (one wild value
+    * moves stddev arbitrarily; MAD needs 50% contamination). Two
+    * exact-percentile passes: the per-group median broadcast back
+    * onto the rows (tiny build side), then the median of absolute
+    * deviations. Exact percentile sorts within each group at scale —
+    * the approx-sketch swap is the same one q_percentile documents.
+    * The deviation |x−med| is computed from full-precision inputs;
+    * only the displayed columns round (q_text_quality rule).
+    */
+  val madQ = QueryDef(
+    "q_mad",
+    (s, d) => {
+      val med = Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag").as("m_flag"))
+        .agg(expr("percentile(l_extendedprice, 0.5)").as("med"))
+      Tables.lineitem(s, d)
+        .join(broadcast(med), col("l_returnflag") === col("m_flag"))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(max(col("med")), 4).as("median_price"),
+          round(expr("percentile(abs(l_extendedprice - med), 0.5)"), 4)
+            .as("mad_price"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""
+      WITH med AS (
+        SELECT l_returnflag AS m_flag,
+               quantile_cont(l_extendedprice, 0.5) AS med
+        FROM lineitem GROUP BY 1)
+      SELECT l_returnflag,
+             round(max(med), 4) AS median_price,
+             round(quantile_cont(abs(l_extendedprice - med), 0.5), 4)
+               AS mad_price
+      FROM lineitem JOIN med ON l_returnflag = m_flag
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag
+    """))
+
   def defs: Seq[QueryDef] = Seq(
     aggGlobal, countDistinctQ, approxDistinct, rollupQ, cubeQ,
     groupingSetsQ, aggFiltered, maxByQ, collectQ, statsQ, percentileQ,
     pivotQ, histogramQ, modeQ, anyValueQ, percentileDiscQ,
     approxPercentileQ, regressionQ, momentsQ, percentileMultiQ,
-    winsorizeQ, histogramEquidepthQ)
+    winsorizeQ, histogramEquidepthQ, madQ)
 }

@@ -495,8 +495,48 @@ object EventsTime extends QueryModule {
       ORDER BY purchase_id
     """))
 
+  /** Time-WEIGHTED average of `value` per user — the correct mean for
+    * irregularly-sampled state (a sensor/price that HOLDS its value
+    * between observations): Σ value·Δt / Σ Δt over lead()-derived
+    * intervals, instead of the naive per-event mean that over-weights
+    * bursts. Δt is exact epoch-microsecond arithmetic; the weighted
+    * sums are double products, so the ratio is float-cast (q_stats
+    * rule). One shuffle on user_id shared by the window and the agg.
+    */
+  val timeWeightedAvg = QueryDef(
+    "q_time_weighted_avg",
+    (s, d) => {
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+        .withColumn("dt",
+          lead(unix_micros(col("ts")), 1).over(byUser) - unix_micros(col("ts")))
+        .filter(col("dt").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_intervals"),
+          (sum(col("value") * col("dt")) / sum(col("dt")))
+            .cast("float").as("twa_value"),
+          avg(col("value")).cast("float").as("naive_mean"))
+        .orderBy(col("user_id"))
+    },
+    Some("""
+      SELECT user_id, count(*) AS n_intervals,
+             CAST(sum(value * dt) / sum(dt) AS FLOAT) AS twa_value,
+             CAST(avg(value) AS FLOAT) AS naive_mean
+      FROM (
+        SELECT user_id, value,
+               lead(epoch_us(CAST(ts AS TIMESTAMP)), 1)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 - epoch_us(CAST(ts AS TIMESTAMP)) AS dt
+        FROM events)
+      WHERE dt IS NOT NULL
+      GROUP BY user_id
+      ORDER BY user_id
+    """))
+
   def defs: Seq[QueryDef] = Seq(
     tumbling, sliding, sessionize, sessionWindowNative, dedupRows, gapFill,
     funnel, cohortRetention, wauRolling, stickiness, anomalies, ohlc,
-    attribution)
+    attribution, timeWeightedAvg)
 }
