@@ -379,8 +379,56 @@ object Joins extends QueryModule {
       ORDER BY e.event_type
     """))
 
+  /** EXISTS inside a DISJUNCTION — the third correlated-subquery join
+    * variant after semi (plain EXISTS) and anti (NOT EXISTS). A semi
+    * join can't express it (rows failing the EXISTS must survive when
+    * the other arm is true), so Catalyst plans an ExistenceJoin: the
+    * join emits an `exists` bit per probe row and the filter runs on
+    * `exists OR other`, keeping one output row per left row. Shuffle
+    * profile is identical to the semi join (equi-key on both sides).
+    * Here: 1997-Q1 orders that were either high-value OR had a
+    * multi-supplier lineitem set, counted per priority.
+    */
+  val joinExistence = QueryDef(
+    "q_join_existence",
+    (s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders_ex_v")
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem_ex_v")
+      s.sql("""
+        SELECT o_orderpriority, count(*) AS order_count,
+               round(sum(o_totalprice), 2) AS total_value
+        FROM orders_ex_v o
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
+          AND (o_totalprice > 400000 OR EXISTS (
+            SELECT 1 FROM lineitem_ex_v l1
+            WHERE l1.l_orderkey = o.o_orderkey
+              AND EXISTS (
+                SELECT 1 FROM lineitem_ex_v l2
+                WHERE l2.l_orderkey = l1.l_orderkey
+                  AND l2.l_suppkey <> l1.l_suppkey)))
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority""")
+    },
+    Some("""
+      SELECT o_orderpriority, count(*) AS order_count,
+             round(sum(o_totalprice), 2) AS total_value
+      FROM orders o
+      WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
+        AND (o_totalprice > 400000 OR EXISTS (
+          SELECT 1 FROM lineitem l1
+          WHERE l1.l_orderkey = o.o_orderkey
+            AND EXISTS (
+              SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)))
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority
+    """))
+
   def defs: Seq[QueryDef] = Seq(
     joinInner, joinLeft, joinRight, joinFull, joinSemi, joinAnti,
     joinCross, joinThetaRange, joinAsOf, joinAsOfForward, joinStar,
-    joinRangeBucketed, joinSkewed)
+    joinRangeBucketed, joinSkewed, joinExistence)
 }

@@ -8,7 +8,8 @@ object FingerprintDump {
     "BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin",
     "BroadcastNestedLoopJoin", "CartesianProduct",
     "Exchange hashpartitioning", "Exchange rangepartitioning",
-    "BroadcastExchange", "TakeOrderedAndProject", "WindowGroupLimit")
+    "BroadcastExchange", "TakeOrderedAndProject", "WindowGroupLimit",
+    "ExistenceJoin")
 
   def fingerprint(spark: org.apache.spark.sql.SparkSession,
       name: String, sfDir: String): Map[String, Int] = {

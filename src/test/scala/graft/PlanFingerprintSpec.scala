@@ -64,6 +64,9 @@ class PlanFingerprintSpec extends AnyFunSuite {
     "q_knn_join" -> Map("BroadcastExchange" -> 1, "BroadcastHashJoin" -> 1, "Exchange hashpartitioning" -> 1, "Exchange rangepartitioning" -> 1, "WindowGroupLimit" -> 2),
     // Q17 shape: brand slice aggregated then joined back (SMJ at this SF)
     "q_small_qty_revenue" -> Map("BroadcastExchange" -> 2, "BroadcastHashJoin" -> 2, "Exchange hashpartitioning" -> 2, "SortMergeJoin" -> 1),
+    // EXISTS-in-disjunction MUST stay an ExistenceJoin (a semi join
+    // here would silently drop the high-value-only orders)
+    "q_join_existence" -> Map("BroadcastExchange" -> 2, "BroadcastHashJoin" -> 2, "Exchange hashpartitioning" -> 1, "Exchange rangepartitioning" -> 1, "ExistenceJoin" -> 1),
   )
 
   test("plan fingerprints are unchanged (default planner)") {
