@@ -8,8 +8,11 @@ object Verify {
     val sfDir = args(0)
     val outDir = args(1)
     // optional: restrict to named queries (builder iteration; the
-    // driver always passes exactly two args → full run)
+    // driver always passes exactly two args → full run). A typo'd
+    // name must fail loudly, not silently verify nothing.
     val only = args.drop(2).toSet
+    val unknown = only.diff(SparkEntry.queries.keySet)
+    require(unknown.isEmpty, s"unknown query name(s): ${unknown.mkString(", ")}")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -508,20 +508,24 @@ object EventsTime extends QueryModule {
     (s, d) => {
       val byUser = Window.partitionBy(col("user_id"))
         .orderBy(col("ts"), col("event_id"))
+      // no dt filter: the last event's NULL dt drops out of the
+      // weighted sums on its own (sum/count skip NULLs), while
+      // naive_mean must average ALL events — filtering first would
+      // silently exclude each user's last event from the very column
+      // this query exists to contrast against
       Tables.events(s, d)
         .select(col("user_id"), col("ts"), col("event_id"), col("value"))
         .withColumn("dt",
           lead(unix_micros(col("ts")), 1).over(byUser) - unix_micros(col("ts")))
-        .filter(col("dt").isNotNull)
         .groupBy(col("user_id"))
-        .agg(count(lit(1)).as("n_intervals"),
+        .agg(count(col("dt")).as("n_intervals"),
           (sum(col("value") * col("dt")) / sum(col("dt")))
             .cast("float").as("twa_value"),
           avg(col("value")).cast("float").as("naive_mean"))
         .orderBy(col("user_id"))
     },
     Some("""
-      SELECT user_id, count(*) AS n_intervals,
+      SELECT user_id, count(dt) AS n_intervals,
              CAST(sum(value * dt) / sum(dt) AS FLOAT) AS twa_value,
              CAST(avg(value) AS FLOAT) AS naive_mean
       FROM (
@@ -530,7 +534,6 @@ object EventsTime extends QueryModule {
                  OVER (PARTITION BY user_id ORDER BY ts, event_id)
                  - epoch_us(CAST(ts AS TIMESTAMP)) AS dt
         FROM events)
-      WHERE dt IS NOT NULL
       GROUP BY user_id
       ORDER BY user_id
     """))

@@ -26,25 +26,29 @@ object Supply extends QueryModule {
     * the supplier with the lexicographically-min (unit price,
     * suppkey), where unit price = l_extendedprice / l_quantity stands
     * in for ps_supplycost. The correlated-min subquery becomes a
-    * min(struct) aggregate on (part, price, supp) — one shuffle on
-    * l_partkey — joined back to the (tiny, broadcast) filtered part
-    * dim; at 100 TB the heavy side shuffles once on the part key and
-    * the dims never shuffle.
+    * min(struct) aggregate on the part key; the broadcast part filter
+    * lands on lineitem BEFORE that aggregate, so the one fact shuffle
+    * carries only the qualifying ~1/50 of the data. At 100 TB the
+    * heavy side shuffles once on the part key, dims never shuffle.
     */
   val minPriceSupplier = QueryDef(
     "q_min_price_supplier",
     (s, d) => {
+      // part filter joined into lineitem BEFORE the aggregate: the
+      // per-part min is computed only for the ~1/50 qualifying parts,
+      // so the one fact shuffle carries 1/50 of the data (aggregating
+      // everything and discarding 98% after would waste the shuffle)
       val best = Tables.lineitem(s, d)
-        .select(col("l_partkey"),
-          struct((col("l_extendedprice") / col("l_quantity")).as("unit_price"),
-            col("l_suppkey").as("supp")).as("cs"))
-        .groupBy(col("l_partkey"))
-        .agg(min(col("cs")).as("m"))
-        .select(col("l_partkey"), col("m.unit_price").as("best_price"),
-          col("m.supp").as("best_supp"))
-      best
         .join(broadcast(Tables.part(s, d).filter(col("p_size") === 15)),
           col("l_partkey") === col("p_partkey"))
+        .select(col("l_partkey"), col("p_partkey"), col("p_brand"),
+          struct((col("l_extendedprice") / col("l_quantity")).as("unit_price"),
+            col("l_suppkey").as("supp")).as("cs"))
+        .groupBy(col("p_partkey"), col("p_brand"))
+        .agg(min(col("cs")).as("m"))
+        .select(col("p_partkey"), col("p_brand"),
+          col("m.unit_price").as("best_price"), col("m.supp").as("best_supp"))
+      best
         .join(broadcast(Tables.supplier(s, d)),
           col("best_supp") === col("s_suppkey"))
         .join(broadcast(Tables.nation(s, d)),

@@ -1071,8 +1071,13 @@ object TextAnalysis extends QueryModule {
           col("a.c").as("c1"), col("b.c").as("c2"))
         .agg(count(lit(1)).as("pair_docs"))
         .crossJoin(broadcast(nDocs))
+        // double-cast BEFORE the multiplies: long·long products
+        // (c1·c2 ≈ n_docs²) overflow int64 at web scale — ANSI mode
+        // would throw; double rounding is IEEE-identical in both
+        // engines so the oracle stays aligned
         .select(col("tok1"), col("tok2"), col("pair_docs"),
-          log(col("pair_docs") * col("n_docs") / (col("c1") * col("c2")))
+          log(col("pair_docs").cast("double") * col("n_docs")
+            / (col("c1").cast("double") * col("c2")))
             .cast("float").as("pmi"))
         .orderBy(col("pair_docs").desc, col("tok1"), col("tok2"))
         .limit(30)
@@ -1094,7 +1099,8 @@ object TextAnalysis extends QueryModule {
         GROUP BY 1, 2, 3, 4),
       n AS (SELECT count(*) AS n_docs FROM documents)
       SELECT tok1, tok2, pair_docs,
-             CAST(ln(pair_docs * n_docs / (c1 * c2)) AS FLOAT) AS pmi
+             CAST(ln(CAST(pair_docs AS DOUBLE) * n_docs
+                     / (CAST(c1 AS DOUBLE) * c2)) AS FLOAT) AS pmi
       FROM pairs CROSS JOIN n
       ORDER BY pair_docs DESC, tok1, tok2
       LIMIT 30

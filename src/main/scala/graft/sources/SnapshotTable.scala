@@ -53,8 +53,12 @@ object SnapshotTable {
 
   /** Read the latest snapshot (default) or time-travel to `version`. */
   def read(spark: SparkSession, root: String, version: Int = -1): DataFrame = {
-    val v = if (version > 0) version else currentVersion(root)
+    val cur = currentVersion(root)
+    val v = if (version > 0) version else cur
     require(v > 0, s"no committed version at $root")
+    // an orphan v=N directory from a crashed/losing writer can exist
+    // ABOVE the pointer; reading it would surface uncommitted data
+    require(v <= cur, s"version $v is not committed (latest is $cur)")
     require(Files.exists(Paths.get(root, s"v=$v")),
       s"version $v does not exist (vacuumed or never committed)")
     spark.read.parquet(s"$root/v=$v")
@@ -62,6 +66,8 @@ object SnapshotTable {
 
   /** Drop versions older than `keepLast` (never the current one). */
   def vacuum(root: String, keepLast: Int = 2): Seq[Int] = {
+    require(keepLast >= 1, s"keepLast must be >= 1 (got $keepLast): " +
+      "retaining zero versions would delete the live snapshot")
     val cur = currentVersion(root)
     val dropBelow = cur - keepLast + 1
     val dropped = (1 until dropBelow).filter { v =>

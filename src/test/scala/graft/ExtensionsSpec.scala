@@ -39,6 +39,18 @@ class ExtensionsSpec extends AnyFunSuite {
       val words = s.sql("SELECT word_ngrams(array('a','b','c'), 2) AS g")
         .head().getSeq[String](0)
       assert(words === Seq("a b", "b c"))
+      // the injected optimizer rule fires WITHOUT the experimental
+      // escape hatch: the declarative aggregate/zip_with cosine shape
+      // optimizes to the fused native expression in this session
+      val declarative = Tables.embeddings(s, TestSpark.sf0001)
+        .filter(org.apache.spark.sql.functions.col("vec_id") < 5)
+        .select(graft.functions.VectorFunctions.cosine(
+          org.apache.spark.sql.functions.col("embedding"),
+          org.apache.spark.sql.functions.reverse(
+            org.apache.spark.sql.functions.col("embedding"))).as("c"))
+      val optimized = declarative.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("cosine_sim"),
+        s"RewriteCosineToNative did not fire via extensions:\n$optimized")
     } finally {
       // restore the shared test session as active/default so other
       // suites' SQL-text paths are unaffected
