@@ -273,6 +273,82 @@ object Joins extends QueryModule {
       ORDER BY purchase_id
     """))
 
+  /** Nearest as-of join — the third as-of mode after backward and
+    * forward: for each purchase, the closest non-purchase event in
+    * EITHER direction, chosen by exact |Δt| in epoch microseconds
+    * (tie → the earlier/backward side). Still one window pass — both
+    * frames (unbounded-preceding and unbounded-following) share the
+    * same partition/order, so Spark evaluates them in a single sort
+    * with no second shuffle; the arbitration is a row-local CASE.
+    */
+  val joinAsOfNearest = QueryDef(
+    "q_join_asof_nearest",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .filter(col("event_type").isin("purchase", "click", "view"))
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("t_us"),
+          when(col("event_type") =!= "purchase", col("event_id")).as("c_id"),
+          when(col("event_type") =!= "purchase", unix_micros(col("ts")))
+            .as("c_us"))
+      val wb = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wf = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(1, Window.unboundedFollowing)
+      val backCloser = col("fwd_us").isNull ||
+        (col("back_us").isNotNull &&
+          col("t_us") - col("back_us") <= col("fwd_us") - col("t_us"))
+      ev.withColumn("back_id", last(col("c_id"), ignoreNulls = true).over(wb))
+        .withColumn("back_us", last(col("c_us"), ignoreNulls = true).over(wb))
+        .withColumn("fwd_id", first(col("c_id"), ignoreNulls = true).over(wf))
+        .withColumn("fwd_us", first(col("c_us"), ignoreNulls = true).over(wf))
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          when(backCloser, col("back_id")).otherwise(col("fwd_id"))
+            .as("nearest_id"),
+          when(col("back_us").isNull && col("fwd_us").isNull, lit(null))
+            .when(backCloser, lit("back")).otherwise(lit("fwd"))
+            .cast("string").as("direction"),
+          when(backCloser, col("t_us") - col("back_us"))
+            .otherwise(col("fwd_us") - col("t_us")).as("delta_us"))
+        .orderBy(col("purchase_id"))
+    },
+    Some("""
+      SELECT purchase_id, user_id,
+             CASE WHEN back_closer THEN back_id ELSE fwd_id END AS nearest_id,
+             CASE WHEN back_us IS NULL AND fwd_us IS NULL THEN NULL
+                  WHEN back_closer THEN 'back' ELSE 'fwd' END AS direction,
+             CASE WHEN back_closer THEN t_us - back_us
+                  ELSE fwd_us - t_us END AS delta_us
+      FROM (
+        SELECT *,
+               (fwd_us IS NULL OR (back_us IS NOT NULL
+                 AND t_us - back_us <= fwd_us - t_us)) AS back_closer
+        FROM (
+          SELECT event_id AS purchase_id, user_id, event_type,
+                 epoch_us(CAST(ts AS TIMESTAMP)) AS t_us,
+                 last_value(CASE WHEN event_type <> 'purchase' THEN event_id END IGNORE NULLS)
+                   OVER wb AS back_id,
+                 last_value(CASE WHEN event_type <> 'purchase'
+                   THEN epoch_us(CAST(ts AS TIMESTAMP)) END IGNORE NULLS)
+                   OVER wb AS back_us,
+                 first_value(CASE WHEN event_type <> 'purchase' THEN event_id END IGNORE NULLS)
+                   OVER wf AS fwd_id,
+                 first_value(CASE WHEN event_type <> 'purchase'
+                   THEN epoch_us(CAST(ts AS TIMESTAMP)) END IGNORE NULLS)
+                   OVER wf AS fwd_us
+          FROM events
+          WHERE event_type IN ('purchase', 'click', 'view')
+          WINDOW wb AS (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                 wf AS (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)))
+      WHERE event_type = 'purchase'
+      ORDER BY purchase_id
+    """))
+
   /** Multi-way star join (TPC-H Q5 analog): fact → orders → customer
     * plus broadcast nation/region. The two sub-25-row dims are
     * explicitly broadcast so the big tables only shuffle on their
@@ -429,6 +505,6 @@ object Joins extends QueryModule {
 
   def defs: Seq[QueryDef] = Seq(
     joinInner, joinLeft, joinRight, joinFull, joinSemi, joinAnti,
-    joinCross, joinThetaRange, joinAsOf, joinAsOfForward, joinStar,
-    joinRangeBucketed, joinSkewed, joinExistence)
+    joinCross, joinThetaRange, joinAsOf, joinAsOfForward, joinAsOfNearest,
+    joinStar, joinRangeBucketed, joinSkewed, joinExistence)
 }
