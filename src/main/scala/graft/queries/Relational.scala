@@ -194,7 +194,48 @@ object Relational extends QueryModule {
       FROM orders
     """))
 
+  /** WEIGHTED deterministic sampling — the importance-sampling upgrade
+    * of q_sample_stratified's fixed-rate hash Bernoulli: each doc's
+    * keep probability scales with its length (p = min(n_chars/600,1),
+    * quantized to 1/256), and the keep decision compares the doc's
+    * md5 prefix against the PER-ROW hex threshold lpad(hex(⌊p·256⌋)).
+    * Same reproducibility contract as all hash sampling here: pure
+    * map-side, stable across retries/repartitions, and the weights
+    * are a literal edit. This is how a 100 TB pipeline upsamples
+    * high-quality documents without a shuffle or an RNG.
+    */
+  val weightedSample = QueryDef(
+    "q_sample_weighted",
+    (s, d) => {
+      val t = least(floor(least(col("n_chars") / 600.0, lit(1.0)) * 256), lit(255.0))
+        .cast("int")
+      Tables.documents(s, d)
+        .select(col("lang"), col("n_chars"),
+          (substring(md5(col("doc_id").cast("string")), 1, 2)
+            < lower(lpad(hex(t), 2, "0"))).as("kept"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("total_docs"),
+          count(when(col("kept"), 1)).as("kept_docs"),
+          round(avg(when(col("kept"), col("n_chars"))), 2).as("kept_avg_chars"),
+          round(avg(col("n_chars")), 2).as("all_avg_chars"))
+        .orderBy(col("lang"))
+    },
+    Some("""
+      SELECT lang, count(*) AS total_docs,
+             count(*) FILTER (kept) AS kept_docs,
+             round(avg(n_chars) FILTER (kept), 2) AS kept_avg_chars,
+             round(avg(n_chars), 2) AS all_avg_chars
+      FROM (
+        SELECT lang, n_chars,
+               substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+                 < lower(lpad(hex(CAST(least(floor(least(n_chars / 600.0, 1.0)
+                     * 256), 255.0) AS INTEGER)), 2, '0')) AS kept
+        FROM documents)
+      GROUP BY lang
+      ORDER BY lang
+    """))
+
   def defs: Seq[QueryDef] =
     Seq(pricingSummary, filterPredicates, conditionalExpr, distinctProjection,
-      hashSample, profileOrders)
+      hashSample, profileOrders, weightedSample)
 }
