@@ -69,4 +69,41 @@ class NullSemanticsSpec extends AnyFunSuite {
     assert(a.intersect(b).count() === 1)     // the null row, once
     assert(a.except(b).collect().map(r => if (r.isNullAt(0)) None else Some(r.getInt(0))).toSeq === Seq(Some(1)))
   }
+
+  test("nearest as-of edge semantics on a fabricated events table") {
+    // the fixture corpus has no single-event users, so the null /
+    // one-sided / tie branches of q_join_asof_nearest never fire
+    // there — fabricate a minimal events.parquet and run the GRADED
+    // query fn against it (ts stored as int64 nanos, matching the
+    // real table's nanosAsLong read path)
+    import org.apache.spark.sql.functions.{col => c}
+    val us = 1000L * 1000L // one second in µs
+    def nanos(sec: Long) = sec * us * 1000L
+    val rows = Seq(
+      // user 1: lone purchase → no neighbor at all
+      (10L, nanos(100), 1L, "purchase", 1.0, "{}"),
+      // user 2: purchase then a later click only → fwd
+      (20L, nanos(100), 2L, "purchase", 1.0, "{}"),
+      (21L, nanos(130), 2L, "click", 1.0, "{}"),
+      // user 3: earlier view only → back
+      (30L, nanos(70), 3L, "view", 1.0, "{}"),
+      (31L, nanos(100), 3L, "purchase", 1.0, "{}"),
+      // user 4: equidistant (±20 s) → tie broken backward
+      (40L, nanos(80), 4L, "view", 1.0, "{}"),
+      (41L, nanos(100), 4L, "purchase", 1.0, "{}"),
+      (42L, nanos(120), 4L, "click", 1.0, "{}"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-asof").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = SparkEntry.queries("q_join_asof_nearest")(spark, tmp)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getLong(2)),
+          if (r.isNullAt(3)) None else Some(r.getString(3)),
+          if (r.isNullAt(4)) None else Some(r.getLong(4)))).toMap
+    assert(out(10L) === ((None, None, None)), s"lone purchase: ${out(10L)}")
+    assert(out(20L) === ((Some(21L), Some("fwd"), Some(30L * us))), out(20L).toString)
+    assert(out(31L) === ((Some(30L), Some("back"), Some(30L * us))), out(31L).toString)
+    assert(out(41L) === ((Some(40L), Some("back"), Some(20L * us))),
+      s"tie must break backward: ${out(41L)}")
+  }
 }
