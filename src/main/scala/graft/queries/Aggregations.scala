@@ -608,10 +608,56 @@ object Aggregations extends QueryModule {
       ORDER BY l_returnflag
     """))
 
+  /** Pairwise correlation matrix over the lineitem numerics — the
+    * feature-correlation profile (long format: one row per ordered
+    * pair). All six corr() aggregates run in ONE pass over the fact
+    * (a single partial+final HashAggregate computes every pair's
+    * co-moments simultaneously); the stack() to long format touches
+    * only the 1-row aggregate. Corr values float-cast per the
+    * q_stats determinism rule.
+    */
+  val corrMatrixQ = QueryDef(
+    "q_corr_matrix",
+    (s, d) => {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val pairs = for {
+        i <- cols.indices; j <- cols.indices if i < j
+      } yield (cols(i), cols(j))
+      val agged = Tables.lineitem(s, d).agg(
+        pairs.map { case (a, b) =>
+          corr(col(a), col(b)).cast("float").as(s"${a}__$b")
+        }.head,
+        pairs.map { case (a, b) =>
+          corr(col(a), col(b)).cast("float").as(s"${a}__$b")
+        }.tail: _*)
+      val stackExpr = pairs.map { case (a, b) =>
+        s"'$a', '$b', ${a}__$b"
+      }.mkString(s"stack(${pairs.size}, ", ", ", ") AS (col_a, col_b, corr)")
+      agged.selectExpr(stackExpr).orderBy(col("col_a"), col("col_b"))
+    },
+    Some("""
+      WITH m AS (
+        SELECT CAST(corr(l_quantity, l_extendedprice) AS FLOAT) AS qty_price,
+               CAST(corr(l_quantity, l_discount) AS FLOAT) AS qty_disc,
+               CAST(corr(l_quantity, l_tax) AS FLOAT) AS qty_tax,
+               CAST(corr(l_extendedprice, l_discount) AS FLOAT) AS price_disc,
+               CAST(corr(l_extendedprice, l_tax) AS FLOAT) AS price_tax,
+               CAST(corr(l_discount, l_tax) AS FLOAT) AS disc_tax
+        FROM lineitem)
+      SELECT col_a, col_b, corr FROM (
+        SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b, qty_price AS corr FROM m
+        UNION ALL SELECT 'l_quantity', 'l_discount', qty_disc FROM m
+        UNION ALL SELECT 'l_quantity', 'l_tax', qty_tax FROM m
+        UNION ALL SELECT 'l_extendedprice', 'l_discount', price_disc FROM m
+        UNION ALL SELECT 'l_extendedprice', 'l_tax', price_tax FROM m
+        UNION ALL SELECT 'l_discount', 'l_tax', disc_tax FROM m)
+      ORDER BY col_a, col_b
+    """))
+
   def defs: Seq[QueryDef] = Seq(
     aggGlobal, countDistinctQ, approxDistinct, rollupQ, cubeQ,
     groupingSetsQ, aggFiltered, maxByQ, collectQ, statsQ, percentileQ,
     pivotQ, histogramQ, modeQ, anyValueQ, percentileDiscQ,
     approxPercentileQ, regressionQ, momentsQ, percentileMultiQ,
-    winsorizeQ, histogramEquidepthQ, madQ)
+    winsorizeQ, histogramEquidepthQ, madQ, corrMatrixQ)
 }

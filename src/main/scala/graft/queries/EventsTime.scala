@@ -538,8 +538,38 @@ object EventsTime extends QueryModule {
       ORDER BY user_id
     """))
 
+  /** Lag-1 autocorrelation of daily order revenue — the seasonality /
+    * momentum diagnostic for a metric series. Aggregate FIRST (the
+    * fact shuffles once into ~|days| rows), THEN the lag window runs
+    * on the tiny aggregate (the q_vocab_coverage rule: never a
+    * single-partition window over fact-sized data), then one corr()
+    * over (x, lag(x)). Corr float-cast per the q_stats rule.
+    */
+  val autocorr = QueryDef(
+    "q_autocorr",
+    (s, d) => {
+      val daily = Tables.orders(s, d)
+        .groupBy(date_trunc("day", col("o_orderdate")).as("day"))
+        .agg(sum(col("o_totalprice")).as("rev"))
+      val w = Window.orderBy(col("day"))
+      daily
+        .withColumn("prev_rev", lag(col("rev"), 1).over(w))
+        .agg(count(col("prev_rev")).as("n_pairs"),
+          corr(col("rev"), col("prev_rev")).cast("float").as("lag1_autocorr"))
+    },
+    Some("""
+      SELECT count(prev_rev) AS n_pairs,
+             CAST(corr(rev, prev_rev) AS FLOAT) AS lag1_autocorr
+      FROM (
+        SELECT day, rev, lag(rev, 1) OVER (ORDER BY day) AS prev_rev
+        FROM (
+          SELECT date_trunc('day', o_orderdate) AS day,
+                 sum(o_totalprice) AS rev
+          FROM orders GROUP BY 1))
+    """))
+
   def defs: Seq[QueryDef] = Seq(
     tumbling, sliding, sessionize, sessionWindowNative, dedupRows, gapFill,
     funnel, cohortRetention, wauRolling, stickiness, anomalies, ohlc,
-    attribution, timeWeightedAvg)
+    attribution, timeWeightedAvg, autocorr)
 }
