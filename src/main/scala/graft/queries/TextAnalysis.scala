@@ -1106,10 +1106,49 @@ object TextAnalysis extends QueryModule {
       LIMIT 30
     """))
 
+  /** Cross-document boilerplate detection: the 5-grams appearing in
+    * the MOST distinct documents (shared headers/footers/templates —
+    * the things a cleaning pass strips corpus-wide), complementing
+    * q_repetition's WITHIN-document loops. Native codegen shingles,
+    * one shuffle on the gram, TakeOrdered(20) — no global sort. At
+    * 100 TB, count by 64-bit gram digest instead and join one example
+    * string back for display (halves the shuffle payload); grouping
+    * the string directly here keeps the oracle simple.
+    */
+  val boilerplate = QueryDef(
+    "q_boilerplate",
+    (s, d) => {
+      graft.functions.expressions.WordNgrams.register(s)
+      Tables.documents(s, d)
+        .select(col("doc_id"), TF.tokens(col("text")).as("toks"))
+        .select(col("doc_id"),
+          explode(array_distinct(TF.shinglesFast(col("toks"), 5))).as("gram"))
+        .groupBy(col("gram"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"))
+        .orderBy(col("n_docs").desc, col("gram"))
+        .limit(20)
+    },
+    Some("""
+      SELECT gram, count(DISTINCT doc_id) AS n_docs
+      FROM (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                 generate_series(1, len(toks) - 4),
+                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                      || ' ' || toks[i+3] || ' ' || toks[i+4]))) AS gram
+        FROM (
+          SELECT doc_id,
+                 list_filter(string_split(text, ' '), t -> t <> '') AS toks
+          FROM documents))
+      GROUP BY gram
+      ORDER BY n_docs DESC, gram
+      LIMIT 20
+    """))
+
   def defs: Seq[QueryDef] = Seq(
     textJaccard, ngramJaccard, langId, langStats, textQuality,
     tokenStats, docFingerprint, cleanCorpus, tfIdf, sampleBalanced,
     vocabCoverage, trainSplit, contamination, profileDocuments,
     repetition, qualityRules, redactTerms, unigramLogprob, zipfFit,
-    shardPlan, chunkDocs, driftPsi, cooccurrence)
+    shardPlan, chunkDocs, driftPsi, cooccurrence, boilerplate)
 }
