@@ -623,13 +623,10 @@ object Aggregations extends QueryModule {
       val pairs = for {
         i <- cols.indices; j <- cols.indices if i < j
       } yield (cols(i), cols(j))
-      val agged = Tables.lineitem(s, d).agg(
-        pairs.map { case (a, b) =>
-          corr(col(a), col(b)).cast("float").as(s"${a}__$b")
-        }.head,
-        pairs.map { case (a, b) =>
-          corr(col(a), col(b)).cast("float").as(s"${a}__$b")
-        }.tail: _*)
+      val cs = pairs.map { case (a, b) =>
+        corr(col(a), col(b)).cast("float").as(s"${a}__$b")
+      }
+      val agged = Tables.lineitem(s, d).agg(cs.head, cs.tail: _*)
       val stackExpr = pairs.map { case (a, b) =>
         s"'$a', '$b', ${a}__$b"
       }.mkString(s"stack(${pairs.size}, ", ", ", ") AS (col_a, col_b, corr)")

@@ -207,12 +207,16 @@ object Relational extends QueryModule {
   val weightedSample = QueryDef(
     "q_sample_weighted",
     (s, d) => {
-      val t = least(floor(least(col("n_chars") / 600.0, lit(1.0)) * 256), lit(255.0))
-        .cast("int")
+      // p = 1 must keep EVERYTHING: t = 256 maps to a sentinel above
+      // any hex prefix ('g' > 'ff'), not a 255 clamp that would drop
+      // exactly the highest-weight docs with probability 1/256
+      val t = floor(least(col("n_chars") / 600.0, lit(1.0)) * 256).cast("int")
+      val thresh = when(t >= 256, lit("g"))
+        .otherwise(lower(lpad(hex(t), 2, "0")))
       Tables.documents(s, d)
         .select(col("lang"), col("n_chars"),
-          (substring(md5(col("doc_id").cast("string")), 1, 2)
-            < lower(lpad(hex(t), 2, "0"))).as("kept"))
+          (substring(md5(col("doc_id").cast("string")), 1, 2) < thresh)
+            .as("kept"))
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("total_docs"),
           count(when(col("kept"), 1)).as("kept_docs"),
@@ -227,9 +231,11 @@ object Relational extends QueryModule {
              round(avg(n_chars), 2) AS all_avg_chars
       FROM (
         SELECT lang, n_chars,
-               substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
-                 < lower(lpad(hex(CAST(least(floor(least(n_chars / 600.0, 1.0)
-                     * 256), 255.0) AS INTEGER)), 2, '0')) AS kept
+               substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+                 CASE WHEN CAST(floor(least(n_chars / 600.0, 1.0) * 256)
+                        AS INTEGER) >= 256 THEN 'g'
+                      ELSE lower(lpad(hex(CAST(floor(least(n_chars / 600.0, 1.0)
+                        * 256) AS INTEGER)), 2, '0')) END AS kept
         FROM documents)
       GROUP BY lang
       ORDER BY lang

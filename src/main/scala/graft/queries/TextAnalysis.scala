@@ -957,9 +957,13 @@ object TextAnalysis extends QueryModule {
       Tables.documents(s, d)
         .filter(col("doc_id") < 100)
         .select(col("doc_id"), TF.tokens(col("text")).as("toks"))
+        // last start ≤ len−(size−stride)−1: a chunk whose tokens are
+        // all inside the previous chunk's window would be pure
+        // duplicate text — exactly what chunking must not emit
         .select(col("doc_id"), col("toks"),
           explode(sequence(lit(0),
-            greatest(org.apache.spark.sql.functions.size(col("toks")) - 1, lit(0)),
+            greatest(org.apache.spark.sql.functions.size(col("toks"))
+              - (size32 - stride) - 1, lit(0)),
             lit(stride))).as("start"))
         .select(col("doc_id"),
           (col("start") / stride).cast("long").as("chunk_id"),
@@ -977,7 +981,7 @@ object TextAnalysis extends QueryModule {
         FROM documents WHERE doc_id < 100),
       starts AS (
         SELECT doc_id, toks,
-               unnest(range(0, greatest(len(toks), 1), 24)) AS start
+               unnest(range(0, greatest(len(toks) - 8, 1), 24)) AS start
         FROM toks)
       SELECT doc_id,
              CAST(start / 24 AS BIGINT) AS chunk_id,

@@ -75,8 +75,10 @@ object SnapshotTable {
     }
     dropped.foreach { v =>
       val dir = Paths.get(root, s"v=$v")
-      Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+      val walk = Files.walk(dir) // stream holds a directory fd — close it
+      try walk.sorted(java.util.Comparator.reverseOrder())
         .forEach(p => Files.delete(p))
+      finally walk.close()
     }
     dropped
   }

@@ -33,10 +33,11 @@ class SnapshotTableSpec extends AnyFunSuite {
     def bytesOfV1: Map[String, Long] = {
       val dir = java.nio.file.Paths.get(root, "v=1")
       val out = scala.collection.mutable.Map[String, Long]()
-      java.nio.file.Files.walk(dir).forEach { p =>
+      val walk = java.nio.file.Files.walk(dir)
+      try walk.forEach { p =>
         if (java.nio.file.Files.isRegularFile(p))
           out(dir.relativize(p).toString) = java.nio.file.Files.size(p)
-      }
+      } finally walk.close()
       out.toMap
     }
     val before = bytesOfV1
