@@ -286,6 +286,96 @@ object Similarity extends QueryModule {
       ORDER BY src_id, rank
     """))
 
+  /** Multi-probe IVF ANN — the nprobe recall lever as a GRADED oracle
+    * row (IvfAnn covers it spec-side; this is the fully-declarative
+    * twin): per-label centroids are per-dimension means computed in
+    * one posexplode pass, each query probes its TOP-2 labels by
+    * centroid cosine, and only those buckets' candidates are scored.
+    * Probe ranking float-casts the centroid cosine (centroid
+    * components are order-dependent double means — the q_stats rule —
+    * and the fixture's clusters are well-separated, so float
+    * precision pins the same top-2 in both engines). At 100 TB the
+    * centroid table is |labels| rows (broadcast) and candidate volume
+    * is nprobe/|labels| of the corpus — the standard IVF contract.
+    */
+  val annIvfMultiprobe = QueryDef(
+    "q_ann_ivf_multiprobe",
+    (s, d) => {
+      graft.functions.expressions.CosineSimilarity.register(s)
+      val e = Tables.embeddings(s, d)
+      val cent = e
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("label"), col("pos"))
+        .agg(avg(col("v")).as("m"))
+        .groupBy(col("label"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          x => x.getField("m")).as("centroid"))
+      val queries = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_emb"))
+      val wProbe = Window.partitionBy(col("query_id"))
+        .orderBy(col("cent_cos").desc, col("label"))
+      val probes = queries.crossJoin(broadcast(cent))
+        .select(col("query_id"), col("query_emb"), col("label"),
+          VF.cosine(col("query_emb"), col("centroid")).cast("float")
+            .as("cent_cos"))
+        .withColumn("probe_rank", row_number().over(wProbe))
+        .filter(col("probe_rank") <= 2)
+        .select(col("query_id"), col("query_emb"), col("label"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("neighbor_id"))
+      probes
+        .join(e.select(col("vec_id").as("neighbor_id"), col("label"),
+          col("embedding").as("cand_emb")), Seq("label"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          VF.cosineFast(col("query_emb"), col("cand_emb")).as("cos"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("neighbor_id"), col("rank"),
+          round(col("cos"), 4).as("cosine"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(s"""
+      WITH cent AS (
+        SELECT label, list(m ORDER BY pos) AS centroid
+        FROM (
+          SELECT label, i AS pos, avg(embedding[i]) AS m
+          FROM embeddings, generate_series(1, 64) t(i)
+          GROUP BY label, i)
+        GROUP BY label),
+      q AS (
+        SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+        FROM embeddings WHERE vec_id < 10),
+      probes AS (
+        SELECT query_id, qe, label FROM (
+          SELECT q.query_id, q.qe, c.label,
+                 row_number() OVER (PARTITION BY q.query_id ORDER BY
+                   CAST(list_dot_product(q.qe, c.centroid)
+                     / (sqrt(list_dot_product(q.qe, q.qe))
+                        * sqrt(list_dot_product(c.centroid, c.centroid)))
+                     AS FLOAT) DESC, c.label) AS probe_rank
+          FROM q CROSS JOIN cent c)
+        WHERE probe_rank <= 2)
+      SELECT query_id, neighbor_id, rank, round(cos, 4) AS cosine
+      FROM (
+        SELECT p.query_id, b.vec_id AS neighbor_id,
+               list_dot_product(p.qe, CAST(b.embedding AS DOUBLE[]))
+                 / (sqrt(list_dot_product(p.qe, p.qe))
+                    * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
+                        CAST(b.embedding AS DOUBLE[])))) AS cos,
+               row_number() OVER (PARTITION BY p.query_id ORDER BY
+                 list_dot_product(p.qe, CAST(b.embedding AS DOUBLE[]))
+                   / (sqrt(list_dot_product(p.qe, p.qe))
+                      * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
+                          CAST(b.embedding AS DOUBLE[])))) DESC,
+                 b.vec_id) AS rank
+        FROM probes p JOIN embeddings b
+          ON p.label = b.label AND p.query_id <> b.vec_id)
+      WHERE rank <= 5
+      ORDER BY query_id, rank
+    """))
+
   def defs: Seq[QueryDef] =
-    Seq(cosineTopK, annIvf, vectorStats, annLsh, kmeansAssign, knnJoin)
+    Seq(cosineTopK, annIvf, vectorStats, annLsh, kmeansAssign, knnJoin,
+      annIvfMultiprobe)
 }

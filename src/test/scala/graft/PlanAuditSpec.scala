@@ -145,7 +145,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_global_customers", // 1-row avg-balance threshold cross join (tf_idf pattern)
     "q_important_parts", // 1-row corpus-total threshold cross join (tf_idf pattern)
     "q_drift_psi", // 1-row split-totals cross join (tf_idf pattern)
-    "q_cooccurrence") // 1-row doc-count cross join (tf_idf pattern)
+    "q_cooccurrence", // 1-row doc-count cross join (tf_idf pattern)
+    "q_ann_ivf_multiprobe") // 10-row broadcast centroid table (kmeans_assign pattern)
 
   test("no query plans a CartesianProduct; BNL only on the tiny-broadcast list") {
     val offenders = SparkEntry.all.flatMap { q =>
