@@ -25,6 +25,23 @@ class InventorySpec extends AnyFunSuite {
     assert(missing.isEmpty, s"queries missing oracle SQL: $missing")
   }
 
+  test("no query emits a nested-typed output column") {
+    // The harness oracle compare hashes result columns via pandas;
+    // array/map/struct values are unhashable there (q_percentile_multi
+    // was the round-3 proof). Vectors must be exploded to rows or
+    // canonical-string encoded (q_collect_list pattern) before return.
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    val offenders = SparkEntry.all.flatMap { q =>
+      val nested = q.fn(spark, TestSpark.sf0001).schema.fields.collect {
+        case f if f.dataType.isInstanceOf[ArrayType] ||
+          f.dataType.isInstanceOf[MapType] ||
+          f.dataType.isInstanceOf[StructType] => f.name
+      }
+      if (nested.isEmpty) None else Some(s"${q.name}: ${nested.mkString(",")}")
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+
   test("entry (smoke) returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
