@@ -1,54 +1,165 @@
 package graft.sources
 
-import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.nio.file.{FileAlreadyExistsException, Files, Path, Paths, StandardCopyOption}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import scala.jdk.CollectionConverters._
 
-/** Versioned snapshots over plain parquet — the time-travel half of
-  * what a transactional table format adds on top of ParquetDml's
-  * copy-on-write rewrites (the other half, concurrent writers, needs
-  * a coordinating log and is out of scope offline — documented, not
-  * faked).
+/** Versioned snapshots over plain parquet — time travel plus
+  * OPTIMISTIC-CONCURRENCY commits, the two things a transactional
+  * table format adds on top of ParquetDml's copy-on-write rewrites.
   *
-  * Layout: `root/v=N/` holds version N's parquet; `root/_VERSION` is
-  * a one-line pointer to the latest committed N. Commit protocol:
-  * write the new version directory COMPLETELY, then flip the pointer
-  * via write-temp + atomic rename — a reader either sees the old
-  * pointer (and the fully-written old directory) or the new one
-  * (ditto); never a half-written table. Old versions are immutable
-  * after commit, so `read(version = n)` is reproducible forever and
-  * a long-running job that resolved its version keeps a consistent
-  * view while later commits land.
+  * Layout: `root/v=N/` holds version N's parquet; `root/_log/N` is
+  * version N's commit marker (its content records the partitions the
+  * commit touched); `root/_VERSION` is a one-line READER pointer to
+  * the latest fully-committed N.
   *
-  * Single-writer contract: the rename makes the POINTER flip atomic,
-  * but two concurrent writers could both build v=N+1 — last rename
-  * wins, the loser's directory leaks. That coordination (optimistic
-  * concurrency on the log) is precisely what Delta/Iceberg add.
+  * Commit protocol (the same shape Delta's `_delta_log/N.json` CAS
+  * uses, expressed on a filesystem):
+  *   1. stage: write the new version's parquet COMPLETELY into a
+  *      writer-unique `_staging/<uuid>` directory — no shared name,
+  *      so concurrent writers never collide here;
+  *   2. CAS: `Files.createFile(_log/N)` with N = head+1. O_EXCL makes
+  *      this the atomic arbiter — exactly one writer wins version N,
+  *      every loser gets FileAlreadyExistsException and RETRIES
+  *      against the new head (after conflict-checking the commits
+  *      that landed in between);
+  *   3. publish: atomically rename the staging dir to `v=N` (the name
+  *      is unreachable by readers until the pointer moves), write the
+  *      touched-partition manifest into the owned marker, then flip
+  *      `_VERSION` via write-temp + ATOMIC_MOVE.
+  * A reader either sees the old pointer (and the immutable old
+  * directory) or the new one — never a half-written table. A writer
+  * that crashes between CAS and publish leaves a marker with no data
+  * directory: readers never see it (the pointer only moves on
+  * publish), later writers build on top of it, and `read` of that
+  * version fails loudly as "never committed".
+  *
+  * Conflict rule: a read-modify-write commit declares the snapshot
+  * version it READ and the partition values it WRITES. If any commit
+  * that landed after its read version touched an overlapping
+  * partition (or either side is a full-table write), the writer's
+  * inputs are stale — retrying would silently drop the other commit's
+  * effect — so the commit aborts with [[SnapshotConflict]] and the
+  * caller re-derives from the new snapshot. Disjoint-partition
+  * writers rebase and retry automatically; that is exactly the
+  * serializable-unless-disjoint contract of Delta/Iceberg OCC.
+  *
+  * Old versions are immutable after commit, so `read(version = n)` is
+  * reproducible forever and a long-running job that resolved its
+  * version keeps a consistent view while later commits land.
   *
   * At 100 TB: a snapshot commit costs only the NEW data written
   * (unchanged partitions of a copy-on-write rewrite can be hard-linked
   * or referenced, as the real formats do via the manifest); `vacuum`
   * bounds storage by dropping versions older than a retention floor.
+  * The CAS is one metadata operation per commit regardless of data
+  * size — on object stores the same step is a conditional PUT.
   */
 object SnapshotTable {
 
-  private def versionFile(root: String) = Paths.get(root, "_VERSION")
+  /** A read-modify-write commit lost to an overlapping concurrent
+    * commit; the caller must re-read the new snapshot and re-derive.
+    */
+  final class SnapshotConflict(msg: String) extends RuntimeException(msg)
 
-  /** Latest committed version, 0 if the table does not exist yet. */
+  private def versionFile(root: String) = Paths.get(root, "_VERSION")
+  private def logDir(root: String) = Paths.get(root, "_log")
+  private def markerFile(root: String, v: Int) = logDir(root).resolve(v.toString)
+
+  /** Latest committed version VISIBLE TO READERS, 0 if none. */
   def currentVersion(root: String): Int = {
     val f = versionFile(root)
     if (Files.exists(f)) Files.readString(f).trim.toInt else 0
   }
 
-  /** Commit `df` as the next version; returns the committed version. */
-  def commit(spark: SparkSession, root: String, df: DataFrame): Int = {
-    val next = currentVersion(root) + 1
-    df.write.mode("overwrite").parquet(s"$root/v=$next")
-    // pointer flip: temp file + ATOMIC_MOVE, never an in-place edit
-    val tmp = Paths.get(root, s"_VERSION.tmp.$next")
-    Files.writeString(tmp, next.toString)
-    Files.move(tmp, versionFile(root), StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
-    next
+  /** Latest version any writer has claimed (>= currentVersion):
+    * markers exist the instant the CAS lands, before publish.
+    */
+  private def headVersion(root: String): Int = {
+    val ld = logDir(root)
+    val maxMarker = if (Files.isDirectory(ld)) {
+      val s = Files.list(ld)
+      try s.iterator().asScala
+        .flatMap(p => p.getFileName.toString.toIntOption).maxOption.getOrElse(0)
+      finally s.close()
+    } else 0
+    math.max(maxMarker, currentVersion(root)) // pre-_log tables: pointer only
+  }
+
+  /** Partitions version `v` declared touching; `Set("*")` = full table.
+    * Markers written before the manifest (crash window) read as full —
+    * the conservative answer.
+    */
+  private def touched(root: String, v: Int): Set[String] = {
+    val m = markerFile(root, v)
+    if (!Files.exists(m)) Set("*")
+    else {
+      val body = Files.readString(m).trim
+      if (body.isEmpty) Set("*") else body.linesIterator.toSet
+    }
+  }
+
+  private def overlaps(a: Set[String], b: Set[String]): Boolean =
+    a.contains("*") || b.contains("*") || (a & b).nonEmpty
+
+  /** Commit `df` as the next version via optimistic concurrency.
+    *
+    * @param partitions  partition values this commit rewrites; empty
+    *                    means "whole table" (blind overwrite)
+    * @param readVersion the snapshot version the caller derived `df`
+    *                    from; -1 (default) = blind write, which never
+    *                    conflicts and only rebases
+    * @return the committed version
+    */
+  def commit(spark: SparkSession, root: String, df: DataFrame,
+      partitions: Seq[String] = Nil, readVersion: Int = -1,
+      maxRetries: Int = 10): Int = {
+    Files.createDirectories(logDir(root))
+    val mine: Set[String] = if (partitions.isEmpty) Set("*") else partitions.toSet
+    // Stage once — the expensive (data-sized) step happens exactly one
+    // time no matter how many CAS retries the (metadata-sized) loop takes.
+    val staging = Paths.get(root, "_staging", java.util.UUID.randomUUID().toString)
+    df.write.mode("overwrite").parquet(staging.toString)
+    var attempt = 0
+    while (true) {
+      val base = headVersion(root)
+      // Conflict check BEFORE claiming a version: any commit that
+      // landed after our read snapshot and overlaps our partitions
+      // makes our inputs stale.
+      if (readVersion >= 0) {
+        ((readVersion + 1) to base).find(v => overlaps(mine, touched(root, v)))
+          .foreach { v =>
+            deleteTree(staging)
+            throw new SnapshotConflict(
+              s"commit based on v$readVersion conflicts with v$v " +
+                s"(overlapping partitions); re-read and re-derive")
+          }
+      }
+      val next = base + 1
+      try {
+        Files.createFile(markerFile(root, next)) // the CAS — O_EXCL
+        // We own version `next` exclusively from here on.
+        Files.move(staging, Paths.get(root, s"v=$next"),
+          StandardCopyOption.ATOMIC_MOVE)
+        Files.writeString(markerFile(root, next), mine.toSeq.sorted.mkString("\n"))
+        // pointer flip: temp file + ATOMIC_MOVE, never an in-place edit
+        val tmp = Paths.get(root, s"_VERSION.tmp.$next")
+        Files.writeString(tmp, next.toString)
+        Files.move(tmp, versionFile(root), StandardCopyOption.ATOMIC_MOVE,
+          StandardCopyOption.REPLACE_EXISTING)
+        return next
+      } catch {
+        case _: FileAlreadyExistsException =>
+          attempt += 1
+          if (attempt >= maxRetries) {
+            deleteTree(staging)
+            throw new SnapshotConflict(
+              s"lost the commit race $maxRetries times at $root; giving up")
+          }
+        // loop: re-read head, re-check conflicts, try the next slot
+      }
+    }
+    -1 // unreachable
   }
 
   /** Read the latest snapshot (default) or time-travel to `version`. */
@@ -56,8 +167,8 @@ object SnapshotTable {
     val cur = currentVersion(root)
     val v = if (version > 0) version else cur
     require(v > 0, s"no committed version at $root")
-    // an orphan v=N directory from a crashed/losing writer can exist
-    // ABOVE the pointer; reading it would surface uncommitted data
+    // an orphan marker/directory from a crashed writer can exist ABOVE
+    // the pointer; reading it would surface uncommitted data
     require(v <= cur, s"version $v is not committed (latest is $cur)")
     require(Files.exists(Paths.get(root, s"v=$v")),
       s"version $v does not exist (vacuumed or never committed)")
@@ -73,13 +184,16 @@ object SnapshotTable {
     val dropped = (1 until dropBelow).filter { v =>
       Files.exists(Paths.get(root, s"v=$v"))
     }
-    dropped.foreach { v =>
-      val dir = Paths.get(root, s"v=$v")
+    dropped.foreach(v => deleteTree(Paths.get(root, s"v=$v")))
+    dropped
+  }
+
+  private def deleteTree(dir: Path): Unit = {
+    if (Files.exists(dir)) {
       val walk = Files.walk(dir) // stream holds a directory fd — close it
       try walk.sorted(java.util.Comparator.reverseOrder())
         .forEach(p => Files.delete(p))
       finally walk.close()
     }
-    dropped
   }
 }

@@ -50,6 +50,59 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(SnapshotTable.read(spark, root, version = 2).count() === 2)
   }
 
+  test("racing writers: every commit wins a distinct version, losers retry cleanly") {
+    val root = java.nio.file.Files.createTempDirectory("graft-snap-race").toString
+    val r = Tables.region(spark, TestSpark.sf0001)
+    SnapshotTable.commit(spark, root, r) // v1 base
+    // 6 concurrent blind writers race the CAS; each must land on its
+    // own version (the loop rebases losers onto the new head).
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(6)
+    import scala.jdk.CollectionConverters._
+    val tasks = (1 to 6).map { i =>
+      new java.util.concurrent.Callable[Int] {
+        override def call(): Int = SnapshotTable.commit(spark, root, r.limit(i))
+      }
+    }
+    val versions = pool.invokeAll(tasks.asJava).asScala.map(_.get()).toSet
+    pool.shutdown()
+    assert(versions === (2 to 7).toSet, s"expected versions 2..7, got $versions")
+    assert(SnapshotTable.currentVersion(root) === 7)
+    // every committed version is fully readable (no half-published dirs)
+    (2 to 7).foreach(v => SnapshotTable.read(spark, root, version = v).count())
+    // no staging directories leaked
+    val staging = java.nio.file.Paths.get(root, "_staging")
+    if (java.nio.file.Files.isDirectory(staging)) {
+      val s = java.nio.file.Files.list(staging)
+      try assert(!s.iterator().hasNext, "leaked staging dirs") finally s.close()
+    }
+  }
+
+  test("read-modify-write conflicts on overlapping partitions; disjoint rebases") {
+    val root = java.nio.file.Files.createTempDirectory("graft-snap-occ").toString
+    val r = Tables.region(spark, TestSpark.sf0001)
+    SnapshotTable.commit(spark, root, r, partitions = Seq("p=1", "p=2")) // v1
+    val readV = SnapshotTable.currentVersion(root)
+    // A commits p=1 on top of v1
+    assert(SnapshotTable.commit(spark, root, r.limit(3),
+      partitions = Seq("p=1"), readVersion = readV) === 2)
+    // B also derived from v1 and touches p=1 → stale inputs → conflict
+    val err = intercept[SnapshotTable.SnapshotConflict] {
+      SnapshotTable.commit(spark, root, r.limit(2),
+        partitions = Seq("p=1"), readVersion = readV)
+    }
+    assert(err.getMessage.contains("conflicts with v2"))
+    // C derived from v1 but touches only p=3 → disjoint → rebase + commit
+    assert(SnapshotTable.commit(spark, root, r.limit(1),
+      partitions = Seq("p=3"), readVersion = readV) === 3)
+    // a full-table (blind-partition) commit overlaps everything
+    assert(SnapshotTable.commit(spark, root, r) === 4)
+    val err2 = intercept[SnapshotTable.SnapshotConflict] {
+      SnapshotTable.commit(spark, root, r.limit(1),
+        partitions = Seq("p=9"), readVersion = 3)
+    }
+    assert(err2.getMessage.contains("conflicts with v4"))
+  }
+
   test("vacuum drops old versions but never the retained window") {
     val root = java.nio.file.Files.createTempDirectory("graft-snap3").toString
     val r = Tables.region(spark, TestSpark.sf0001)
