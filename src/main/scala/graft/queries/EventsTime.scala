@@ -23,7 +23,7 @@ object EventsTime extends QueryModule {
   val tumbling = QueryDef(
     "q_tumbling_window",
     (s, d) =>
-      Tables.events(s, d)
+      Tables.eventsByDate(s, d)
         .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
         .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("total_value"))
         .select(col("window.start").as("bucket_start"), col("event_type"),
@@ -44,7 +44,7 @@ object EventsTime extends QueryModule {
   val sliding = QueryDef(
     "q_sliding_window",
     (s, d) =>
-      Tables.events(s, d)
+      Tables.eventsByDate(s, d)
         .groupBy(window(col("ts"), "10 minutes", "5 minutes"))
         .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("total_value"))
         .select(col("window.start").as("bucket_start"), col("cnt"), col("total_value"))
@@ -150,7 +150,7 @@ object EventsTime extends QueryModule {
   val dedupRows = QueryDef(
     "q_dedup_events",
     (s, d) => {
-      val ev = Tables.events(s, d)
+      val ev = Tables.eventsByDate(s, d)
         .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
       ev.unionAll(ev)
         .dropDuplicates(Seq("event_id"))
@@ -568,8 +568,66 @@ object EventsTime extends QueryModule {
           FROM orders GROUP BY 1))
     """))
 
+  /** Static partition pruning: a week-bounded daily rollup over the
+    * date-partitioned events layout. The `event_date BETWEEN` filter
+    * is a PARTITION filter — the scan lists only the 7 matching
+    * `event_date=` directories and never opens the other 23 days'
+    * files (PlanAuditSpec pins PartitionFilters on the scan). At
+    * 100 TB this is the difference between reading a week and reading
+    * the table; the oracle proves the pruned read loses no rows.
+    */
+  val eventsPruned = QueryDef(
+    "q_events_pruned",
+    (s, d) =>
+      Tables.eventsByDate(s, d)
+        .filter(col("event_date").between(lit("2024-01-08"), lit("2024-01-14")))
+        .groupBy(col("event_date"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 2).as("sum_value"))
+        .orderBy(col("event_date"), col("event_type")),
+    Some("""
+      SELECT CAST(ts AS DATE) AS event_date, event_type,
+             count(*) AS n_events, round(sum(value), 2) AS sum_value
+      FROM events
+      WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-08' AND DATE '2024-01-14'
+      GROUP BY event_date, event_type
+      ORDER BY event_date, event_type
+    """))
+
+  /** DYNAMIC partition pruning: the fact side's scanned partitions are
+    * decided at RUNTIME from the dim side of a join on the partition
+    * column — the filter (`day % 7 = 0`, a monthly-maintenance-days
+    * dim) lives on the date dimension, so no static filter exists on
+    * the fact; Spark broadcasts the surviving dim keys and prunes the
+    * fact scan to the 4 matching directories
+    * (dynamicpruningexpression in the plan, pinned by PlanAuditSpec).
+    * This is THE star-schema scan pattern at 100 TB: fact partitions
+    * selected by dim predicates, not by fact predicates.
+    */
+  val eventsDpp = QueryDef(
+    "q_events_dpp",
+    (s, d) => {
+      val dim = s.range(1, 31)
+        .select(make_date(lit(2024), lit(1), col("id").cast("int")).as("d"))
+        .filter(dayofmonth(col("d")) % 7 === 0)
+      Tables.eventsByDate(s, d)
+        .join(dim, col("event_date") === col("d"))
+        .groupBy(col("event_date"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("users"))
+        .orderBy(col("event_date"))
+    },
+    Some("""
+      SELECT CAST(ts AS DATE) AS event_date,
+             count(*) AS n_events, count(DISTINCT user_id) AS users
+      FROM events
+      WHERE day(CAST(ts AS DATE)) % 7 = 0
+      GROUP BY event_date
+      ORDER BY event_date
+    """))
+
   def defs: Seq[QueryDef] = Seq(
     tumbling, sliding, sessionize, sessionWindowNative, dedupRows, gapFill,
     funnel, cohortRetention, wauRolling, stickiness, anomalies, ohlc,
-    attribution, timeWeightedAvg, autocorr)
+    attribution, timeWeightedAvg, autocorr, eventsPruned, eventsDpp)
 }

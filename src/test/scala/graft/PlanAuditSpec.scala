@@ -97,6 +97,22 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!logical.contains("broadcast"), "unexpected broadcast hint:\n" + logical.take(2000))
   }
 
+  test("q_events_pruned scans only the filtered date partitions (static pruning)") {
+    val p = plan("q_events_pruned")
+    // the BETWEEN lands as a PartitionFilter on the partitioned scan,
+    // not as a data filter evaluated after reading every file
+    assert(p.contains("PartitionFilters"), p)
+    val pf = p.linesIterator.find(_.contains("PartitionFilters")).get
+    assert(pf.contains("event_date"), pf)
+    assert(pf.contains("2024-01-08") || pf.contains("19730"), pf) // bound pushed
+  }
+
+  test("q_events_dpp prunes fact partitions dynamically from the date dim") {
+    val p = plan("q_events_dpp").toLowerCase
+    assert(p.contains("dynamicpruning"),
+      "expected dynamicpruningexpression on the events scan:\n" + p.take(2000))
+  }
+
   test("semi/anti joins stay semi/anti physically (no join+distinct)") {
     assert(plan("q_join_semi").contains("LeftSemi"), plan("q_join_semi"))
     assert(plan("q_join_anti").contains("LeftAnti"), plan("q_join_anti"))
