@@ -6,6 +6,16 @@ import org.apache.spark.sql.SparkSession
 /** Driver-run benchmark: executes every SparkEntry query at
   * SPARK_GRAFT_SF_DIR via `.count()` and emits one JSON line.
   *
+  * Action fidelity: `.count()` is the adjudicated cross-round
+  * methodology, but Catalyst legitimately PRUNES output columns a
+  * count never observes — a query whose cost lives in a projected
+  * expression (e.g. an exact multi-percentile) times fake-cheap under
+  * count. Set SPARK_GRAFT_BENCH_ACTION=write to run each query
+  * through the noop sink instead, which evaluates every output column
+  * end-to-end (what a real consumer pays) and writes nothing. Both
+  * numbers are recorded in BASELINE.md; round-over-round comparisons
+  * must use like-for-like actions.
+  *
   * Methodology: after a warmup, the suite runs with intra-suite
   * parallelism (min(8, cpus) concurrent queries on Spark's FAIR
   * scheduler) — a single small query can't saturate a 32-thread
@@ -45,13 +55,18 @@ object Bench {
     spark.range(1000).selectExpr("sum(id)").collect()
     Tables.lineitem(spark, sfDir).limit(1).count()
 
+    val fullEval = sys.env.get("SPARK_GRAFT_BENCH_ACTION").contains("write")
+    def run(df: org.apache.spark.sql.DataFrame): Unit =
+      if (fullEval) df.write.format("noop").mode("overwrite").save()
+      else { df.count(); () }
+
     val pool = Executors.newFixedThreadPool(conc)
     val t0 = System.nanoTime()
     val futures = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       name -> pool.submit(new Callable[Double] {
         override def call(): Double = {
           val s = System.nanoTime()
-          try { fn(spark, sfDir).count(); (System.nanoTime() - s) / 1e9 }
+          try { run(fn(spark, sfDir)); (System.nanoTime() - s) / 1e9 }
           catch { case e: Throwable => // failure marker; diagnose on stderr
             System.err.println(s"[bench] $name FAILED: $e")
             e.getStackTrace.take(5).foreach(f => System.err.println(s"[bench]   at $f"))

@@ -508,7 +508,12 @@ object Functions extends QueryModule {
         .select(col("l_orderkey"), col("l_linenumber"),
           expr("try_divide(l_extendedprice, l_quantity - 17)").cast("float")
             .as("price_per_extra_unit"),
-          expr("try_cast(concat('x', l_returnflag) AS int)").as("bad_int"),
+          // dirty data is a MINORITY in practice — fail the cast on
+          // line 1 only: an always-failing string cast pays a caught
+          // JVM exception per row (~7µs — measured 4.3s over sf0.1
+          // alone), which is a misleading cost model for try_*
+          expr("try_cast(CASE WHEN l_linenumber = 1 THEN concat('x', l_returnflag) " +
+            "ELSE CAST(CAST(l_quantity AS BIGINT) AS STRING) END AS int)").as("bad_int"),
           expr("try_cast(l_quantity AS int)").as("qty_int"),
           expr("try_add(l_orderkey, l_linenumber)").as("key_sum"))
         .orderBy(col("l_orderkey"), col("l_linenumber")),
@@ -516,7 +521,8 @@ object Functions extends QueryModule {
       SELECT l_orderkey, l_linenumber,
              CAST(CASE WHEN l_quantity - 17 = 0 THEN NULL
                   ELSE l_extendedprice / (l_quantity - 17) END AS FLOAT) AS price_per_extra_unit,
-             TRY_CAST(concat('x', l_returnflag) AS INT) AS bad_int,
+             TRY_CAST(CASE WHEN l_linenumber = 1 THEN concat('x', l_returnflag)
+                  ELSE CAST(CAST(l_quantity AS BIGINT) AS VARCHAR) END AS INT) AS bad_int,
              TRY_CAST(l_quantity AS INT) AS qty_int,
              l_orderkey + l_linenumber AS key_sum
       FROM lineitem
