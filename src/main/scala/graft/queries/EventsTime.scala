@@ -626,8 +626,52 @@ object EventsTime extends QueryModule {
       ORDER BY event_date
     """))
 
+  /** SCD Type-2 dimension build: collapse each user's event stream
+    * into versioned validity intervals of their event_type "state" —
+    * a row per CHANGE, [valid_from, valid_to) half-open, NULL
+    * valid_to marking the current version. The warehouse op every
+    * dimension-table pipeline runs. Two window passes on the same
+    * (user, time) order: lag() finds change points, then lead() over
+    * the filtered change rows closes each interval; both shuffles key
+    * on user_id, so at 100 TB this is two linear passes over a
+    * partition-friendly key, no self-join.
+    */
+  val scd2 = QueryDef(
+    "q_scd2",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val changes = Tables.eventsByDate(s, d)
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+        .select(col("user_id"), col("event_type"),
+          col("ts").as("valid_from"), col("event_id"))
+      val w2 = Window.partitionBy(col("user_id"))
+        .orderBy(col("valid_from"), col("event_id"))
+      changes
+        .withColumn("valid_to", lead(col("valid_from"), 1).over(w2))
+        .withColumn("version", row_number().over(w2).cast("long"))
+        .select(col("user_id"), col("event_type"), col("valid_from"),
+          col("valid_to"), col("version"))
+        .orderBy(col("user_id"), col("version"))
+    },
+    Some("""
+      WITH changes AS (
+        SELECT user_id, event_type,
+               CAST(ts AS TIMESTAMP) AS valid_from, event_id
+        FROM (
+          SELECT user_id, event_type, ts, event_id,
+                 lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+          FROM events)
+        WHERE prev_type IS NULL OR prev_type <> event_type)
+      SELECT user_id, event_type, valid_from,
+             lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from, event_id) AS valid_to,
+             row_number() OVER (PARTITION BY user_id ORDER BY valid_from, event_id) AS version
+      FROM changes
+      ORDER BY user_id, version
+    """))
+
   def defs: Seq[QueryDef] = Seq(
     tumbling, sliding, sessionize, sessionWindowNative, dedupRows, gapFill,
     funnel, cohortRetention, wauRolling, stickiness, anomalies, ohlc,
-    attribution, timeWeightedAvg, autocorr, eventsPruned, eventsDpp)
+    attribution, timeWeightedAvg, autocorr, eventsPruned, eventsDpp, scd2)
 }

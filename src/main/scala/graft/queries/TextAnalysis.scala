@@ -1149,10 +1149,74 @@ object TextAnalysis extends QueryModule {
       LIMIT 20
     """))
 
+  /** BM25 retrieval scoring — the ranking function every search/RAG
+    * retrieval layer runs (tf-idf's saturating successor: tf gains
+    * diminish via k1, long docs are normalized via b·dl/avgdl).
+    * Shape: term frequencies for the QUERY TERMS only (the isin
+    * filter prunes the exploded token stream before the group-by),
+    * document length from a map-side size(), corpus stats as a lazy
+    * 1-row cross join (q_tf_idf pattern — no driver action), per-term
+    * idf broadcast (|query| rows). Per-doc score sums ≤|query| terms;
+    * top-20 rides TakeOrderedAndProject. At 100 TB the only
+    * corpus-sized shuffle is the (doc, term) tf group-by, already
+    * pruned to query terms — the inverted-index-free scoring pass a
+    * batch reranker uses.
+    */
+  val bm25 = QueryDef(
+    "q_bm25",
+    (s, d) => {
+      val terms = Seq("hash", "join", "stream")
+      val k1 = 1.2d
+      val b = 0.75d
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), explode(TF.tokens(col("text"))).as("token"))
+      val tf = toks.filter(col("token").isin(terms: _*))
+        .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+      val dl = Tables.documents(s, d)
+        .select(col("doc_id"), size(TF.tokens(col("text"))).cast("double").as("dl"))
+      val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"),
+        avg(col("dl")).as("avgdl"))
+      val idf = tf.groupBy(col("token"))
+        .agg(countDistinct(col("doc_id")).cast("double").as("df"))
+      tf.join(dl, Seq("doc_id"))
+        .join(broadcast(idf), Seq("token"))
+        .crossJoin(stats)
+        .select(col("doc_id"),
+          (log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1)) *
+            (col("tf") * lit(k1 + 1)) /
+            (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl")))).as("term_score"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("term_score")).cast("float").as("bm25"))
+        .orderBy(col("bm25").desc, col("doc_id"))
+        .limit(20)
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS token
+        FROM documents),
+      dl AS (
+        SELECT doc_id, CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS DOUBLE) AS dl
+        FROM documents),
+      stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl),
+      tf AS (
+        SELECT doc_id, token, count(*) AS tf FROM toks
+        WHERE token IN ('hash', 'join', 'stream')
+        GROUP BY doc_id, token),
+      idf AS (
+        SELECT token, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df FROM tf GROUP BY token)
+      SELECT doc_id,
+             CAST(sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1)
+                      * (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))) AS FLOAT) AS bm25
+      FROM tf JOIN dl USING (doc_id) JOIN idf USING (token) CROSS JOIN stats
+      GROUP BY doc_id
+      ORDER BY bm25 DESC, doc_id
+      LIMIT 20
+    """))
+
   def defs: Seq[QueryDef] = Seq(
     textJaccard, ngramJaccard, langId, langStats, textQuality,
     tokenStats, docFingerprint, cleanCorpus, tfIdf, sampleBalanced,
     vocabCoverage, trainSplit, contamination, profileDocuments,
     repetition, qualityRules, redactTerms, unigramLogprob, zipfFit,
-    shardPlan, chunkDocs, driftPsi, cooccurrence, boilerplate)
+    shardPlan, chunkDocs, driftPsi, cooccurrence, boilerplate, bm25)
 }

@@ -37,7 +37,15 @@ object PercentileProfile {
       col("l_returnflag"),
       element_at(typedLit(Seq(0.25d, 0.5d, 0.75d, 0.99d)), col("i") + 1).as("p"),
       col("qv").cast("float").as("qval"))
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
     for (round <- 1 to 3) {
+      time(s"multi buffer-agg (noop) r$round") {
+        noop(graft.queries.Aggregations.percentileMultiQ.fn(spark, d))
+      }
+      time(s"multi sort-window (noop) r$round") {
+        noop(graft.queries.Aggregations.percentileWindowQ.fn(spark, d))
+      }
       time(s"q_percentile_multi r$round") {
         graft.queries.Aggregations.percentileMultiQ.fn(spark, d).count()
       }
