@@ -1162,55 +1162,135 @@ object TextAnalysis extends QueryModule {
     * pruned to query terms — the inverted-index-free scoring pass a
     * batch reranker uses.
     */
-  val bm25 = QueryDef(
-    "q_bm25",
-    (s, d) => {
-      val terms = Seq("hash", "join", "stream")
-      val k1 = 1.2d
-      val b = 0.75d
-      val toks = Tables.documents(s, d)
-        .select(col("doc_id"), explode(TF.tokens(col("text"))).as("token"))
-      val tf = toks.filter(col("token").isin(terms: _*))
-        .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
-      val dl = Tables.documents(s, d)
-        .select(col("doc_id"), size(TF.tokens(col("text"))).cast("double").as("dl"))
-      val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"),
-        avg(col("dl")).as("avgdl"))
-      val idf = tf.groupBy(col("token"))
-        .agg(countDistinct(col("doc_id")).cast("double").as("df"))
-      tf.join(dl, Seq("doc_id"))
-        .join(broadcast(idf), Seq("token"))
-        .crossJoin(stats)
-        .select(col("doc_id"),
-          (log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1)) *
-            (col("tf") * lit(k1 + 1)) /
-            (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl")))).as("term_score"))
-        .groupBy(col("doc_id"))
-        .agg(sum(col("term_score")).cast("float").as("bm25"))
-        .orderBy(col("bm25").desc, col("doc_id"))
-        .limit(20)
-    },
-    Some("""
-      WITH toks AS (
+  /** BM25 score per matching doc for the fixed query-term set —
+    * shared by q_bm25 (top-20 report) and q_hybrid_rrf (lexical leg
+    * of the fusion). Returns (doc_id, bm25 float).
+    */
+  private def bm25Scored(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val terms = Seq("hash", "join", "stream")
+    val k1 = 1.2d
+    val b = 0.75d
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), explode(TF.tokens(col("text"))).as("token"))
+    val tf = toks.filter(col("token").isin(terms: _*))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val dl = Tables.documents(s, d)
+      .select(col("doc_id"), size(TF.tokens(col("text"))).cast("double").as("dl"))
+    val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"),
+      avg(col("dl")).as("avgdl"))
+    val idf = tf.groupBy(col("token"))
+      .agg(countDistinct(col("doc_id")).cast("double").as("df"))
+    tf.join(dl, Seq("doc_id"))
+      .join(broadcast(idf), Seq("token"))
+      .crossJoin(stats)
+      .select(col("doc_id"),
+        (log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1)) *
+          (col("tf") * lit(k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl")))).as("term_score"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("term_score")).cast("float").as("bm25"))
+  }
+
+  /** DuckDB CTE list mirroring [[bm25Scored]], ending in
+    * `bm25s(doc_id, bm25)`. Callers prefix `WITH `.
+    */
+  private val bm25ScoredCte = """
+      toks AS (
         SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS token
         FROM documents),
-      dl AS (
+      dlen AS (
         SELECT doc_id, CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS DOUBLE) AS dl
         FROM documents),
-      stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl),
+      stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dlen),
       tf AS (
         SELECT doc_id, token, count(*) AS tf FROM toks
         WHERE token IN ('hash', 'join', 'stream')
         GROUP BY doc_id, token),
       idf AS (
-        SELECT token, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df FROM tf GROUP BY token)
-      SELECT doc_id,
-             CAST(sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1)
-                      * (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))) AS FLOAT) AS bm25
-      FROM tf JOIN dl USING (doc_id) JOIN idf USING (token) CROSS JOIN stats
-      GROUP BY doc_id
+        SELECT token, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df FROM tf GROUP BY token),
+      bm25s AS (
+        SELECT doc_id,
+               CAST(sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1)
+                        * (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))) AS FLOAT) AS bm25
+        FROM tf JOIN dlen USING (doc_id) JOIN idf USING (token) CROSS JOIN stats
+        GROUP BY doc_id)"""
+
+  val bm25 = QueryDef(
+    "q_bm25",
+    (s, d) =>
+      bm25Scored(s, d)
+        .orderBy(col("bm25").desc, col("doc_id"))
+        .limit(20),
+    Some(s"""
+      WITH $bm25ScoredCte
+      SELECT doc_id, bm25 FROM bm25s
       ORDER BY bm25 DESC, doc_id
       LIMIT 20
+    """))
+
+  /** Hybrid retrieval via reciprocal-rank fusion — the RAG-stack
+    * fusion step: a lexical candidate list (BM25 top-20) and a vector
+    * candidate list (cosine top-20 against a probe embedding, joined
+    * doc_id = vec_id) merge by RRF(d) = Σ_lists 1/(60 + rank_d). Ranks
+    * are integers and each doc sums ≤2 exact reciprocals, so the
+    * fused score is bit-identical across engines. Both candidate legs
+    * are top-k pushdowns (WindowGroupLimit / TakeOrdered); the full
+    * outer join touches ≤40 rows — fusion cost is independent of both
+    * corpus sizes, which is the point of fusing RANKS instead of
+    * incomparable raw scores.
+    */
+  val hybridRrf = QueryDef(
+    "q_hybrid_rrf",
+    (s, d) => {
+      graft.functions.expressions.CosineSimilarity.register(s)
+      val wLex = Window.orderBy(col("bm25").desc, col("doc_id"))
+      val lex = bm25Scored(s, d)
+        .withColumn("rank_lex", row_number().over(wLex).cast("long"))
+        .filter(col("rank_lex") <= 20)
+        .select(col("doc_id"), col("rank_lex"))
+      val probe = Tables.embeddings(s, d).filter(col("vec_id") === 0)
+        .select(col("embedding").as("probe_emb"))
+      val wVec = Window.orderBy(col("cos").desc, col("doc_id"))
+      val vec = Tables.embeddings(s, d).filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(probe))
+        .select(col("vec_id").as("doc_id"),
+          graft.functions.VectorFunctions.cosineFast(col("embedding"), col("probe_emb")).as("cos"))
+        .withColumn("rank_vec", row_number().over(wVec).cast("long"))
+        .filter(col("rank_vec") <= 20)
+        .select(col("doc_id"), col("rank_vec"))
+      lex.join(vec, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"), col("rank_lex"), col("rank_vec"),
+          (coalesce(lit(1.0) / (lit(60) + col("rank_lex")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + col("rank_vec")), lit(0.0)))
+            .cast("float").as("rrf"))
+        .orderBy(col("rrf").desc, col("doc_id"))
+        .limit(10)
+    },
+    Some(s"""
+      WITH $bm25ScoredCte,
+      lex AS (
+        SELECT doc_id, rank_lex FROM (
+          SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank_lex
+          FROM bm25s)
+        WHERE rank_lex <= 20),
+      probe AS (SELECT embedding AS probe_emb FROM embeddings WHERE vec_id = 0),
+      vec AS (
+        SELECT doc_id, rank_vec FROM (
+          SELECT doc_id, row_number() OVER (ORDER BY cos DESC, doc_id) AS rank_vec
+          FROM (
+            SELECT vec_id AS doc_id,
+                   list_dot_product(CAST(embedding AS DOUBLE[]), CAST(probe_emb AS DOUBLE[]))
+                     / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
+                        * sqrt(list_dot_product(CAST(probe_emb AS DOUBLE[]), CAST(probe_emb AS DOUBLE[])))) AS cos
+            FROM embeddings CROSS JOIN probe
+            WHERE vec_id <> 0))
+        WHERE rank_vec <= 20)
+      SELECT coalesce(lex.doc_id, vec.doc_id) AS doc_id, rank_lex, rank_vec,
+             CAST(coalesce(1.0 / (60 + rank_lex), 0) + coalesce(1.0 / (60 + rank_vec), 0) AS FLOAT) AS rrf
+      FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id
+      ORDER BY rrf DESC, doc_id
+      LIMIT 10
     """))
 
   def defs: Seq[QueryDef] = Seq(
@@ -1218,5 +1298,6 @@ object TextAnalysis extends QueryModule {
     tokenStats, docFingerprint, cleanCorpus, tfIdf, sampleBalanced,
     vocabCoverage, trainSplit, contamination, profileDocuments,
     repetition, qualityRules, redactTerms, unigramLogprob, zipfFit,
-    shardPlan, chunkDocs, driftPsi, cooccurrence, boilerplate, bm25)
+    shardPlan, chunkDocs, driftPsi, cooccurrence, boilerplate, bm25,
+    hybridRrf)
 }

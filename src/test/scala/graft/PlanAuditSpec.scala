@@ -163,7 +163,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_drift_psi", // 1-row split-totals cross join (tf_idf pattern)
     "q_cooccurrence", // 1-row doc-count cross join (tf_idf pattern)
     "q_ann_ivf_multiprobe", // 10-row broadcast centroid table (kmeans_assign pattern)
-    "q_bm25") // lazy 1-row corpus-stats cross join (tf_idf pattern)
+    "q_bm25", // lazy 1-row corpus-stats cross join (tf_idf pattern)
+    "q_hybrid_rrf") // 1-row probe-embedding + 1-row stats cross joins (tf_idf pattern)
 
   test("no query plans a CartesianProduct; BNL only on the tiny-broadcast list") {
     val offenders = SparkEntry.all.flatMap { q =>
