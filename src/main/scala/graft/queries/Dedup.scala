@@ -86,47 +86,52 @@ object Dedup extends QueryModule {
     * q_dedup_cluster (runs connected components over those pairs).
     * Returns the UNSORTED verified edge list (doc1 < doc2, jaccard).
     */
+  /** The per-doc shingle table — feeds the signature pipeline AND
+    * both sides of the Jaccard verification join. Measured:
+    * recomputing the (cheap, codegen-fused) tokenize+shingle pass per
+    * use beats .persist() here — caching costs a materialization
+    * barrier and row-format conversion that exceed the recompute. At
+    * 100 TB, checkpoint the shingled corpus once instead if it feeds
+    * many downstream consumers.
+    */
+  private def shingleTable(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    graft.functions.expressions.WordNgrams.register(s)
+    Tables.documents(s, d)
+      .select(col("doc_id"), TF.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), TF.shinglesFast(col("toks"), 3).as("shingles"))
+  }
+
+  /** The 8-rows-per-doc band-signature table (doc_id, band, sig),
+    * lazily localCheckpointed. All 8 band signatures come from one
+    * map-side pass (nested transform + array_min) — no explode/
+    * shuffle of |shingles|×|bands| rows. Hashing cost: md5 dominates
+    * (round-1 bench), so each shingle is hashed ONCE into 64 hex
+    * chars (two md5 calls, not one per band) and band b's hash is the
+    * 8-hex-char slice [8b, 8b+8) — eight 32-bit minhash functions
+    * from two digests. At 100 TB signature computation stays
+    * embarrassingly parallel; only the tiny signature table ever
+    * shuffles, and the checkpoint is the documented "materialize the
+    * signature table once" pattern (MinhashProfile: 6.6s → 3.7s).
+    */
+  private def bandSignatures(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    shingleTable(s, d)
+      .select(col("doc_id"), transform(col("shingles"),
+        sgl => concat(md5(sgl), md5(concat(lit("x"), sgl)))).as("hs"))
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(0), lit(7)),
+        b => struct(
+          b.as("band"),
+          array_min(transform(col("hs"),
+            h => h.substr(b * 8 + 1, lit(8)))).as("sig")))).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+      .localCheckpoint(false)
+
   private def minhashPairs(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {
-      // The shingle table feeds the signature pipeline AND both sides
-      // of the Jaccard verification join. Measured: recomputing the
-      // (cheap, codegen-fused) tokenize+shingle pass per use beats
-      // .persist() here — caching costs a materialization barrier and
-      // row-format conversion that exceed the recompute. At 100 TB,
-      // checkpoint the shingled corpus once instead if it feeds many
-      // downstream consumers.
-      graft.functions.expressions.WordNgrams.register(s)
-      val sh = Tables.documents(s, d)
-        .select(col("doc_id"), TF.tokens(col("text")).as("toks"))
-        .select(col("doc_id"), TF.shinglesFast(col("toks"), 3).as("shingles"))
-      // All 8 band signatures in one map-side pass (nested transform +
-      // array_min) — no explode/shuffle of |shingles|×|bands| rows.
-      // Hashing cost: md5 dominates this query (round-1 bench), so
-      // each shingle is hashed ONCE into 64 hex chars (two md5 calls,
-      // not one per band) and band b's hash is the 8-hex-char slice
-      // [8b, 8b+8) — eight 32-bit minhash functions from two digests.
-      // At 100 TB signature computation stays embarrassingly parallel;
-      // only the 8-rows-per-doc signature table ever shuffles.
-      val sig = sh
-        .select(col("doc_id"), transform(col("shingles"),
-          sgl => concat(md5(sgl), md5(concat(lit("x"), sgl)))).as("hs"))
-        .select(col("doc_id"), explode(transform(
-          sequence(lit(0), lit(7)),
-          b => struct(
-            b.as("band"),
-            array_min(transform(col("hs"),
-              h => h.substr(b * 8 + 1, lit(8)))).as("sig")))).as("bs"))
-        .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
-      // The signature table is 8 small rows/doc — the natural
-      // materialization point. Downstream it feeds the bucket cap AND
-      // both sides of the candidate self-join; without a checkpoint
-      // each use re-runs the whole tokenize→md5→band-min pipeline
-      // (ReuseExchange can't unify them — different projections).
-      // Lazy localCheckpoint materializes it once on first use
-      // (MinhashProfile: 6.6s → 3.7s at sf0.1). At 100 TB this is the
-      // documented "checkpoint the signature table once" pattern —
-      // its size is 8×n_docs tiny rows, independent of text length.
-      val sigM = sig.localCheckpoint(false)
+      val sh = shingleTable(s, d)
+      val sigM = bandSignatures(s, d)
       // Standard LSH bucket cap: signatures shared by > 10 docs are
       // degenerate stop-shingle buckets — candidate work inside them
       // is quadratic noise (this corpus: ~25% of pairs from <6% of
@@ -218,7 +223,7 @@ object Dedup extends QueryModule {
   private def verifiedPairs(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame =
     pairsCache.computeIfAbsent(
-      System.identityHashCode(s) + ":" + d,
+      s"${System.identityHashCode(s)}:$d",
       _ => minhashPairs(s, d).localCheckpoint(false))
 
   val dedupMinhash = QueryDef(
@@ -317,6 +322,49 @@ object Dedup extends QueryModule {
              count(*) OVER (PARTITION BY cluster_id) AS cluster_size
       FROM lab
       ORDER BY doc_id
+    """))
+
+  /** MinHash ESTIMATE vs truth — the sketch-accuracy audit every
+    * LSH deployment should run on a sample: for each verified
+    * near-dup pair, the Jaccard estimate implied by the signatures
+    * (fraction of the 8 band minhashes that agree — the only signal
+    * LSH banding ever sees) next to the exact shingle-set Jaccard.
+    * Signature agreement is pure deterministic md5 math, so the
+    * estimate is oracle-checkable bit-for-bit; at 100 TB the same
+    * query runs on the materialized pair + signature artifacts and
+    * costs |pairs|×8 rows, never touching the corpus.
+    */
+  val minhashEstimate = QueryDef(
+    "q_minhash_estimate",
+    (s, d) => {
+      val sig = bandSignatures(s, d)
+      verifiedPairs(s, d)
+        .join(sig.select(col("doc_id").as("doc1"), col("band"),
+          col("sig").as("sig1")), Seq("doc1"))
+        .join(sig.select(col("doc_id").as("doc2"), col("band"),
+          col("sig").as("sig2")), Seq("doc2", "band"))
+        .groupBy(col("doc1"), col("doc2"), col("jaccard"))
+        .agg(sum(when(col("sig1") === col("sig2"), 1L).otherwise(0L))
+          .as("n_band_matches"))
+        .select(col("doc1"), col("doc2"), col("jaccard"),
+          col("n_band_matches"),
+          (col("n_band_matches") / 8.0d).cast("float").as("est_jaccard"))
+        .orderBy(col("doc1"), col("doc2"))
+    },
+    Some(s"""
+      WITH $minhashVerifiedCte,
+      m AS (
+        SELECT v.doc1, v.doc2, v.jaccard,
+               CAST(sum(CASE WHEN s1.sig = s2.sig THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_band_matches
+        FROM verified v
+        JOIN sig s1 ON s1.doc_id = v.doc1
+        JOIN sig s2 ON s2.doc_id = v.doc2 AND s1.band = s2.band
+        GROUP BY v.doc1, v.doc2, v.jaccard)
+      SELECT doc1, doc2, jaccard, n_band_matches,
+             CAST(n_band_matches / 8.0 AS FLOAT) AS est_jaccard
+      FROM m
+      ORDER BY doc1, doc2
     """))
 
   /** 16-bit SimHash: per token, bit i's vote is ±1 by the parity of
@@ -597,5 +645,5 @@ object Dedup extends QueryModule {
   def defs: Seq[QueryDef] = Seq(
     dedupExact, dedupFingerprint, dedupMinhash, dedupCluster, dedupSimhash,
     dedupSimhashHamming, dedupEmbedding, dedupFuzzy, dedupKeepBest,
-    dedupIncremental)
+    dedupIncremental, minhashEstimate)
 }

@@ -670,8 +670,42 @@ object EventsTime extends QueryModule {
       ORDER BY user_id, version
     """))
 
+  /** Per-day Shannon entropy of the event-type mix — the drift/
+    * anomaly profiling stat (a day whose traffic collapses onto one
+    * event type drops toward 0; uniform mix approaches ln K). Uses
+    * the algebraic form H = ln n − (Σ c·ln c)/n so the whole thing is
+    * two cheap aggregations over exact integer counts (no per-row p
+    * ratios) on the date-partitioned layout; float-cast per the
+    * transcendental-output rule.
+    */
+  val entropy = QueryDef(
+    "q_entropy",
+    (s, d) =>
+      Tables.eventsByDate(s, d)
+        .groupBy(col("event_date"), col("event_type"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("event_date"))
+        .agg(sum(col("c")).as("n_events"),
+          sum(col("c") * log(col("c"))).as("sclogc"))
+        .select(col("event_date"), col("n_events"),
+          (log(col("n_events")) - col("sclogc") / col("n_events"))
+            .cast("float").as("entropy"))
+        .orderBy(col("event_date")),
+    Some("""
+      WITH c AS (
+        SELECT CAST(ts AS DATE) AS event_date, event_type, count(*) AS c
+        FROM events GROUP BY 1, 2)
+      SELECT event_date,
+             CAST(sum(c) AS BIGINT) AS n_events,
+             CAST(ln(sum(c)) - sum(c * ln(c)) / sum(c) AS FLOAT) AS entropy
+      FROM c
+      GROUP BY event_date
+      ORDER BY event_date
+    """))
+
   def defs: Seq[QueryDef] = Seq(
     tumbling, sliding, sessionize, sessionWindowNative, dedupRows, gapFill,
     funnel, cohortRetention, wauRolling, stickiness, anomalies, ohlc,
-    attribution, timeWeightedAvg, autocorr, eventsPruned, eventsDpp, scd2)
+    attribution, timeWeightedAvg, autocorr, eventsPruned, eventsDpp, scd2,
+    entropy)
 }
