@@ -519,8 +519,115 @@ object Analytics extends QueryModule {
       ORDER BY revenue DESC, n_name
     """))
 
+  /** The three ranking semantics side-by-side on a tie-heavy column:
+    * l_quantity is a small-integer domain, so "top-2 quantities per
+    * flag" means something different under row_number (exactly 2
+    * rows), rank (ALL tied rows, gaps), and dense_rank (all rows of
+    * the top-2 DISTINCT values). One window pass computes all three
+    * (same partition/order spec → one sort), and the aggregate
+    * compresses the proof to per-flag survivor counts. The choice is
+    * semantic, not cosmetic: at 100 TB a ties-included top-k can be
+    * orders of magnitude larger than k.
+    */
+  val topkTies = QueryDef(
+    "q_topk_ties",
+    (s, d) => {
+      val w = Window.partitionBy(col("l_returnflag")).orderBy(col("l_quantity").desc)
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_quantity"),
+          row_number().over(w).as("rn"),
+          rank().over(w).as("rk"),
+          dense_rank().over(w).as("dr"))
+        .groupBy(col("l_returnflag"))
+        .agg(sum(when(col("rn") <= 2, 1L).otherwise(0L)).as("n_row_number"),
+          sum(when(col("rk") <= 2, 1L).otherwise(0L)).as("n_rank"),
+          sum(when(col("dr") <= 2, 1L).otherwise(0L)).as("n_dense_rank"),
+          max(col("l_quantity")).as("top_qty"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""
+      SELECT l_returnflag,
+             CAST(sum(CASE WHEN rn <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_row_number,
+             CAST(sum(CASE WHEN rk <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_rank,
+             CAST(sum(CASE WHEN dr <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dense_rank,
+             max(l_quantity) AS top_qty
+      FROM (
+        SELECT l_returnflag, l_quantity,
+               row_number() OVER (PARTITION BY l_returnflag ORDER BY l_quantity DESC) AS rn,
+               rank()       OVER (PARTITION BY l_returnflag ORDER BY l_quantity DESC) AS rk,
+               dense_rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity DESC) AS dr
+        FROM lineitem)
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag
+    """))
+
+  /** Month-over-month revenue growth — the period-over-period report
+    * every dashboard opens with: monthly revenue, previous month via
+    * lag, growth ratio float-cast. The monthly aggregate is tiny, so
+    * the lag window costs nothing; at 100 TB all the weight is the
+    * one revenue group-by.
+    */
+  val momGrowth = QueryDef(
+    "q_mom_growth",
+    (s, d) => {
+      val w = Window.orderBy(col("month"))
+      Tables.orders(s, d)
+        .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+        .agg(round(sum(col("o_totalprice")), 2).as("revenue"))
+        .withColumn("prev_revenue", lag(col("revenue"), 1).over(w))
+        .select(col("month"), col("revenue"), col("prev_revenue"),
+          ((col("revenue") - col("prev_revenue")) / col("prev_revenue"))
+            .cast("float").as("mom_growth"))
+        .orderBy(col("month"))
+    },
+    Some("""
+      SELECT month, revenue, prev_revenue,
+             CAST((revenue - prev_revenue) / prev_revenue AS FLOAT) AS mom_growth
+      FROM (
+        SELECT month, revenue, lag(revenue, 1) OVER (ORDER BY month) AS prev_revenue
+        FROM (
+          SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+                 round(sum(o_totalprice), 2) AS revenue
+          FROM orders GROUP BY 1))
+      ORDER BY month
+    """))
+
+  /** Maximum drawdown of the daily-revenue series — running peak via
+    * an expanding max window, drawdown ratio against it, one global
+    * max. The time-series risk stat, and the canonical "expanding
+    * window + ratio" shape. The daily series is one aggregate (≤ a
+    * few thousand rows), so the single-partition expanding window is
+    * trivially safe — the same query on a per-key panel would
+    * partition the window by key.
+    */
+  val drawdown = QueryDef(
+    "q_drawdown",
+    (s, d) => {
+      val w = Window.orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.orders(s, d)
+        .groupBy(col("o_orderdate").cast("date").as("day"))
+        .agg(sum(col("o_totalprice")).as("rev"))
+        .withColumn("peak", max(col("rev")).over(w))
+        .select(((col("peak") - col("rev")) / col("peak")).as("dd"))
+        .agg(count(lit(1)).as("n_days"),
+          max(col("dd")).cast("float").as("max_drawdown"))
+    },
+    Some("""
+      SELECT count(*) AS n_days,
+             CAST(max((peak - rev) / peak) AS FLOAT) AS max_drawdown
+      FROM (
+        SELECT day, rev,
+               max(rev) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS peak
+        FROM (
+          SELECT CAST(o_orderdate AS DATE) AS day, sum(o_totalprice) AS rev
+          FROM orders GROUP BY 1))
+    """))
+
   def defs: Seq[QueryDef] = Seq(
     shippingPriority, forecastRevenue, promoRevenue, topSupplier, partsStats,
     emaOrders, largeOrders, marketShare, waitingOrders, globalCustomers,
-    priorityCount, custDist, returnedRevenue, localSupplierRevenue)
+    priorityCount, custDist, returnedRevenue, localSupplierRevenue,
+    topkTies, momGrowth, drawdown)
 }
