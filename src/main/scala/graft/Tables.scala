@@ -62,12 +62,34 @@ object Tables {
   private lazy val partRoot =
     java.nio.file.Files.createTempDirectory("graft-part-").toString
 
-  def eventsByDate(s: SparkSession, d: String): DataFrame =
-    cache.computeIfAbsent((s, d, "events_by_date"), _ => {
-      val out = s"$partRoot/${Integer.toHexString(d.hashCode)}/events_by_date"
-      events(s, d)
-        .withColumn("event_date", to_date(col("ts")))
-        .write.mode("overwrite").partitionBy("event_date").parquet(out)
-      s.read.parquet(out)
-    })
+  def eventsByDate(s: SparkSession, d: String): DataFrame = {
+    val key = (s, d, "events_by_date")
+    // NOT computeIfAbsent: building the layout calls events() → the
+    // same cache map, and a nested computeIfAbsent on one CHM is a
+    // forbidden recursive update (can throw or livelock when the keys
+    // share a bin). Resolve the source and run the (one-time, multi-
+    // second) write outside any map lock; a coarse lock serializes
+    // concurrent first-callers so the overwrite never races itself.
+    val cached = cache.get(key)
+    if (cached != null) cached
+    else {
+      val src = events(s, d)
+      this.synchronized {
+        val again = cache.get(key)
+        if (again != null) again
+        else {
+          // collision-free per-dataset subdir: sanitized full path
+          // (a 32-bit hashCode of the dir can collide and overwrite
+          // another dataset's live layout)
+          val sub = d.replaceAll("[^A-Za-z0-9._-]", "_")
+          val out = s"$partRoot/$sub/events_by_date"
+          src.withColumn("event_date", to_date(col("ts")))
+            .write.mode("overwrite").partitionBy("event_date").parquet(out)
+          val df = s.read.parquet(out)
+          cache.put(key, df)
+          df
+        }
+      }
+    }
+  }
 }

@@ -622,6 +622,10 @@ object EventsTime extends QueryModule {
              count(*) AS n_events, count(DISTINCT user_id) AS users
       FROM events
       WHERE day(CAST(ts AS DATE)) % 7 = 0
+        -- the Spark dim enumerates January 2024 explicitly; scope the
+        -- oracle to the same window so equivalence does not depend on
+        -- the corpus happening to span exactly that month
+        AND CAST(ts AS DATE) BETWEEN DATE '2024-01-01' AND DATE '2024-01-30'
       GROUP BY event_date
       ORDER BY event_date
     """))

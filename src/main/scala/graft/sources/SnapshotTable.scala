@@ -17,22 +17,35 @@ import scala.jdk.CollectionConverters._
   * uses, expressed on a filesystem):
   *   1. stage: write the new version's parquet COMPLETELY into a
   *      writer-unique `_staging/<uuid>` directory — no shared name,
-  *      so concurrent writers never collide here;
-  *   2. CAS: `Files.createFile(_log/N)` with N = head+1. O_EXCL makes
-  *      this the atomic arbiter — exactly one writer wins version N,
-  *      every loser gets FileAlreadyExistsException and RETRIES
-  *      against the new head (after conflict-checking the commits
-  *      that landed in between);
+  *      so concurrent writers never collide here. The touched-
+  *      partition manifest is also written to a writer-unique temp
+  *      file FIRST, so the claim step below is atomic WITH content;
+  *   2. CAS: `Files.createLink(_log/N, manifestTmp)` with N = head+1.
+  *      link(2) fails with EEXIST atomically, so exactly one writer
+  *      wins version N — and because the marker is a hard link to the
+  *      fully-written manifest, a marker is NEVER observable in a
+  *      contentless state (a concurrent conflict check always reads
+  *      the complete partition list, not a torn write). Losers get
+  *      FileAlreadyExistsException and RETRY against the new head
+  *      (after conflict-checking the commits that landed in between);
   *   3. publish: atomically rename the staging dir to `v=N` (the name
-  *      is unreachable by readers until the pointer moves), write the
-  *      touched-partition manifest into the owned marker, then flip
-  *      `_VERSION` via write-temp + ATOMIC_MOVE.
+  *      is unreachable by readers until the pointer moves), then
+  *      advance `_VERSION` MONOTONICALLY under an OS file lock
+  *      (FileChannel.lock on `_VERSION.lock`): concurrent publishes
+  *      may finish out of claim order, and a plain last-write-wins
+  *      flip could move the reader pointer BACKWARD past an
+  *      already-published version. On an object store the same step
+  *      is a conditional PUT.
   * A reader either sees the old pointer (and the immutable old
   * directory) or the new one — never a half-written table. A writer
-  * that crashes between CAS and publish leaves a marker with no data
-  * directory: readers never see it (the pointer only moves on
-  * publish), later writers build on top of it, and `read` of that
-  * version fails loudly as "never committed".
+  * that crashes between CAS and publish leaves a complete marker with
+  * no data directory: readers never see that version (the pointer
+  * only moves on publish), later writers build on top of it, `read`
+  * of it fails loudly as "never committed", and read-modify-write
+  * writers conflict against its DECLARED partitions only — a dead
+  * overlapping claim blocks its own partitions (conservative: the
+  * checker cannot distinguish in-flight from dead), but never
+  * disjoint writers.
   *
   * Conflict rule: a read-modify-write commit declares the snapshot
   * version it READ and the partition values it WRITES. If any commit
@@ -87,8 +100,9 @@ object SnapshotTable {
   }
 
   /** Partitions version `v` declared touching; `Set("*")` = full table.
-    * Markers written before the manifest (crash window) read as full —
-    * the conservative answer.
+    * Markers are hard-linked from a fully-written manifest, so an
+    * existing marker always carries complete content; a missing one
+    * (pre-_log table history) reads as full — the conservative answer.
     */
   private def touched(root: String, v: Int): Set[String] = {
     val m = markerFile(root, v)
@@ -97,6 +111,29 @@ object SnapshotTable {
       val body = Files.readString(m).trim
       if (body.isEmpty) Set("*") else body.linesIterator.toSet
     }
+  }
+
+  /** Advance the reader pointer to `next` unless a concurrent publish
+    * already moved it past: out-of-claim-order publishes must never
+    * move `_VERSION` backward. Serialized by an OS file lock so the
+    * read-compare-write is atomic across processes.
+    */
+  private def advancePointer(root: String, next: Int): Unit = {
+    val lockPath = Paths.get(root, "_VERSION.lock")
+    val ch = java.nio.channels.FileChannel.open(lockPath,
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.WRITE)
+    try {
+      val lock = ch.lock()
+      try {
+        if (currentVersion(root) < next) {
+          val tmp = Paths.get(root, s"_VERSION.tmp.$next")
+          Files.writeString(tmp, next.toString)
+          Files.move(tmp, versionFile(root), StandardCopyOption.ATOMIC_MOVE,
+            StandardCopyOption.REPLACE_EXISTING)
+        }
+      } finally lock.release()
+    } finally ch.close()
   }
 
   private def overlaps(a: Set[String], b: Set[String]): Boolean =
@@ -117,9 +154,15 @@ object SnapshotTable {
     Files.createDirectories(logDir(root))
     val mine: Set[String] = if (partitions.isEmpty) Set("*") else partitions.toSet
     // Stage once — the expensive (data-sized) step happens exactly one
-    // time no matter how many CAS retries the (metadata-sized) loop takes.
+    // time no matter how many CAS retries the (metadata-sized) loop
+    // takes. The manifest temp is written once too: the CAS hard-links
+    // it, so the marker is born with complete content.
     val staging = Paths.get(root, "_staging", java.util.UUID.randomUUID().toString)
     df.write.mode("overwrite").parquet(staging.toString)
+    val manifestTmp = Paths.get(root, "_staging",
+      staging.getFileName.toString + ".manifest")
+    Files.writeString(manifestTmp, mine.toSeq.sorted.mkString("\n"))
+    def cleanup(): Unit = { deleteTree(staging); Files.deleteIfExists(manifestTmp); () }
     var attempt = 0
     while (true) {
       val base = headVersion(root)
@@ -129,34 +172,44 @@ object SnapshotTable {
       if (readVersion >= 0) {
         ((readVersion + 1) to base).find(v => overlaps(mine, touched(root, v)))
           .foreach { v =>
-            deleteTree(staging)
+            cleanup()
             throw new SnapshotConflict(
               s"commit based on v$readVersion conflicts with v$v " +
                 s"(overlapping partitions); re-read and re-derive")
           }
       }
       val next = base + 1
-      try {
-        Files.createFile(markerFile(root, next)) // the CAS — O_EXCL
-        // We own version `next` exclusively from here on.
-        Files.move(staging, Paths.get(root, s"v=$next"),
-          StandardCopyOption.ATOMIC_MOVE)
-        Files.writeString(markerFile(root, next), mine.toSeq.sorted.mkString("\n"))
-        // pointer flip: temp file + ATOMIC_MOVE, never an in-place edit
-        val tmp = Paths.get(root, s"_VERSION.tmp.$next")
-        Files.writeString(tmp, next.toString)
-        Files.move(tmp, versionFile(root), StandardCopyOption.ATOMIC_MOVE,
-          StandardCopyOption.REPLACE_EXISTING)
-        return next
-      } catch {
-        case _: FileAlreadyExistsException =>
-          attempt += 1
-          if (attempt >= maxRetries) {
-            deleteTree(staging)
-            throw new SnapshotConflict(
-              s"lost the commit race $maxRetries times at $root; giving up")
-          }
-        // loop: re-read head, re-check conflicts, try the next slot
+      val claimed =
+        try { Files.createLink(markerFile(root, next), manifestTmp); true }
+        catch {
+          case _: FileAlreadyExistsException =>
+            attempt += 1
+            if (attempt >= maxRetries) {
+              cleanup()
+              throw new SnapshotConflict(
+                s"lost the commit race $maxRetries times at $root; giving up")
+            }
+            false // loop: re-read head, re-check conflicts, next slot
+        }
+      if (claimed) {
+        // We own version `next` exclusively from here on. On publish
+        // failure, roll our claim back so the slot does not poison
+        // future read-modify-write commits (another writer may have
+        // taken next+1 meanwhile — markers need not stay contiguous,
+        // headVersion is a max).
+        try {
+          Files.move(staging, Paths.get(root, s"v=$next"),
+            StandardCopyOption.ATOMIC_MOVE)
+          advancePointer(root, next)
+          Files.deleteIfExists(manifestTmp)
+          return next
+        } catch {
+          case e: Throwable =>
+            deleteTree(Paths.get(root, s"v=$next"))
+            Files.deleteIfExists(markerFile(root, next))
+            cleanup()
+            throw e
+        }
       }
     }
     -1 // unreachable
