@@ -625,9 +625,104 @@ object Analytics extends QueryModule {
           FROM orders GROUP BY 1))
     """))
 
+  /** RFM segmentation — the classic customer-value scoring: per
+    * customer, Recency (days since last order, against the corpus max
+    * date so the query is reproducible), Frequency (order count),
+    * Monetary (revenue sum), each bucketed into quintiles. ntile
+    * ties are broken by custkey in the ORDER BY so the bucket
+    * assignment is total-order deterministic in both engines. The
+    * per-customer aggregate is one shuffle; the three ntile windows
+    * share one global sort each over the (already tiny) customer
+    * aggregate — at 100 TB the windows run on |customers|, not
+    * |orders|. Corpus max date rides the lazy 1-row cross join.
+    */
+  val rfm = QueryDef(
+    "q_rfm",
+    (s, d) => {
+      val maxDate = Tables.orders(s, d)
+        .agg(max(col("o_orderdate")).as("corpus_max"))
+      val base = Tables.orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(max(col("o_orderdate")).as("last_order"),
+          count(lit(1)).as("frequency"),
+          round(sum(col("o_totalprice")), 2).as("monetary"))
+        .crossJoin(maxDate)
+        .select(col("o_custkey"),
+          datediff(col("corpus_max"), col("last_order")).cast("long").as("recency_days"),
+          col("frequency"), col("monetary"))
+      val wR = Window.orderBy(col("recency_days"), col("o_custkey"))
+      val wF = Window.orderBy(col("frequency").desc, col("o_custkey"))
+      val wM = Window.orderBy(col("monetary").desc, col("o_custkey"))
+      base
+        .select(col("o_custkey"), col("recency_days"), col("frequency"), col("monetary"),
+          ntile(5).over(wR).cast("long").as("r_score"),
+          ntile(5).over(wF).cast("long").as("f_score"),
+          ntile(5).over(wM).cast("long").as("m_score"))
+        .groupBy(col("r_score"), col("f_score"), col("m_score"))
+        .agg(count(lit(1)).as("n_customers"),
+          round(sum(col("monetary")), 2).as("segment_revenue"))
+        .orderBy(col("r_score"), col("f_score"), col("m_score"))
+    },
+    Some("""
+      WITH base AS (
+        SELECT o_custkey,
+               CAST(date_diff('day', last_order, corpus_max) AS BIGINT) AS recency_days,
+               frequency, monetary
+        FROM (
+          SELECT o_custkey, max(o_orderdate) AS last_order,
+                 count(*) AS frequency, round(sum(o_totalprice), 2) AS monetary
+          FROM orders GROUP BY o_custkey)
+        CROSS JOIN (SELECT max(o_orderdate) AS corpus_max FROM orders)),
+      scored AS (
+        SELECT o_custkey, recency_days, frequency, monetary,
+               CAST(ntile(5) OVER (ORDER BY recency_days, o_custkey) AS BIGINT) AS r_score,
+               CAST(ntile(5) OVER (ORDER BY frequency DESC, o_custkey) AS BIGINT) AS f_score,
+               CAST(ntile(5) OVER (ORDER BY monetary DESC, o_custkey) AS BIGINT) AS m_score
+        FROM base)
+      SELECT r_score, f_score, m_score,
+             count(*) AS n_customers,
+             round(sum(monetary), 2) AS segment_revenue
+      FROM scored
+      GROUP BY r_score, f_score, m_score
+      ORDER BY r_score, f_score, m_score
+    """))
+
+  /** Market-basket co-purchase affinity: part pairs appearing in the
+    * same order, counted across orders — the self-join is on
+    * l_orderkey, so candidate work is Σ per-order items² (orders hold
+    * a handful of lines), NEVER |lineitem|². The same bucket-local
+    * contract as every dedup/similarity op; at 100 TB the join
+    * shuffles both sides on orderkey once (AQE reuses the exchange)
+    * and the pair aggregate is the only wide output. Top-20 rides
+    * TakeOrderedAndProject.
+    */
+  val basketAffinity = QueryDef(
+    "q_basket_affinity",
+    (s, d) => {
+      val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+      li.as("a")
+        .join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey")
+            && col("a.l_partkey") < col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").as("part1"), col("b.l_partkey").as("part2"))
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy(col("n_orders").desc, col("part1"), col("part2"))
+        .limit(20)
+    },
+    Some("""
+      SELECT a.l_partkey AS part1, b.l_partkey AS part2,
+             count(*) AS n_orders
+      FROM lineitem a
+      JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY part1, part2
+      ORDER BY n_orders DESC, part1, part2
+      LIMIT 20
+    """))
+
   def defs: Seq[QueryDef] = Seq(
     shippingPriority, forecastRevenue, promoRevenue, topSupplier, partsStats,
     emaOrders, largeOrders, marketShare, waitingOrders, globalCustomers,
     priorityCount, custDist, returnedRevenue, localSupplierRevenue,
-    topkTies, momGrowth, drawdown)
+    topkTies, momGrowth, drawdown, rfm, basketAffinity)
 }
