@@ -24,6 +24,7 @@ object SparkEntry {
     q.Subqueries,
     q.Analytics,
     q.Supply,
+    q.Lifecycle,
   )
 
   def all: Seq[QueryDef] = {

@@ -1,0 +1,388 @@
+package graft.queries
+
+import graft.{QueryDef, QueryModule, Tables}
+import graft.functions.{TextFunctions => TF}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Customer-lifecycle, experimentation, audit-statistics, and
+  * training-data packing operators — the reporting layer a production
+  * deployment runs on top of the §2 primitives. Determinism contract
+  * (SURVEY §5) throughout: money sums round(,2), ratios float-cast
+  * after IEEE-deterministic division of stabilized operands, exact
+  * integer arithmetic wherever a threshold compare could sit on a
+  * float boundary, total ORDER BY with unique tiebreaks.
+  *
+  * Scale notes: every query aggregates the fact table FIRST (one
+  * shuffle on a natural key), then runs windows/joins on the tiny
+  * aggregate — at 100 TB the windows see |customers| or |days| or
+  * |digits| rows, never |orders|. 1-row corpus stats ride the lazy
+  * broadcast cross-join (tf_idf pattern, PlanAuditSpec-allowlisted).
+  */
+object Lifecycle extends QueryModule {
+
+  /** Survival curve over customer tenure: per customer, tenure in
+    * whole month-index steps (year*12+month difference — engine-stable,
+    * unlike fractional months_between); survivors(t) = customers with
+    * tenure ≥ t via a descending running sum over the ≤~30-row tenure
+    * histogram. The expensive part is the one per-customer aggregate.
+    */
+  val survivalCurve = QueryDef(
+    "q_survival_curve",
+    (s, d) => {
+      val pc = Tables.orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(((year(max(col("o_orderdate"))) * 12 + month(max(col("o_orderdate"))))
+          - (year(min(col("o_orderdate"))) * 12 + month(min(col("o_orderdate")))))
+          .cast("long").as("tenure_months"))
+      val hist = pc.groupBy(col("tenure_months"))
+        .agg(count(lit(1)).as("n_customers"))
+      val total = pc.agg(count(lit(1)).as("total"))
+      val w = Window.orderBy(col("tenure_months").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      hist
+        .withColumn("survivors", sum(col("n_customers")).over(w))
+        .crossJoin(total)
+        .select(col("tenure_months"), col("n_customers"), col("survivors"),
+          (col("survivors") / col("total")).cast("float").as("survival_rate"))
+        .orderBy(col("tenure_months"))
+    },
+    Some("""
+      WITH pc AS (
+        SELECT o_custkey,
+               CAST((year(max(o_orderdate))*12 + month(max(o_orderdate)))
+                  - (year(min(o_orderdate))*12 + month(min(o_orderdate))) AS BIGINT)
+                 AS tenure_months
+        FROM orders GROUP BY o_custkey),
+      hist AS (
+        SELECT tenure_months, count(*) AS n_customers FROM pc GROUP BY 1)
+      SELECT tenure_months, n_customers,
+             CAST(sum(n_customers) OVER (ORDER BY tenure_months DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS survivors,
+             CAST(CAST(sum(n_customers) OVER (ORDER BY tenure_months DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               / (SELECT count(*) FROM pc) AS FLOAT) AS survival_rate
+      FROM hist
+      ORDER BY tenure_months
+    """))
+
+  /** Churn by market segment: a customer is churned when their last
+    * order predates the corpus max date by more than 90 days (max
+    * date from the corpus itself so the query is reproducible on any
+    * snapshot). Day counts are exact integers — no float boundary.
+    */
+  val churnRate = QueryDef(
+    "q_churn_rate",
+    (s, d) => {
+      val maxDate = Tables.orders(s, d)
+        .agg(max(col("o_orderdate")).cast("date").as("corpus_max"))
+      val last = Tables.orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(max(col("o_orderdate")).cast("date").as("last_order"))
+      last
+        .crossJoin(maxDate)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_customers"),
+          sum(when(datediff(col("corpus_max"), col("last_order")) > 90, 1)
+            .otherwise(0)).as("n_churned"))
+        .select(col("c_mktsegment"), col("n_customers"), col("n_churned"),
+          (col("n_churned") / col("n_customers")).cast("float").as("churn_rate"))
+        .orderBy(col("c_mktsegment"))
+    },
+    Some("""
+      WITH last AS (
+        SELECT o_custkey, CAST(max(o_orderdate) AS DATE) AS last_order
+        FROM orders GROUP BY o_custkey),
+      mx AS (SELECT CAST(max(o_orderdate) AS DATE) AS corpus_max FROM orders)
+      SELECT c_mktsegment,
+             count(*) AS n_customers,
+             CAST(sum(CASE WHEN date_diff('day', last_order, corpus_max) > 90
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_churned,
+             CAST(CAST(sum(CASE WHEN date_diff('day', last_order, corpus_max) > 90
+                           THEN 1 ELSE 0 END) AS BIGINT)
+                  / count(*) AS FLOAT) AS churn_rate
+      FROM last CROSS JOIN mx
+      JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_mktsegment
+      ORDER BY c_mktsegment
+    """))
+
+  /** Day-of-week seasonality index: average daily revenue per weekday
+    * over the overall average daily revenue. Weekday is computed as
+    * days-since-a-known-Sunday mod 7 (0=Sunday) — Spark's dayofweek
+    * (1=Sunday) and DuckDB's dayofweek (0=Sunday) disagree, the
+    * datediff formulation is engine-stable. Daily sums round(,2)
+    * before the second-level aggregate so summation order cannot
+    * perturb the ratio.
+    */
+  val seasonalIndex = QueryDef(
+    "q_seasonal_index",
+    (s, d) => {
+      val daily = Tables.orders(s, d)
+        .groupBy(col("o_orderdate").cast("date").as("day"))
+        .agg(round(sum(col("o_totalprice")), 2).as("day_rev"))
+      val overall = daily.agg(
+        round(sum(col("day_rev")), 2).as("total_rev"),
+        count(lit(1)).as("total_days"))
+      daily
+        .withColumn("dow",
+          (datediff(col("day"), lit("1970-01-04").cast("date")) % 7).cast("long"))
+        .groupBy(col("dow"))
+        .agg(count(lit(1)).as("n_days"),
+          round(sum(col("day_rev")), 2).as("dow_revenue"))
+        .crossJoin(overall)
+        .select(col("dow"), col("n_days"), col("dow_revenue"),
+          ((col("dow_revenue") / col("n_days"))
+            / (col("total_rev") / col("total_days")))
+            .cast("float").as("seasonal_index"))
+        .orderBy(col("dow"))
+    },
+    Some("""
+      WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               round(sum(o_totalprice), 2) AS day_rev
+        FROM orders GROUP BY 1),
+      overall AS (
+        SELECT round(sum(day_rev), 2) AS total_rev, count(*) AS total_days
+        FROM daily)
+      SELECT CAST(date_diff('day', DATE '1970-01-04', day) % 7 AS BIGINT) AS dow,
+             count(*) AS n_days,
+             round(sum(day_rev), 2) AS dow_revenue,
+             CAST((round(sum(day_rev), 2) / count(*))
+                  / (total_rev / total_days) AS FLOAT) AS seasonal_index
+      FROM daily CROSS JOIN overall
+      GROUP BY dow, total_rev, total_days
+      ORDER BY dow
+    """))
+
+  /** First-order Markov transition matrix over per-user event
+    * sequences: lag within (user, ts, event_id-tiebreak) order, count
+    * (from, to) pairs, probability against the from-state total via a
+    * partition window on the tiny transition matrix. One shuffle on
+    * user_id for the lag; the matrix is |event_types|² rows.
+    */
+  val markovTransitions = QueryDef(
+    "q_markov_transitions",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val wFrom = Window.partitionBy(col("from_event"))
+      Tables.events(s, d)
+        .withColumn("from_event", lag(col("event_type"), 1).over(w))
+        .filter(col("from_event").isNotNull)
+        .groupBy(col("from_event"), col("event_type").as("to_event"))
+        .agg(count(lit(1)).as("n_transitions"))
+        .withColumn("p_transition",
+          (col("n_transitions") / sum(col("n_transitions")).over(wFrom))
+            .cast("float"))
+        .orderBy(col("from_event"), col("to_event"))
+    },
+    Some("""
+      WITH seq AS (
+        SELECT user_id, event_type,
+               lag(event_type, 1) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id) AS from_event
+        FROM events),
+      m AS (
+        SELECT from_event, event_type AS to_event, count(*) AS n_transitions
+        FROM seq WHERE from_event IS NOT NULL
+        GROUP BY 1, 2)
+      SELECT from_event, to_event, n_transitions,
+             CAST(n_transitions / CAST(sum(n_transitions)
+               OVER (PARTITION BY from_event) AS BIGINT) AS FLOAT) AS p_transition
+      FROM m
+      ORDER BY from_event, to_event
+    """))
+
+  /** Two-proportion A/B test: deterministic arm assignment by
+    * user_id parity (engine-stable, unlike hash-based bucketing),
+    * conversion = user fired ≥10 purchase events (every user
+    * purchases at least once in this corpus, so the ever-purchased
+    * flag is degenerate — pooled p=1 zeroes the z denominator),
+    * pooled z-statistic in one conditional aggregate. All inputs to
+    * the float math are exact integer counts; the z expression is a
+    * fixed dag of IEEE ops, identical in both engines.
+    */
+  val abTest = QueryDef(
+    "q_abtest",
+    (s, d) => {
+      val users = Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(when(sum(when(col("event_type") === "purchase", 1).otherwise(0)) >= 10, 1)
+          .otherwise(0).as("converted"))
+        .withColumn("arm", (col("user_id") % 2).cast("long"))
+      users.agg(
+        sum(when(col("arm") === 0, 1).otherwise(0)).as("n_a"),
+        sum(when(col("arm") === 0, col("converted")).otherwise(0)).as("conv_a"),
+        sum(when(col("arm") === 1, 1).otherwise(0)).as("n_b"),
+        sum(when(col("arm") === 1, col("converted")).otherwise(0)).as("conv_b"))
+        .select(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+          // ANSI makes integral `/` an integer div — cast to double first
+          // (same ulp dag as the DuckDB float division).
+          (col("conv_a").cast("double") / col("n_a")).cast("float").as("rate_a"),
+          (col("conv_b").cast("double") / col("n_b")).cast("float").as("rate_b"),
+          ((col("conv_a").cast("double") / col("n_a")
+            - col("conv_b").cast("double") / col("n_b"))
+            / sqrt(((col("conv_a") + col("conv_b")).cast("double") / (col("n_a") + col("n_b")))
+              * (lit(1.0) - (col("conv_a") + col("conv_b")).cast("double") / (col("n_a") + col("n_b")))
+              * (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))))
+            .cast("float").as("z_score"))
+    },
+    Some("""
+      WITH users AS (
+        SELECT user_id, user_id % 2 AS arm,
+               CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 10
+                    THEN 1 ELSE 0 END AS converted
+        FROM events GROUP BY user_id),
+      agg AS (
+        SELECT
+          CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+          CAST(sum(CASE WHEN arm = 0 THEN converted ELSE 0 END) AS BIGINT) AS conv_a,
+          CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+          CAST(sum(CASE WHEN arm = 1 THEN converted ELSE 0 END) AS BIGINT) AS conv_b
+        FROM users)
+      SELECT n_a, conv_a, n_b, conv_b,
+             CAST(conv_a / n_a AS FLOAT) AS rate_a,
+             CAST(conv_b / n_b AS FLOAT) AS rate_b,
+             CAST((conv_a / n_a - conv_b / n_b)
+                  / sqrt(((conv_a + conv_b) / (n_a + n_b))
+                         * (1 - (conv_a + conv_b) / (n_a + n_b))
+                         * (1.0 / n_a + 1.0 / n_b)) AS FLOAT) AS z_score
+      FROM agg
+    """))
+
+  /** Benford first-digit audit on order totals: leading digit taken
+    * from the decimal string of floor(price) (log10-bucketing would
+    * risk an ulp flip at power-of-ten boundaries; string-of-integer
+    * is exact in both engines), observed share vs the Benford
+    * expectation log10(1 + 1/d) rounded at 6 decimals.
+    */
+  val benford = QueryDef(
+    "q_benford",
+    (s, d) => {
+      val digits = Tables.orders(s, d)
+        .select(floor(col("o_totalprice")).cast("long").as("v"))
+        .filter(col("v") > 0)
+        .select(substring(col("v").cast("string"), 1, 1).cast("long").as("digit"))
+      val total = digits.agg(count(lit(1)).as("total"))
+      digits
+        .groupBy(col("digit"))
+        .agg(count(lit(1)).as("n_orders"))
+        .crossJoin(total)
+        .select(col("digit"), col("n_orders"),
+          (col("n_orders") / col("total")).cast("float").as("observed"),
+          round(log10(lit(1.0) + lit(1.0) / col("digit")), 6).as("expected"))
+        .orderBy(col("digit"))
+    },
+    Some("""
+      WITH digits AS (
+        SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+                    AS BIGINT) AS digit
+        FROM orders
+        WHERE CAST(floor(o_totalprice) AS BIGINT) > 0)
+      SELECT digit, count(*) AS n_orders,
+             CAST(count(*) / (SELECT count(*) FROM digits) AS FLOAT) AS observed,
+             round(log10(1.0 + 1.0 / digit), 6) AS expected
+      FROM digits
+      GROUP BY digit
+      ORDER BY digit
+    """))
+
+  /** Pareto concentration: how many top customers cover 80% of
+    * revenue. Revenue is held as exact integer cents (round(,2)*100,
+    * re-rounded before the cast because the *100 can land an ulp
+    * under the integer) and the 80% line is the exact integer
+    * comparison cum*5 < total*4 — no float boundary anywhere. The
+    * running sum orders by (revenue desc, custkey) for a total order.
+    */
+  val paretoCutoff = QueryDef(
+    "q_pareto_cutoff",
+    (s, d) => {
+      val rev = Tables.orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(round(round(sum(col("o_totalprice")), 2) * 100, 0)
+          .cast("long").as("rev_cents"))
+      val w = Window.orderBy(col("rev_cents").desc, col("o_custkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val total = rev.agg(sum(col("rev_cents")).as("total_cents"))
+      rev
+        .withColumn("cum_cents", sum(col("rev_cents")).over(w))
+        .crossJoin(total)
+        .agg(count(lit(1)).as("n_customers"),
+          (sum(when(col("cum_cents") * 5 < col("total_cents") * 4, 1).otherwise(0))
+            + 1).as("n_top80"))
+        .select(col("n_customers"), col("n_top80"),
+          (col("n_top80") / col("n_customers")).cast("float").as("top_share"))
+    },
+    Some("""
+      WITH rev AS (
+        SELECT o_custkey,
+               CAST(round(round(sum(o_totalprice), 2) * 100, 0) AS BIGINT) AS rev_cents
+        FROM orders GROUP BY o_custkey),
+      cum AS (
+        SELECT o_custkey, rev_cents,
+               CAST(sum(rev_cents) OVER (ORDER BY rev_cents DESC, o_custkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cents,
+               (SELECT CAST(sum(rev_cents) AS BIGINT) FROM rev) AS total_cents
+        FROM rev)
+      SELECT count(*) AS n_customers,
+             CAST(sum(CASE WHEN cum_cents * 5 < total_cents * 4 THEN 1 ELSE 0 END)
+                  + 1 AS BIGINT) AS n_top80,
+             CAST(CAST(sum(CASE WHEN cum_cents * 5 < total_cents * 4 THEN 1 ELSE 0 END)
+                  + 1 AS BIGINT) / count(*) AS FLOAT) AS top_share
+      FROM cum
+    """))
+
+  /** Training-sequence packing plan: concatenate each source's
+    * documents in doc_id order and split the token stream into
+    * 256-token context windows — a document belongs to the window
+    * where it STARTS (the GPT-style concat-and-chunk packing
+    * contract). The running token offset is a per-source window (the
+    * packing unit at 100 TB is the shard, so the cumsum partitions by
+    * the shard key and never globally serializes); bin index is exact
+    * integer division of the start offset. Whitespace token counts
+    * per the corpus tokenization contract (TextFunctions.tokens).
+    */
+  val packSequences = QueryDef(
+    "q_pack_sequences",
+    (s, d) => {
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(s, d)
+        .select(col("source"), col("doc_id"),
+          size(TF.tokens(col("text"))).cast("long").as("tok"))
+        .withColumn("cum", sum(col("tok")).over(w))
+        .select(col("source"), col("doc_id"), col("tok"),
+          ((col("cum") - col("tok")) / lit(256)).cast("long").as("bin"))
+        .groupBy(col("source"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("tok")).as("bin_tokens"),
+          min(col("doc_id")).as("start_doc"))
+        .orderBy(col("source"), col("bin"))
+    },
+    Some("""
+      WITH toks AS (
+        SELECT source, doc_id,
+               CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT)
+                 AS tok
+        FROM documents),
+      offs AS (
+        SELECT source, doc_id, tok,
+               CAST(sum(tok) OVER (PARTITION BY source ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - tok
+                 AS start_off
+        FROM toks)
+      SELECT source, start_off // 256 AS bin,
+             count(*) AS n_docs,
+             CAST(sum(tok) AS BIGINT) AS bin_tokens,
+             min(doc_id) AS start_doc
+      FROM offs
+      GROUP BY source, bin
+      ORDER BY source, bin
+    """))
+
+  def defs: Seq[QueryDef] = Seq(
+    survivalCurve, churnRate, seasonalIndex, markovTransitions,
+    abTest, benford, paretoCutoff, packSequences)
+}
