@@ -382,7 +382,167 @@ object Lifecycle extends QueryModule {
       ORDER BY source, bin
     """))
 
+  /** Peak concurrency by sweep line: sessions (30-min-gap contract,
+    * same lag rewrite as q_sessionize) become ±1 delta points at
+    * their start/end microseconds; a running sum over the total
+    * (time, delta, user, session) order is the live-session count,
+    * one global max. Ends sort before starts at the same instant
+    * (delta asc), so touching sessions never count as concurrent.
+    * The sweep runs on 2·|sessions| rows — the per-event work is all
+    * in the partitioned sessionization windows.
+    */
+  val concurrentSessions = QueryDef(
+    "q_concurrent_sessions",
+    (s, d) => {
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val running = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val sess = Tables.events(s, d)
+        .withColumn("us", unix_micros(col("ts")))
+        .withColumn("prev_us", lag(col("us"), 1).over(byUser))
+        .withColumn("new_sess",
+          when(col("prev_us").isNull || col("us") - col("prev_us") >= 1800000000L, 1L)
+            .otherwise(0L))
+        .withColumn("session_id", sum(col("new_sess")).over(running))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(min(col("us")).as("start_us"), max(col("us")).as("end_us"))
+      val points = sess.select(col("user_id"), col("session_id"),
+          col("start_us").as("t"), lit(1L).as("delta"))
+        .unionAll(sess.select(col("user_id"), col("session_id"),
+          col("end_us").as("t"), lit(-1L).as("delta")))
+      val sweep = Window.orderBy(col("t"), col("delta"), col("user_id"), col("session_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      points
+        .withColumn("live", sum(col("delta")).over(sweep))
+        .agg((count(lit(1)) / 2).cast("long").as("n_sessions"),
+          max(col("live")).as("max_concurrent"))
+    },
+    Some("""
+      WITH sess AS (
+        SELECT user_id, session_id, min(us) AS start_us, max(us) AS end_us
+        FROM (
+          SELECT user_id, us,
+                 CAST(sum(CASE WHEN prev_us IS NULL OR us - prev_us >= 1800000000
+                          THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY us, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS session_id
+          FROM (
+            SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+                   lag(epoch_us(CAST(ts AS TIMESTAMP)), 1)
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+            FROM events))
+        GROUP BY user_id, session_id),
+      points AS (
+        SELECT user_id, session_id, start_us AS t, CAST(1 AS BIGINT) AS delta FROM sess
+        UNION ALL
+        SELECT user_id, session_id, end_us AS t, CAST(-1 AS BIGINT) AS delta FROM sess)
+      SELECT CAST(count(*) / 2 AS BIGINT) AS n_sessions,
+             max(live) AS max_concurrent
+      FROM (
+        SELECT CAST(sum(delta) OVER (ORDER BY t, delta, user_id, session_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS live
+        FROM points)
+    """))
+
+  /** Gini coefficient of customer revenue — the inequality twin of
+    * q_pareto_cutoff. Rank-sum identity G = (2·Σi·xᵢ − (n+1)·Σx) /
+    * (n·Σx) over exact integer cents with a total (revenue, custkey)
+    * rank order: every operand stays exact integer until the one
+    * final division. Σi·x fits a long through sf0.1 with ~10⁶×
+    * headroom; a 100 TB deployment would widen that one product-sum
+    * to decimal(38,0) (or double, losing exactness) — noted here
+    * because it is the only overflow-bounded term.
+    */
+  val gini = QueryDef(
+    "q_gini",
+    (s, d) => {
+      val rev = Tables.orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(round(round(sum(col("o_totalprice")), 2) * 100, 0)
+          .cast("long").as("rev_cents"))
+      val w = Window.orderBy(col("rev_cents"), col("o_custkey"))
+      rev
+        .withColumn("i", row_number().over(w).cast("long"))
+        .agg(count(lit(1)).as("n_customers"),
+          sum(col("i") * col("rev_cents")).as("weighted"),
+          sum(col("rev_cents")).as("total"))
+        .select(col("n_customers"),
+          ((lit(2) * col("weighted") - (col("n_customers") + 1) * col("total"))
+            .cast("double") / (col("n_customers") * col("total")))
+            .cast("float").as("gini"))
+    },
+    Some("""
+      WITH rev AS (
+        SELECT o_custkey,
+               CAST(round(round(sum(o_totalprice), 2) * 100, 0) AS BIGINT) AS rev_cents
+        FROM orders GROUP BY o_custkey),
+      ranked AS (
+        SELECT rev_cents,
+               CAST(row_number() OVER (ORDER BY rev_cents, o_custkey) AS BIGINT) AS i
+        FROM rev)
+      SELECT count(*) AS n_customers,
+             CAST(CAST(2 * CAST(sum(i * rev_cents) AS BIGINT)
+                       - (count(*) + 1) * CAST(sum(rev_cents) AS BIGINT) AS DOUBLE)
+                  / (count(*) * CAST(sum(rev_cents) AS BIGINT)) AS FLOAT) AS gini
+      FROM ranked
+    """))
+
+  /** Session-duration distribution: exact p50/p90/p99 of session
+    * length (microseconds, 30-min-gap sessions) plus mean events per
+    * session — the summary panel next to q_sessionize's per-session
+    * dump. Percentile interpolation runs on exact integers, the
+    * adjudicated q_percentile basis.
+    */
+  val sessionStats = QueryDef(
+    "q_session_stats",
+    (s, d) => {
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val running = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .withColumn("us", unix_micros(col("ts")))
+        .withColumn("prev_us", lag(col("us"), 1).over(byUser))
+        .withColumn("new_sess",
+          when(col("prev_us").isNull || col("us") - col("prev_us") >= 1800000000L, 1L)
+            .otherwise(0L))
+        .withColumn("session_id", sum(col("new_sess")).over(running))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          (max(col("us")) - min(col("us"))).as("duration_us"))
+        .agg(count(lit(1)).as("n_sessions"),
+          round(expr("percentile(duration_us, 0.5)"), 4).as("p50_duration_us"),
+          round(expr("percentile(duration_us, 0.9)"), 4).as("p90_duration_us"),
+          round(expr("percentile(duration_us, 0.99)"), 4).as("p99_duration_us"),
+          (sum(col("n_events")).cast("double") / count(lit(1)))
+            .cast("float").as("avg_events_per_session"))
+    },
+    Some("""
+      WITH sess AS (
+        SELECT user_id, session_id, count(*) AS n_events,
+               max(us) - min(us) AS duration_us
+        FROM (
+          SELECT user_id, us,
+                 CAST(sum(CASE WHEN prev_us IS NULL OR us - prev_us >= 1800000000
+                          THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY us, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS session_id
+          FROM (
+            SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+                   lag(epoch_us(CAST(ts AS TIMESTAMP)), 1)
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+            FROM events))
+        GROUP BY user_id, session_id)
+      SELECT count(*) AS n_sessions,
+             round(quantile_cont(duration_us, 0.5), 4) AS p50_duration_us,
+             round(quantile_cont(duration_us, 0.9), 4) AS p90_duration_us,
+             round(quantile_cont(duration_us, 0.99), 4) AS p99_duration_us,
+             CAST(CAST(sum(n_events) AS BIGINT) / count(*) AS FLOAT)
+               AS avg_events_per_session
+      FROM sess
+    """))
+
   def defs: Seq[QueryDef] = Seq(
     survivalCurve, churnRate, seasonalIndex, markovTransitions,
-    abTest, benford, paretoCutoff, packSequences)
+    abTest, benford, paretoCutoff, packSequences,
+    concurrentSessions, gini, sessionStats)
 }
