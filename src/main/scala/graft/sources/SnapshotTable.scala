@@ -150,7 +150,7 @@ object SnapshotTable {
     */
   def commit(spark: SparkSession, root: String, df: DataFrame,
       partitions: Seq[String] = Nil, readVersion: Int = -1,
-      maxRetries: Int = 10): Int = {
+      maxRetries: Int = 10, statsCols: Seq[String] = Nil): Int = {
     Files.createDirectories(logDir(root))
     val mine: Set[String] = if (partitions.isEmpty) Set("*") else partitions.toSet
     // Stage once — the expensive (data-sized) step happens exactly one
@@ -159,6 +159,7 @@ object SnapshotTable {
     // it, so the marker is born with complete content.
     val staging = Paths.get(root, "_staging", java.util.UUID.randomUUID().toString)
     df.write.mode("overwrite").parquet(staging.toString)
+    if (statsCols.nonEmpty) writeStats(spark, staging, statsCols)
     val manifestTmp = Paths.get(root, "_staging",
       staging.getFileName.toString + ".manifest")
     Files.writeString(manifestTmp, mine.toSeq.sorted.mkString("\n"))
@@ -226,6 +227,118 @@ object SnapshotTable {
     require(Files.exists(Paths.get(root, s"v=$v")),
       s"version $v does not exist (vacuumed or never committed)")
     spark.read.parquet(s"$root/v=$v")
+  }
+
+  // ---- file-level stats manifest (manifest data skipping) ----------
+  //
+  // What Delta/Iceberg add beyond the commit protocol is MANIFEST
+  // data skipping: per-file min/max column stats recorded at commit
+  // time, so a selective read opens only the files whose range can
+  // match — before any parquet footer is touched. Same idea here:
+  // `commit(statsCols = ...)` computes per-file min/max for the named
+  // columns from the STAGED files (one aggregate over data just
+  // written and still in page cache; |files| rows to the driver — the
+  // same small-by-construction collect contract as ParquetDml's
+  // partition listing) into `_stats.json` INSIDE the staging dir, so
+  // it publishes atomically with the version rename and is invisible
+  // to readers (underscore-prefixed files are hidden from Spark's
+  // parquet listing). `readPruned` consults it and hands Spark only
+  // the surviving files. At 100 TB this is the difference between
+  // listing 10⁶ footers and opening the 3 files a key-range probe
+  // needs.
+
+  private def statsFile(dir: Path) = dir.resolve("_stats.json")
+
+  /** Per-file min/max for `cols`, one tab-separated line per
+    * (file, col): `fileName  col  min  max` (values as strings, "\0N"
+    * for an all-null file). File names are stored basename-only —
+    * the directory is renamed at publish.
+    */
+  private def writeStats(spark: SparkSession, staged: Path, cols: Seq[String]): Unit = {
+    import org.apache.spark.sql.functions.{col => c, input_file_name, max => mx, min => mn}
+    val aggs = cols.flatMap(n => Seq(
+      mn(c(n)).cast("string").as(s"min:$n"), mx(c(n)).cast("string").as(s"max:$n")))
+    val rows = spark.read.parquet(staged.toString)
+      .groupBy(input_file_name().as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+    val sb = new StringBuilder
+    rows.foreach { r =>
+      val file = Paths.get(new java.net.URI(r.getString(0)).getPath)
+        .getFileName.toString
+      cols.zipWithIndex.foreach { case (n, i) =>
+        val lo = Option(r.get(1 + 2 * i)).map(_.toString).getOrElse("\\0N")
+        val hi = Option(r.get(2 + 2 * i)).map(_.toString).getOrElse("\\0N")
+        sb.append(s"$file\t$n\t$lo\t$hi\n")
+      }
+    }
+    Files.writeString(statsFile(staged), sb.toString)
+  }
+
+  /** Files of version `v` whose [min,max] range for `column` can
+    * intersect [lo, hi] (numeric compare when `numeric`, else
+    * lexicographic). Files without a stats line — or a table
+    * committed without stats at all — are kept: pruning is an
+    * optimization, never a correctness filter. Returns full paths.
+    */
+  def pruneFiles(spark: SparkSession, root: String, column: String,
+      lo: String, hi: String, numeric: Boolean = true,
+      version: Int = -1): Seq[String] = {
+    val cur = currentVersion(root)
+    val v = if (version > 0) version else cur
+    require(v > 0 && v <= cur, s"version $v is not committed (latest is $cur)")
+    val dir = Paths.get(root, s"v=$v")
+    val all = {
+      val s = Files.list(dir)
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filter(n => n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith("."))
+        .toVector.sorted
+      finally s.close()
+    }
+    val sf = statsFile(dir)
+    if (!Files.exists(sf)) return all.map(n => s"$root/v=$v/$n")
+    // ranges: file -> (min, max) for the requested column, if present
+    val ranges: Map[String, (String, String)] =
+      Files.readString(sf).linesIterator.flatMap { line =>
+        line.split('\t') match {
+          case Array(f, c, mnV, mxV) if c == column => Some(f -> (mnV, mxV))
+          case _ => None
+        }
+      }.toMap
+    def le(a: String, b: String): Boolean =
+      if (!numeric) a <= b
+      else (a.toDoubleOption, b.toDoubleOption) match {
+        case (Some(x), Some(y)) => x <= y
+        case _ => true // unparsable stat: conservative keep
+      }
+    all.filter { f =>
+      ranges.get(f) match {
+        case Some((mnV, mxV)) =>
+          if (mnV == "\\0N" || mxV == "\\0N") true // all-null file: keep
+          else le(lo, mxV) && le(mnV, hi) // range intersects [lo, hi]
+        case None => true // no stats line for this file: keep
+      }
+    }.map(n => s"$root/v=$v/$n")
+  }
+
+  /** Range-probe read through the stats manifest: open only the
+    * files whose stats range can match, then apply the residual
+    * BETWEEN filter (kept files may still carry non-matching rows).
+    * Exactly `read(...).filter(column between lo and hi)` — proven
+    * by SnapshotStatsSpec — but touching a fraction of the files.
+    */
+  def readPruned(spark: SparkSession, root: String, column: String,
+      lo: String, hi: String, numeric: Boolean = true,
+      version: Int = -1): DataFrame = {
+    import org.apache.spark.sql.functions.{col => c}
+    val files = pruneFiles(spark, root, column, lo, hi, numeric, version)
+    val typed =
+      if (numeric) c(column).cast("double").between(lo.toDouble, hi.toDouble)
+      else c(column).between(lo, hi)
+    if (files.isEmpty) {
+      // every file pruned: empty result with the table's schema
+      read(spark, root, version).filter(org.apache.spark.sql.functions.lit(false))
+    } else spark.read.parquet(files: _*).filter(typed)
   }
 
   /** Drop versions older than `keepLast` (never the current one). */
