@@ -86,7 +86,8 @@ object SnapshotTable {
   }
 
   /** Latest version any writer has claimed (>= currentVersion):
-    * markers exist the instant the CAS lands, before publish.
+    * markers exist the instant the CAS lands, before publish. After a
+    * log compaction the checkpoint carries the folded-away range.
     */
   private def headVersion(root: String): Int = {
     val ld = logDir(root)
@@ -96,21 +97,97 @@ object SnapshotTable {
         .flatMap(p => p.getFileName.toString.toIntOption).maxOption.getOrElse(0)
       finally s.close()
     } else 0
-    math.max(maxMarker, currentVersion(root)) // pre-_log tables: pointer only
+    val ckptMax = checkpointed(root).keys.maxOption.getOrElse(0)
+    // pre-_log tables: pointer only
+    math.max(math.max(maxMarker, ckptMax), currentVersion(root))
+  }
+
+  // ---- log compaction ----------------------------------------------
+  //
+  // One marker file per commit is fine for thousands of commits; a
+  // 100 TB table committing every few minutes for a year accumulates
+  // ~10⁵ markers, and every headVersion() pays that directory
+  // listing. `compactLog` folds all markers into one `_checkpoint`
+  // file (version → declared partitions, same format markers use,
+  // prefixed with the version number) and deletes the folded markers
+  // — exactly Delta's N.checkpoint.parquet move. Ordering makes it
+  // safe next to live writers: the checkpoint is staged and
+  // atomically renamed BEFORE any marker is deleted, markers are
+  // immutable once created, and readers consult marker-first then
+  // checkpoint — so a version is always answerable from at least one
+  // of the two, and the CAS slot for NEW versions (createLink on
+  // `_log/N`) is untouched: a marker is only deleted after its
+  // content is durable in the checkpoint, and claimed-but-unpublished
+  // versions above the pointer are left alone so their rollback path
+  // (delete own marker) stays valid.
+
+  private def checkpointFile(root: String) = logDir(root).resolve("_checkpoint")
+
+  /** version → declared partitions folded by past compactions. */
+  private def checkpointed(root: String): Map[Int, Set[String]] = {
+    val f = checkpointFile(root)
+    if (!Files.exists(f)) Map.empty
+    else Files.readString(f).linesIterator.flatMap { line =>
+      line.split('\t') match {
+        case Array(v, parts @ _*) if v.toIntOption.isDefined =>
+          Some(v.toInt -> (if (parts.isEmpty) Set("*") else parts.toSet))
+        case _ => None
+      }
+    }.toMap
+  }
+
+  /** Fold committed markers into `_checkpoint` and delete them.
+    * Markers above the reader pointer are NOT folded: they may be
+    * claims of in-flight writers whose failure path deletes their own
+    * marker — folding those would make a crashed claim permanent.
+    * Returns the number of markers folded away.
+    */
+  def compactLog(root: String): Int = {
+    val cur = currentVersion(root)
+    val ld = logDir(root)
+    if (!Files.isDirectory(ld)) return 0
+    val foldable = {
+      val s = Files.list(ld)
+      try s.iterator().asScala
+        .flatMap(p => p.getFileName.toString.toIntOption)
+        .filter(_ <= cur).toVector.sorted
+      finally s.close()
+    }
+    if (foldable.isEmpty) return 0
+    val merged = checkpointed(root) ++
+      foldable.map(v => v -> touched(root, v)).toMap
+    val body = merged.toSeq.sortBy(_._1).map { case (v, parts) =>
+      (v.toString +: parts.toSeq.sorted).mkString("\t")
+    }.mkString("", "\n", "\n")
+    val tmp = ld.resolve(s"_checkpoint.tmp.${java.util.UUID.randomUUID()}")
+    Files.writeString(tmp, body)
+    Files.move(tmp, checkpointFile(root), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    // only now is it safe to drop the folded markers
+    foldable.foreach(v => Files.deleteIfExists(markerFile(root, v)))
+    foldable.size
   }
 
   /** Partitions version `v` declared touching; `Set("*")` = full table.
     * Markers are hard-linked from a fully-written manifest, so an
-    * existing marker always carries complete content; a missing one
-    * (pre-_log table history) reads as full — the conservative answer.
+    * existing marker always carries complete content; a marker folded
+    * into the log checkpoint answers from there; a version known to
+    * neither (pre-_log table history) reads as full — the
+    * conservative answer.
     */
   private def touched(root: String, v: Int): Set[String] = {
     val m = markerFile(root, v)
-    if (!Files.exists(m)) Set("*")
-    else {
-      val body = Files.readString(m).trim
-      if (body.isEmpty) Set("*") else body.linesIterator.toSet
-    }
+    val fromMarker =
+      try {
+        val body = Files.readString(m).trim
+        Some(if (body.isEmpty) Set("*") else body.linesIterator.toSet)
+      } catch {
+        // deleted by a concurrent compaction between listing and read —
+        // its content is durable in the checkpoint by ordering
+        case _: java.nio.file.NoSuchFileException => None
+        case _: java.io.FileNotFoundException => None
+      }
+    fromMarker.orElse(checkpointed(root).get(v)).getOrElse(Set("*"))
   }
 
   /** Advance the reader pointer to `next` unless a concurrent publish
