@@ -541,8 +541,89 @@ object Lifecycle extends QueryModule {
       FROM sess
     """))
 
+  /** Weighted PageRank (5 unrolled power iterations, d=0.85) over the
+    * nation-level trade graph: edge weight = lineitems shipped from a
+    * supplier nation to a customer nation, symmetrized — so every
+    * node has out-edges and no dangling-mass redistribution is
+    * needed. The one fact-sized job is the edge aggregation; the
+    * iterations run on a ≤25-node graph (identical edge subtrees
+    * dedupe via exchange reuse). Each iteration rounds at 12 decimals
+    * so double summation order (the one engine-divergent ingredient)
+    * is absorbed before it can compound; the CC fixpoint loop in
+    * q_dedup_cluster is the data-sized iterative twin of this
+    * driver-unrolled form.
+    */
+  val pagerank = QueryDef(
+    "q_pagerank",
+    (s, d) => {
+      val e0 = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+        .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .join(Tables.supplier(s, d).select(col("s_suppkey"), col("s_nationkey")),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("c_nationkey").cast("long").as("src"),
+          col("s_nationkey").cast("long").as("dst"))
+        .agg(count(lit(1)).as("w"))
+      val edges = e0.select(col("src"), col("dst"), col("w"))
+        .unionAll(e0.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+        .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
+      val outw = edges.groupBy(col("src")).agg(sum(col("w")).as("ow"))
+      val ew = edges.join(outw, "src")
+      val nodes = edges.select(col("src").as("v")).distinct()
+      val nn = nodes.agg(count(lit(1)).as("n"))
+      var r = nodes.crossJoin(nn).select(col("v"), (lit(1.0) / col("n")).as("r"))
+      for (_ <- 1 to 5) {
+        r = r.join(ew, col("v") === col("src"))
+          .groupBy(col("dst"))
+          .agg(sum(col("r") * col("w") / col("ow")).as("contrib"))
+          .crossJoin(nn)
+          .select(col("dst").as("v"),
+            round(lit(0.15) / col("n") + lit(0.85) * col("contrib"), 12).as("r"))
+      }
+      r.join(Tables.nation(s, d), col("v") === col("n_nationkey"))
+        .select(col("v").as("nationkey"), col("n_name").as("nation"),
+          round(col("r"), 9).as("pagerank"))
+        .orderBy(col("pagerank").desc, col("nationkey"))
+    },
+    Some("""
+      WITH e0 AS (
+        SELECT CAST(c_nationkey AS BIGINT) AS src,
+               CAST(s_nationkey AS BIGINT) AS dst, count(*) AS w
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        GROUP BY 1, 2),
+      edges AS (
+        SELECT src, dst, CAST(sum(w) AS BIGINT) AS w FROM (
+          SELECT src, dst, w FROM e0
+          UNION ALL
+          SELECT dst AS src, src AS dst, w FROM e0)
+        GROUP BY 1, 2),
+      outw AS (SELECT src, CAST(sum(w) AS BIGINT) AS ow FROM edges GROUP BY 1),
+      ew AS (SELECT e.src, e.dst, e.w, o.ow FROM edges e JOIN outw o ON e.src = o.src),
+      nodes AS (SELECT DISTINCT src AS v FROM edges),
+      nn AS (SELECT count(*) AS n FROM nodes),
+      r0 AS (SELECT v, 1.0 / n AS r FROM nodes CROSS JOIN nn),
+      r1 AS (SELECT dst AS v, round(0.15 / n + 0.85 * sum(r * w / ow), 12) AS r
+             FROM r0 JOIN ew ON v = src CROSS JOIN nn GROUP BY dst, n),
+      r2 AS (SELECT dst AS v, round(0.15 / n + 0.85 * sum(r * w / ow), 12) AS r
+             FROM r1 JOIN ew ON v = src CROSS JOIN nn GROUP BY dst, n),
+      r3 AS (SELECT dst AS v, round(0.15 / n + 0.85 * sum(r * w / ow), 12) AS r
+             FROM r2 JOIN ew ON v = src CROSS JOIN nn GROUP BY dst, n),
+      r4 AS (SELECT dst AS v, round(0.15 / n + 0.85 * sum(r * w / ow), 12) AS r
+             FROM r3 JOIN ew ON v = src CROSS JOIN nn GROUP BY dst, n),
+      r5 AS (SELECT dst AS v, round(0.15 / n + 0.85 * sum(r * w / ow), 12) AS r
+             FROM r4 JOIN ew ON v = src CROSS JOIN nn GROUP BY dst, n)
+      SELECT v AS nationkey, n_name AS nation, round(r, 9) AS pagerank
+      FROM r5 JOIN nation ON v = n_nationkey
+      ORDER BY pagerank DESC, nationkey
+    """))
+
   def defs: Seq[QueryDef] = Seq(
     survivalCurve, churnRate, seasonalIndex, markovTransitions,
     abTest, benford, paretoCutoff, packSequences,
-    concurrentSessions, gini, sessionStats)
+    concurrentSessions, gini, sessionStats, pagerank)
 }
