@@ -566,9 +566,16 @@ object Lifecycle extends QueryModule {
         .groupBy(col("c_nationkey").cast("long").as("src"),
           col("s_nationkey").cast("long").as("dst"))
         .agg(count(lit(1)).as("w"))
+      // materialize the ≤|nations|² edge table ONCE: every iteration,
+      // outw, and the node set reference it, and without the cut the
+      // unrolled plan re-derives the fact aggregation 34× (measured —
+      // static exchange reuse does not dedupe across the union
+      // branches). Same construction-pays-one-job contract as
+      // Dedup.verifiedPairs / Tables.eventsByDate.
       val edges = e0.select(col("src"), col("dst"), col("w"))
         .unionAll(e0.select(col("dst").as("src"), col("src").as("dst"), col("w")))
         .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
+        .localCheckpoint()
       val outw = edges.groupBy(col("src")).agg(sum(col("w")).as("ow"))
       val ew = edges.join(outw, "src")
       val nodes = edges.select(col("src").as("v")).distinct()
