@@ -37,12 +37,14 @@ object Lifecycle extends QueryModule {
           .cast("long").as("tenure_months"))
       val hist = pc.groupBy(col("tenure_months"))
         .agg(count(lit(1)).as("n_customers"))
-      val total = pc.agg(count(lit(1)).as("total"))
       val w = Window.orderBy(col("tenure_months").desc)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // total as a window-over-all on the ≤|tenures| histogram — a
+      // second pc reference (crossJoin of a 1-row agg) would re-run
+      // the per-customer aggregate and the orders scan
       hist
         .withColumn("survivors", sum(col("n_customers")).over(w))
-        .crossJoin(total)
+        .withColumn("total", sum(col("n_customers")).over(Window.partitionBy()))
         .select(col("tenure_months"), col("n_customers"), col("survivors"),
           (col("survivors") / col("total")).cast("float").as("survival_rate"))
         .orderBy(col("tenure_months"))
@@ -61,7 +63,7 @@ object Lifecycle extends QueryModule {
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS survivors,
              CAST(CAST(sum(n_customers) OVER (ORDER BY tenure_months DESC
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-               / (SELECT count(*) FROM pc) AS FLOAT) AS survival_rate
+               / CAST(sum(n_customers) OVER () AS BIGINT) AS FLOAT) AS survival_rate
       FROM hist
       ORDER BY tenure_months
     """))
@@ -119,22 +121,22 @@ object Lifecycle extends QueryModule {
   val seasonalIndex = QueryDef(
     "q_seasonal_index",
     (s, d) => {
+      // corpus totals as window-over-all on the 7-row dow aggregate —
+      // a crossJoin of a 1-row daily-table agg would scan orders and
+      // re-run the per-day aggregate a second time
       val daily = Tables.orders(s, d)
         .groupBy(col("o_orderdate").cast("date").as("day"))
         .agg(round(sum(col("o_totalprice")), 2).as("day_rev"))
-      val overall = daily.agg(
-        round(sum(col("day_rev")), 2).as("total_rev"),
-        count(lit(1)).as("total_days"))
+      val all = Window.partitionBy()
       daily
         .withColumn("dow",
           (datediff(col("day"), lit("1970-01-04").cast("date")) % 7).cast("long"))
         .groupBy(col("dow"))
         .agg(count(lit(1)).as("n_days"),
           round(sum(col("day_rev")), 2).as("dow_revenue"))
-        .crossJoin(overall)
         .select(col("dow"), col("n_days"), col("dow_revenue"),
           ((col("dow_revenue") / col("n_days"))
-            / (col("total_rev") / col("total_days")))
+            / (sum(col("dow_revenue")).over(all) / sum(col("n_days")).over(all)))
             .cast("float").as("seasonal_index"))
         .orderBy(col("dow"))
     },
@@ -143,16 +145,17 @@ object Lifecycle extends QueryModule {
         SELECT CAST(o_orderdate AS DATE) AS day,
                round(sum(o_totalprice), 2) AS day_rev
         FROM orders GROUP BY 1),
-      overall AS (
-        SELECT round(sum(day_rev), 2) AS total_rev, count(*) AS total_days
-        FROM daily)
-      SELECT CAST(date_diff('day', DATE '1970-01-04', day) % 7 AS BIGINT) AS dow,
-             count(*) AS n_days,
-             round(sum(day_rev), 2) AS dow_revenue,
-             CAST((round(sum(day_rev), 2) / count(*))
-                  / (total_rev / total_days) AS FLOAT) AS seasonal_index
-      FROM daily CROSS JOIN overall
-      GROUP BY dow, total_rev, total_days
+      dw AS (
+        SELECT CAST(date_diff('day', DATE '1970-01-04', day) % 7 AS BIGINT) AS dow,
+               count(*) AS n_days,
+               round(sum(day_rev), 2) AS dow_revenue
+        FROM daily GROUP BY 1)
+      SELECT dow, n_days, dow_revenue,
+             CAST((dow_revenue / n_days)
+                  / (sum(dow_revenue) OVER ()
+                     / CAST(sum(n_days) OVER () AS BIGINT)) AS FLOAT)
+               AS seasonal_index
+      FROM dw
       ORDER BY dow
     """))
 
@@ -261,31 +264,33 @@ object Lifecycle extends QueryModule {
   val benford = QueryDef(
     "q_benford",
     (s, d) => {
-      val digits = Tables.orders(s, d)
+      // corpus total as window-over-all on the 9-row digit histogram —
+      // a second `digits` reference would scan orders twice
+      Tables.orders(s, d)
         .select(floor(col("o_totalprice")).cast("long").as("v"))
         .filter(col("v") > 0)
         .select(substring(col("v").cast("string"), 1, 1).cast("long").as("digit"))
-      val total = digits.agg(count(lit(1)).as("total"))
-      digits
         .groupBy(col("digit"))
         .agg(count(lit(1)).as("n_orders"))
-        .crossJoin(total)
         .select(col("digit"), col("n_orders"),
-          (col("n_orders") / col("total")).cast("float").as("observed"),
+          (col("n_orders") / sum(col("n_orders")).over(Window.partitionBy()))
+            .cast("float").as("observed"),
           round(log10(lit(1.0) + lit(1.0) / col("digit")), 6).as("expected"))
         .orderBy(col("digit"))
     },
     Some("""
-      WITH digits AS (
+      WITH hist AS (
         SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
-                    AS BIGINT) AS digit
+                    AS BIGINT) AS digit,
+               count(*) AS n_orders
         FROM orders
-        WHERE CAST(floor(o_totalprice) AS BIGINT) > 0)
-      SELECT digit, count(*) AS n_orders,
-             CAST(count(*) / (SELECT count(*) FROM digits) AS FLOAT) AS observed,
+        WHERE CAST(floor(o_totalprice) AS BIGINT) > 0
+        GROUP BY 1)
+      SELECT digit, n_orders,
+             CAST(n_orders / CAST(sum(n_orders) OVER () AS BIGINT) AS FLOAT)
+               AS observed,
              round(log10(1.0 + 1.0 / digit), 6) AS expected
-      FROM digits
-      GROUP BY digit
+      FROM hist
       ORDER BY digit
     """))
 
@@ -303,12 +308,15 @@ object Lifecycle extends QueryModule {
         .groupBy(col("o_custkey"))
         .agg(round(round(sum(col("o_totalprice")), 2) * 100, 0)
           .cast("long").as("rev_cents"))
+      // the running sum is already a global ordered window over the
+      // per-customer aggregate; the corpus total rides the same pass
+      // as an unbounded-frame window instead of a second rev
+      // reference (which would re-aggregate orders)
       val w = Window.orderBy(col("rev_cents").desc, col("o_custkey"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val total = rev.agg(sum(col("rev_cents")).as("total_cents"))
       rev
         .withColumn("cum_cents", sum(col("rev_cents")).over(w))
-        .crossJoin(total)
+        .withColumn("total_cents", sum(col("rev_cents")).over(Window.partitionBy()))
         .agg(count(lit(1)).as("n_customers"),
           (sum(when(col("cum_cents") * 5 < col("total_cents") * 4, 1).otherwise(0))
             + 1).as("n_top80"))
@@ -324,7 +332,7 @@ object Lifecycle extends QueryModule {
         SELECT o_custkey, rev_cents,
                CAST(sum(rev_cents) OVER (ORDER BY rev_cents DESC, o_custkey
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cents,
-               (SELECT CAST(sum(rev_cents) AS BIGINT) FROM rev) AS total_cents
+               CAST(sum(rev_cents) OVER () AS BIGINT) AS total_cents
         FROM rev)
       SELECT count(*) AS n_customers,
              CAST(sum(CASE WHEN cum_cents * 5 < total_cents * 4 THEN 1 ELSE 0 END)
@@ -405,10 +413,14 @@ object Lifecycle extends QueryModule {
         .withColumn("session_id", sum(col("new_sess")).over(running))
         .groupBy(col("user_id"), col("session_id"))
         .agg(min(col("us")).as("start_us"), max(col("us")).as("end_us"))
+      // explode each session to its two delta points in ONE pass — a
+      // self-union would re-run the sessionization window pipeline
+      // (and the events scan) once per branch
       val points = sess.select(col("user_id"), col("session_id"),
-          col("start_us").as("t"), lit(1L).as("delta"))
-        .unionAll(sess.select(col("user_id"), col("session_id"),
-          col("end_us").as("t"), lit(-1L).as("delta")))
+          explode(array(
+            struct(col("start_us").as("t"), lit(1L).as("delta")),
+            struct(col("end_us").as("t"), lit(-1L).as("delta")))).as("p"))
+        .select(col("user_id"), col("session_id"), col("p.t"), col("p.delta"))
       val sweep = Window.orderBy(col("t"), col("delta"), col("user_id"), col("session_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       points

@@ -166,11 +166,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_bm25", // lazy 1-row corpus-stats cross join (tf_idf pattern)
     "q_hybrid_rrf", // 1-row probe-embedding + 1-row stats cross joins (tf_idf pattern)
     "q_rfm", // 1-row corpus-max-date cross join (tf_idf pattern)
-    "q_survival_curve", // 1-row customer-total cross join (tf_idf pattern)
     "q_churn_rate", // 1-row corpus-max-date cross join (tf_idf pattern)
-    "q_seasonal_index", // 1-row overall-average cross join (tf_idf pattern)
-    "q_benford", // 1-row digit-total cross join (tf_idf pattern)
-    "q_pareto_cutoff", // 1-row revenue-total cross join (tf_idf pattern)
     "q_pagerank") // 1-row node-count cross join per unrolled iteration (tf_idf pattern)
 
   test("no query plans a CartesianProduct; BNL only on the tiny-broadcast list") {
