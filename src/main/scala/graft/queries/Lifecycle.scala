@@ -641,8 +641,83 @@ object Lifecycle extends QueryModule {
       ORDER BY pagerank DESC, nationkey
     """))
 
+  /** Top session-opening paths: the first three event types of each
+    * 30-min-gap session, joined with '>', counted across sessions —
+    * the "how do journeys start" panel next to q_markov_transitions'
+    * one-step matrix. Position columns come from conditional
+    * aggregates over a row_number (collect_list order is not
+    * guaranteed under parallel aggregation; max-of-one-position is),
+    * and concat_ws skips the nulls of short sessions identically in
+    * both engines. Share rides a window-over-all on the tiny path
+    * table; top-15 is TakeOrdered.
+    */
+  val eventPaths = QueryDef(
+    "q_event_paths",
+    (s, d) => {
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val running = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val inSess = Window.partitionBy(col("user_id"), col("session_id"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .withColumn("us", unix_micros(col("ts")))
+        .withColumn("prev_us", lag(col("us"), 1).over(byUser))
+        .withColumn("new_sess",
+          when(col("prev_us").isNull || col("us") - col("prev_us") >= 1800000000L, 1L)
+            .otherwise(0L))
+        .withColumn("session_id", sum(col("new_sess")).over(running))
+        .withColumn("rn", row_number().over(inSess))
+        .filter(col("rn") <= 3)
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(
+          max(when(col("rn") === 1, col("event_type"))).as("e1"),
+          max(when(col("rn") === 2, col("event_type"))).as("e2"),
+          max(when(col("rn") === 3, col("event_type"))).as("e3"))
+        .groupBy(concat_ws(">", col("e1"), col("e2"), col("e3")).as("path"))
+        .agg(count(lit(1)).as("n_sessions"))
+        .withColumn("share",
+          (col("n_sessions") / sum(col("n_sessions")).over(Window.partitionBy()))
+            .cast("float"))
+        .orderBy(col("n_sessions").desc, col("path"))
+        .limit(15)
+    },
+    Some("""
+      WITH seq AS (
+        SELECT user_id, event_type,
+               row_number() OVER (PARTITION BY user_id, session_id
+                 ORDER BY us, event_id) AS rn,
+               session_id
+        FROM (
+          SELECT user_id, event_id, event_type, us,
+                 CAST(sum(CASE WHEN prev_us IS NULL OR us - prev_us >= 1800000000
+                          THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY us, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS session_id
+          FROM (
+            SELECT user_id, event_id, event_type,
+                   epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+                   lag(epoch_us(CAST(ts AS TIMESTAMP)), 1)
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+            FROM events))),
+      paths AS (
+        SELECT concat_ws('>',
+                 max(CASE WHEN rn = 1 THEN event_type END),
+                 max(CASE WHEN rn = 2 THEN event_type END),
+                 max(CASE WHEN rn = 3 THEN event_type END)) AS path
+        FROM seq WHERE rn <= 3
+        GROUP BY user_id, session_id),
+      counted AS (
+        SELECT path, count(*) AS n_sessions FROM paths GROUP BY path)
+      SELECT path, n_sessions,
+             CAST(n_sessions / CAST(sum(n_sessions) OVER () AS BIGINT) AS FLOAT)
+               AS share
+      FROM counted
+      ORDER BY n_sessions DESC, path
+      LIMIT 15
+    """))
+
   def defs: Seq[QueryDef] = Seq(
     survivalCurve, churnRate, seasonalIndex, markovTransitions,
     abTest, benford, paretoCutoff, packSequences,
-    concurrentSessions, gini, sessionStats, pagerank)
+    concurrentSessions, gini, sessionStats, pagerank, eventPaths)
 }
