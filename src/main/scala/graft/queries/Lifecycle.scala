@@ -716,8 +716,100 @@ object Lifecycle extends QueryModule {
       LIMIT 15
     """))
 
+  /** Signup→purchase conversion latency: per user the first signup
+    * and the first purchase at-or-after it (exact microseconds),
+    * conversion share and lag percentiles over the converted cohort.
+    * One per-user aggregate; percentile interpolation over exact
+    * integer lags (the q_percentile basis). The funnel-latency twin
+    * of q_funnel's stage-count view.
+    */
+  val conversionLag = QueryDef(
+    "q_conversion_lag",
+    (s, d) => {
+      val perUser = Tables.events(s, d)
+        .withColumn("us", unix_micros(col("ts")))
+        .groupBy(col("user_id"))
+        .agg(min(when(col("event_type") === "signup", col("us"))).as("s_us"),
+          min(when(col("event_type") === "purchase", col("us"))).as("p_any_us"))
+        .filter(col("s_us").isNotNull)
+      // first purchase at-or-after signup needs the signup time first:
+      // second conditional pass joins back on the per-user aggregate
+      val lagged = Tables.events(s, d)
+        .withColumn("us", unix_micros(col("ts")))
+        .filter(col("event_type") === "purchase")
+        .join(perUser.select(col("user_id").as("u"), col("s_us")),
+          col("user_id") === col("u"))
+        .filter(col("us") >= col("s_us"))
+        .groupBy(col("user_id"))
+        .agg((min(col("us")) - min(col("s_us"))).as("lag_us"))
+      perUser.join(lagged.select(col("user_id").as("u2"), col("lag_us")),
+          col("user_id") === col("u2"), "left")
+        .agg(count(lit(1)).as("n_signup_users"),
+          sum(when(col("lag_us").isNotNull, 1).otherwise(0)).as("n_converted"),
+          (sum(when(col("lag_us").isNotNull, 1).otherwise(0)).cast("double")
+            / count(lit(1))).cast("float").as("conversion_rate"),
+          round(expr("percentile(lag_us, 0.5)"), 4).as("p50_lag_us"),
+          round(expr("percentile(lag_us, 0.9)"), 4).as("p90_lag_us"))
+    },
+    Some("""
+      WITH per_user AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'signup'
+                        THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS s_us
+        FROM events GROUP BY user_id
+        HAVING s_us IS NOT NULL),
+      lagged AS (
+        SELECT e.user_id, min(epoch_us(CAST(e.ts AS TIMESTAMP))) - min(p.s_us) AS lag_us
+        FROM events e JOIN per_user p ON e.user_id = p.user_id
+        WHERE e.event_type = 'purchase'
+          AND epoch_us(CAST(e.ts AS TIMESTAMP)) >= p.s_us
+        GROUP BY e.user_id)
+      SELECT count(*) AS n_signup_users,
+             CAST(sum(CASE WHEN lag_us IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_converted,
+             CAST(CAST(sum(CASE WHEN lag_us IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                  / count(*) AS FLOAT) AS conversion_rate,
+             round(quantile_cont(lag_us, 0.5), 4) AS p50_lag_us,
+             round(quantile_cont(lag_us, 0.9), 4) AS p90_lag_us
+      FROM per_user LEFT JOIN lagged USING (user_id)
+    """))
+
+  /** Shipping-lag percentiles by order priority: exact integer
+    * order-date→ship-date day counts, p50/p90/max per priority class
+    * — the operational-latency SLO panel. One fact join, one grouped
+    * aggregate.
+    */
+  val shipLag = QueryDef(
+    "q_ship_lag",
+    (s, d) =>
+      Tables.lineitem(s, d).select(col("l_orderkey"), col("l_shipdate"))
+        .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_orderdate"),
+          col("o_orderpriority")), col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_orderpriority"),
+          datediff(col("l_shipdate"), col("o_orderdate")).cast("long").as("lag_days"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_lineitems"),
+          round(expr("percentile(lag_days, 0.5)"), 4).as("p50_lag_days"),
+          round(expr("percentile(lag_days, 0.9)"), 4).as("p90_lag_days"),
+          max(col("lag_days")).as("max_lag_days"))
+        .orderBy(col("o_orderpriority")),
+    Some("""
+      SELECT o_orderpriority, count(*) AS n_lineitems,
+             round(quantile_cont(lag_days, 0.5), 4) AS p50_lag_days,
+             round(quantile_cont(lag_days, 0.9), 4) AS p90_lag_days,
+             max(lag_days) AS max_lag_days
+      FROM (
+        SELECT o_orderpriority,
+               CAST(date_diff('day', CAST(o_orderdate AS DATE),
+                              CAST(l_shipdate AS DATE)) AS BIGINT) AS lag_days
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority
+    """))
+
   def defs: Seq[QueryDef] = Seq(
     survivalCurve, churnRate, seasonalIndex, markovTransitions,
     abTest, benford, paretoCutoff, packSequences,
-    concurrentSessions, gini, sessionStats, pagerank, eventPaths)
+    concurrentSessions, gini, sessionStats, pagerank, eventPaths,
+    conversionLag, shipLag)
 }
