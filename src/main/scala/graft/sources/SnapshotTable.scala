@@ -190,27 +190,42 @@ object SnapshotTable {
     fromMarker.orElse(checkpointed(root).get(v)).getOrElse(Set("*"))
   }
 
+  /** Per-root monitors serializing SAME-JVM pointer flips: JVM file
+    * locks are held per (JVM, file) — a second thread's
+    * `FileChannel.lock()` on the same file THROWS
+    * OverlappingFileLockException instead of blocking (observed as a
+    * rare racing-writers flake before this guard). The monitor
+    * serializes threads; the file lock below still serializes
+    * processes.
+    */
+  private val pointerMonitors =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   /** Advance the reader pointer to `next` unless a concurrent publish
     * already moved it past: out-of-claim-order publishes must never
-    * move `_VERSION` backward. Serialized by an OS file lock so the
-    * read-compare-write is atomic across processes.
+    * move `_VERSION` backward. Serialized by a JVM monitor (same-JVM
+    * threads) plus an OS file lock (cross-process) so the
+    * read-compare-write is atomic everywhere.
     */
   private def advancePointer(root: String, next: Int): Unit = {
-    val lockPath = Paths.get(root, "_VERSION.lock")
-    val ch = java.nio.channels.FileChannel.open(lockPath,
-      java.nio.file.StandardOpenOption.CREATE,
-      java.nio.file.StandardOpenOption.WRITE)
-    try {
-      val lock = ch.lock()
+    val monitor = pointerMonitors.computeIfAbsent(root, _ => new Object)
+    monitor.synchronized {
+      val lockPath = Paths.get(root, "_VERSION.lock")
+      val ch = java.nio.channels.FileChannel.open(lockPath,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
       try {
-        if (currentVersion(root) < next) {
-          val tmp = Paths.get(root, s"_VERSION.tmp.$next")
-          Files.writeString(tmp, next.toString)
-          Files.move(tmp, versionFile(root), StandardCopyOption.ATOMIC_MOVE,
-            StandardCopyOption.REPLACE_EXISTING)
-        }
-      } finally lock.release()
-    } finally ch.close()
+        val lock = ch.lock()
+        try {
+          if (currentVersion(root) < next) {
+            val tmp = Paths.get(root, s"_VERSION.tmp.$next")
+            Files.writeString(tmp, next.toString)
+            Files.move(tmp, versionFile(root), StandardCopyOption.ATOMIC_MOVE,
+              StandardCopyOption.REPLACE_EXISTING)
+          }
+        } finally lock.release()
+      } finally ch.close()
+    }
   }
 
   private def overlaps(a: Set[String], b: Set[String]): Boolean =
