@@ -807,9 +807,148 @@ object Lifecycle extends QueryModule {
       ORDER BY o_orderpriority
     """))
 
+  /** Monthly growth accounting — the new/retained/resurrected/
+    * churned ledger every product review opens with, over customer
+    * order activity (the events corpus spans a single month, so the
+    * customer/order panel is the one with real retention dynamics).
+    * Per-customer active months (engine-stable month index), lag
+    * classifies each active month; churned(m) = active(m-1) −
+    * retained(m) computed arithmetically on the tiny monthly
+    * aggregate (no user-level churn rows). One shuffle on custkey;
+    * everything after runs on |months| rows.
+    */
+  val growthAccounting = QueryDef(
+    "q_growth_accounting",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("m"))
+      val byMonth = Window.orderBy(col("m"))
+      val um = Tables.orders(s, d)
+        .select(col("o_custkey").as("user_id"),
+          (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+            .cast("long").as("m"))
+        .distinct()
+        .withColumn("prev_m", lag(col("m"), 1).over(w))
+      um.groupBy(col("m"))
+        .agg(
+          sum(when(col("prev_m").isNull, 1).otherwise(0)).as("n_new"),
+          sum(when(col("m") - col("prev_m") === 1, 1).otherwise(0)).as("n_retained"),
+          sum(when(col("m") - col("prev_m") > 1, 1).otherwise(0)).as("n_resurrected"),
+          count(lit(1)).as("n_active"))
+        .withColumn("n_churned",
+          coalesce(lag(col("n_active"), 1).over(byMonth), lit(0L))
+            - col("n_retained"))
+        .select(col("m").as("month_idx"),
+          (((col("m") - 1) / 12).cast("long")).as("y"),
+          (((col("m") - 1) % 12) + 1).as("mo"),
+          col("n_new"), col("n_retained"), col("n_resurrected"),
+          col("n_active"), col("n_churned"))
+        .orderBy(col("month_idx"))
+    },
+    Some("""
+      WITH um AS (
+        SELECT user_id, m, lag(m, 1) OVER (PARTITION BY user_id ORDER BY m) AS prev_m
+        FROM (
+          SELECT DISTINCT o_custkey AS user_id,
+                 CAST(year(o_orderdate) * 12
+                      + month(o_orderdate) AS BIGINT) AS m
+          FROM orders)),
+      monthly AS (
+        SELECT m,
+               CAST(sum(CASE WHEN prev_m IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+               CAST(sum(CASE WHEN m - prev_m = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+               CAST(sum(CASE WHEN m - prev_m > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected,
+               count(*) AS n_active
+        FROM um GROUP BY m)
+      SELECT m AS month_idx,
+             (m - 1) // 12 AS y,
+             (m - 1) % 12 + 1 AS mo,
+             n_new, n_retained, n_resurrected, n_active,
+             coalesce(lag(n_active, 1) OVER (ORDER BY m), 0) - n_retained
+               AS n_churned
+      FROM monthly
+      ORDER BY month_idx
+    """))
+
+  /** Robust outlier days by Tukey fences: daily revenue against
+    * [q1 − 1.5·IQR, q3 + 1.5·IQR], quartiles as window-over-all
+    * percentiles on the tiny daily aggregate — the IQR twin of
+    * q_anomaly's stddev z-score. Fence arithmetic is one IEEE dag on
+    * exact-percentile outputs, identical in both engines.
+    */
+  val anomalyIqr = QueryDef(
+    "q_anomaly_iqr",
+    (s, d) => {
+      val all = Window.partitionBy()
+      Tables.orders(s, d)
+        .groupBy(col("o_orderdate").cast("date").as("day"))
+        .agg(round(sum(col("o_totalprice")), 2).as("rev"))
+        .withColumn("q1", expr("percentile(rev, 0.25)").over(all))
+        .withColumn("q3", expr("percentile(rev, 0.75)").over(all))
+        .filter(col("rev") < col("q1") - lit(1.5) * (col("q3") - col("q1"))
+          || col("rev") > col("q3") + lit(1.5) * (col("q3") - col("q1")))
+        .select(col("day"), col("rev"),
+          when(col("rev") < col("q1") - lit(1.5) * (col("q3") - col("q1")), "low")
+            .otherwise("high").as("side"),
+          round(col("q1") - lit(1.5) * (col("q3") - col("q1")), 4).as("lo_fence"),
+          round(col("q3") + lit(1.5) * (col("q3") - col("q1")), 4).as("hi_fence"))
+        .orderBy(col("day"))
+    },
+    Some("""
+      WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               round(sum(o_totalprice), 2) AS rev
+        FROM orders GROUP BY 1),
+      fenced AS (
+        SELECT day, rev,
+               quantile_cont(rev, 0.25) OVER () AS q1,
+               quantile_cont(rev, 0.75) OVER () AS q3
+        FROM daily)
+      SELECT day, rev,
+             CASE WHEN rev < q1 - 1.5 * (q3 - q1) THEN 'low'
+                  ELSE 'high' END AS side,
+             round(q1 - 1.5 * (q3 - q1), 4) AS lo_fence,
+             round(q3 + 1.5 * (q3 - q1), 4) AS hi_fence
+      FROM fenced
+      WHERE rev < q1 - 1.5 * (q3 - q1) OR rev > q3 + 1.5 * (q3 - q1)
+      ORDER BY day
+    """))
+
+  /** Weekday × hour activity heatmap: event counts and corpus share
+    * per cell — 168 rows out of any corpus size. Weekday is the
+    * engine-stable days-since-Sunday mod 7; hour is UTC in both
+    * engines (session timezone pinned).
+    */
+  val activityHeatmap = QueryDef(
+    "q_activity_heatmap",
+    (s, d) =>
+      Tables.events(s, d)
+        .select(
+          (datediff(col("ts").cast("date"), lit("1970-01-04").cast("date")) % 7)
+            .cast("long").as("dow"),
+          hour(col("ts")).cast("long").as("hr"))
+        .groupBy(col("dow"), col("hr"))
+        .agg(count(lit(1)).as("n_events"))
+        .withColumn("share",
+          (col("n_events") / sum(col("n_events")).over(Window.partitionBy()))
+            .cast("float"))
+        .orderBy(col("dow"), col("hr")),
+    Some("""
+      WITH cells AS (
+        SELECT CAST(date_diff('day', DATE '1970-01-04',
+                              CAST(ts AS DATE)) % 7 AS BIGINT) AS dow,
+               CAST(hour(CAST(ts AS TIMESTAMP)) AS BIGINT) AS hr,
+               count(*) AS n_events
+        FROM events GROUP BY 1, 2)
+      SELECT dow, hr, n_events,
+             CAST(n_events / CAST(sum(n_events) OVER () AS BIGINT) AS FLOAT)
+               AS share
+      FROM cells
+      ORDER BY dow, hr
+    """))
+
   def defs: Seq[QueryDef] = Seq(
     survivalCurve, churnRate, seasonalIndex, markovTransitions,
     abTest, benford, paretoCutoff, packSequences,
     concurrentSessions, gini, sessionStats, pagerank, eventPaths,
-    conversionLag, shipLag)
+    conversionLag, shipLag, growthAccounting, anomalyIqr, activityHeatmap)
 }
