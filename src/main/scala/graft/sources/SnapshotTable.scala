@@ -433,6 +433,59 @@ object SnapshotTable {
     } else spark.read.parquet(files: _*).filter(typed)
   }
 
+  // ---- change data feed --------------------------------------------
+
+  /** Row-level changes between two committed versions, bag
+    * semantics: rows only in `toV` are inserts, rows only in `fromV`
+    * are deletes (exceptAll preserves multiplicity — two identical
+    * new rows are two inserts). With no key contract an update reads
+    * as delete+insert; `changesByKey` refines that. Incremental
+    * consumers read `changes(v-1, v)` per commit — the CDC feed a
+    * transactional format derives from its log, reconstructed here
+    * from the immutable version directories.
+    */
+  def changes(spark: SparkSession, root: String, fromV: Int, toV: Int): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val a = read(spark, root, fromV)
+    val b = read(spark, root, toV)
+    b.exceptAll(a).withColumn("_change_type", lit("insert"))
+      .unionAll(a.exceptAll(b).withColumn("_change_type", lit("delete")))
+  }
+
+  /** Keyed change feed: classify by `keyCols` into insert / delete /
+    * update_preimage+update_postimage (key present in both versions
+    * with any non-key column changed). One full-outer join on the
+    * key; row equality via null-safe struct compare. Key columns
+    * must be unique per version for the pre/post pairing to be
+    * 1:1 — the usual CDC primary-key contract.
+    */
+  def changesByKey(spark: SparkSession, root: String,
+      fromV: Int, toV: Int, keyCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit, struct}
+    val a = read(spark, root, fromV)
+    val b = read(spark, root, toV)
+    val cols = a.columns.toSeq
+    require(b.columns.toSeq.sorted == cols.sorted,
+      "changesByKey requires both versions to share a schema " +
+        "(schema-evolved tables: use changes())")
+    val onKeys = keyCols.map(k => col(s"a.$k") <=> col(s"b.$k")).reduce(_ && _)
+    val j = a.as("a").join(b.as("b"), onKeys, "full_outer")
+    val aKey = col(s"a.${keyCols.head}")
+    val bKey = col(s"b.${keyCols.head}")
+    val aRow = struct(cols.map(c => col(s"a.$c")): _*)
+    val bRow = struct(cols.map(c => col(s"b.$c")): _*)
+    val inserts = j.filter(aKey.isNull && bKey.isNotNull)
+      .select(cols.map(c => col(s"b.$c")) :+ lit("insert").as("_change_type"): _*)
+    val deletes = j.filter(aKey.isNotNull && bKey.isNull)
+      .select(cols.map(c => col(s"a.$c")) :+ lit("delete").as("_change_type"): _*)
+    val updated = j.filter(aKey.isNotNull && bKey.isNotNull && !(aRow <=> bRow))
+    val pre = updated
+      .select(cols.map(c => col(s"a.$c")) :+ lit("update_preimage").as("_change_type"): _*)
+    val post = updated
+      .select(cols.map(c => col(s"b.$c")) :+ lit("update_postimage").as("_change_type"): _*)
+    inserts.unionAll(deletes).unionAll(pre).unionAll(post)
+  }
+
   /** Drop versions older than `keepLast` (never the current one). */
   def vacuum(root: String, keepLast: Int = 2): Seq[Int] = {
     require(keepLast >= 1, s"keepLast must be >= 1 (got $keepLast): " +
