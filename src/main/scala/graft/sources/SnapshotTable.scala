@@ -433,6 +433,31 @@ object SnapshotTable {
     } else spark.read.parquet(files: _*).filter(typed)
   }
 
+  /** The stats manifest as a queryable DataFrame — (file, column,
+    * min, max, bytes) per data file of the version; the `describe
+    * detail` surface for layout debugging ("which files would this
+    * probe open?") without touching any parquet footer.
+    */
+  def statsTable(spark: SparkSession, root: String, version: Int = -1): DataFrame = {
+    import spark.implicits._
+    val cur = currentVersion(root)
+    val v = if (version > 0) version else cur
+    require(v > 0 && v <= cur, s"version $v is not committed (latest is $cur)")
+    val dir = Paths.get(root, s"v=$v")
+    val sf = statsFile(dir)
+    val rows: Seq[(String, String, String, String, Long)] =
+      if (!Files.exists(sf)) Nil
+      else Files.readString(sf).linesIterator.flatMap { line =>
+        line.split('\t') match {
+          case Array(f, c, mnV, mxV) =>
+            val sz = try Files.size(dir.resolve(f)) catch { case _: Exception => -1L }
+            Some((f, c, mnV, mxV, sz))
+          case _ => None
+        }
+      }.toSeq
+    rows.toDF("file", "column", "min", "max", "bytes")
+  }
+
   // ---- change data feed --------------------------------------------
 
   /** Row-level changes between two committed versions, bag
