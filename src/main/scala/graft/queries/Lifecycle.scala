@@ -946,9 +946,111 @@ object Lifecycle extends QueryModule {
       ORDER BY dow, hr
     """))
 
+  /** Association rules over order baskets: for each directed part
+    * pair a→b with ≥3 co-occurrences, support count, confidence
+    * n(a,b)/n(a) and lift n(a,b)·N / (n(a)·n(b)) — the
+    * support/confidence/lift triple of classic market-basket mining,
+    * extending q_basket_affinity's raw counts. Pair candidates are
+    * order-local (Σ per-order parts², never |lineitem|²); part
+    * totals join back broadcast-small; every ratio divides exact
+    * integers once. Top-20 by lift with a (part1, part2) tiebreak.
+    */
+  val crossSell = QueryDef(
+    "q_cross_sell",
+    (s, d) => {
+      val op = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val nOrders = op.agg(countDistinct(col("l_orderkey")).as("n_total"))
+      val pc = op.groupBy(col("l_partkey")).agg(count(lit(1)).as("n_part"))
+      op.as("a")
+        .join(op.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey")
+            && col("a.l_partkey") =!= col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").as("part1"), col("b.l_partkey").as("part2"))
+        .agg(count(lit(1)).as("n_both"))
+        .filter(col("n_both") >= 3)
+        .join(pc.select(col("l_partkey").as("part1"), col("n_part").as("n1")), "part1")
+        .join(pc.select(col("l_partkey").as("part2"), col("n_part").as("n2")), "part2")
+        .crossJoin(nOrders)
+        .select(col("part1"), col("part2"), col("n_both"), col("n1"), col("n2"),
+          (col("n_both").cast("double") / col("n1")).cast("float").as("confidence"),
+          ((col("n_both") * col("n_total")).cast("double") / (col("n1") * col("n2")))
+            .cast("float").as("lift"))
+        .orderBy(col("lift").desc, col("part1"), col("part2"))
+        .limit(20)
+    },
+    Some("""
+      WITH op AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      pc AS (
+        SELECT l_partkey, count(*) AS n_part FROM op GROUP BY l_partkey),
+      nt AS (
+        SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_total FROM op),
+      pairs AS (
+        SELECT a.l_partkey AS part1, b.l_partkey AS part2,
+               count(*) AS n_both
+        FROM op a JOIN op b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+        GROUP BY 1, 2
+        HAVING count(*) >= 3)
+      SELECT part1, part2, n_both,
+             p1.n_part AS n1, p2.n_part AS n2,
+             CAST(CAST(n_both AS DOUBLE) / p1.n_part AS FLOAT) AS confidence,
+             CAST(CAST(n_both * n_total AS DOUBLE)
+                  / (p1.n_part * p2.n_part) AS FLOAT) AS lift
+      FROM pairs
+      JOIN pc p1 ON part1 = p1.l_partkey
+      JOIN pc p2 ON part2 = p2.l_partkey
+      CROSS JOIN nt
+      ORDER BY lift DESC, part1, part2
+      LIMIT 20
+    """))
+
+  /** Flesch-style readability per document: whitespace words,
+    * sentence count from terminal-punctuation runs (floor 1), a
+    * vowel-group syllable proxy — identical regex semantics in both
+    * engines ('[.!?]+' and '[aeiouy]+' have no engine-divergent
+    * constructs). The score is one IEEE dag per row, map-side, no
+    * shuffle.
+    */
+  val readability = QueryDef(
+    "q_readability",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(TF.tokens(col("text"))).cast("long").as("words"),
+          greatest(lit(1L),
+            expr("cast(size(regexp_extract_all(text, '[.!?]+', 0)) AS bigint)"))
+            .as("sentences"),
+          expr("cast(size(regexp_extract_all(lower(text), '[aeiouy]+', 0)) AS bigint)")
+            .as("syllables"))
+        .select(col("doc_id"), col("words"), col("sentences"), col("syllables"),
+          round(lit(206.835)
+            - lit(1.015) * (col("words").cast("double") / col("sentences"))
+            - lit(84.6) * (col("syllables").cast("double") / col("words")), 4)
+            .as("flesch"))
+        .orderBy(col("doc_id")),
+    Some("""
+      SELECT doc_id, words, sentences, syllables,
+             round(206.835
+                   - 1.015 * (CAST(words AS DOUBLE) / sentences)
+                   - 84.6 * (CAST(syllables AS DOUBLE) / words), 4) AS flesch
+      FROM (
+        SELECT doc_id,
+               CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT)
+                 AS words,
+               greatest(1, CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT))
+                 AS sentences,
+               CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)
+                 AS syllables
+        FROM documents)
+      ORDER BY doc_id
+    """))
+
   def defs: Seq[QueryDef] = Seq(
     survivalCurve, churnRate, seasonalIndex, markovTransitions,
     abTest, benford, paretoCutoff, packSequences,
     concurrentSessions, gini, sessionStats, pagerank, eventPaths,
-    conversionLag, shipLag, growthAccounting, anomalyIqr, activityHeatmap)
+    conversionLag, shipLag, growthAccounting, anomalyIqr, activityHeatmap,
+    crossSell, readability)
 }

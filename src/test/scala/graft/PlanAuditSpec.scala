@@ -167,7 +167,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_hybrid_rrf", // 1-row probe-embedding + 1-row stats cross joins (tf_idf pattern)
     "q_rfm", // 1-row corpus-max-date cross join (tf_idf pattern)
     "q_churn_rate", // 1-row corpus-max-date cross join (tf_idf pattern)
-    "q_pagerank") // 1-row node-count cross join per unrolled iteration (tf_idf pattern)
+    "q_pagerank", // 1-row node-count cross join per unrolled iteration (tf_idf pattern)
+    "q_cross_sell") // 1-row basket-total cross join (tf_idf pattern)
 
   test("no query plans a CartesianProduct; BNL only on the tiny-broadcast list") {
     val offenders = SparkEntry.all.flatMap { q =>
