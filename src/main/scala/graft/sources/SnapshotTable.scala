@@ -511,6 +511,108 @@ object SnapshotTable {
     inserts.unionAll(deletes).unionAll(pre).unionAll(post)
   }
 
+  // ---- streaming change feed ---------------------------------------
+  //
+  // The batch feed above answers "what changed between v_a and v_b";
+  // what a transactional format adds on top is a CONTINUOUS source —
+  // `spark.readStream` over the table's change log, so a downstream
+  // pipeline (incremental view, search-index sync, replication) keeps
+  // up with commits without rescanning snapshots. Spark-first shape:
+  // instead of a custom DataSourceV2, each commit's change batch is
+  // MATERIALIZED once into `root/_cdc/commit_version=N/` via an atomic
+  // directory rename, and the feed is the built-in parquet
+  // FileStreamSource over `_cdc` — new commits appear as new files,
+  // exactly-once file tracking, checkpointing and recovery all come
+  // from Structured Streaming for free. The partition directory name
+  // doubles as the `commit_version` column, so consumers can order or
+  // window the feed by commit without any extra bookkeeping.
+
+  private def cdcDir(root: String) = Paths.get(root, "_cdc")
+
+  /** Versions whose change batch is already published under `_cdc`. */
+  def publishedChangeVersions(root: String): Seq[Int] = {
+    val dir = cdcDir(root)
+    if (!Files.exists(dir)) Nil
+    else Files.list(dir).iterator().asScala
+      .map(_.getFileName.toString)
+      .collect { case s if s.startsWith("commit_version=") =>
+        s.stripPrefix("commit_version=").toInt }
+      .toSeq.sorted
+  }
+
+  /** Materialize the change batch of every committed-but-unpublished
+    * version into the CDC directory. Version 1 publishes as an
+    * all-insert batch (the table's initial content IS its first
+    * change set); later versions use the keyed feed when `keyCols` is
+    * given, else the bag-semantics row feed. Each batch is written to
+    * a writer-unique staging dir and atomically renamed into place, so
+    * a concurrent streaming reader sees a commit's files all-or-
+    * nothing, and concurrent publishers racing on the same version
+    * resolve by first-rename-wins (the loser discards its copy — both
+    * computed identical content from immutable version directories).
+    * Requires a stable schema across published versions (same contract
+    * as `changesByKey`). Cost ∝ changed data, not table size, except
+    * the two-snapshot diff itself — a format with a row-level log
+    * would read the log; reconstructing from immutable snapshots is
+    * the price of keeping plain parquet underneath.
+    *
+    * @return versions published by THIS call (empty = already current)
+    */
+  def publishChanges(spark: SparkSession, root: String,
+      keyCols: Seq[String] = Nil): Seq[Int] = {
+    import org.apache.spark.sql.functions.lit
+    val cur = currentVersion(root)
+    require(cur > 0, s"no committed version at $root")
+    val dir = cdcDir(root)
+    Files.createDirectories(dir)
+    val have = publishedChangeVersions(root).toSet
+    val todo = (1 to cur).filterNot(have)
+    val won = todo.filter { v =>
+      val feed =
+        if (v == 1) read(spark, root, 1).withColumn("_change_type", lit("insert"))
+        else if (keyCols.nonEmpty) changesByKey(spark, root, v - 1, v, keyCols)
+        else changes(spark, root, v - 1, v)
+      val stage = dir.resolve(
+        s".stage-$v-${java.util.UUID.randomUUID().toString}")
+      feed.write.mode("overwrite").parquet(stage.toString)
+      try {
+        Files.move(stage, dir.resolve(s"commit_version=$v"),
+          StandardCopyOption.ATOMIC_MOVE)
+        true
+      } catch {
+        // a concurrent publisher landed this version first; identical
+        // content, so dropping our copy loses nothing
+        case _: FileAlreadyExistsException => deleteTree(stage); false
+        case _: java.nio.file.DirectoryNotEmptyException => deleteTree(stage); false
+      }
+    }
+    won
+  }
+
+  /** The full published feed as a batch DataFrame (commit_version is
+    * the partition column — filter on it for a version range and the
+    * scan prunes to those directories).
+    */
+  def readChanges(spark: SparkSession, root: String): DataFrame = {
+    require(publishedChangeVersions(root).nonEmpty,
+      s"no published change batches at $root — call publishChanges first")
+    spark.read.parquet(cdcDir(root).toString)
+  }
+
+  /** Continuous CDC tail: a streaming DataFrame over the published
+    * change directory. Each `publishChanges` after a commit surfaces
+    * that commit's rows in the next micro-batch; `_change_type` and
+    * `commit_version` columns ride along. File-arrival order inside a
+    * micro-batch is not commit order — consumers needing strict order
+    * sort or window by `commit_version`. At least one batch must be
+    * published first (the file source needs a schema, read from the
+    * feed itself so it always matches what was published).
+    */
+  def streamChanges(spark: SparkSession, root: String): DataFrame = {
+    val schema = readChanges(spark, root).schema
+    spark.readStream.schema(schema).parquet(cdcDir(root).toString)
+  }
+
   /** Drop versions older than `keepLast` (never the current one). */
   def vacuum(root: String, keepLast: Int = 2): Seq[Int] = {
     require(keepLast >= 1, s"keepLast must be >= 1 (got $keepLast): " +
