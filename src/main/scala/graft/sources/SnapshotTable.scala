@@ -77,7 +77,7 @@ object SnapshotTable {
 
   private def versionFile(root: String) = Paths.get(root, "_VERSION")
   private def logDir(root: String) = Paths.get(root, "_log")
-  private def markerFile(root: String, v: Int) = logDir(root).resolve(v.toString)
+  private[sources] def markerFile(root: String, v: Int) = logDir(root).resolve(v.toString)
 
   /** Latest committed version VISIBLE TO READERS, 0 if none. */
   def currentVersion(root: String): Int = {
@@ -89,7 +89,7 @@ object SnapshotTable {
     * markers exist the instant the CAS lands, before publish. After a
     * log compaction the checkpoint carries the folded-away range.
     */
-  private def headVersion(root: String): Int = {
+  private[sources] def headVersion(root: String): Int = {
     val ld = logDir(root)
     val maxMarker = if (Files.isDirectory(ld)) {
       val s = Files.list(ld)
@@ -175,7 +175,7 @@ object SnapshotTable {
     * neither (pre-_log table history) reads as full — the
     * conservative answer.
     */
-  private def touched(root: String, v: Int): Set[String] = {
+  private[sources] def touched(root: String, v: Int): Set[String] = {
     val m = markerFile(root, v)
     val fromMarker =
       try {
@@ -207,7 +207,7 @@ object SnapshotTable {
     * threads) plus an OS file lock (cross-process) so the
     * read-compare-write is atomic everywhere.
     */
-  private def advancePointer(root: String, next: Int): Unit = {
+  private[sources] def advancePointer(root: String, next: Int): Unit = {
     val monitor = pointerMonitors.computeIfAbsent(root, _ => new Object)
     monitor.synchronized {
       val lockPath = Paths.get(root, "_VERSION.lock")
@@ -228,7 +228,7 @@ object SnapshotTable {
     }
   }
 
-  private def overlaps(a: Set[String], b: Set[String]): Boolean =
+  private[sources] def overlaps(a: Set[String], b: Set[String]): Boolean =
     a.contains("*") || b.contains("*") || (a & b).nonEmpty
 
   /** Commit `df` as the next version via optimistic concurrency.
@@ -626,12 +626,229 @@ object SnapshotTable {
     dropped
   }
 
-  private def deleteTree(dir: Path): Unit = {
+  private[sources] def deleteTree(dir: Path): Unit = {
     if (Files.exists(dir)) {
       val walk = Files.walk(dir) // stream holds a directory fd — close it
       try walk.sorted(java.util.Comparator.reverseOrder())
         .forEach(p => Files.delete(p))
       finally walk.close()
     }
+  }
+}
+
+/** One table's contribution to a cross-table transaction.
+  *
+  * @param partitions  partition values this write rewrites; empty =
+  *                    whole table (same contract as SnapshotTable.commit)
+  * @param readVersion snapshot version the DataFrame was derived from;
+  *                    -1 = blind write (never conflicts, only rebases)
+  */
+final case class TableWrite(root: String, df: DataFrame,
+    partitions: Seq[String] = Nil, readVersion: Int = -1)
+
+/** Cross-table transactions over [[SnapshotTable]] — the piece even
+  * most production formats lack (Delta/Iceberg commit one table at a
+  * time). All-or-nothing durability via write-ahead intent:
+  *
+  *   1. STAGE every table's data (the expensive, lock-free step);
+  *   2. CLAIM every table's next version slot with the same
+  *      createLink CAS single-table commits use, conflict-checking
+  *      each table against its declared readVersion. Any claim or
+  *      conflict failure rolls back all claims already taken — no
+  *      pointer has moved, so nothing was ever visible;
+  *   3. write the transaction INTENT record (root, version, staging
+  *      path per table) to `txnDir/txn-<uuid>.staged`, then atomically
+  *      rename it to `.decided` — this rename is the commit point:
+  *      before it, recovery rolls the transaction back; after it,
+  *      recovery rolls it forward;
+  *   4. PUBLISH: rename each staging dir to `v=N` and advance each
+  *      reader pointer; delete the record when all tables are live.
+  *
+  * Data directories are renamed into place only AFTER the decision
+  * point, so an undecided transaction's data can never become
+  * reader-visible — even if an unrelated later commit pushes a
+  * table's pointer past our claimed slot, `read` of that version
+  * fails loudly as "never committed" rather than surfacing orphan
+  * data. Visibility across tables is near-atomic, not atomic: during
+  * step 4 a reader can observe table A at its new version while B's
+  * pointer has not flipped yet (the classic 2PC visibility window).
+  * Readers needing a consistent cross-table view pin the version
+  * vector `commitAll` returns and time-travel-read it — snapshots are
+  * immutable, so that view stays consistent forever.
+  *
+  * Crash recovery ([[recover]]) scans the transaction log: `.staged`
+  * records roll back (delete stagings and claimed markers — claims
+  * above the pointer are invisible dead weight otherwise), `.decided`
+  * records roll forward (finish the renames and pointer flips —
+  * idempotent, so recovering twice is safe).
+  *
+  * At 100 TB the cost profile matches single-table commits: staging
+  * is proportional to data written, and steps 2-4 are a handful of
+  * metadata operations per table regardless of data size.
+  */
+object SnapshotTransaction {
+  import SnapshotTable._
+
+  /** Deterministic fault injection for crash-recovery tests: invoked
+    * with a checkpoint name at each protocol boundary; a test hook
+    * that throws [[SimulatedCrash]] simulates a process death at
+    * exactly that point — cleanup handlers rethrow it WITHOUT running
+    * (a real crash runs nothing), leaving the on-disk state for
+    * [[recover]] to repair.
+    */
+  @volatile private[graft] var failpoint: String => Unit = _ => ()
+
+  /** See [[failpoint]]. */
+  private[graft] final case class SimulatedCrash(at: String) extends Error(at)
+
+  /** Atomically commit every write in `writes`; returns the committed
+    * version vector (root → version). Throws [[SnapshotTable.SnapshotConflict]]
+    * (after rolling back all claims) if any table's conflict check or
+    * slot race fails.
+    */
+  def commitAll(spark: SparkSession, txnDir: String,
+      writes: Seq[TableWrite], maxRetries: Int = 10): Map[String, Int] = {
+    require(writes.nonEmpty, "empty transaction")
+    require(writes.map(_.root).distinct.size == writes.size,
+      "a transaction may write each table at most once")
+    Files.createDirectories(Paths.get(txnDir))
+    // ---- 1. stage (expensive, no locks, writer-unique names) -------
+    val staged = writes.sortBy(_.root).map { w =>
+      Files.createDirectories(Paths.get(w.root, "_staging"))
+      Files.createDirectories(Paths.get(w.root, "_log"))
+      val staging = Paths.get(w.root, "_staging",
+        java.util.UUID.randomUUID().toString)
+      w.df.write.mode("overwrite").parquet(staging.toString)
+      val mine: Set[String] =
+        if (w.partitions.isEmpty) Set("*") else w.partitions.toSet
+      val manifestTmp = Paths.get(w.root, "_staging",
+        staging.getFileName.toString + ".manifest")
+      Files.writeString(manifestTmp, mine.toSeq.sorted.mkString("\n"))
+      (w, staging, manifestTmp, mine)
+    }
+    def dropStagings(): Unit = staged.foreach { case (_, s, m, _) =>
+      deleteTree(s); Files.deleteIfExists(m); ()
+    }
+    // ---- 2. claim a slot per table (CAS + conflict check) ----------
+    val claimed = scala.collection.mutable.ArrayBuffer.empty[(String, Int)]
+    def rollbackClaims(): Unit = claimed.foreach { case (root, v) =>
+      Files.deleteIfExists(markerFile(root, v)); ()
+    }
+    val versions: Seq[(TableWrite, Path, Int)] =
+      try staged.map { case (w, staging, manifestTmp, mine) =>
+        var attempt = 0
+        var slot = -1
+        while (slot < 0) {
+          val base = headVersion(w.root)
+          if (w.readVersion >= 0) {
+            ((w.readVersion + 1) to base)
+              .find(v => overlaps(mine, touched(w.root, v)))
+              .foreach { v =>
+                throw new SnapshotConflict(
+                  s"transaction write to ${w.root} based on " +
+                    s"v${w.readVersion} conflicts with v$v")
+              }
+          }
+          val next = base + 1
+          try {
+            Files.createLink(markerFile(w.root, next), manifestTmp)
+            claimed += ((w.root, next))
+            slot = next
+          } catch {
+            case _: FileAlreadyExistsException =>
+              attempt += 1
+              if (attempt >= maxRetries)
+                throw new SnapshotConflict(
+                  s"lost the claim race $maxRetries times at ${w.root}")
+          }
+        }
+        (w, staging, slot)
+      }
+      catch {
+        case e: Throwable => rollbackClaims(); dropStagings(); throw e
+      }
+    // ---- 3. durable intent, then the atomic decision point ---------
+    val recId = java.util.UUID.randomUUID().toString
+    val stagedRec = Paths.get(txnDir, s"txn-$recId.staged")
+    val decidedRec = Paths.get(txnDir, s"txn-$recId.decided")
+    try {
+      Files.writeString(stagedRec, versions.map { case (w, staging, v) =>
+        s"${w.root}\t$v\t$staging"
+      }.mkString("\n"))
+      failpoint("after-intent")
+      Files.move(stagedRec, decidedRec, StandardCopyOption.ATOMIC_MOVE)
+    } catch {
+      case c: SimulatedCrash => throw c // test-only: die with state intact
+      case e: Throwable =>
+        // undecided: nothing visible yet — full rollback
+        rollbackClaims(); dropStagings(); Files.deleteIfExists(stagedRec)
+        throw e
+    }
+    // ---- 4. publish: decided, so failures roll FORWARD via recover —
+    failpoint("after-decision")
+    versions.foreach { case (w, staging, v) =>
+      Files.move(staging, Paths.get(w.root, s"v=$v"),
+        StandardCopyOption.ATOMIC_MOVE)
+      failpoint("mid-publish")
+      advancePointer(w.root, v)
+      Files.deleteIfExists(Paths.get(w.root, "_staging",
+        staging.getFileName.toString + ".manifest"))
+    }
+    Files.deleteIfExists(decidedRec)
+    versions.map { case (w, _, v) => w.root -> v }.toMap
+  }
+
+  /** Scan the transaction log and repair interrupted transactions:
+    * `.staged` → roll back, `.decided` → roll forward. Idempotent.
+    * Returns (rolledForward, rolledBack) transaction counts.
+    */
+  def recover(txnDir: String): (Int, Int) = {
+    val dir = Paths.get(txnDir)
+    if (!Files.isDirectory(dir)) return (0, 0)
+    val recs = {
+      val s = Files.list(dir)
+      try s.iterator().asScala.filter { p =>
+        val n = p.getFileName.toString
+        n.startsWith("txn-") && (n.endsWith(".staged") || n.endsWith(".decided"))
+      }.toVector
+      finally s.close()
+    }
+    var fwd = 0
+    var back = 0
+    recs.foreach { rec =>
+      val entries = Files.readString(rec).linesIterator.flatMap { line =>
+        line.split('\t') match {
+          case Array(root, v, staging) if v.toIntOption.isDefined =>
+            Some((root, v.toInt, Paths.get(staging)))
+          case _ => None
+        }
+      }.toVector
+      if (rec.getFileName.toString.endsWith(".staged")) {
+        // undecided: no data dir was ever renamed in — delete stagings
+        // and dead claims, nothing was visible
+        entries.foreach { case (root, v, staging) =>
+          deleteTree(staging)
+          Files.deleteIfExists(Paths.get(root, "_staging",
+            staging.getFileName.toString + ".manifest"))
+          Files.deleteIfExists(markerFile(root, v))
+          ()
+        }
+        back += 1
+      } else {
+        // decided: finish what commitAll started, step by step
+        entries.foreach { case (root, v, staging) =>
+          val live = Paths.get(root, s"v=$v")
+          if (!Files.exists(live) && Files.exists(staging))
+            Files.move(staging, live, StandardCopyOption.ATOMIC_MOVE)
+          if (Files.exists(live)) advancePointer(root, v)
+          Files.deleteIfExists(Paths.get(root, "_staging",
+            staging.getFileName.toString + ".manifest"))
+          ()
+        }
+        fwd += 1
+      }
+      Files.deleteIfExists(rec)
+    }
+    (fwd, back)
   }
 }
