@@ -41,6 +41,7 @@ object Graft {
   def registerTables(spark: SparkSession, sfDir: String): Unit = {
     functions.expressions.CosineSimilarity.register(spark)
     functions.expressions.DotProduct.register(spark)
+    functions.expressions.JaroWinkler.register(spark)
     functions.MinHashSignature.register(spark)
     Tables.names.foreach { n =>
       val df = if (n == "events") Tables.events(spark, sfDir) // nanos fix

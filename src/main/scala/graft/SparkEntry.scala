@@ -25,6 +25,7 @@ object SparkEntry {
     q.Analytics,
     q.Supply,
     q.Lifecycle,
+    q.Graphs,
   )
 
   def all: Seq[QueryDef] = {

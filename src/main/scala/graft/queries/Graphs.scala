@@ -1,0 +1,185 @@
+package graft.queries
+
+import graft.{QueryDef, QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Graph topology operators over the nation-level trade graph —
+  * triangle counting and k-hop BFS distances, the two classic
+  * "structure of the graph" questions next to q_pagerank's
+  * centrality. Both run on a deterministically SPARSIFIED edge set
+  * (keep an undirected edge only when its weight is strictly above
+  * the mean — compared in exact bigint cross-multiplied form, never a
+  * float mean) so the dense 25-nation clique becomes a non-trivial
+  * topology and the threshold can never sit on a float boundary.
+  *
+  * Scale design: the one fact-sized job is the edge aggregation
+  * (one shuffle of the lineitem⋈orders⋈customer⋈supplier star on the
+  * nation-pair key); everything downstream — the triangle 3-way
+  * self-join, the BFS rounds — runs on a ≤|nations|² edge table. The
+  * edge table is localCheckpointed and memoized per (session, dir)
+  * like Dedup.verifiedPairs, because the triangle query references it
+  * three times and BFS four times, and static exchange reuse does NOT
+  * dedupe a repeated subtree across self-join/union branches (the
+  * q_pagerank 34-scan lesson, NOTES.md). At 100 TB the same shape
+  * holds: aggregate the fact once, iterate on the small graph.
+  */
+object Graphs extends QueryModule {
+
+  private val edgeCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]()
+
+  /** Undirected above-mean-weight trade edges (a < b), memoized.
+    * Construction pays one Spark job (the localCheckpoint action) —
+    * same contract as Dedup.verifiedPairs / Tables.eventsByDate.
+    */
+  private def keptEdges(s: SparkSession, d: String): DataFrame =
+    edgeCache.computeIfAbsent((s, d), _ => {
+      val e0 = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+        .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .join(Tables.supplier(s, d).select(col("s_suppkey"), col("s_nationkey")),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("c_nationkey").cast("long").as("src"),
+          col("s_nationkey").cast("long").as("dst"))
+        .agg(count(lit(1)).as("w"))
+      val und = e0.filter(col("src") =!= col("dst"))
+        .groupBy(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .agg(sum(col("w")).as("w"))
+      // strictly-above-mean in cross-multiplied bigint form:
+      // w * n_edges > total_w  ⇔  w > total_w / n_edges, exactly
+      val stats = und.agg(count(lit(1)).as("ne"), sum(col("w")).as("tw"))
+      und.crossJoin(stats)
+        .filter(col("w") * col("ne") > col("tw"))
+        .select(col("a"), col("b"))
+        .localCheckpoint(false)
+    })
+
+  /** Oracle CTE producing the identical `kept(a, b)` edge set. The
+    * MATERIALIZED hints matter: DuckDB inlines CTEs by default, and
+    * the k-hop oracle references each round twice (frontier + join) —
+    * inlining re-expands the fact-sized e0 subtree 2^rounds times
+    * (measured: 150+ CPU-minutes at sf0.1 before the fix; <1 s with
+    * materialization). The Spark side has the same hazard and solves
+    * it with the localCheckpoint above.
+    */
+  private val keptCte = """
+      e0 AS MATERIALIZED (
+        SELECT CAST(c_nationkey AS BIGINT) AS src,
+               CAST(s_nationkey AS BIGINT) AS dst, count(*) AS w
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        GROUP BY 1, 2),
+      und AS MATERIALIZED (
+        SELECT least(src, dst) AS a, greatest(src, dst) AS b,
+               CAST(sum(w) AS BIGINT) AS w
+        FROM e0 WHERE src <> dst GROUP BY 1, 2),
+      stats AS MATERIALIZED (SELECT count(*) AS ne, CAST(sum(w) AS BIGINT) AS tw FROM und),
+      kept AS MATERIALIZED (SELECT a, b FROM und CROSS JOIN stats WHERE w * ne > tw)"""
+
+  /** Per-node triangle participation: enumerate each triangle once in
+    * canonical a<b<c orientation ((a,b)⋈(b,c)⋈(a,c) over the ordered
+    * edge list — the standard compact-forward algorithm shape), then
+    * explode to the 3 corners and count per node. All joins are on
+    * the tiny kept-edge table; at scale the worst case is bounded by
+    * the edge list, never the fact table.
+    */
+  val triangles = QueryDef(
+    "q_triangles",
+    (s, d) => {
+      val kept = keptEdges(s, d)
+      val e1 = kept.select(col("a").as("x"), col("b").as("y"))
+      val e2 = kept.select(col("a").as("y2"), col("b").as("z"))
+      val e3 = kept.select(col("a").as("x3"), col("b").as("z3"))
+      val tris = e1
+        .join(e2, col("y") === col("y2"))
+        .join(e3, col("x3") === col("x") && col("z3") === col("z"))
+        .select(col("x"), col("y"), col("z"))
+      val pernode = tris.select(col("x").as("v"))
+        .unionAll(tris.select(col("y").as("v")))
+        .unionAll(tris.select(col("z").as("v")))
+        .groupBy(col("v")).agg(count(lit(1)).as("n_triangles"))
+      pernode
+        .join(Tables.nation(s, d), col("v") === col("n_nationkey"))
+        .select(col("v").as("nationkey"), col("n_name").as("nation"),
+          col("n_triangles"))
+        .orderBy(col("n_triangles").desc, col("nationkey"))
+    },
+    Some(s"""
+      WITH $keptCte,
+      tris AS MATERIALIZED (
+        SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM kept e1
+        JOIN kept e2 ON e1.b = e2.a
+        JOIN kept e3 ON e3.a = e1.a AND e3.b = e2.b),
+      pernode AS MATERIALIZED (
+        SELECT v, count(*) AS n_triangles FROM (
+          SELECT x AS v FROM tris
+          UNION ALL SELECT y FROM tris
+          UNION ALL SELECT z FROM tris)
+        GROUP BY v)
+      SELECT CAST(v AS BIGINT) AS nationkey, n_name AS nation,
+             CAST(n_triangles AS BIGINT) AS n_triangles
+      FROM pernode JOIN nation ON v = n_nationkey
+      ORDER BY n_triangles DESC, nationkey
+    """))
+
+  /** Minimum hop distance from nation 0, 4 unrolled BFS rounds:
+    * frontier ∪ (frontier → neighbours, +1 hop) → min per node.
+    * Exact integer arithmetic throughout — no float anywhere. The
+    * unrolled-rounds form is the driver-side twin of the CC fixpoint
+    * loop (q_dedup_cluster); 4 rounds cover any diameter this graph
+    * exhibits at every SF (observed diameter 2), and nodes
+    * unreachable in 4 hops are deliberately absent from the result.
+    */
+  val khop = QueryDef(
+    "q_khop",
+    (s, d) => {
+      val kept = keptEdges(s, d)
+      val sym = kept.select(col("a").as("src"), col("b").as("dst"))
+        .unionAll(kept.select(col("b").as("src"), col("a").as("dst")))
+      var dist = s.range(1).select(lit(0L).as("v"), lit(0L).as("hops"))
+      for (_ <- 1 to 4) {
+        dist = dist
+          .unionAll(dist.join(sym, col("v") === col("src"))
+            .select(col("dst").as("v"), (col("hops") + 1).as("hops")))
+          .groupBy(col("v")).agg(min(col("hops")).as("hops"))
+      }
+      dist
+        .join(Tables.nation(s, d), col("v") === col("n_nationkey"))
+        .select(col("v").as("nationkey"), col("n_name").as("nation"), col("hops"))
+        .orderBy(col("hops"), col("nationkey"))
+    },
+    Some(s"""
+      WITH $keptCte,
+      sym AS MATERIALIZED (SELECT a AS src, b AS dst FROM kept
+              UNION ALL SELECT b, a FROM kept),
+      d0 AS MATERIALIZED (SELECT CAST(0 AS BIGINT) AS v, CAST(0 AS BIGINT) AS hops),
+      d1 AS MATERIALIZED (SELECT v, CAST(min(hops) AS BIGINT) AS hops FROM (
+        SELECT v, hops FROM d0
+        UNION ALL SELECT dst AS v, hops + 1 FROM d0 JOIN sym ON v = src)
+        GROUP BY v),
+      d2 AS MATERIALIZED (SELECT v, CAST(min(hops) AS BIGINT) AS hops FROM (
+        SELECT v, hops FROM d1
+        UNION ALL SELECT dst AS v, hops + 1 FROM d1 JOIN sym ON v = src)
+        GROUP BY v),
+      d3 AS MATERIALIZED (SELECT v, CAST(min(hops) AS BIGINT) AS hops FROM (
+        SELECT v, hops FROM d2
+        UNION ALL SELECT dst AS v, hops + 1 FROM d2 JOIN sym ON v = src)
+        GROUP BY v),
+      d4 AS MATERIALIZED (SELECT v, CAST(min(hops) AS BIGINT) AS hops FROM (
+        SELECT v, hops FROM d3
+        UNION ALL SELECT dst AS v, hops + 1 FROM d3 JOIN sym ON v = src)
+        GROUP BY v)
+      SELECT v AS nationkey, n_name AS nation, hops
+      FROM d4 JOIN nation ON v = n_nationkey
+      ORDER BY hops, nationkey
+    """))
+
+  def defs: Seq[QueryDef] = Seq(triangles, khop)
+}

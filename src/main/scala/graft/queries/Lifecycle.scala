@@ -1047,10 +1047,95 @@ object Lifecycle extends QueryModule {
       ORDER BY doc_id
     """))
 
+  /** CUSUM changepoint detection over daily order revenue — the
+    * standard "did the level shift, and when" audit statistic. The
+    * classic statistic S_k = prefix_k − k·mean is a float; this form
+    * cross-multiplies by n (S_k·n = n·prefix_k − k·total, in cents)
+    * so the whole curve AND the argmax compare are exact bigint
+    * arithmetic — no float boundary anywhere. The changepoint is the
+    * row maximizing |S| (earliest day on ties), flagged via a
+    * row_number over (|S| desc, day). Scale: the one fact-sized job
+    * is the daily aggregate; the window runs over |days| rows.
+    */
+  val cusum = QueryDef(
+    "q_cusum",
+    (s, d) => {
+      val daily = Tables.orders(s, d)
+        .groupBy(col("o_orderdate").cast("date").as("day"))
+        // re-round after round(,2)*100 before the bigint cast: the
+        // *100 can land an ulp under the integer (SURVEY §5)
+        .agg(round(round(sum(col("o_totalprice")), 2) * 100, 0)
+          .cast("long").as("daily_cents"))
+      val w = Window.orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val all = Window.partitionBy()
+      val cur = daily
+        .withColumn("prefix", sum(col("daily_cents")).over(w))
+        .withColumn("k", row_number().over(Window.orderBy(col("day"))).cast("long"))
+        .withColumn("n", count(lit(1)).over(all))
+        .withColumn("total", sum(col("daily_cents")).over(all))
+        .select(col("day"), col("daily_cents"),
+          (col("n") * col("prefix") - col("k") * col("total")).as("cusum_scaled"))
+      cur
+        .withColumn("is_changepoint",
+          when(row_number().over(
+            Window.orderBy(abs(col("cusum_scaled")).desc, col("day"))) === 1, 1L)
+            .otherwise(0L))
+        .orderBy(col("day"))
+    },
+    Some("""
+      WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(round(round(sum(o_totalprice), 2) * 100, 0) AS BIGINT)
+                 AS daily_cents
+        FROM orders GROUP BY 1),
+      cur AS (
+        SELECT day, daily_cents,
+               count(*) OVER ()
+                 * CAST(sum(daily_cents) OVER (ORDER BY day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               - CAST(row_number() OVER (ORDER BY day) AS BIGINT)
+                 * CAST(sum(daily_cents) OVER () AS BIGINT) AS cusum_scaled
+        FROM daily)
+      SELECT day, daily_cents, cusum_scaled,
+             CASE WHEN row_number() OVER (ORDER BY abs(cusum_scaled) DESC, day) = 1
+                  THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS is_changepoint
+      FROM cur
+      ORDER BY day
+    """))
+
+  /** Pythagorean-means panel per brand: arithmetic ≥ geometric ≥
+    * harmonic over retail price. geo = exp(avg(ln x)), harmonic =
+    * n / Σ(1/x) — both double sums whose summation order differs
+    * between engines; round(,6) then float-cast absorbs the ulp band
+    * (the q_stats convention), validated at 3 SFs + RepeatCheck.
+    * One shuffle on the ~25-brand key; windows nowhere.
+    */
+  val harmonicGeo = QueryDef(
+    "q_harmonic_geo",
+    (s, d) =>
+      Tables.part(s, d)
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n"),
+          round(exp(avg(log(col("p_retailprice")))), 6).cast("float").as("geo_mean"),
+          round(count(lit(1)) / sum(lit(1.0) / col("p_retailprice")), 6)
+            .cast("float").as("harmonic_mean"),
+          round(avg(col("p_retailprice")), 6).cast("float").as("arith_mean"))
+        .orderBy(col("p_brand")),
+    Some("""
+      SELECT p_brand, count(*) AS n,
+             CAST(round(exp(avg(ln(p_retailprice))), 6) AS FLOAT) AS geo_mean,
+             CAST(round(count(*) / sum(1.0 / p_retailprice), 6) AS FLOAT)
+               AS harmonic_mean,
+             CAST(round(avg(p_retailprice), 6) AS FLOAT) AS arith_mean
+      FROM part GROUP BY p_brand
+      ORDER BY p_brand
+    """))
+
   def defs: Seq[QueryDef] = Seq(
     survivalCurve, churnRate, seasonalIndex, markovTransitions,
     abTest, benford, paretoCutoff, packSequences,
     concurrentSessions, gini, sessionStats, pagerank, eventPaths,
     conversionLag, shipLag, growthAccounting, anomalyIqr, activityHeatmap,
-    crossSell, readability)
+    crossSell, readability, cusum, harmonicGeo)
 }

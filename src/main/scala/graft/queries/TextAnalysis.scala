@@ -1293,11 +1293,58 @@ object TextAnalysis extends QueryModule {
       LIMIT 10
     """))
 
+  /** Top-50 most-similar part-name pairs by Jaro-Winkler — the fuzzy
+    * name-match primitive, via graft's native codegen expression
+    * (expressions.JaroWinkler; Spark has levenshtein but no Jaro
+    * family). The oracle calls DuckDB's real jaro_winkler_similarity:
+    * the expression's semantics were fuzz-pinned to it (6000 pairs,
+    * 0 mismatches), so this row cross-verifies the custom kernel
+    * against an independent implementation on real data.
+    *
+    * Scale: candidates are bounded (brand × first-word) buckets —
+    * never all-pairs (the q_dedup_fuzzy prefix-bucket contract) — and
+    * the top-k is a TakeOrdered, not a global sort. round(,6)+float
+    * on the ordering key; ties broken by exact integer keys.
+    */
+  val jaroWinkler = QueryDef(
+    "q_jaro_winkler",
+    (s, d) => {
+      graft.functions.expressions.JaroWinkler.register(s)
+      val p = Tables.part(s, d).select(col("p_partkey"), col("p_name"),
+        col("p_brand"), split(col("p_name"), " ").getItem(0).as("w0"))
+      val a = p.select(col("p_partkey").as("p1"), col("p_name").as("name1"),
+        col("p_brand"), col("w0"))
+      val b = p.select(col("p_partkey").as("p2"), col("p_name").as("name2"),
+        col("p_brand").as("brand2"), col("w0").as("w0b"))
+      a.join(b, col("w0") === col("w0b") && col("p_brand") === col("brand2")
+          && col("p1") < col("p2"))
+        .select(col("p1"), col("p2"), col("name1"), col("name2"),
+          round(call_function("jaro_winkler", col("name1"), col("name2")), 6)
+            .cast("float").as("jw_sim"))
+        .orderBy(col("jw_sim").desc, col("p1"), col("p2"))
+        .limit(50)
+    },
+    Some("""
+      WITH p AS (
+        SELECT p_partkey, p_name, p_brand,
+               string_split(p_name, ' ')[1] AS w0
+        FROM part)
+      SELECT a.p_partkey AS p1, b.p_partkey AS p2,
+             a.p_name AS name1, b.p_name AS name2,
+             CAST(round(jaro_winkler_similarity(a.p_name, b.p_name), 6) AS FLOAT)
+               AS jw_sim
+      FROM p a
+      JOIN p b ON a.w0 = b.w0 AND a.p_brand = b.p_brand
+              AND a.p_partkey < b.p_partkey
+      ORDER BY jw_sim DESC, p1, p2
+      LIMIT 50
+    """))
+
   def defs: Seq[QueryDef] = Seq(
     textJaccard, ngramJaccard, langId, langStats, textQuality,
     tokenStats, docFingerprint, cleanCorpus, tfIdf, sampleBalanced,
     vocabCoverage, trainSplit, contamination, profileDocuments,
     repetition, qualityRules, redactTerms, unigramLogprob, zipfFit,
     shardPlan, chunkDocs, driftPsi, cooccurrence, boilerplate, bm25,
-    hybridRrf)
+    hybridRrf, jaroWinkler)
 }
