@@ -251,10 +251,22 @@ object SnapshotTable {
     // it, so the marker is born with complete content.
     val staging = Paths.get(root, "_staging", java.util.UUID.randomUUID().toString)
     df.write.mode("overwrite").parquet(staging.toString)
+    try validateConstraints(spark, root, staging)
+    catch { case e: Throwable => deleteTree(staging); throw e }
     if (statsCols.nonEmpty) writeStats(spark, staging, statsCols)
     val manifestTmp = Paths.get(root, "_staging",
       staging.getFileName.toString + ".manifest")
     Files.writeString(manifestTmp, mine.toSeq.sorted.mkString("\n"))
+    casCommit(root, staging, manifestTmp, mine, readVersion, maxRetries)
+  }
+
+  /** The metadata half of [[commit]] — CAS-claim a version for an
+    * already-staged directory and publish it. Shared by commit,
+    * [[deleteWhere]], and [[compactFiles]], which stage differently
+    * (Spark write vs hard-links) but follow one commit protocol.
+    */
+  private def casCommit(root: String, staging: Path, manifestTmp: Path,
+      mine: Set[String], readVersion: Int, maxRetries: Int): Int = {
     def cleanup(): Unit = { deleteTree(staging); Files.deleteIfExists(manifestTmp); () }
     var attempt = 0
     while (true) {
@@ -318,7 +330,222 @@ object SnapshotTable {
     require(v <= cur, s"version $v is not committed (latest is $cur)")
     require(Files.exists(Paths.get(root, s"v=$v")),
       s"version $v does not exist (vacuumed or never committed)")
-    spark.read.parquet(s"$root/v=$v")
+    applyDv(spark, Paths.get(root, s"v=$v"),
+      spark.read.parquet(s"$root/v=$v"))
+  }
+
+  // ---- deletion vectors (row-level delete without rewrite) ---------
+  //
+  // A copy-on-write delete (ParquetDml.delete) rewrites every file
+  // that holds a matching row — at 100 TB, deleting 0.1% of rows can
+  // rewrite 100% of the bytes. Deletion vectors are the merge-on-read
+  // alternative the real formats added (Delta DVs / Iceberg position
+  // deletes): the commit records only WHICH rows died, as
+  // (file, row_index) pairs, and readers subtract them. Here:
+  //
+  //  - the new version's data files are HARD LINKS to the previous
+  //    version's (same inode, metadata-only cost — the filesystem
+  //    stand-in for a manifest that re-references unchanged files;
+  //    vacuum of either version just unlinks names);
+  //  - the cumulative vector lives in `_dv/` parquet INSIDE the
+  //    version directory — underscore-prefixed, so plain readers
+  //    never list it, and it publishes atomically with the rename;
+  //  - row identity is (_metadata.file_name, _metadata.row_index) —
+  //    stable because data files are immutable and keep their names
+  //    across link-only commits;
+  //  - [[read]] and [[readPruned]] subtract the vector with a
+  //    broadcast anti-join (|DV| ∝ deleted rows, not table size);
+  //  - a later full [[commit]] writes fresh files and no `_dv`, and
+  //    [[compactFiles]] materializes the subtraction — both end the
+  //    merge-on-read debt, exactly like OPTIMIZE on the real formats.
+  private def dvDir(dir: Path) = dir.resolve("_dv")
+
+  private val dvSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("__dv_file",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("__dv_idx",
+      org.apache.spark.sql.types.LongType)))
+
+  /** The version's cumulative deletion vector (columns `__dv_file`,
+    * `__dv_idx`), empty when the version carries none.
+    */
+  def deletionVectors(spark: SparkSession, root: String,
+      version: Int = -1): DataFrame = {
+    val cur = currentVersion(root)
+    val v = if (version > 0) version else cur
+    require(v > 0 && v <= cur, s"version $v is not committed (latest is $cur)")
+    dvRead(spark, Paths.get(root, s"v=$v"))
+  }
+
+  private def dvRead(spark: SparkSession, dir: Path): DataFrame =
+    if (Files.exists(dvDir(dir)))
+      spark.read.schema(dvSchema).parquet(dvDir(dir).toString)
+    else
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        dvSchema)
+
+  private def applyDv(spark: SparkSession, dir: Path, df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    if (!Files.exists(dvDir(dir))) df
+    else {
+      val dv = dvRead(spark, dir)
+      df.withColumn("__file", col("_metadata.file_name"))
+        .withColumn("__idx", col("_metadata.row_index"))
+        .join(broadcast(dv),
+          col("__file") === col("__dv_file") && col("__idx") === col("__dv_idx"),
+          "left_anti")
+        .drop("__file", "__idx")
+    }
+  }
+
+  /** Row-level DELETE as a deletion-vector commit: no data file is
+    * read for rewrite or written — the new version hard-links every
+    * previous data file and adds the matching (file, row) pairs to
+    * the cumulative `_dv`. Conflict-checked as a full-table
+    * read-modify-write against the version the predicate was
+    * evaluated on. Returns the new version.
+    */
+  def deleteWhere(spark: SparkSession, root: String, predicate: String,
+      maxRetries: Int = 10): Int = {
+    import org.apache.spark.sql.functions.{col, expr}
+    val cur = currentVersion(root)
+    require(cur > 0, s"no committed version at $root")
+    val srcDir = Paths.get(root, s"v=$cur")
+    val withMeta = spark.read.parquet(srcDir.toString)
+      .withColumn("__file", col("_metadata.file_name"))
+      .withColumn("__idx", col("_metadata.row_index"))
+    val prev = dvRead(spark, srcDir)
+    // evaluate the predicate on LIVE rows only (already-deleted rows
+    // must not re-enter the vector as duplicates)
+    val live = withMeta.join(prev,
+      col("__file") === col("__dv_file") && col("__idx") === col("__dv_idx"),
+      "left_anti")
+    val newDv = live.filter(expr(predicate))
+      .select(col("__file").as("__dv_file"), col("__idx").as("__dv_idx"))
+    val staging = Paths.get(root, "_staging", java.util.UUID.randomUUID().toString)
+    Files.createDirectories(staging)
+    // cumulative vector first (a Spark job over src — reads nothing
+    // from staging), then the metadata-only data-file links
+    prev.unionAll(newDv).write.mode("overwrite")
+      .parquet(dvDir(staging).toString)
+    val files = {
+      val s = Files.list(srcDir)
+      try s.iterator().asScala
+        .filter(p => Files.isRegularFile(p) && {
+          val n = p.getFileName.toString
+          !n.startsWith("_") && !n.startsWith(".")
+        }).toVector
+      finally s.close()
+    }
+    files.foreach(p => Files.createLink(staging.resolve(p.getFileName), p))
+    // the stats manifest stays valid (same immutable files; deleted
+    // rows only widen the ranges, which is conservative for pruning)
+    if (Files.exists(statsFile(srcDir)))
+      Files.copy(statsFile(srcDir), statsFile(staging),
+        StandardCopyOption.COPY_ATTRIBUTES)
+    val manifestTmp = Paths.get(root, "_staging",
+      staging.getFileName.toString + ".manifest")
+    Files.writeString(manifestTmp, "*")
+    casCommit(root, staging, manifestTmp, Set("*"), cur, maxRetries)
+  }
+
+  // ---- OPTIMIZE (file compaction) ----------------------------------
+
+  /** Bin-pack the current version's live rows into ~`targetFileBytes`
+    * files as a new full-table version — the OPTIMIZE half of the
+    * format: many small commits (or a streaming sink's per-batch
+    * files) degrade scan parallelism and footer-listing cost, and
+    * accumulated deletion vectors tax every read with the anti-join;
+    * compaction pays the rewrite once and clears both debts.
+    *
+    * The output file count is sized from the version's LIVE byte
+    * count (data bytes minus nothing — deleted-row bytes are an
+    * overestimate, which errs toward slightly larger files, the
+    * harmless direction). `coalesce` narrows without a shuffle —
+    * the scale-correct default for a pure compaction; pass
+    * `rebalance = true` to pay one round-robin shuffle when the
+    * inputs are pathologically skewed. Time travel to pre-compaction
+    * versions is untouched; vacuum reclaims them later.
+    */
+  def compactFiles(spark: SparkSession, root: String,
+      targetFileBytes: Long = 128L << 20, rebalance: Boolean = false,
+      statsCols: Seq[String] = Nil, maxRetries: Int = 10): Int = {
+    val cur = currentVersion(root)
+    require(cur > 0, s"no committed version at $root")
+    val dir = Paths.get(root, s"v=$cur")
+    val bytes = {
+      val s = Files.list(dir)
+      try s.iterator().asScala
+        .filter(p => Files.isRegularFile(p) && {
+          val n = p.getFileName.toString
+          !n.startsWith("_") && !n.startsWith(".")
+        }).map(Files.size).sum
+      finally s.close()
+    }
+    val nOut = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+    val live = read(spark, root, cur)
+    val packed = if (rebalance) live.repartition(nOut) else live.coalesce(nOut)
+    commit(spark, root, packed, readVersion = cur,
+      maxRetries = maxRetries, statsCols = statsCols)
+  }
+
+  // ---- CHECK constraints -------------------------------------------
+  //
+  // Table-level row invariants enforced at commit time, validated
+  // against the STAGED files (the exact bytes about to publish, still
+  // in page cache) so no violating version can ever become readable.
+  // Stored one file per constraint under `_constraints/` — table
+  // metadata, not version metadata, so they apply to every subsequent
+  // commit until dropped.
+
+  /** A commit's staged data violated a CHECK constraint; nothing was
+    * published.
+    */
+  final class ConstraintViolation(msg: String) extends RuntimeException(msg)
+
+  private def constraintsDir(root: String) = Paths.get(root, "_constraints")
+
+  def addConstraint(root: String, name: String, sqlExpr: String): Unit = {
+    require(name.matches("[A-Za-z0-9_-]+"), s"invalid constraint name '$name'")
+    Files.createDirectories(constraintsDir(root))
+    Files.writeString(constraintsDir(root).resolve(name), sqlExpr)
+  }
+
+  def dropConstraint(root: String, name: String): Unit = {
+    Files.deleteIfExists(constraintsDir(root).resolve(name)); ()
+  }
+
+  /** The table's CHECK constraints, name → SQL predicate. */
+  def constraints(root: String): Map[String, String] = {
+    val dir = constraintsDir(root)
+    if (!Files.exists(dir)) Map.empty
+    else {
+      val s = Files.list(dir)
+      try s.iterator().asScala
+        .filter(Files.isRegularFile(_))
+        .map(p => p.getFileName.toString -> Files.readString(p).trim)
+        .toMap
+      finally s.close()
+    }
+  }
+
+  /** Throws [[ConstraintViolation]] if any staged row fails a CHECK
+    * predicate (null counts as failure, as in SQL `CHECK` the
+    * constraint must be TRUE). One filtered count per constraint over
+    * the staged files.
+    */
+  private def validateConstraints(spark: SparkSession, root: String,
+      staged: Path): Unit = {
+    import org.apache.spark.sql.functions.{coalesce => fnCoalesce, expr, lit, not}
+    val cs = constraints(root)
+    if (cs.isEmpty) return
+    val df = spark.read.parquet(staged.toString)
+    cs.foreach { case (name, sql) =>
+      val bad = df.filter(not(fnCoalesce(expr(sql), lit(false)))).count()
+      if (bad > 0)
+        throw new ConstraintViolation(
+          s"CHECK constraint '$name' ($sql) violated by $bad staged row(s); commit aborted")
+    }
   }
 
   // ---- file-level stats manifest (manifest data skipping) ----------
@@ -430,7 +657,14 @@ object SnapshotTable {
     if (files.isEmpty) {
       // every file pruned: empty result with the table's schema
       read(spark, root, version).filter(org.apache.spark.sql.functions.lit(false))
-    } else spark.read.parquet(files: _*).filter(typed)
+    } else {
+      // deletion vectors apply to the surviving files too (the DV
+      // join keys on file_name, so a file subset is fine)
+      val cur = currentVersion(root)
+      val v = if (version > 0) version else cur
+      applyDv(spark, Paths.get(root, s"v=$v"),
+        spark.read.parquet(files: _*)).filter(typed)
+    }
   }
 
   /** The stats manifest as a queryable DataFrame — (file, column,
