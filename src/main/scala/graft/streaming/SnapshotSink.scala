@@ -1,0 +1,72 @@
+package graft.streaming
+
+import graft.sources.SnapshotTable
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Streaming upsert sink into a [[SnapshotTable]] — the
+  * `writeStream.foreachBatch` bridge that turns an at-least-once
+  * stream into a transactional keyed table with time travel, CDC,
+  * and OCC against other writers.
+  *
+  * Per micro-batch:
+  *   1. collapse the batch to its LATEST row per key (`orderCol`
+  *      descending, row_number = 1 — re-delivered and intra-batch
+  *      duplicate keys collapse here), localCheckpointed once so OCC
+  *      retries never re-read the (ephemeral) batch source;
+  *   2. merge-by-key against the current snapshot: rows whose key the
+  *      batch names are replaced, all others carried forward;
+  *   3. commit as a read-modify-write of the version that was merged
+  *      against. If a concurrent writer lands first, the commit
+  *      aborts with [[SnapshotTable.SnapshotConflict]] and the loop
+  *      re-reads and re-merges — the foreachBatch twin of the
+  *      multi-writer contract SnapshotTxnSpec pins for batch writers.
+  *
+  * Exactly-once table contents from an at-least-once source: a
+  * replayed batch re-merges the same keys to the same values, so the
+  * table converges (same idempotence argument as
+  * ForeachBatchUpsertSpec's ParquetDml variant — this sink adds the
+  * version history and concurrency story on top).
+  *
+  * At 100 TB the merge is a key-partitioned anti-join of table vs a
+  * micro-batch-sized key set; with the table bucketed on the key it
+  * is one broadcast anti-join per batch, and compactFiles bounds the
+  * file count the per-batch commits accumulate.
+  */
+object SnapshotSink {
+
+  /** A foreachBatch handler: `stream.writeStream.foreachBatch(
+    * SnapshotSink.upsertBatch(root, "k", "ts") _)`.
+    */
+  def upsertBatch(root: String, keyCol: String, orderCol: String,
+      maxConflictRetries: Int = 20)(batch: DataFrame, batchId: Long): Unit = {
+    if (batch.isEmpty) return
+    val spark = batch.sparkSession
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(orderCol).desc)
+    val latest = batch
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+      .localCheckpoint()
+    var attempt = 0
+    var done = false
+    while (!done) {
+      val cur = SnapshotTable.currentVersion(root)
+      val merged =
+        if (cur == 0) latest
+        else SnapshotTable.read(spark, root, cur)
+          .join(latest.select(col(keyCol)), Seq(keyCol), "left_anti")
+          .unionByName(latest)
+      try {
+        SnapshotTable.commit(spark, root, merged, readVersion = cur)
+        done = true
+      } catch {
+        case e: SnapshotTable.SnapshotConflict =>
+          attempt += 1
+          if (attempt >= maxConflictRetries) throw e
+        // loop: re-read the new head and re-merge
+      }
+    }
+  }
+}
