@@ -1132,10 +1132,109 @@ object Lifecycle extends QueryModule {
       ORDER BY p_brand
     """))
 
+  /** Herfindahl-Hirschman concentration index of supplier revenue per
+    * nation — the antitrust-style "how concentrated is this market"
+    * companion to q_gini. Revenue lands as exact cents (round-twice
+    * rule); shares are doubles of two bigints, so every term is
+    * engine-deterministic, and the ≤|suppliers-per-nation| summation
+    * is absorbed by round(,6)+float. One fact shuffle on the
+    * (nation, supplier) key; windows over supplier-count rows.
+    */
+  val hhi = QueryDef(
+    "q_hhi",
+    (s, d) => {
+      val rev = Tables.lineitem(s, d)
+        .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_nationkey").as("nationkey"), col("l_suppkey"))
+        .agg(round(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2) * 100, 0)
+          .cast("long").as("cents"))
+      val w = Window.partitionBy(col("nationkey"))
+      rev
+        .withColumn("total", sum(col("cents")).over(w))
+        .withColumn("n_suppliers", count(lit(1)).over(w))
+        .groupBy(col("nationkey"), col("n_suppliers"))
+        .agg(round(sum((col("cents").cast("double") / col("total"))
+          * (col("cents").cast("double") / col("total"))), 6)
+          .cast("float").as("hhi"))
+        .join(Tables.nation(s, d), col("nationkey") === col("n_nationkey"))
+        .select(col("nationkey"), col("n_name").as("nation"),
+          col("n_suppliers"), col("hhi"))
+        .orderBy(col("nationkey"))
+    },
+    Some("""
+      WITH rev AS (
+        SELECT s_nationkey AS nationkey, l_suppkey,
+               CAST(round(round(sum(l_extendedprice*(1-l_discount)),2)*100,0) AS BIGINT)
+                 AS cents
+        FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        GROUP BY 1, 2),
+      marg AS (
+        SELECT nationkey, cents,
+               CAST(sum(cents) OVER (PARTITION BY nationkey) AS BIGINT) AS total,
+               CAST(count(*) OVER (PARTITION BY nationkey) AS BIGINT) AS n_suppliers
+        FROM rev)
+      SELECT nationkey, n_name AS nation, n_suppliers,
+             CAST(round(sum((CAST(cents AS DOUBLE)/total)*(CAST(cents AS DOUBLE)/total)), 6) AS FLOAT)
+               AS hhi
+      FROM marg JOIN nation ON nationkey = n_nationkey
+      GROUP BY nationkey, n_name, n_suppliers
+      ORDER BY nationkey
+    """))
+
+  /** Mutual information and chi-square over the (order priority ×
+    * order status) contingency table — the "are these columns
+    * dependent" audit panel a feature-selection pass runs per column
+    * pair. Cell and margin counts are exact bigints (one fact
+    * aggregate, then windows over the ≤15-cell table); every double
+    * term is a function of bigints only, so the cross-engine
+    * difference is the ≤15-term summation order — absorbed by
+    * round(,6)/round(,4).
+    */
+  val mutualInfo = QueryDef(
+    "q_mutual_info",
+    (s, d) => {
+      val cell = Tables.orders(s, d)
+        .groupBy(col("o_orderpriority").as("x"), col("o_orderstatus").as("y"))
+        .agg(count(lit(1)).as("c"))
+      val marg = cell
+        .withColumn("rx", sum(col("c")).over(Window.partitionBy(col("x"))))
+        .withColumn("ry", sum(col("c")).over(Window.partitionBy(col("y"))))
+        .withColumn("n", sum(col("c")).over(Window.partitionBy()))
+      val cD = col("c").cast("double")
+      val exp = col("rx").cast("double") * col("ry") / col("n")
+      marg.agg(
+        round(sum((cD / col("n"))
+          * log(cD * col("n") / (col("rx").cast("double") * col("ry")))), 6)
+          .cast("float").as("mutual_info"),
+        round(sum((cD - exp) * (cD - exp) / exp), 4)
+          .cast("float").as("chi_square"),
+        count(lit(1)).as("n_cells"))
+    },
+    Some("""
+      WITH cell AS (
+        SELECT o_orderpriority AS x, o_orderstatus AS y, count(*) AS c
+        FROM orders GROUP BY 1, 2),
+      marg AS (
+        SELECT x, y, c,
+               CAST(sum(c) OVER (PARTITION BY x) AS BIGINT) AS rx,
+               CAST(sum(c) OVER (PARTITION BY y) AS BIGINT) AS ry,
+               CAST(sum(c) OVER () AS BIGINT) AS n
+        FROM cell)
+      SELECT CAST(round(sum((CAST(c AS DOUBLE)/n)
+                   * ln(CAST(c AS DOUBLE)*n / (CAST(rx AS DOUBLE)*ry))), 6) AS FLOAT)
+               AS mutual_info,
+             CAST(round(sum((CAST(c AS DOUBLE) - CAST(rx AS DOUBLE)*ry/n)
+                   * (CAST(c AS DOUBLE) - CAST(rx AS DOUBLE)*ry/n)
+                   / (CAST(rx AS DOUBLE)*ry/n)), 4) AS FLOAT)
+               AS chi_square,
+             count(*) AS n_cells
+      FROM marg
+    """))
+
   def defs: Seq[QueryDef] = Seq(
     survivalCurve, churnRate, seasonalIndex, markovTransitions,
     abTest, benford, paretoCutoff, packSequences,
     concurrentSessions, gini, sessionStats, pagerank, eventPaths,
     conversionLag, shipLag, growthAccounting, anomalyIqr, activityHeatmap,
-    crossSell, readability, cusum, harmonicGeo)
+    crossSell, readability, cusum, harmonicGeo, hhi, mutualInfo)
 }
