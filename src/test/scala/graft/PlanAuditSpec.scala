@@ -168,7 +168,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_rfm", // 1-row corpus-max-date cross join (tf_idf pattern)
     "q_churn_rate", // 1-row corpus-max-date cross join (tf_idf pattern)
     "q_pagerank", // 1-row node-count cross join per unrolled iteration (tf_idf pattern)
-    "q_cross_sell") // 1-row basket-total cross join (tf_idf pattern)
+    "q_cross_sell", // 1-row basket-total cross join (tf_idf pattern)
+    "q_khop") // 1-row literal BFS seed: constant folding turns the first
+              // frontier⋈edges equi-join into a 1-row broadcast BNL
 
   test("no query plans a CartesianProduct; BNL only on the tiny-broadcast list") {
     val offenders = SparkEntry.all.flatMap { q =>
