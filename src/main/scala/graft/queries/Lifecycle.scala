@@ -1231,10 +1231,113 @@ object Lifecycle extends QueryModule {
       FROM marg
     """))
 
+  /** Exact weighted median (lower convention): first price whose
+    * cumulative quantity-weight reaches half the total — the
+    * quantity-weighted robust center next to q_mad's unweighted one.
+    * Prices as exact cents, weights as exact integer quantities, and
+    * the half-total compare cross-multiplied (2·cw ≥ tw) so nothing
+    * ever divides. One fact shuffle onto (flag, price); the window
+    * runs per flag over distinct prices.
+    */
+  val weightedMedian = QueryDef(
+    "q_weighted_median",
+    (s, d) => {
+      val w = Tables.lineitem(s, d).select(col("l_returnflag").as("flag"),
+        round(round(col("l_extendedprice"), 2) * 100, 0).cast("long").as("price_cents"),
+        col("l_quantity").cast("long").as("qty"))
+      val agg = w.groupBy(col("flag"), col("price_cents"))
+        .agg(sum(col("qty")).as("wsum"))
+      val ord = Window.partitionBy(col("flag")).orderBy(col("price_cents"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      agg
+        .withColumn("cw", sum(col("wsum")).over(ord))
+        .withColumn("tw", sum(col("wsum")).over(Window.partitionBy(col("flag"))))
+        .filter(col("cw") * 2 >= col("tw"))
+        .groupBy(col("flag"))
+        .agg(min(col("price_cents")).as("weighted_median_cents"))
+        .orderBy(col("flag"))
+    },
+    Some("""
+      WITH w AS (
+        SELECT l_returnflag AS flag,
+               CAST(round(round(l_extendedprice,2)*100,0) AS BIGINT) AS price_cents,
+               CAST(l_quantity AS BIGINT) AS qty
+        FROM lineitem),
+      agg AS (
+        SELECT flag, price_cents, CAST(sum(qty) AS BIGINT) AS wsum
+        FROM w GROUP BY 1, 2),
+      cum AS (
+        SELECT flag, price_cents,
+               CAST(sum(wsum) OVER (PARTITION BY flag ORDER BY price_cents
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cw,
+               CAST(sum(wsum) OVER (PARTITION BY flag) AS BIGINT) AS tw
+        FROM agg)
+      SELECT flag, CAST(min(price_cents) AS BIGINT) AS weighted_median_cents
+      FROM cum WHERE 2*cw >= tw GROUP BY flag ORDER BY flag
+    """))
+
+  /** Two-sample Kolmogorov-Smirnov statistic between F and O order
+    * totals — "did the distribution shift" with a fully EXACT
+    * argmax: D's numerator max|k1·n2 − k2·n1| is bigint arithmetic
+    * over cumulative counts (the only double is the final reported
+    * ratio). Scale note: the CDF window runs unpartitioned over
+    * DISTINCT price points — |distinct values| rows, not |orders|;
+    * at extreme cardinality the q_histogram_equidepth banding lever
+    * (range-bucket then two-pass prefix) applies unchanged.
+    */
+  val ksTest = QueryDef(
+    "q_ks_test",
+    (s, d) => {
+      val src = Tables.orders(s, d)
+        .filter(col("o_orderstatus").isin("F", "O"))
+        .select(round(round(col("o_totalprice"), 2) * 100, 0).cast("long").as("v"),
+          when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("g1"),
+          when(col("o_orderstatus") === "O", 1L).otherwise(0L).as("g2"))
+      val agg = src.groupBy(col("v"))
+        .agg(sum(col("g1")).as("c1"), sum(col("g2")).as("c2"))
+      val ord = Window.orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val all = Window.partitionBy()
+      agg
+        .withColumn("k1", sum(col("c1")).over(ord))
+        .withColumn("k2", sum(col("c2")).over(ord))
+        .withColumn("n1", sum(col("c1")).over(all))
+        .withColumn("n2", sum(col("c2")).over(all))
+        .groupBy(col("n1"), col("n2"))
+        .agg(max(abs(col("k1") * col("n2") - col("k2") * col("n1"))).as("d_num"))
+        .select(col("n1"), col("n2"), col("d_num"),
+          round(col("d_num").cast("double") / (col("n1").cast("double") * col("n2")), 6)
+            .cast("float").as("ks_d"))
+    },
+    Some("""
+      WITH s AS (
+        SELECT CAST(round(round(o_totalprice,2)*100,0) AS BIGINT) AS v,
+               CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS g1,
+               CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END AS g2
+        FROM orders WHERE o_orderstatus IN ('F','O')),
+      agg AS (SELECT v, CAST(sum(g1) AS BIGINT) AS c1,
+                     CAST(sum(g2) AS BIGINT) AS c2 FROM s GROUP BY v),
+      cum AS (
+        SELECT v,
+               CAST(sum(c1) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND CURRENT ROW) AS BIGINT) AS k1,
+               CAST(sum(c2) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND CURRENT ROW) AS BIGINT) AS k2,
+               CAST(sum(c1) OVER () AS BIGINT) AS n1,
+               CAST(sum(c2) OVER () AS BIGINT) AS n2
+        FROM agg)
+      SELECT n1, n2,
+             CAST(max(abs(k1*n2 - k2*n1)) AS BIGINT) AS d_num,
+             CAST(round(CAST(max(abs(k1*n2 - k2*n1)) AS DOUBLE)
+                   / (CAST(n1 AS DOUBLE)*n2), 6) AS FLOAT) AS ks_d
+      FROM cum GROUP BY n1, n2
+    """))
+
   def defs: Seq[QueryDef] = Seq(
     survivalCurve, churnRate, seasonalIndex, markovTransitions,
     abTest, benford, paretoCutoff, packSequences,
     concurrentSessions, gini, sessionStats, pagerank, eventPaths,
     conversionLag, shipLag, growthAccounting, anomalyIqr, activityHeatmap,
-    crossSell, readability, cusum, harmonicGeo, hhi, mutualInfo)
+    crossSell, readability, cusum, harmonicGeo, hhi, mutualInfo,
+    weightedMedian, ksTest)
 }
