@@ -242,7 +242,8 @@ object SnapshotTable {
     */
   def commit(spark: SparkSession, root: String, df: DataFrame,
       partitions: Seq[String] = Nil, readVersion: Int = -1,
-      maxRetries: Int = 10, statsCols: Seq[String] = Nil): Int = {
+      maxRetries: Int = 10, statsCols: Seq[String] = Nil,
+      setCols: Seq[String] = Nil, setCap: Int = 1024): Int = {
     Files.createDirectories(logDir(root))
     val mine: Set[String] = if (partitions.isEmpty) Set("*") else partitions.toSet
     // Stage once — the expensive (data-sized) step happens exactly one
@@ -254,6 +255,7 @@ object SnapshotTable {
     try validateConstraints(spark, root, staging)
     catch { case e: Throwable => deleteTree(staging); throw e }
     if (statsCols.nonEmpty) writeStats(spark, staging, statsCols)
+    if (setCols.nonEmpty) writeSets(spark, staging, setCols, setCap)
     val manifestTmp = Paths.get(root, "_staging",
       staging.getFileName.toString + ".manifest")
     Files.writeString(manifestTmp, mine.toSeq.sorted.mkString("\n"))
@@ -443,6 +445,11 @@ object SnapshotTable {
     if (Files.exists(statsFile(srcDir)))
       Files.copy(statsFile(srcDir), statsFile(staging),
         StandardCopyOption.COPY_ATTRIBUTES)
+    // value sets stay valid for the same reason (files unchanged;
+    // deleted values still listed = conservative keep)
+    if (Files.exists(setsFile(srcDir)))
+      Files.copy(setsFile(srcDir), setsFile(staging),
+        StandardCopyOption.COPY_ATTRIBUTES)
     val manifestTmp = Paths.get(root, "_staging",
       staging.getFileName.toString + ".manifest")
     Files.writeString(manifestTmp, "*")
@@ -592,6 +599,114 @@ object SnapshotTable {
       }
     }
     Files.writeString(statsFile(staged), sb.toString)
+  }
+
+  // ---- value-set skipping (point-lookup pruning) -------------------
+  //
+  // Min/max ranges cannot prune a point probe on a column whose
+  // values interleave across files (every range contains the key).
+  // Value-set skipping is the exact-dictionary complement: at commit
+  // time, files whose per-column distinct-value count fits a cap
+  // record the full value set in `_sets.json`; a `column = value`
+  // probe then opens only the files whose set contains the value.
+  // Files over the cap record OVERFLOW and are always kept —
+  // pruning stays an optimization, never a correctness filter. This
+  // is the parquet-dictionary / bloom-filter idea at manifest level:
+  // at 100 TB a point lookup opens |files-holding-key| files instead
+  // of every file whose min..max straddles it.
+
+  private def setsFile(dir: Path) = dir.resolve("_sets.json")
+  private val setsOverflow = "\\0OVERFLOW"
+  private val setsSep: Char = '\u0001'
+
+  private def writeSets(spark: SparkSession, staged: Path, cols: Seq[String],
+      cap: Int): Unit = {
+    import org.apache.spark.sql.functions.{col => c, countDistinct, input_file_name}
+    val df = spark.read.parquet(staged.toString)
+    val sb = new StringBuilder
+    cols.foreach { n =>
+      // two passes, both small-by-construction: distinct counts per
+      // file first, then the value lists only for files under cap
+      // (collect_set on an over-cap file would buffer unboundedly)
+      val counts = df.groupBy(input_file_name().as("file"))
+        .agg(countDistinct(c(n)).as("n")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val under = counts.filter(_._2 <= cap).keySet
+      val values: Map[String, Seq[String]] =
+        if (under.isEmpty) Map.empty
+        else df.select(input_file_name().as("file"), c(n).cast("string").as("v"))
+          .filter(c("file").isin(under.toSeq: _*))
+          .distinct().collect()
+          .groupBy(_.getString(0))
+          .map { case (f, rows) =>
+            f -> rows.map(r => Option(r.getString(1)).getOrElse("\\0N")).toSeq.sorted
+          }
+      counts.keys.foreach { uri =>
+        val file = Paths.get(new java.net.URI(uri).getPath).getFileName.toString
+        val payload =
+          if (under(uri)) values.getOrElse(uri, Nil).mkString(setsSep.toString)
+          else setsOverflow
+        sb.append(s"$file\t$n\t$payload\n")
+      }
+    }
+    Files.writeString(setsFile(staged), sb.toString)
+  }
+
+  /** Files of version `v` that can hold rows with `column = value`
+    * according to the value-set manifest. Files with OVERFLOW, no
+    * set line, or a table committed without sets are kept. Returns
+    * full paths.
+    */
+  def pruneFilesEq(spark: SparkSession, root: String, column: String,
+      value: String, version: Int = -1): Seq[String] = {
+    val cur = currentVersion(root)
+    val v = if (version > 0) version else cur
+    require(v > 0 && v <= cur, s"version $v is not committed (latest is $cur)")
+    val dir = Paths.get(root, s"v=$v")
+    val all = {
+      val s = Files.list(dir)
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filter(n => n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith("."))
+        .toVector.sorted
+      finally s.close()
+    }
+    val sf = setsFile(dir)
+    if (!Files.exists(sf)) return all.map(n => s"$root/v=$v/$n")
+    val sets: Map[String, String] =
+      Files.readString(sf).linesIterator.flatMap { line =>
+        line.split('\t') match {
+          case Array(f, cName, payload) if cName == column => Some(f -> payload)
+          case Array(f, cName) if cName == column => Some(f -> "") // empty set
+          case _ => None
+        }
+      }.toMap
+    all.filter { f =>
+      sets.get(f) match {
+        case Some(p) if p == setsOverflow => true
+        case Some(p) => p.split(setsSep).contains(value)
+        case None => true // no set line for this file: keep
+      }
+    }.map(n => s"$root/v=$v/$n")
+  }
+
+  /** Point-lookup read through the value-set manifest: open only the
+    * files whose dictionary holds the value, then apply the residual
+    * equality filter (and any deletion vectors). Exactly
+    * `read(...).filter(column = value)`.
+    */
+  def readPoint(spark: SparkSession, root: String, column: String,
+      value: String, version: Int = -1): DataFrame = {
+    import org.apache.spark.sql.functions.{col => c, lit}
+    val files = pruneFilesEq(spark, root, column, value, version)
+    if (files.isEmpty)
+      read(spark, root, version).filter(lit(false))
+    else {
+      val cur = currentVersion(root)
+      val v = if (version > 0) version else cur
+      applyDv(spark, Paths.get(root, s"v=$v"),
+        spark.read.parquet(files: _*))
+        .filter(c(column).cast("string") === value)
+    }
   }
 
   /** Files of version `v` whose [min,max] range for `column` can
