@@ -1333,11 +1333,71 @@ object Lifecycle extends QueryModule {
       FROM cum GROUP BY n1, n2
     """))
 
+  /** Mann-Whitney U (rank-sum) between F and O order totals, with
+    * tie-corrected average ranks — the nonparametric "is one sample
+    * stochastically larger" companion to q_ks_test. Everything stays
+    * exact by DOUBLING: 2·avgrank of a tied value group =
+    * 2·cumprev + m + 1 (bigint), so 2·R1 and the reported 2·U values
+    * are pure integer arithmetic — U itself can be half-integer and
+    * a /2 would hit the Spark-truncates / DuckDB-rounds cast
+    * divergence (SURVEY §5). AUC = U1/(n1·n2) is the one double,
+    * rounded. Same scale shape as q_ks_test: one fact aggregate,
+    * windows over distinct values.
+    */
+  val mannWhitney = QueryDef(
+    "q_mann_whitney",
+    (s, d) => {
+      val src = Tables.orders(s, d)
+        .filter(col("o_orderstatus").isin("F", "O"))
+        .select(round(round(col("o_totalprice"), 2) * 100, 0).cast("long").as("v"),
+          when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("g1"))
+      val agg = src.groupBy(col("v"))
+        .agg(count(lit(1)).as("m"), sum(col("g1")).as("m1"))
+      val prev = Window.orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      agg
+        .withColumn("cumprev", coalesce(sum(col("m")).over(prev), lit(0L)))
+        .agg(sum(col("m1")).as("n1"),
+          sum(col("m") - col("m1")).as("n2"),
+          sum(col("m1") * (col("cumprev") * 2 + col("m") + 1)).as("twoR1"))
+        .select(col("n1"), col("n2"),
+          (col("twoR1") - col("n1") * (col("n1") + 1)).as("u1_x2"),
+          (col("n1") * col("n2") * 2 - (col("twoR1") - col("n1") * (col("n1") + 1)))
+            .as("u2_x2"),
+          round((col("twoR1") - col("n1") * (col("n1") + 1)).cast("double")
+            / (col("n1").cast("double") * col("n2") * 2), 6)
+            .cast("float").as("auc"))
+    },
+    Some("""
+      WITH s AS (
+        SELECT CAST(round(round(o_totalprice,2)*100,0) AS BIGINT) AS v,
+               CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS g1
+        FROM orders WHERE o_orderstatus IN ('F','O')),
+      agg AS (SELECT v, CAST(count(*) AS BIGINT) AS m,
+                     CAST(sum(g1) AS BIGINT) AS m1 FROM s GROUP BY v),
+      cum AS (
+        SELECT v, m, m1,
+               CAST(coalesce(sum(m) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                 PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cumprev
+        FROM agg),
+      tot AS (
+        SELECT CAST(sum(m1) AS BIGINT) AS n1,
+               CAST(sum(m - m1) AS BIGINT) AS n2,
+               CAST(sum(m1 * (2*cumprev + m + 1)) AS BIGINT) AS twoR1
+        FROM cum)
+      SELECT n1, n2,
+             CAST(twoR1 - n1*(n1+1) AS BIGINT) AS u1_x2,
+             CAST(2*n1*n2 - (twoR1 - n1*(n1+1)) AS BIGINT) AS u2_x2,
+             CAST(round(CAST(twoR1 - n1*(n1+1) AS DOUBLE)
+                   / (2*CAST(n1 AS DOUBLE)*n2), 6) AS FLOAT) AS auc
+      FROM tot
+    """))
+
   def defs: Seq[QueryDef] = Seq(
     survivalCurve, churnRate, seasonalIndex, markovTransitions,
     abTest, benford, paretoCutoff, packSequences,
     concurrentSessions, gini, sessionStats, pagerank, eventPaths,
     conversionLag, shipLag, growthAccounting, anomalyIqr, activityHeatmap,
     crossSell, readability, cusum, harmonicGeo, hhi, mutualInfo,
-    weightedMedian, ksTest)
+    weightedMedian, ksTest, mannWhitney)
 }

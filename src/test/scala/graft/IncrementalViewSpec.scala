@@ -65,4 +65,25 @@ class IncrementalViewSpec extends AnyFunSuite {
       SnapshotTable.changes(spark, root, 1, 2), Seq("r_regionkey"), "r_regionkey")
     assert(v0.exceptAll(v1).isEmpty && v1.exceptAll(v0).isEmpty)
   }
+
+  test("deletion-vector commits drive the same maintenance (IVM ∘ DV)") {
+    // composition proof: a deleteWhere commit rewrites no data file,
+    // yet its vector flows through the change feed as ordinary delete
+    // rows, so the maintained view stays ≡ recompute
+    val root = java.nio.file.Files.createTempDirectory("graft-ivm-dv").toString
+    val base = Tables.orders(spark, TestSpark.sf0001)
+    SnapshotTable.commit(spark, root, base)
+    var view = sumView(SnapshotTable.read(spark, root, 1), keys, value)
+
+    SnapshotTable.deleteWhere(spark, root, "o_orderstatus = 'F'")
+    view = applySumDeltas(view,
+      SnapshotTable.changes(spark, root, 1, 2), keys, value)
+    assertSameView(view, sumView(SnapshotTable.read(spark, root, 2), keys, value))
+
+    // a second vector on the same files composes too
+    SnapshotTable.deleteWhere(spark, root, "o_totalprice < 50000")
+    view = applySumDeltas(view,
+      SnapshotTable.changes(spark, root, 2, 3), keys, value)
+    assertSameView(view, sumView(SnapshotTable.read(spark, root, 3), keys, value))
+  }
 }
