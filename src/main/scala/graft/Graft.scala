@@ -43,6 +43,7 @@ object Graft {
     functions.expressions.DotProduct.register(spark)
     functions.expressions.JaroWinkler.register(spark)
     functions.MinHashSignature.register(spark)
+    functions.QuantileSketch.register(spark)
     Tables.names.foreach { n =>
       val df = if (n == "events") Tables.events(spark, sfDir) // nanos fix
                else Tables.load(spark, sfDir, n)

@@ -1,0 +1,61 @@
+package graft
+
+import graft.functions.QuantileSketch
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the mergeable quantile sketch: partitioning-invariant
+  * (deterministic bottom-k by hash rank), exact below capacity, and
+  * within sampling error of exact quantiles above it on real data.
+  */
+class QuantileSketchSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("sketch is identical under different partitionings (mergeable + deterministic)") {
+    QuantileSketch.register(spark, k = 64)
+    def sketch(parts: Int): Seq[Seq[Double]] =
+      Tables.orders(spark, TestSpark.sf001)
+        .repartition(parts)
+        .groupBy(col("o_orderpriority"))
+        .agg(QuantileSketch(xxhash64(col("o_orderkey")), col("o_totalprice")).as("sk"))
+        .orderBy(col("o_orderpriority"))
+        .collect().map(_.getSeq[Double](1)).toSeq
+    val a = sketch(1)
+    val b = sketch(13)
+    assert(a === b, "bottom-k by hash rank must not depend on partitioning")
+  }
+
+  test("exact when the group fits the capacity") {
+    QuantileSketch.register(spark, k = 1024)
+    val nation = Tables.nation(spark, TestSpark.sf0001)
+    val sk = nation
+      .agg(QuantileSketch(xxhash64(col("n_nationkey")),
+        col("n_nationkey").cast("double")).as("sk"))
+      .head().getSeq[Double](0)
+    assert(sk.size === nation.count())
+    assert(QuantileSketch.quantileOf(sk, 0.5) === 12.0) // median of 0..24
+    assert(QuantileSketch.quantileOf(sk, 0.0) === 0.0)
+    assert(QuantileSketch.quantileOf(sk, 1.0) === 24.0)
+  }
+
+  test("approximates exact quantiles within sampling error on real data") {
+    QuantileSketch.register(spark, k = 256)
+    val orders = Tables.orders(spark, TestSpark.sf001)
+    val sk = orders
+      .agg(QuantileSketch(xxhash64(col("o_orderkey")), col("o_totalprice")).as("sk"))
+      .head().getSeq[Double](0)
+    assert(sk.size === 256)
+    val exact = orders.stat.approxQuantile("o_totalprice",
+      Array(0.25, 0.5, 0.75), 0.0001)
+    val lo = orders.agg(min("o_totalprice")).head().getDouble(0)
+    val hi = orders.agg(max("o_totalprice")).head().getDouble(0)
+    val span = hi - lo
+    Seq(0.25, 0.5, 0.75).zip(exact).foreach { case (q, ex) =>
+      val est = QuantileSketch.quantileOf(sk, q)
+      // k=256 → rank error ~1/sqrt(256) ≈ 6%; allow 15% of the value
+      // span to keep the assertion robust across corpus reseeds
+      assert(math.abs(est - ex) <= 0.15 * span,
+        s"q=$q est=$est exact=$ex span=$span")
+    }
+  }
+}
