@@ -716,10 +716,67 @@ object Aggregations extends QueryModule {
       ORDER BY col_a, col_b
     """))
 
+  /** The quantile-sketch SAMPLING CONTRACT as an oracle row: per
+    * priority, the deterministic uniform sample is the bottom-64 rows
+    * by md5(key) (cross-engine hash, ties impossible on a unique
+    * key), and quartiles are read by exact rank (lower convention,
+    * ⌈q·n⌉) from the sampled cents. This grades against DuckDB the
+    * exact semantics functions.QuantileSketch implements natively as
+    * a mergeable partial+final UDAF (QuantileSketchSpec pins
+    * UDAF ≡ this declarative twin on identical hash keys — the
+    * NgramsSpec kernel-vs-HOF pattern). At 100 TB the sample is
+    * WindowGroupLimit-pruned per group; nothing global.
+    */
+  val sketchQuantilesQ = QueryDef(
+    "q_sketch_quantiles",
+    (s, d) => {
+      val k = 64
+      val sampled = Tables.orders(s, d)
+        .select(col("o_orderpriority").as("prio"),
+          round(round(col("o_totalprice"), 2) * 100, 0).cast("long").as("cents"),
+          md5(col("o_orderkey").cast("string")).as("hk"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("prio")).orderBy(col("hk"))))
+        .filter(col("rn") <= k)
+      val ranked = sampled
+        .withColumn("vrk", row_number().over(
+          Window.partitionBy(col("prio")).orderBy(col("cents"), col("hk"))))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("prio"))))
+      ranked.groupBy(col("prio"))
+        .agg(max(col("n")).as("n_sampled"),
+          max(when(col("vrk") === ceil(col("n") * 0.25), col("cents"))).as("p25_cents"),
+          max(when(col("vrk") === ceil(col("n") * 0.5), col("cents"))).as("p50_cents"),
+          max(when(col("vrk") === ceil(col("n") * 0.75), col("cents"))).as("p75_cents"))
+        .orderBy(col("prio"))
+    },
+    Some("""
+      WITH sampled AS (
+        SELECT prio, cents,
+               row_number() OVER (PARTITION BY prio ORDER BY hk) AS rn, hk
+        FROM (
+          SELECT o_orderpriority AS prio,
+                 CAST(round(round(o_totalprice,2)*100,0) AS BIGINT) AS cents,
+                 md5(CAST(o_orderkey AS VARCHAR)) AS hk
+          FROM orders)),
+      kept AS (SELECT prio, cents, hk FROM sampled WHERE rn <= 64),
+      ranked AS (
+        SELECT prio, cents,
+               CAST(row_number() OVER (PARTITION BY prio ORDER BY cents, hk) AS BIGINT) AS vrk,
+               CAST(count(*) OVER (PARTITION BY prio) AS BIGINT) AS n
+        FROM kept)
+      SELECT prio,
+             CAST(max(n) AS BIGINT) AS n_sampled,
+             CAST(max(CASE WHEN vrk = ceil(n * 0.25) THEN cents END) AS BIGINT) AS p25_cents,
+             CAST(max(CASE WHEN vrk = ceil(n * 0.5)  THEN cents END) AS BIGINT) AS p50_cents,
+             CAST(max(CASE WHEN vrk = ceil(n * 0.75) THEN cents END) AS BIGINT) AS p75_cents
+      FROM ranked GROUP BY prio ORDER BY prio
+    """))
+
   def defs: Seq[QueryDef] = Seq(
     aggGlobal, countDistinctQ, approxDistinct, rollupQ, cubeQ,
     groupingSetsQ, aggFiltered, maxByQ, collectQ, statsQ, percentileQ,
     pivotQ, histogramQ, modeQ, anyValueQ, percentileDiscQ,
     approxPercentileQ, regressionQ, momentsQ, percentileMultiQ,
-    percentileWindowQ, winsorizeQ, histogramEquidepthQ, madQ, corrMatrixQ)
+    percentileWindowQ, winsorizeQ, histogramEquidepthQ, madQ, corrMatrixQ,
+    sketchQuantilesQ)
 }

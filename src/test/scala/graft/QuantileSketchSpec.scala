@@ -38,6 +38,31 @@ class QuantileSketchSpec extends AnyFunSuite {
     assert(QuantileSketch.quantileOf(sk, 1.0) === 24.0)
   }
 
+  test("UDAF equals the declarative bottom-k twin on identical hash keys") {
+    // the q_sketch_quantiles kernel-vs-declarative pin (NgramsSpec
+    // pattern): same numeric hash keys → same kept sample values
+    QuantileSketch.register(spark, k = 64)
+    val base = Tables.orders(spark, TestSpark.sf001)
+      .select(col("o_orderpriority").as("prio"), col("o_totalprice").as("v"),
+        conv(substring(md5(col("o_orderkey").cast("string")), 1, 15), 16, 10)
+          .cast("long").as("hk"))
+    val viaUdaf = base
+      .groupBy(col("prio"))
+      .agg(QuantileSketch(col("hk"), col("v")).as("sk"))
+      .orderBy(col("prio"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    val viaWindow = base
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("prio")).orderBy(col("hk"))))
+      .filter(col("rn") <= 64)
+      .groupBy(col("prio")).agg(sort_array(collect_list(col("v"))).as("vs"))
+      .orderBy(col("prio"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    assert(viaUdaf.keySet === viaWindow.keySet)
+    viaUdaf.foreach { case (p, vs) => assert(vs === viaWindow(p), s"prio=$p") }
+  }
+
   test("approximates exact quantiles within sampling error on real data") {
     QuantileSketch.register(spark, k = 256)
     val orders = Tables.orders(spark, TestSpark.sf001)
