@@ -67,6 +67,17 @@ import scala.jdk.CollectionConverters._
   * bounds storage by dropping versions older than a retention floor.
   * The CAS is one metadata operation per commit regardless of data
   * size — on object stores the same step is a conditional PUT.
+  *
+  * Full surface on top of the commit protocol (each with its spec):
+  * time travel (`read(version)`), manifest min/max data skipping
+  * (`statsCols` → `readPruned`), value-set point-lookup skipping
+  * (`setCols` → `readPoint`), log compaction (`compactLog`), batch +
+  * streaming CDC (`changes`/`changesByKey`/`streamChanges`),
+  * deletion vectors (`deleteWhere` — merge-on-read deletes over
+  * hard-linked files), OPTIMIZE file compaction (`compactFiles`),
+  * commit-time CHECK constraints (`addConstraint`), cross-table
+  * transactions (`commitAll`/`recover`), and a streaming upsert sink
+  * (streaming.SnapshotSink).
   */
 object SnapshotTable {
 
