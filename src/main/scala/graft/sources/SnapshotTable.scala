@@ -467,6 +467,74 @@ object SnapshotTable {
     casCommit(root, staging, manifestTmp, Set("*"), cur, maxRetries)
   }
 
+  // ---- MERGE (batch upsert) ----------------------------------------
+
+  /** MERGE INTO for snapshot tables: rows whose key appears in
+    * `source` are replaced by the source row (matched → update),
+    * unmatched source rows are inserted, everything else is carried
+    * forward — the batch twin of streaming.SnapshotSink's per-batch
+    * merge, exposed as a first-class table op. The caller guarantees
+    * `source` has one row per key (the standard MERGE cardinality
+    * contract; enforced here because a violation would silently
+    * duplicate rows). Committed as a read-modify-write of the
+    * version merged against; concurrent overlapping commits abort
+    * with [[SnapshotConflict]] for the caller to retry.
+    *
+    * At 100 TB the anti-join's right side is the source key set —
+    * batch-sized, broadcastable; with the table bucketed on the key
+    * the merge is shuffle-free.
+    */
+  def mergeByKey(spark: SparkSession, root: String, source: DataFrame,
+      keyCols: Seq[String], maxRetries: Int = 10): Int = {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    require(keyCols.nonEmpty, "mergeByKey needs at least one key column")
+    val dups = source.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n")).filter(col("n") > 1).limit(1).collect()
+    require(dups.isEmpty,
+      s"merge source has duplicate keys (e.g. ${dups.headOption.getOrElse("")})")
+    val cur = currentVersion(root)
+    val merged =
+      if (cur == 0) source
+      else read(spark, root, cur)
+        .join(source.select(keyCols.map(col): _*), keyCols, "left_anti")
+        .unionByName(source)
+    commit(spark, root, merged, readVersion = cur, maxRetries = maxRetries)
+  }
+
+  // ---- commit history (metadata table) -----------------------------
+
+  /** The table's commit history as a DataFrame — (version,
+    * committed_at, operation-visible metadata: touched partitions,
+    * file count, has deletion vector) for every version still on
+    * disk, newest first. The `DESCRIBE HISTORY` surface for audit
+    * and debugging; timestamps are filesystem mtimes of the version
+    * directories (observability data, not part of any oracle).
+    */
+  def historyTable(spark: SparkSession, root: String): DataFrame = {
+    import spark.implicits._
+    val cur = currentVersion(root)
+    val rows = (1 to cur).flatMap { v =>
+      val dir = Paths.get(root, s"v=$v")
+      if (!Files.exists(dir)) None // vacuumed
+      else {
+        val files = {
+          val s = Files.list(dir)
+          try s.iterator().asScala.count(p => Files.isRegularFile(p) && {
+            val n = p.getFileName.toString
+            !n.startsWith("_") && !n.startsWith(".")
+          })
+          finally s.close()
+        }
+        val parts = try touched(root, v).toSeq.sorted.mkString(",")
+                    catch { case _: Exception => "*" }
+        Some((v, Files.getLastModifiedTime(dir).toMillis, parts, files,
+          Files.exists(dvDir(dir))))
+      }
+    }
+    rows.toDF("version", "committed_at_ms", "partitions", "n_files", "has_dv")
+      .orderBy(org.apache.spark.sql.functions.col("version").desc)
+  }
+
   // ---- OPTIMIZE (file compaction) ----------------------------------
 
   /** Bin-pack the current version's live rows into ~`targetFileBytes`

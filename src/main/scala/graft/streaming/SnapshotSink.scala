@@ -52,20 +52,16 @@ object SnapshotSink {
     var attempt = 0
     var done = false
     while (!done) {
-      val cur = SnapshotTable.currentVersion(root)
-      val merged =
-        if (cur == 0) latest
-        else SnapshotTable.read(spark, root, cur)
-          .join(latest.select(col(keyCol)), Seq(keyCol), "left_anti")
-          .unionByName(latest)
+      // one merge semantics for batch and streaming: the table op
+      // does keyed replace-or-insert as a read-modify-write commit
       try {
-        SnapshotTable.commit(spark, root, merged, readVersion = cur)
+        SnapshotTable.mergeByKey(spark, root, latest, Seq(keyCol))
         done = true
       } catch {
         case e: SnapshotTable.SnapshotConflict =>
           attempt += 1
           if (attempt >= maxConflictRetries) throw e
-        // loop: re-read the new head and re-merge
+        // loop: mergeByKey re-reads the new head and re-merges
       }
     }
   }

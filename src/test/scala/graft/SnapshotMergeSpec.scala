@@ -1,0 +1,75 @@
+package graft
+
+import graft.sources.SnapshotTable
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Batch MERGE INTO and the commit-history metadata table on
+  * SnapshotTable.
+  */
+class SnapshotMergeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def freshRoot(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft-merge-$tag").toString
+
+  test("mergeByKey updates matched keys, inserts new ones, carries the rest") {
+    import spark.implicits._
+    val root = freshRoot("basic")
+    val nation = Tables.nation(spark, TestSpark.sf0001)
+    SnapshotTable.commit(spark, root, nation)
+
+    // update nation 0's name, insert a new key 99
+    val source = Seq((0L, "RENAMED", 0L), (99L, "NEWLAND", 1L))
+      .toDF("n_nationkey", "n_name", "n_regionkey")
+    val v2 = SnapshotTable.mergeByKey(spark, root, source, Seq("n_nationkey"))
+    assert(v2 === 2)
+
+    val after = SnapshotTable.read(spark, root)
+    assert(after.count() === nation.count() + 1)
+    assert(after.filter(col("n_nationkey") === 0)
+      .head().getAs[String]("n_name") === "RENAMED")
+    assert(after.filter(col("n_nationkey") === 99).count() === 1)
+    // untouched rows carried byte-identically
+    assert(after.filter(col("n_nationkey") === 5)
+      .exceptAll(nation.filter(col("n_nationkey") === 5)).isEmpty)
+    // pre-merge version intact
+    assert(SnapshotTable.read(spark, root, 1).count() === nation.count())
+  }
+
+  test("mergeByKey rejects a source with duplicate keys") {
+    import spark.implicits._
+    val root = freshRoot("dups")
+    SnapshotTable.commit(spark, root, Tables.nation(spark, TestSpark.sf0001))
+    val bad = Seq((1L, "A", 0L), (1L, "B", 0L))
+      .toDF("n_nationkey", "n_name", "n_regionkey")
+    val e = intercept[IllegalArgumentException] {
+      SnapshotTable.mergeByKey(spark, root, bad, Seq("n_nationkey"))
+    }
+    assert(e.getMessage.contains("duplicate keys"))
+  }
+
+  test("historyTable reports every live version with its metadata") {
+    import spark.implicits._
+    val root = freshRoot("history")
+    SnapshotTable.commit(spark, root,
+      Tables.nation(spark, TestSpark.sf0001).repartition(3))
+    SnapshotTable.deleteWhere(spark, root, "n_nationkey >= 20")
+    SnapshotTable.mergeByKey(spark, root,
+      Seq((0L, "X", 0L)).toDF("n_nationkey", "n_name", "n_regionkey"),
+      Seq("n_nationkey"))
+
+    val h = SnapshotTable.historyTable(spark, root).collect()
+    assert(h.map(_.getInt(0)).toSeq === Seq(3, 2, 1), "newest first")
+    val byV = h.map(r => r.getInt(0) -> r).toMap
+    assert(byV(1).getAs[Int]("n_files") === 3)
+    assert(byV(2).getAs[Boolean]("has_dv"), "v2 is the DV commit")
+    assert(!byV(3).getAs[Boolean]("has_dv"), "the merge rewrite clears DVs")
+    assert(h.forall(_.getAs[String]("partitions") === "*"))
+
+    // vacuumed versions drop out of the history
+    SnapshotTable.vacuum(root, keepLast = 1)
+    assert(SnapshotTable.historyTable(spark, root)
+      .collect().map(_.getInt(0)).toSeq === Seq(3))
+  }
+}
