@@ -501,6 +501,50 @@ object SnapshotTable {
     commit(spark, root, merged, readVersion = cur, maxRetries = maxRetries)
   }
 
+  // ---- RESTORE -----------------------------------------------------
+
+  /** Roll the table back to `toVersion` as a NEW commit (history is
+    * never rewritten — the bad versions stay time-travelable until
+    * vacuum). Metadata-only: the new version hard-links the target
+    * version's data files and copies its sidecars (`_dv`, stats,
+    * sets), so restoring a 100 TB table costs |files| link
+    * operations, not a rewrite. Conflict-checked as a full-table
+    * write against the current head.
+    */
+  def restore(spark: SparkSession, root: String, toVersion: Int,
+      maxRetries: Int = 10): Int = {
+    val cur = currentVersion(root)
+    require(toVersion > 0 && toVersion <= cur,
+      s"cannot restore to v$toVersion (latest is $cur)")
+    val srcDir = Paths.get(root, s"v=$toVersion")
+    require(Files.exists(srcDir),
+      s"version $toVersion does not exist (vacuumed)")
+    val staging = Paths.get(root, "_staging", java.util.UUID.randomUUID().toString)
+    Files.createDirectories(staging)
+    val entries = {
+      val s = Files.list(srcDir)
+      try s.iterator().asScala.toVector finally s.close()
+    }
+    entries.foreach { p =>
+      val n = p.getFileName.toString
+      if (Files.isRegularFile(p) && !n.startsWith("."))
+        Files.createLink(staging.resolve(n), p)
+      else if (Files.isDirectory(p) && n == "_dv") {
+        // link the vector files too — the restored state includes its deletes
+        Files.createDirectories(staging.resolve(n))
+        val s2 = Files.list(p)
+        try s2.iterator().asScala.filter(Files.isRegularFile(_))
+          .foreach(f => Files.createLink(
+            staging.resolve(n).resolve(f.getFileName), f))
+        finally s2.close()
+      }
+    }
+    val manifestTmp = Paths.get(root, "_staging",
+      staging.getFileName.toString + ".manifest")
+    Files.writeString(manifestTmp, "*")
+    casCommit(root, staging, manifestTmp, Set("*"), cur, maxRetries)
+  }
+
   // ---- commit history (metadata table) -----------------------------
 
   /** The table's commit history as a DataFrame — (version,

@@ -49,6 +49,27 @@ class SnapshotMergeSpec extends AnyFunSuite {
     assert(e.getMessage.contains("duplicate keys"))
   }
 
+  test("restore rolls back as a new hard-link commit; history intact") {
+    val root = freshRoot("restore")
+    val nation = Tables.nation(spark, TestSpark.sf0001)
+    SnapshotTable.commit(spark, root, nation)                       // v1 good
+    SnapshotTable.deleteWhere(spark, root, "n_nationkey >= 10")     // v2 oops
+    assert(SnapshotTable.read(spark, root).count() === 10)
+
+    val v3 = SnapshotTable.restore(spark, root, 1)
+    assert(v3 === 3)
+    val restored = SnapshotTable.read(spark, root)
+    assert(restored.count() === nation.count())
+    assert(restored.exceptAll(nation).isEmpty && nation.exceptAll(restored).isEmpty)
+    // the bad version is still time-travelable (history never rewritten)
+    assert(SnapshotTable.read(spark, root, 2).count() === 10)
+
+    // restoring TO a DV version carries its vector (same live rows)
+    val v4 = SnapshotTable.restore(spark, root, 2)
+    assert(SnapshotTable.read(spark, root, v4).count() === 10)
+    assert(SnapshotTable.deletionVectors(spark, root, v4).count() === 15)
+  }
+
   test("historyTable reports every live version with its metadata") {
     import spark.implicits._
     val root = freshRoot("history")
