@@ -1393,11 +1393,66 @@ object Lifecycle extends QueryModule {
       FROM tot
     """))
 
+  /** Cramér's V effect size over the (return flag × line status)
+    * contingency table — the normalized [0,1] companion to
+    * q_mutual_info's raw chi-square on a second column pair. Cells
+    * and margins exact bigints; chi² terms are functions of bigints;
+    * the ≤6-term sum and the final sqrt are rounded. One fact
+    * shuffle onto the 6-cell key.
+    */
+  val cramersV = QueryDef(
+    "q_cramers_v",
+    (s, d) => {
+      val cell = Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag").as("x"), col("l_linestatus").as("y"))
+        .agg(count(lit(1)).as("c"))
+      val marg = cell
+        .withColumn("rx", sum(col("c")).over(Window.partitionBy(col("x"))))
+        .withColumn("ry", sum(col("c")).over(Window.partitionBy(col("y"))))
+        .withColumn("n", sum(col("c")).over(Window.partitionBy()))
+      val cD = col("c").cast("double")
+      val exp = col("rx").cast("double") * col("ry") / col("n")
+      marg.agg(
+        max(col("n")).as("n"),
+        countDistinct(col("x")).as("r"),
+        countDistinct(col("y")).as("cols"),
+        sum((cD - exp) * (cD - exp) / exp).as("chi2"))
+        .select(col("n"), col("r"), col("cols"),
+          round(col("chi2"), 4).cast("float").as("chi_square"),
+          round(sqrt(col("chi2")
+            / (col("n") * least(col("r") - 1, col("cols") - 1))), 6)
+            .cast("float").as("cramers_v"))
+    },
+    Some("""
+      WITH cell AS (
+        SELECT l_returnflag AS x, l_linestatus AS y, count(*) AS c
+        FROM lineitem GROUP BY 1, 2),
+      marg AS (
+        SELECT x, y, c,
+               CAST(sum(c) OVER (PARTITION BY x) AS BIGINT) AS rx,
+               CAST(sum(c) OVER (PARTITION BY y) AS BIGINT) AS ry,
+               CAST(sum(c) OVER () AS BIGINT) AS n
+        FROM cell),
+      stat AS (
+        SELECT max(n) AS n,
+               CAST(count(DISTINCT x) AS BIGINT) AS r,
+               CAST(count(DISTINCT y) AS BIGINT) AS cols,
+               sum((CAST(c AS DOUBLE) - CAST(rx AS DOUBLE)*ry/n)
+                   * (CAST(c AS DOUBLE) - CAST(rx AS DOUBLE)*ry/n)
+                   / (CAST(rx AS DOUBLE)*ry/n)) AS chi2
+        FROM marg)
+      SELECT CAST(n AS BIGINT) AS n, r, cols,
+             CAST(round(chi2, 4) AS FLOAT) AS chi_square,
+             CAST(round(sqrt(chi2 / (n * least(r-1, cols-1))), 6) AS FLOAT)
+               AS cramers_v
+      FROM stat
+    """))
+
   def defs: Seq[QueryDef] = Seq(
     survivalCurve, churnRate, seasonalIndex, markovTransitions,
     abTest, benford, paretoCutoff, packSequences,
     concurrentSessions, gini, sessionStats, pagerank, eventPaths,
     conversionLag, shipLag, growthAccounting, anomalyIqr, activityHeatmap,
     crossSell, readability, cusum, harmonicGeo, hhi, mutualInfo,
-    weightedMedian, ksTest, mannWhitney)
+    weightedMedian, ksTest, mannWhitney, cramersV)
 }
