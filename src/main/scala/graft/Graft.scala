@@ -42,6 +42,7 @@ object Graft {
     functions.expressions.CosineSimilarity.register(spark)
     functions.expressions.DotProduct.register(spark)
     functions.expressions.JaroWinkler.register(spark)
+    functions.expressions.DamerauLevenshtein.register(spark)
     functions.MinHashSignature.register(spark)
     functions.QuantileSketch.register(spark)
     Tables.names.foreach { n =>

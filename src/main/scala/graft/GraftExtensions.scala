@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.expressions.{CharNgrams, CosineSimilarity, DotProduct, JaroWinkler, WordNgrams}
+import graft.functions.expressions.{CharNgrams, CosineSimilarity, DamerauLevenshtein, DotProduct, JaroWinkler, WordNgrams}
 import org.apache.spark.sql.SparkSessionExtensions
 
 /** Session-extension entry point: register graft's native expressions
@@ -20,6 +20,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (WordNgrams.identifier, WordNgrams.info, WordNgrams.builder))
     extensions.injectFunction(
       (JaroWinkler.identifier, JaroWinkler.info, JaroWinkler.builder))
+    extensions.injectFunction(
+      (DamerauLevenshtein.identifier, DamerauLevenshtein.info, DamerauLevenshtein.builder))
     // Rewrite the portable declarative cosine shape to the fused
     // codegen expression automatically.
     extensions.injectOptimizerRule(_ => plans.RewriteCosineToNative)

@@ -1340,11 +1340,53 @@ object TextAnalysis extends QueryModule {
       LIMIT 50
     """))
 
+  /** Closest part-name pairs by FULL Damerau-Levenshtein distance —
+    * the typo-model edit distance (adjacent transposition = 1 edit)
+    * via graft's native codegen expression, graded against DuckDB's
+    * own damerau_levenshtein (the kernel was fuzz-pinned to the
+    * unrestricted variant it implements; 2005 pairs, 0 mismatches).
+    * Integer distances: zero float surface. Same bounded
+    * (brand × first-word) candidate buckets and TakeOrdered top-k
+    * as q_jaro_winkler.
+    */
+  val damerau = QueryDef(
+    "q_damerau",
+    (s, d) => {
+      graft.functions.expressions.DamerauLevenshtein.register(s)
+      val p = Tables.part(s, d).select(col("p_partkey"), col("p_name"),
+        col("p_brand"), split(col("p_name"), " ").getItem(0).as("w0"))
+      val a = p.select(col("p_partkey").as("p1"), col("p_name").as("name1"),
+        col("p_brand"), col("w0"))
+      val b = p.select(col("p_partkey").as("p2"), col("p_name").as("name2"),
+        col("p_brand").as("brand2"), col("w0").as("w0b"))
+      a.join(b, col("w0") === col("w0b") && col("p_brand") === col("brand2")
+          && col("p1") < col("p2"))
+        .select(col("p1"), col("p2"), col("name1"), col("name2"),
+          call_function("damerau_levenshtein", col("name1"), col("name2"))
+            .cast("long").as("dl_dist"))
+        .orderBy(col("dl_dist"), col("p1"), col("p2"))
+        .limit(30)
+    },
+    Some("""
+      WITH p AS (
+        SELECT p_partkey, p_name, p_brand,
+               string_split(p_name, ' ')[1] AS w0
+        FROM part)
+      SELECT a.p_partkey AS p1, b.p_partkey AS p2,
+             a.p_name AS name1, b.p_name AS name2,
+             CAST(damerau_levenshtein(a.p_name, b.p_name) AS BIGINT) AS dl_dist
+      FROM p a
+      JOIN p b ON a.w0 = b.w0 AND a.p_brand = b.p_brand
+              AND a.p_partkey < b.p_partkey
+      ORDER BY dl_dist, p1, p2
+      LIMIT 30
+    """))
+
   def defs: Seq[QueryDef] = Seq(
     textJaccard, ngramJaccard, langId, langStats, textQuality,
     tokenStats, docFingerprint, cleanCorpus, tfIdf, sampleBalanced,
     vocabCoverage, trainSplit, contamination, profileDocuments,
     repetition, qualityRules, redactTerms, unigramLogprob, zipfFit,
     shardPlan, chunkDocs, driftPsi, cooccurrence, boilerplate, bm25,
-    hybridRrf, jaroWinkler)
+    hybridRrf, jaroWinkler, damerau)
 }
