@@ -9,11 +9,17 @@ import org.apache.spark.sql.functions.udaf
   * surface) — completes the sketch family next to MinHash
   * (similarity), Misra-Gries (heavy hitters), and HLL (distinct):
   * per group, keep the (hashKey, value) pairs with the k smallest
-  * hash keys. Because xxhash64 of a stable row key is a fixed
-  * pseudo-random rank, the kept set is a uniform k-sample of the
-  * group that is IDENTICAL under any partitioning, input order, or
-  * merge tree — a reservoir sample without the nondeterminism
-  * reservoirs have under parallel aggregation. Quantile q is then
+  * (hashKey, value) PAIRS under the total lexicographic order — the
+  * full pair, not the hash alone, so equal hash keys (duplicate row
+  * keys, or an xxhash64 collision) truncate identically no matter
+  * which side of a reduce/merge they arrive on. Because xxhash64 of a
+  * stable row key is a fixed pseudo-random rank, the kept set is a
+  * uniform k-sample of the group that is IDENTICAL under any
+  * partitioning, input order, or merge tree — a reservoir sample
+  * without the nondeterminism reservoirs have under parallel
+  * aggregation. Callers should hash a UNIQUE row key: duplicate keys
+  * skew sampling uniformity (the pair order keeps them deterministic,
+  * but the duplicated key is over-represented). Quantile q is then
   * the ⌈q·n⌉-th of the sorted kept values (exact when the group is
   * under k; ±O(1/√k) standard sampling error above it).
   *
@@ -26,17 +32,23 @@ class QuantileSketch(k: Int)
     extends Aggregator[(Long, Double), Seq[(Long, Double)], Seq[Double]] {
   require(k > 0)
 
+  // total order over the FULL pair: a strict-by-hash-only compare
+  // would drop an equal-hash incoming element in reduce but keep it
+  // in merge, making the kept set depend on the aggregation tree
+  private val ord: Ordering[(Long, Double)] =
+    Ordering.Tuple2(Ordering.Long, Ordering.Double.TotalOrdering)
+
   override def zero: Seq[(Long, Double)] = Vector.empty
 
   override def reduce(buf: Seq[(Long, Double)],
       in: (Long, Double)): Seq[(Long, Double)] =
-    if (buf.size < k) (buf :+ in).sortBy(_._1)
-    else if (in._1 < buf.last._1) (buf.init :+ in).sortBy(_._1)
+    if (buf.size < k) (buf :+ in).sorted(ord)
+    else if (ord.lt(in, buf.last)) (buf.init :+ in).sorted(ord)
     else buf
 
   override def merge(a: Seq[(Long, Double)],
       b: Seq[(Long, Double)]): Seq[(Long, Double)] =
-    (a ++ b).sortBy(_._1).take(k)
+    (a ++ b).sorted(ord).take(k)
 
   /** The kept values sorted ascending — quantiles read by rank. */
   override def finish(reduction: Seq[(Long, Double)]): Seq[Double] =

@@ -605,18 +605,21 @@ object Aggregations extends QueryModule {
     * (the quantization table feature binning / data profiling needs).
     * ntile(10) over a TOTAL order (price, orderkey tiebreak) is
     * deterministic in both engines; counts/min/max are exact. The
-    * single-partition ntile window is the known cost — at 100 TB use
-    * approx percentile boundaries instead (q_approx_percentile) and
-    * a broadcast range join; this is the exact-oracle formulation.
+    * tiling is PrefixSum's distributed rank + ntileFromRank (exact
+    * SQL-ntile semantics, never a single-partition window); the
+    * approx-percentile + broadcast-range-join formulation remains the
+    * cheaper-but-inexact alternative when rank exactness isn't needed.
     */
   val histogramEquidepthQ = QueryDef(
     "q_histogram_equidepth",
     (s, d) =>
-      Tables.orders(s, d)
+      graft.functions.PrefixSum.attach(
+          Tables.orders(s, d).select(col("o_totalprice"), col("o_orderkey")),
+          Nil, Seq(col("o_totalprice"), col("o_orderkey")),
+          rank = Some("__rank"), countTotal = Some("__n"))
         .select(col("o_totalprice"),
-          ntile(10).over(org.apache.spark.sql.expressions.Window
-            .orderBy(col("o_totalprice"), col("o_orderkey")))
-            .cast("long").as("decile"))
+          graft.functions.PrefixSum.ntileFromRank(col("__rank"), col("__n"), 10)
+            .as("decile"))
         .groupBy(col("decile"))
         .agg(count(lit(1)).as("cnt"),
           min(col("o_totalprice")).as("lo"),

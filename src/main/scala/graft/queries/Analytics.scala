@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{QueryDef, QueryModule, Tables}
+import graft.functions.PrefixSum
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -631,10 +632,12 @@ object Analytics extends QueryModule {
     * Monetary (revenue sum), each bucketed into quintiles. ntile
     * ties are broken by custkey in the ORDER BY so the bucket
     * assignment is total-order deterministic in both engines. The
-    * per-customer aggregate is one shuffle; the three ntile windows
-    * share one global sort each over the (already tiny) customer
-    * aggregate — at 100 TB the windows run on |customers|, not
-    * |orders|. Corpus max date rides the lazy 1-row cross join.
+    * per-customer aggregate is one shuffle; each quintile is derived
+    * from a PrefixSum distributed rank + the exact group count
+    * (ntileFromRank reproduces SQL ntile's ceil/floor tile split), so
+    * no score ever runs a single-partition global window — |customers|
+    * is 100M+ at 100 TB. Corpus max date rides the lazy 1-row cross
+    * join.
     */
   val rfm = QueryDef(
     "q_rfm",
@@ -650,14 +653,19 @@ object Analytics extends QueryModule {
         .select(col("o_custkey"),
           datediff(col("corpus_max"), col("last_order")).cast("long").as("recency_days"),
           col("frequency"), col("monetary"))
-      val wR = Window.orderBy(col("recency_days"), col("o_custkey"))
-      val wF = Window.orderBy(col("frequency").desc, col("o_custkey"))
-      val wM = Window.orderBy(col("monetary").desc, col("o_custkey"))
-      base
+      val ranked = Seq[(String, Seq[org.apache.spark.sql.Column])](
+        "__r" -> Seq(col("recency_days"), col("o_custkey")),
+        "__f" -> Seq(col("frequency").desc, col("o_custkey")),
+        "__m" -> Seq(col("monetary").desc, col("o_custkey")))
+        .foldLeft(base) { case (df, (rn, ord)) =>
+          PrefixSum.attach(df, Nil, ord, rank = Some(rn),
+            countTotal = if (rn == "__r") Some("__n") else None)
+        }
+      ranked
         .select(col("o_custkey"), col("recency_days"), col("frequency"), col("monetary"),
-          ntile(5).over(wR).cast("long").as("r_score"),
-          ntile(5).over(wF).cast("long").as("f_score"),
-          ntile(5).over(wM).cast("long").as("m_score"))
+          PrefixSum.ntileFromRank(col("__r"), col("__n"), 5).as("r_score"),
+          PrefixSum.ntileFromRank(col("__f"), col("__n"), 5).as("f_score"),
+          PrefixSum.ntileFromRank(col("__m"), col("__n"), 5).as("m_score"))
         .groupBy(col("r_score"), col("f_score"), col("m_score"))
         .agg(count(lit(1)).as("n_customers"),
           round(sum(col("monetary")), 2).as("segment_revenue"))

@@ -52,10 +52,14 @@ object Graphs extends QueryModule {
       // strictly-above-mean in cross-multiplied bigint form:
       // w * n_edges > total_w  ⇔  w > total_w / n_edges, exactly
       val stats = und.agg(count(lit(1)).as("ne"), sum(col("w")).as("tw"))
+      // EAGER checkpoint (as documented above and as KMeansLite does):
+      // the lazy variant would defer materialization to the first
+      // action, letting two concurrently-launched first queries each
+      // run the fact-sized edge aggregation before the cache warms
       und.crossJoin(stats)
         .filter(col("w") * col("ne") > col("tw"))
         .select(col("a"), col("b"))
-        .localCheckpoint(false)
+        .localCheckpoint()
     })
 
   /** Oracle CTE producing the identical `kept(a, b)` edge set. The

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{QueryDef, QueryModule, Tables}
+import graft.functions.PrefixSum
 import graft.functions.{TextFunctions => TF}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -299,7 +300,9 @@ object Lifecycle extends QueryModule {
     * re-rounded before the cast because the *100 can land an ulp
     * under the integer) and the 80% line is the exact integer
     * comparison cum*5 < total*4 — no float boundary anywhere. The
-    * running sum orders by (revenue desc, custkey) for a total order.
+    * running sum orders by (revenue desc, custkey) for a total order
+    * and runs through functions/PrefixSum's two-pass distributed
+    * cumsum — per-customer rows never collapse to one partition.
     */
   val paretoCutoff = QueryDef(
     "q_pareto_cutoff",
@@ -308,15 +311,14 @@ object Lifecycle extends QueryModule {
         .groupBy(col("o_custkey"))
         .agg(round(round(sum(col("o_totalprice")), 2) * 100, 0)
           .cast("long").as("rev_cents"))
-      // the running sum is already a global ordered window over the
-      // per-customer aggregate; the corpus total rides the same pass
-      // as an unbounded-frame window instead of a second rev
-      // reference (which would re-aggregate orders)
-      val w = Window.orderBy(col("rev_cents").desc, col("o_custkey"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      rev
-        .withColumn("cum_cents", sum(col("rev_cents")).over(w))
-        .withColumn("total_cents", sum(col("rev_cents")).over(Window.partitionBy()))
+      // distributed two-pass running sum (functions/PrefixSum): the
+      // per-customer rows never collapse to one partition, and the
+      // corpus total rides the same partials — no Window.partitionBy()
+      // second pass over the data
+      PrefixSum.attach(rev, Nil,
+          Seq(col("rev_cents").desc, col("o_custkey")),
+          sums = Seq("rev_cents" -> "cum_cents"),
+          totals = Seq("rev_cents" -> "total_cents"))
         .agg(count(lit(1)).as("n_customers"),
           (sum(when(col("cum_cents") * 5 < col("total_cents") * 4, 1).otherwise(0))
             + 1).as("n_top80"))
@@ -396,8 +398,10 @@ object Lifecycle extends QueryModule {
     * (time, delta, user, session) order is the live-session count,
     * one global max. Ends sort before starts at the same instant
     * (delta asc), so touching sessions never count as concurrent.
-    * The sweep runs on 2·|sessions| rows — the per-event work is all
-    * in the partitioned sessionization windows.
+    * The sweep runs on 2·|sessions| rows through PrefixSum's
+    * distributed cumsum (range-partitioned, never one partition) —
+    * the per-event work is all in the partitioned sessionization
+    * windows.
     */
   val concurrentSessions = QueryDef(
     "q_concurrent_sessions",
@@ -421,10 +425,9 @@ object Lifecycle extends QueryModule {
             struct(col("start_us").as("t"), lit(1L).as("delta")),
             struct(col("end_us").as("t"), lit(-1L).as("delta")))).as("p"))
         .select(col("user_id"), col("session_id"), col("p.t"), col("p.delta"))
-      val sweep = Window.orderBy(col("t"), col("delta"), col("user_id"), col("session_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      points
-        .withColumn("live", sum(col("delta")).over(sweep))
+      PrefixSum.attach(points, Nil,
+          Seq(col("t"), col("delta"), col("user_id"), col("session_id")),
+          sums = Seq("delta" -> "live"))
         .agg((count(lit(1)) / 2).cast("long").as("n_sessions"),
           max(col("live")).as("max_concurrent"))
     },
@@ -459,8 +462,9 @@ object Lifecycle extends QueryModule {
   /** Gini coefficient of customer revenue — the inequality twin of
     * q_pareto_cutoff. Rank-sum identity G = (2·Σi·xᵢ − (n+1)·Σx) /
     * (n·Σx) over exact integer cents with a total (revenue, custkey)
-    * rank order: every operand stays exact integer until the one
-    * final division. Σi·x fits a long through sf0.1 with ~10⁶×
+    * rank order (PrefixSum's distributed two-pass row number — the
+    * rank is partitioning-independent): every operand stays exact
+    * integer until the one final division. Σi·x fits a long through sf0.1 with ~10⁶×
     * headroom; a 100 TB deployment would widen that one product-sum
     * to decimal(38,0) (or double, losing exactness) — noted here
     * because it is the only overflow-bounded term.
@@ -472,9 +476,8 @@ object Lifecycle extends QueryModule {
         .groupBy(col("o_custkey"))
         .agg(round(round(sum(col("o_totalprice")), 2) * 100, 0)
           .cast("long").as("rev_cents"))
-      val w = Window.orderBy(col("rev_cents"), col("o_custkey"))
-      rev
-        .withColumn("i", row_number().over(w).cast("long"))
+      PrefixSum.attach(rev, Nil,
+          Seq(col("rev_cents"), col("o_custkey")), rank = Some("i"))
         .agg(count(lit(1)).as("n_customers"),
           sum(col("i") * col("rev_cents")).as("weighted"),
           sum(col("rev_cents")).as("total"))
@@ -1236,8 +1239,9 @@ object Lifecycle extends QueryModule {
     * quantity-weighted robust center next to q_mad's unweighted one.
     * Prices as exact cents, weights as exact integer quantities, and
     * the half-total compare cross-multiplied (2·cw ≥ tw) so nothing
-    * ever divides. One fact shuffle onto (flag, price); the window
-    * runs per flag over distinct prices.
+    * ever divides. One fact shuffle onto (flag, price); the per-flag
+    * running weight is PrefixSum's grouped distributed cumsum, so the
+    * 3 constant flags don't serialize onto 3 partitions.
     */
   val weightedMedian = QueryDef(
     "q_weighted_median",
@@ -1247,11 +1251,8 @@ object Lifecycle extends QueryModule {
         col("l_quantity").cast("long").as("qty"))
       val agg = w.groupBy(col("flag"), col("price_cents"))
         .agg(sum(col("qty")).as("wsum"))
-      val ord = Window.partitionBy(col("flag")).orderBy(col("price_cents"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      agg
-        .withColumn("cw", sum(col("wsum")).over(ord))
-        .withColumn("tw", sum(col("wsum")).over(Window.partitionBy(col("flag"))))
+      PrefixSum.attach(agg, Seq("flag"), Seq(col("price_cents")),
+          sums = Seq("wsum" -> "cw"), totals = Seq("wsum" -> "tw"))
         .filter(col("cw") * 2 >= col("tw"))
         .groupBy(col("flag"))
         .agg(min(col("price_cents")).as("weighted_median_cents"))
@@ -1280,10 +1281,10 @@ object Lifecycle extends QueryModule {
     * totals — "did the distribution shift" with a fully EXACT
     * argmax: D's numerator max|k1·n2 − k2·n1| is bigint arithmetic
     * over cumulative counts (the only double is the final reported
-    * ratio). Scale note: the CDF window runs unpartitioned over
-    * DISTINCT price points — |distinct values| rows, not |orders|;
-    * at extreme cardinality the q_histogram_equidepth banding lever
-    * (range-bucket then two-pass prefix) applies unchanged.
+    * ratio). Scale note: the CDF runs over DISTINCT price points —
+    * |distinct values| rows, not |orders| — through PrefixSum's
+    * distributed cumsum, and both sample sizes ride the same partials
+    * (no Window.partitionBy() second pass).
     */
   val ksTest = QueryDef(
     "q_ks_test",
@@ -1295,14 +1296,9 @@ object Lifecycle extends QueryModule {
           when(col("o_orderstatus") === "O", 1L).otherwise(0L).as("g2"))
       val agg = src.groupBy(col("v"))
         .agg(sum(col("g1")).as("c1"), sum(col("g2")).as("c2"))
-      val ord = Window.orderBy(col("v"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val all = Window.partitionBy()
-      agg
-        .withColumn("k1", sum(col("c1")).over(ord))
-        .withColumn("k2", sum(col("c2")).over(ord))
-        .withColumn("n1", sum(col("c1")).over(all))
-        .withColumn("n2", sum(col("c2")).over(all))
+      PrefixSum.attach(agg, Nil, Seq(col("v")),
+          sums = Seq("c1" -> "k1", "c2" -> "k2"),
+          totals = Seq("c1" -> "n1", "c2" -> "n2"))
         .groupBy(col("n1"), col("n2"))
         .agg(max(abs(col("k1") * col("n2") - col("k2") * col("n1"))).as("d_num"))
         .select(col("n1"), col("n2"), col("d_num"),
@@ -1341,8 +1337,9 @@ object Lifecycle extends QueryModule {
     * are pure integer arithmetic — U itself can be half-integer and
     * a /2 would hit the Spark-truncates / DuckDB-rounds cast
     * divergence (SURVEY §5). AUC = U1/(n1·n2) is the one double,
-    * rounded. Same scale shape as q_ks_test: one fact aggregate,
-    * windows over distinct values.
+    * rounded. Same scale shape as q_ks_test: one fact aggregate, then
+    * PrefixSum's distributed cumsum over distinct values (exclusive
+    * prefix = inclusive − m).
     */
   val mannWhitney = QueryDef(
     "q_mann_whitney",
@@ -1353,10 +1350,8 @@ object Lifecycle extends QueryModule {
           when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("g1"))
       val agg = src.groupBy(col("v"))
         .agg(count(lit(1)).as("m"), sum(col("g1")).as("m1"))
-      val prev = Window.orderBy(col("v"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      agg
-        .withColumn("cumprev", coalesce(sum(col("m")).over(prev), lit(0L)))
+      PrefixSum.attach(agg, Nil, Seq(col("v")), sums = Seq("m" -> "cum_m"))
+        .withColumn("cumprev", col("cum_m") - col("m"))
         .agg(sum(col("m1")).as("n1"),
           sum(col("m") - col("m1")).as("n2"),
           sum(col("m1") * (col("cumprev") * 2 + col("m") + 1)).as("twoR1"))

@@ -256,6 +256,15 @@ object SnapshotTable {
       maxRetries: Int = 10, statsCols: Seq[String] = Nil,
       setCols: Seq[String] = Nil, setCap: Int = 1024): Int = {
     Files.createDirectories(logDir(root))
+    // The DV machinery stamps `__file`/`__idx` helper columns and joins
+    // against `__dv_file`/`__dv_idx`; a table whose OWN schema used one
+    // of those names would be silently clobbered by withColumn and then
+    // corrupted by the anti-join. Reserve them at the commit gate.
+    val reserved = df.columns.toSet
+      .intersect(Set("__file", "__idx", "__dv_file", "__dv_idx"))
+    require(reserved.isEmpty,
+      s"column name(s) ${reserved.mkString(", ")} are reserved for the " +
+        "deletion-vector machinery; rename before committing")
     val mine: Set[String] = if (partitions.isEmpty) Set("*") else partitions.toSet
     // Stage once — the expensive (data-sized) step happens exactly one
     // time no matter how many CAS retries the (metadata-sized) loop
@@ -539,6 +548,12 @@ object SnapshotTable {
         finally s2.close()
       }
     }
+    // CHECK constraints bind RESTORE too: constraints added after
+    // `toVersion` was written must not be bypassable by restoring to
+    // it — no violating version may ever become the readable head.
+    // One read-only scan of the (hard-linked, DV-applied) staged rows.
+    try validateConstraints(spark, root, staging)
+    catch { case e: Throwable => deleteTree(staging); throw e }
     val manifestTmp = Paths.get(root, "_staging",
       staging.getFileName.toString + ".manifest")
     Files.writeString(manifestTmp, "*")
@@ -659,17 +674,19 @@ object SnapshotTable {
     }
   }
 
-  /** Throws [[ConstraintViolation]] if any staged row fails a CHECK
-    * predicate (null counts as failure, as in SQL `CHECK` the
+  /** Throws [[ConstraintViolation]] if any staged LIVE row fails a
+    * CHECK predicate (null counts as failure, as in SQL `CHECK` the
     * constraint must be TRUE). One filtered count per constraint over
-    * the staged files.
+    * the staged files; a staged `_dv` sidecar (restore of a
+    * DV-carrying version) is applied first so only visible rows are
+    * judged.
     */
   private def validateConstraints(spark: SparkSession, root: String,
       staged: Path): Unit = {
     import org.apache.spark.sql.functions.{coalesce => fnCoalesce, expr, lit, not}
     val cs = constraints(root)
     if (cs.isEmpty) return
-    val df = spark.read.parquet(staged.toString)
+    val df = applyDv(spark, staged, spark.read.parquet(staged.toString))
     cs.foreach { case (name, sql) =>
       val bad = df.filter(not(fnCoalesce(expr(sql), lit(false)))).count()
       if (bad > 0)
@@ -716,8 +733,8 @@ object SnapshotTable {
       val file = Paths.get(new java.net.URI(r.getString(0)).getPath)
         .getFileName.toString
       cols.zipWithIndex.foreach { case (n, i) =>
-        val lo = Option(r.get(1 + 2 * i)).map(_.toString).getOrElse("\\0N")
-        val hi = Option(r.get(2 + 2 * i)).map(_.toString).getOrElse("\\0N")
+        val lo = Option(r.get(1 + 2 * i)).map(v => escapeVal(v.toString)).getOrElse("\\0N")
+        val hi = Option(r.get(2 + 2 * i)).map(v => escapeVal(v.toString)).getOrElse("\\0N")
         sb.append(s"$file\t$n\t$lo\t$hi\n")
       }
     }
@@ -742,6 +759,41 @@ object SnapshotTable {
   private val setsOverflow = "\\0OVERFLOW"
   private val setsSep: Char = '\u0001'
 
+  // TSV-framing escape for USER DATA VALUES in the stats/sets
+  // manifests (both files are tab/newline-framed despite the
+  // historical .json names). Unescaped, a string value containing a
+  // newline would split its line in two: the first half parses as a
+  // VALID line with a truncated value set, so a probe for the full
+  // value wrongly prunes a file that contains it -- pruning must stay
+  // an optimization, never a correctness filter. Escaping makes the
+  // framing injective; the `\0N` / `\0OVERFLOW` sentinels stay
+  // unambiguous because a real leading backslash escapes to `\\`.
+  private def escapeVal(s: String): String = s.flatMap {
+    case '\\'      => "\\\\"
+    case '\t'      => "\\t"
+    case '\n'      => "\\n"
+    case '\r'      => "\\r"
+    case `setsSep` => "\\x01"
+    case c         => c.toString
+  }
+  private def unescapeVal(s: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case '\\' => sb.append('\\'); i += 2
+          case 't'  => sb.append('\t'); i += 2
+          case 'n'  => sb.append('\n'); i += 2
+          case 'r'  => sb.append('\r'); i += 2
+          case 'x' if s.startsWith("\\x01", i) => sb.append(setsSep); i += 4
+          case _    => sb.append(s.charAt(i)); i += 1 // lone backslash (sentinels)
+        }
+      } else { sb.append(s.charAt(i)); i += 1 }
+    }
+    sb.toString
+  }
+
   private def writeSets(spark: SparkSession, staged: Path, cols: Seq[String],
       cap: Int): Unit = {
     import org.apache.spark.sql.functions.{col => c, countDistinct, input_file_name}
@@ -762,7 +814,8 @@ object SnapshotTable {
           .distinct().collect()
           .groupBy(_.getString(0))
           .map { case (f, rows) =>
-            f -> rows.map(r => Option(r.getString(1)).getOrElse("\\0N")).toSeq.sorted
+            f -> rows.map(r => Option(r.getString(1)).map(escapeVal)
+              .getOrElse("\\0N")).toSeq.sorted
           }
       counts.keys.foreach { uri =>
         val file = Paths.get(new java.net.URI(uri).getPath).getFileName.toString
@@ -806,7 +859,7 @@ object SnapshotTable {
     all.filter { f =>
       sets.get(f) match {
         case Some(p) if p == setsOverflow => true
-        case Some(p) => p.split(setsSep).contains(value)
+        case Some(p) => p.split(setsSep).contains(escapeVal(value))
         case None => true // no set line for this file: keep
       }
     }.map(n => s"$root/v=$v/$n")
@@ -872,7 +925,8 @@ object SnapshotTable {
       ranges.get(f) match {
         case Some((mnV, mxV)) =>
           if (mnV == "\\0N" || mxV == "\\0N") true // all-null file: keep
-          else le(lo, mxV) && le(mnV, hi) // range intersects [lo, hi]
+          // range intersects [lo, hi] (stored stats are frame-escaped)
+          else le(lo, unescapeVal(mxV)) && le(unescapeVal(mnV), hi)
         case None => true // no stats line for this file: keep
       }
     }.map(n => s"$root/v=$v/$n")
@@ -923,7 +977,7 @@ object SnapshotTable {
         line.split('\t') match {
           case Array(f, c, mnV, mxV) =>
             val sz = try Files.size(dir.resolve(f)) catch { case _: Exception => -1L }
-            Some((f, c, mnV, mxV, sz))
+            Some((f, c, unescapeVal(mnV), unescapeVal(mxV), sz))
           case _ => None
         }
       }.toSeq

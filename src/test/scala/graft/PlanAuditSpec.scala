@@ -172,6 +172,62 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_khop") // 1-row literal BFS seed: constant folding turns the first
               // frontier⋈edges equi-join into a 1-row broadcast BNL
 
+  /** Queries whose plan legitimately contains a Window with an EMPTY
+    * partition spec (single-partition WindowExec). Every entry windows
+    * over an input whose cardinality is BOUNDED — by the calendar (a
+    * day/month series doesn't grow 100× with data volume), by an enum
+    * (flags, digits, contingency cells, ≤|event_type|³ paths), or by a
+    * preceding LIMIT (top-k slices). Anything windowing over
+    * data-proportional rows (per-customer, per-session, per-distinct-
+    * value) must use functions/PrefixSum's two-pass distributed
+    * rank/cumsum instead — q_gini, q_pareto_cutoff,
+    * q_concurrent_sessions, q_weighted_median, q_rfm, q_ks_test,
+    * q_mann_whitney, q_histogram_equidepth all do.
+    */
+  private val globalWindowAllowed = Set(
+    "q_share_of_total",    // 25 nation rows
+    "q_autocorr",          // day series (calendar-bounded)
+    "q_vocab_coverage",    // top-25 slice (post-LIMIT)
+    "q_zipf_fit",          // top-200 slice (post-LIMIT)
+    "q_hybrid_rrf",        // two ≤20-row rank lists
+    "q_mom_growth",        // month series (calendar-bounded)
+    "q_drawdown",          // day series (calendar-bounded)
+    "q_survival_curve",    // ≤~30-row tenure-month histogram
+    "q_seasonal_index",    // 7 weekday rows
+    "q_benford",           // 9 digit rows
+    "q_event_paths",       // ≤|event_type|³ distinct 3-step paths
+    "q_growth_accounting", // month series (calendar-bounded)
+    "q_anomaly_iqr",       // day series (calendar-bounded)
+    "q_activity_heatmap",  // 168 weekday×hour rows
+    "q_cusum",             // day series (calendar-bounded)
+    "q_mutual_info",       // ≤15 contingency cells
+    "q_cramers_v")         // ≤6 contingency cells
+
+  test("single-partition Window only over bounded-cardinality inputs") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val offenders = SparkEntry.all.flatMap { q =>
+      val plan = SparkEntry.queries(q.name)(spark, TestSpark.sf0001)
+        .queryExecution.optimizedPlan
+      val globals = plan.collect { case w: LWindow if w.partitionSpec.isEmpty => w }
+      if (globals.nonEmpty && !globalWindowAllowed(q.name))
+        Some(s"${q.name}: ${globals.size} unpartitioned Window(s) — use PrefixSum")
+      else None
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+
+  test("PrefixSum queries window only on partitioned (pid-sliced) specs") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    for (name <- Seq("q_gini", "q_pareto_cutoff", "q_concurrent_sessions",
+        "q_weighted_median", "q_rfm", "q_ks_test", "q_mann_whitney",
+        "q_histogram_equidepth")) {
+      val plan = SparkEntry.queries(name)(spark, TestSpark.sf0001)
+        .queryExecution.optimizedPlan
+      val globals = plan.collect { case w: LWindow if w.partitionSpec.isEmpty => w }
+      assert(globals.isEmpty, s"$name still has a single-partition Window")
+    }
+  }
+
   test("no query plans a CartesianProduct; BNL only on the tiny-broadcast list") {
     val offenders = SparkEntry.all.flatMap { q =>
       val p = SparkEntry.queries(q.name)(spark, TestSpark.sf0001)

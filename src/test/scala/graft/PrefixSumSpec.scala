@@ -1,0 +1,119 @@
+package graft
+
+import graft.functions.PrefixSum
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Laws for the distributed two-pass rank/cumsum primitive: its
+  * outputs must be BIT-IDENTICAL to the single-partition
+  * `Window.orderBy(...)` it replaces (that is what keeps the rewritten
+  * queries' DuckDB oracles green), regardless of how the range
+  * boundaries land, including adversarial cases: heavy duplicate sort
+  * prefixes, groups, descending orders, negative values, and inputs
+  * smaller than the bucket count.
+  */
+class PrefixSumSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // deterministic pseudo-random rows: (group, key, tiebreak, value)
+  private lazy val rows = (1 to 5000).map { i =>
+    val h = i * 2654435761L % 104729
+    (s"g${h % 3}", h % 97, i.toLong, (h % 1000) - 500)
+  }
+  private lazy val df =
+    rows.toDF("g", "k", "tb", "v").repartition(7).localCheckpoint()
+
+  test("global rank + running sum + totals match the one-partition window") {
+    val w = Window.orderBy(col("k"), col("tb"))
+    val expected = df
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("cs", sum(col("v"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("tot", sum(col("v")).over(Window.partitionBy()))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+    val actual = PrefixSum.attach(df, Nil, Seq(col("k"), col("tb")),
+      rank = Some("rk"), sums = Seq("v" -> "cs"),
+      totals = Seq("v" -> "tot"), countTotal = Some("n"))
+    assert(actual.exceptAll(expected).isEmpty && expected.exceptAll(actual).isEmpty,
+      "distributed prefix diverged from the global window")
+  }
+
+  test("descending order with duplicate keys matches") {
+    val w = Window.orderBy(col("k").desc, col("tb"))
+    val expected = df.withColumn("rk", row_number().over(w).cast("long"))
+    val actual = PrefixSum.attach(df, Nil, Seq(col("k").desc, col("tb")),
+      rank = Some("rk"))
+    assert(actual.exceptAll(expected).isEmpty && expected.exceptAll(actual).isEmpty)
+  }
+
+  test("grouped running sum restarts per group and totals are per-group") {
+    val w = Window.partitionBy(col("g")).orderBy(col("k"), col("tb"))
+    val order = Seq("g", "k", "tb", "v", "rk", "cs", "tot", "n").map(col)
+    val expected = df
+      .withColumn("cs", sum(col("v"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("tot", sum(col("v")).over(Window.partitionBy(col("g"))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("g"))))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .select(order: _*)
+    val actual = PrefixSum.attach(df, Seq("g"), Seq(col("k"), col("tb")),
+      rank = Some("rk"), sums = Seq("v" -> "cs"),
+      totals = Seq("v" -> "tot"), countTotal = Some("n"))
+      .select(order: _*)
+    assert(actual.exceptAll(expected).isEmpty && expected.exceptAll(actual).isEmpty)
+  }
+
+  test("input smaller than the bucket count still ranks correctly") {
+    val tiny = Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("id", "v")
+    val out = PrefixSum.attach(tiny, Nil, Seq(col("id")),
+      rank = Some("rk"), sums = Seq("v" -> "cs")).orderBy(col("id"))
+      .select(col("rk"), col("cs")).as[(Long, Long)].collect()
+    assert(out.toSeq == Seq((1L, 10L), (2L, 30L), (3L, 60L)))
+  }
+
+  test("empty input yields an empty result with the attached columns") {
+    val empty = Seq.empty[(Long, Long)].toDF("id", "v")
+    val out = PrefixSum.attach(empty, Nil, Seq(col("id")),
+      rank = Some("rk"), sums = Seq("v" -> "cs"))
+    assert(out.columns.contains("rk") && out.columns.contains("cs"))
+    assert(out.count() == 0)
+  }
+
+  test("ntileFromRank reproduces SQL ntile for every n in 1..40, k in 1..7") {
+    for (k <- 1 to 7) {
+      val n = 40
+      val base = (1 to n).map(i => (i.toLong, i.toLong)).toDF("id", "x")
+      val expected = base.select(col("id"),
+        ntile(k).over(Window.orderBy(col("id"))).cast("long").as("t"))
+      val actual = base.select(col("id"),
+        PrefixSum.ntileFromRank(col("id"), lit(n.toLong), k).as("t"))
+      assert(actual.exceptAll(expected).isEmpty && expected.exceptAll(actual).isEmpty,
+        s"ntile mismatch at k=$k")
+      // and for every prefix size n' < n (exercises q=0 and rem=0 paths)
+      for (np <- Seq(1, k - 1, k, k + 1, 2 * k, 2 * k + 1).filter(_ >= 1)) {
+        val b2 = (1 to np).map(i => (i.toLong, i.toLong)).toDF("id", "x")
+        val e2 = b2.select(col("id"),
+          ntile(k).over(Window.orderBy(col("id"))).cast("long").as("t"))
+        val a2 = b2.select(col("id"),
+          PrefixSum.ntileFromRank(col("id"), lit(np.toLong), k).as("t"))
+        assert(a2.exceptAll(e2).isEmpty && e2.exceptAll(a2).isEmpty,
+          s"ntile mismatch at k=$k n=$np")
+      }
+    }
+  }
+
+  test("rank is partitioning-independent: 1, 3, and 13 input partitions agree") {
+    val variants = Seq(1, 3, 13).map { p =>
+      PrefixSum.attach(df.repartition(p), Nil, Seq(col("k"), col("tb")),
+        rank = Some("rk"), sums = Seq("v" -> "cs"))
+        .select(col("tb"), col("rk"), col("cs"))
+    }
+    for (v <- variants.tail) {
+      assert(v.exceptAll(variants.head).isEmpty &&
+        variants.head.exceptAll(v).isEmpty,
+        "prefix results changed under a different input partitioning")
+    }
+  }
+}

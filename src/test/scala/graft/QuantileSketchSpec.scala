@@ -25,6 +25,28 @@ class QuantileSketchSpec extends AnyFunSuite {
     assert(a === b, "bottom-k by hash rank must not depend on partitioning")
   }
 
+  test("duplicate hash keys at the truncation boundary stay partitioning-invariant") {
+    // adversarial fixture: every hash key collides (key = i/4, so 4
+    // rows share each rank) and k=8 truncates INSIDE a tie group —
+    // the kept values must still be the same under any partitioning,
+    // which only holds if reduce/merge order by the full (hash, value)
+    // pair rather than the hash alone
+    QuantileSketch.register(spark, k = 8)
+    import spark.implicits._
+    val rows = (0 until 64).map(i => (i.toLong / 4, 100.0 - i)).toDF("hk", "v")
+    def sketch(parts: Int): Seq[Double] =
+      rows.repartition(parts)
+        .agg(QuantileSketch(col("hk"), col("v")).as("sk"))
+        .head().getSeq[Double](0)
+    val variants = Seq(1, 3, 16).map(sketch)
+    assert(variants.distinct.size === 1,
+      s"tie truncation diverged across merge topologies: $variants")
+    // and the kept set is the true bottom-8 of the (hk, v) pair order
+    val expected = (0 until 64).map(i => (i.toLong / 4, 100.0 - i))
+      .sorted.take(8).map(_._2).sorted
+    assert(variants.head === expected)
+  }
+
   test("exact when the group fits the capacity") {
     QuantileSketch.register(spark, k = 1024)
     val nation = Tables.nation(spark, TestSpark.sf0001)

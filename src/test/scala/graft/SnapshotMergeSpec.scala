@@ -70,6 +70,45 @@ class SnapshotMergeSpec extends AnyFunSuite {
     assert(SnapshotTable.deletionVectors(spark, root, v4).count() === 15)
   }
 
+  test("restore cannot bypass a CHECK constraint added after the target version") {
+    import spark.implicits._
+    val root = freshRoot("restore-check")
+    Seq((1L, -5.0), (2L, 3.0)).toDF("id", "v")
+      .coalesce(1).write.mode("overwrite").parquet(s"$root-seed")
+    val seed = spark.read.parquet(s"$root-seed")
+    SnapshotTable.commit(spark, root, seed)                          // v1: has v<0
+    SnapshotTable.commit(spark, root, seed.filter(col("v") >= 0))    // v2 clean
+    SnapshotTable.addConstraint(root, "nonneg", "v >= 0")
+    // v1 violates the (later-added) constraint: restoring to it must
+    // abort — no violating version can ever become the readable head
+    intercept[SnapshotTable.ConstraintViolation] {
+      SnapshotTable.restore(spark, root, 1)
+    }
+    assert(SnapshotTable.currentVersion(root) === 2)
+    // but restoring to a DV version whose LIVE rows satisfy it works:
+    // delete the negative row in a fresh v3, restore to v3 is legal
+    SnapshotTable.dropConstraint(root, "nonneg")
+    SnapshotTable.restore(spark, root, 1)                            // v3: has v<0
+    SnapshotTable.deleteWhere(spark, root, "v < 0")                  // v4: live rows clean
+    SnapshotTable.addConstraint(root, "nonneg", "v >= 0")
+    val v5 = SnapshotTable.restore(spark, root, 4)
+    assert(SnapshotTable.read(spark, root, v5).count() === 1)
+  }
+
+  test("commit rejects schemas using the reserved DV helper column names") {
+    import spark.implicits._
+    val root = freshRoot("reserved")
+    val bad = Seq((1L, "x")).toDF("__dv_file", "payload")
+    val e = intercept[IllegalArgumentException] {
+      SnapshotTable.commit(spark, root, bad)
+    }
+    assert(e.getMessage.contains("reserved"))
+    val bad2 = Seq((1L, "x")).toDF("__idx", "payload")
+    intercept[IllegalArgumentException] {
+      SnapshotTable.commit(spark, root, bad2)
+    }
+  }
+
   test("historyTable reports every live version with its metadata") {
     import spark.implicits._
     val root = freshRoot("history")

@@ -47,6 +47,41 @@ class SnapshotSetsSpec extends AnyFunSuite {
     assert(df.columns.contains("n_name"))
   }
 
+  test("values with manifest framing chars (tab/newline/\\u0001) never mis-prune") {
+    // a newline inside a value used to split its manifest line in two,
+    // leaving a VALID-looking truncated set — the probe then wrongly
+    // pruned a file that holds the value (pruning became a correctness
+    // filter). The frame-escape makes the round trip injective.
+    import spark.implicits._
+    val root = freshRoot("frame")
+    val nasty = Seq(
+      (1L, "plain"),
+      (2L, "tab\there"),
+      (3L, "line\nbreak"),
+      (4L, "sep\u0001char"),
+      (5L, "back\\slash"),
+      (6L, "\\0N"), // collides with the null sentinel unescaped
+      (7L, null.asInstanceOf[String]))
+      .toDF("id", "s")
+      .repartition(3, col("id"))
+    SnapshotTable.commit(spark, root, nasty,
+      statsCols = Seq("s"), setCols = Seq("s"))
+    for (probe <- Seq("tab\there", "line\nbreak", "sep\u0001char",
+        "back\\slash", "\\0N", "plain")) {
+      val point = SnapshotTable.readPoint(spark, root, "s", probe)
+      assert(point.count() === 1, s"probe for ${probe.replace("\n", "\\n")} lost its row")
+      // and the kept-file set is genuinely pruned, not keep-everything
+      val kept = SnapshotTable.pruneFilesEq(spark, root, "s", probe)
+      assert(kept.nonEmpty && kept.size < 3)
+    }
+    // stats manifest round-trips the same values (min/max are strings here)
+    val st = SnapshotTable.statsTable(spark, root).filter(col("column") === "s")
+    val mins = st.select("min").collect().map(_.getString(0)).toSet
+    assert(mins.exists(_.contains("\n")) || mins.exists(_.contains("\t")) ||
+      mins.exists(_.contains("\\")),
+      s"escaped stats failed to round-trip: $mins")
+  }
+
   test("over-cap columns record OVERFLOW and keep every file (still correct)") {
     val root = freshRoot("overflow")
     val orders = Tables.orders(spark, TestSpark.sf0001).repartition(4)
