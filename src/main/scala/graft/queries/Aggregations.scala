@@ -559,6 +559,66 @@ object Aggregations extends QueryModule {
       ORDER BY l_returnflag, p
     """))
 
+  /** The AT-SCALE twin of the exact multi-percentile tail
+    * (q_percentile_multi / q_percentile_window): the same
+    * (flag, p, qval) vector from approx_percentile's mergeable
+    * t-digest-style sketch — partials combine map-side like any
+    * aggregate, no group's values are ever buffered or sorted, so a
+    * hot key costs O(sketch) memory instead of an executor OOM.
+    * This is the formulation the exact queries' Scaladocs point to
+    * for 100 TB; both are benched under the write action and the
+    * numbers recorded in BASELINE.md. Approximate ⇒ no oracle;
+    * ApproxSpec bounds the error against the exact vector.
+    */
+  val percentileApproxScaleQ = QueryDef(
+    "q_percentile_approx_scale",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(expr(
+          "approx_percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D, 0.99D), 10000)")
+          .as("qs"))
+        .select(col("l_returnflag"), posexplode(col("qs")).as(Seq("i", "qv")))
+        .select(col("l_returnflag"),
+          element_at(typedLit(Seq(0.25d, 0.5d, 0.75d, 0.99d)), col("i") + 1).as("p"),
+          col("qv").as("qval"))
+        .orderBy(col("l_returnflag"), col("p")),
+    None)
+
+  /** Quantile BANDING via broadcast range join — the second half of
+    * the documented scale path: the ≤|groups|-row approx boundary
+    * table broadcasts, every fact row lands in its quartile band with
+    * three codegen'd compares (a broadcast range join degenerated to
+    * array lookups — no sort, no shuffle beyond the final tiny
+    * aggregate), and the per-band rollup is an ordinary two-phase
+    * hash aggregate. This is how "which quartile is each row in"
+    * survives 100 TB; the exact-rank alternative is one global sort
+    * per group (q_percentile_window). Approximate boundaries ⇒ no
+    * oracle; ApproxSpec asserts each band holds ~25% of its group.
+    */
+  val bandByQuantileQ = QueryDef(
+    "q_band_by_quantile",
+    (s, d) => {
+      val bounds = Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag").as("bf"))
+        .agg(expr(
+          "approx_percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D), 10000)")
+          .as("qs"))
+      Tables.lineitem(s, d)
+        .join(broadcast(bounds), col("l_returnflag") === col("bf"))
+        .select(col("l_returnflag"),
+          col("l_extendedprice"),
+          when(col("l_extendedprice") <= col("qs")(0), 1L)
+            .when(col("l_extendedprice") <= col("qs")(1), 2L)
+            .when(col("l_extendedprice") <= col("qs")(2), 3L)
+            .otherwise(4L).as("band"))
+        .groupBy(col("l_returnflag"), col("band"))
+        .agg(count(lit(1)).as("n"),
+          round(avg(col("l_extendedprice")), 2).as("avg_price"))
+        .orderBy(col("l_returnflag"), col("band"))
+    },
+    None)
+
   /** Winsorized mean — the robust-stats data-cleaning shape: compute
     * per-group p05/p95, clip every value into [p05, p95], aggregate
     * the clipped column next to the raw mean. Two passes expressed as
@@ -780,6 +840,7 @@ object Aggregations extends QueryModule {
     groupingSetsQ, aggFiltered, maxByQ, collectQ, statsQ, percentileQ,
     pivotQ, histogramQ, modeQ, anyValueQ, percentileDiscQ,
     approxPercentileQ, regressionQ, momentsQ, percentileMultiQ,
-    percentileWindowQ, winsorizeQ, histogramEquidepthQ, madQ, corrMatrixQ,
+    percentileWindowQ, percentileApproxScaleQ, bandByQuantileQ,
+    winsorizeQ, histogramEquidepthQ, madQ, corrMatrixQ,
     sketchQuantilesQ)
 }

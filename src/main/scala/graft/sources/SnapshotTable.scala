@@ -36,6 +36,12 @@ import scala.jdk.CollectionConverters._
   *      flip could move the reader pointer BACKWARD past an
   *      already-published version. On an object store the same step
   *      is a conditional PUT.
+  * Steps 2-3's atomic operations (CAS claim, publish rename, pointer
+  * advance, pointer read) are behind the [[CommitBackend]] trait —
+  * the filesystem implementation is the one wired in; the
+  * object-store mapping (conditional PUTs) is documented there as the
+  * implementation contract for a cloud deployment.
+  *
   * A reader either sees the old pointer (and the immutable old
   * directory) or the new one — never a half-written table. A writer
   * that crashes between CAS and publish leaves a complete marker with
@@ -90,11 +96,16 @@ object SnapshotTable {
   private def logDir(root: String) = Paths.get(root, "_log")
   private[sources] def markerFile(root: String, v: Int) = logDir(root).resolve(v.toString)
 
+  /** The storage seam: every atomic metadata operation of the commit
+    * protocol (CAS claim, publish, pointer advance, pointer read) goes
+    * through [[CommitBackend]]; the rest of this object is portable
+    * protocol logic. See CommitBackend's doc for the object-store
+    * implementation contract.
+    */
+  private[sources] val backend: CommitBackend = FilesystemCommitBackend
+
   /** Latest committed version VISIBLE TO READERS, 0 if none. */
-  def currentVersion(root: String): Int = {
-    val f = versionFile(root)
-    if (Files.exists(f)) Files.readString(f).trim.toInt else 0
-  }
+  def currentVersion(root: String): Int = backend.currentVersion(root)
 
   /** Latest version any writer has claimed (>= currentVersion):
     * markers exist the instant the CAS lands, before publish. After a
@@ -201,43 +212,12 @@ object SnapshotTable {
     fromMarker.orElse(checkpointed(root).get(v)).getOrElse(Set("*"))
   }
 
-  /** Per-root monitors serializing SAME-JVM pointer flips: JVM file
-    * locks are held per (JVM, file) — a second thread's
-    * `FileChannel.lock()` on the same file THROWS
-    * OverlappingFileLockException instead of blocking (observed as a
-    * rare racing-writers flake before this guard). The monitor
-    * serializes threads; the file lock below still serializes
-    * processes.
-    */
-  private val pointerMonitors =
-    new java.util.concurrent.ConcurrentHashMap[String, Object]()
-
   /** Advance the reader pointer to `next` unless a concurrent publish
     * already moved it past: out-of-claim-order publishes must never
-    * move `_VERSION` backward. Serialized by a JVM monitor (same-JVM
-    * threads) plus an OS file lock (cross-process) so the
-    * read-compare-write is atomic everywhere.
+    * move `_VERSION` backward (monotonic CAS, see CommitBackend).
     */
-  private[sources] def advancePointer(root: String, next: Int): Unit = {
-    val monitor = pointerMonitors.computeIfAbsent(root, _ => new Object)
-    monitor.synchronized {
-      val lockPath = Paths.get(root, "_VERSION.lock")
-      val ch = java.nio.channels.FileChannel.open(lockPath,
-        java.nio.file.StandardOpenOption.CREATE,
-        java.nio.file.StandardOpenOption.WRITE)
-      try {
-        val lock = ch.lock()
-        try {
-          if (currentVersion(root) < next) {
-            val tmp = Paths.get(root, s"_VERSION.tmp.$next")
-            Files.writeString(tmp, next.toString)
-            Files.move(tmp, versionFile(root), StandardCopyOption.ATOMIC_MOVE,
-              StandardCopyOption.REPLACE_EXISTING)
-          }
-        } finally lock.release()
-      } finally ch.close()
-    }
-  }
+  private[sources] def advancePointer(root: String, next: Int): Unit =
+    backend.advancePointer(root, next)
 
   private[sources] def overlaps(a: Set[String], b: Set[String]): Boolean =
     a.contains("*") || b.contains("*") || (a & b).nonEmpty
@@ -306,34 +286,30 @@ object SnapshotTable {
           }
       }
       val next = base + 1
-      val claimed =
-        try { Files.createLink(markerFile(root, next), manifestTmp); true }
-        catch {
-          case _: FileAlreadyExistsException =>
-            attempt += 1
-            if (attempt >= maxRetries) {
-              cleanup()
-              throw new SnapshotConflict(
-                s"lost the commit race $maxRetries times at $root; giving up")
-            }
-            false // loop: re-read head, re-check conflicts, next slot
+      val claimed = backend.claim(root, next, manifestTmp)
+      if (!claimed) {
+        attempt += 1
+        if (attempt >= maxRetries) {
+          cleanup()
+          throw new SnapshotConflict(
+            s"lost the commit race $maxRetries times at $root; giving up")
         }
-      if (claimed) {
+        // loop: re-read head, re-check conflicts, next slot
+      } else {
         // We own version `next` exclusively from here on. On publish
         // failure, roll our claim back so the slot does not poison
         // future read-modify-write commits (another writer may have
         // taken next+1 meanwhile — markers need not stay contiguous,
         // headVersion is a max).
         try {
-          Files.move(staging, Paths.get(root, s"v=$next"),
-            StandardCopyOption.ATOMIC_MOVE)
-          advancePointer(root, next)
+          backend.publish(root, staging, next)
+          backend.advancePointer(root, next)
           Files.deleteIfExists(manifestTmp)
           return next
         } catch {
           case e: Throwable =>
             deleteTree(Paths.get(root, s"v=$next"))
-            Files.deleteIfExists(markerFile(root, next))
+            backend.abortClaim(root, next)
             cleanup()
             throw e
         }
@@ -1258,7 +1234,7 @@ object SnapshotTransaction {
     // ---- 2. claim a slot per table (CAS + conflict check) ----------
     val claimed = scala.collection.mutable.ArrayBuffer.empty[(String, Int)]
     def rollbackClaims(): Unit = claimed.foreach { case (root, v) =>
-      Files.deleteIfExists(markerFile(root, v)); ()
+      backend.abortClaim(root, v)
     }
     val versions: Seq[(TableWrite, Path, Int)] =
       try staged.map { case (w, staging, manifestTmp, mine) =>
@@ -1276,16 +1252,14 @@ object SnapshotTransaction {
               }
           }
           val next = base + 1
-          try {
-            Files.createLink(markerFile(w.root, next), manifestTmp)
+          if (backend.claim(w.root, next, manifestTmp)) {
             claimed += ((w.root, next))
             slot = next
-          } catch {
-            case _: FileAlreadyExistsException =>
-              attempt += 1
-              if (attempt >= maxRetries)
-                throw new SnapshotConflict(
-                  s"lost the claim race $maxRetries times at ${w.root}")
+          } else {
+            attempt += 1
+            if (attempt >= maxRetries)
+              throw new SnapshotConflict(
+                s"lost the claim race $maxRetries times at ${w.root}")
           }
         }
         (w, staging, slot)
@@ -1313,10 +1287,9 @@ object SnapshotTransaction {
     // ---- 4. publish: decided, so failures roll FORWARD via recover —
     failpoint("after-decision")
     versions.foreach { case (w, staging, v) =>
-      Files.move(staging, Paths.get(w.root, s"v=$v"),
-        StandardCopyOption.ATOMIC_MOVE)
+      backend.publish(w.root, staging, v)
       failpoint("mid-publish")
-      advancePointer(w.root, v)
+      backend.advancePointer(w.root, v)
       Files.deleteIfExists(Paths.get(w.root, "_staging",
         staging.getFileName.toString + ".manifest"))
     }

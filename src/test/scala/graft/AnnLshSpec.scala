@@ -115,4 +115,80 @@ class AnnLshSpec extends AnyFunSuite {
     val r = recallAt10(8, multiProbe = true)
     assert(r >= 0.6, s"graded multi-probe recall@10 too low: $r")
   }
+
+  /** The fixture embeddings' labels are well-separated, which flatters
+    * LSH the same way it flatters IVF (IvfAnnSpec). This is the SAME
+    * adversarial fixture as IvfAnnSpec's overlapping-cluster test
+    * (seed 7, center spread ≈ point noise): true neighbors routinely
+    * straddle hyperplane boundaries, the regime where multi-probe
+    * earns its keep. Asserts the full plane-count curve — candidate
+    * work strictly shrinks with planes while recall@10 never
+    * improves — and a recall floor at the graded 8-plane + Hamming-1
+    * configuration.
+    */
+  test("adversarial overlapping-cluster fixture: plane-count curve + graded-config recall floor") {
+    val rnd = new scala.util.Random(7) // fixed seed — deterministic fixture
+    val dim = 16
+    val centers = Array.fill(10)(Array.fill(dim)(rnd.nextGaussian()))
+    val rows = (0 until 600).map { i =>
+      val c = centers(i % 10)
+      (i.toLong, c.map(v => (v + rnd.nextGaussian() * 1.2).toFloat).toSeq)
+    }
+    import spark.implicits._
+    val pts = rows.toDF("vec_id", "embedding").localCheckpoint()
+    val wB = Window.partitionBy(col("probe_id")).orderBy(col("cos").desc, col("cand_id"))
+    val brute = pts.filter(col("vec_id") < 30)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_emb"))
+      .crossJoin(pts.select(col("vec_id").as("cand_id"), col("embedding").as("cand_emb")))
+      .filter(col("probe_id") =!= col("cand_id"))
+      .select(col("probe_id"), col("cand_id"),
+        VF.cosine(col("probe_emb"), col("cand_emb")).as("cos"))
+      .withColumn("rn", row_number().over(wB)).filter(col("rn") <= 10)
+      .select(col("probe_id"), col("cand_id"))
+      .localCheckpoint()
+    val denom = brute.count().toDouble
+
+    /** (recall@10 of multi-probe LSH top-10, candidate-pair count). */
+    def recallAndWork(planes: Int): (Double, Long) = {
+      val bucketed = LshAnn
+        .bucketize(pts, LshAnn.planesFrom(pts, 100, planes), planes)
+        .localCheckpoint()
+      val probes = LshAnn.hamming1Probes(bucketed.filter(col("vec_id") < 30), planes)
+        .select(col("vec_id").as("probe_id"), col("bucket"),
+          col("embedding").as("probe_emb"))
+      val cands = probes.join(
+          bucketed.select(col("vec_id").as("cand_id"), col("bucket"),
+            col("embedding").as("cand_emb")), Seq("bucket"))
+        .filter(col("probe_id") =!= col("cand_id"))
+        .select(col("probe_id"), col("cand_id"),
+          VF.cosine(col("probe_emb"), col("cand_emb")).as("cos"))
+        .dropDuplicates(Seq("probe_id", "cand_id")) // multi-probe can re-find a pair
+        .localCheckpoint()
+      val work = cands.count()
+      val wL = Window.partitionBy(col("probe_id")).orderBy(col("cos").desc, col("cand_id"))
+      val top10 = cands.withColumn("rn", row_number().over(wL)).filter(col("rn") <= 10)
+        .select(col("probe_id"), col("cand_id"))
+      (top10.join(brute, Seq("probe_id", "cand_id")).count() / denom, work)
+    }
+
+    val curve = Seq(4, 8, 12).map(p => p -> recallAndWork(p))
+    info("recall@10 / candidate pairs by plane count (overlapping clusters): " +
+      curve.map { case (p, (r, w)) => f"$p->($r%.3f, $w)" }.mkString(", "))
+    curve.sliding(2).foreach { case Seq((pA, (rA, wA)), (pB, (rB, wB))) =>
+      assert(wB < wA, s"candidate work must shrink with planes $pA->$pB: $wA -> $wB")
+      assert(rB <= rA + 0.02, s"recall should not improve with planes $pA->$pB: $rA -> $rB")
+    }
+    // graded config (q_ann_lsh: 8 planes + Hamming-1). Measured curve
+    // on this fixture (seed 7, deterministic):
+    //   planes 4 -> 0.757 (6718 pairs), 8 -> 0.430 (1332), 12 -> 0.203 (301)
+    // versus ~0.95+ at 8 planes on the well-separated fixture above —
+    // the honest finding this fixture exists to record: when cluster
+    // overlap ≈ noise, 8-plane Hamming-1 keeps only ~0.43 recall@10,
+    // and a deployment wanting more on such data drops to 4 planes
+    // (5× candidates) or probes Hamming-2. The floor sits a notch
+    // below measured so a real bucketing regression trips while
+    // plane-sampling drift does not.
+    val graded = curve.toMap.apply(8)._1
+    assert(graded >= 0.38, s"graded-config recall@10 on adversarial fixture: $graded")
+  }
 }

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-/** The two sketch queries carry no DuckDB oracle (approximate by
+/** The sketch-backed queries carry no DuckDB oracle (approximate by
   * design); this spec bounds their error against the exact answers on
   * the same data, which is the contract a user actually relies on.
   */
@@ -41,6 +41,34 @@ class ApproxSpec extends AnyFunSuite {
       s"sketch $sketch vs exact $exact")
     exact.foreach { case (k, n) =>
       assert(sketch(k) === n, s"$k count ${sketch(k)} vs exact $n")
+    }
+  }
+
+  test("q_percentile_approx_scale tracks the exact quantile vector within 2%") {
+    val approx = SparkEntry.queries("q_percentile_approx_scale")(spark, TestSpark.sf0001)
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    val exact = SparkEntry.queries("q_percentile_multi")(spark, TestSpark.sf0001)
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getFloat(2).toDouble).toMap
+    assert(approx.keySet === exact.keySet)
+    exact.foreach { case (k, v) =>
+      assert(math.abs(approx(k) - v) / v < 0.02, s"$k off: ${approx(k)} vs $v")
+    }
+  }
+
+  test("q_band_by_quantile puts ~25% of each group in each band") {
+    val bands = SparkEntry.queries("q_band_by_quantile")(spark, TestSpark.sf0001)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val totals = bands.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    totals.foreach { case (flag, n) =>
+      (1L to 4L).foreach { b =>
+        val share = bands.getOrElse((flag, b), 0L).toDouble / n
+        // t-digest boundary error plus duplicate-value mass: generous
+        // ±8 points around the ideal quarter still catches a broken
+        // banding compare (which lands whole quarters in one band)
+        assert(share > 0.17 && share < 0.33,
+          s"$flag band $b share $share, counts ${bands.filter(_._1._1 == flag)}")
+      }
     }
   }
 

@@ -10,7 +10,8 @@ import org.scalatest.funsuite.AnyFunSuite
 class InventorySpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
-  private val approxExempt = Set("q_approx_count_distinct", "q_approx_percentile")
+  private val approxExempt = Set("q_approx_count_distinct", "q_approx_percentile",
+    "q_percentile_approx_scale", "q_band_by_quantile")
 
   test("query names are unique and nonempty") {
     val names = SparkEntry.all.map(_.name)
