@@ -1,7 +1,6 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Z-order (Morton-curve) clustering for two-dimensional data
@@ -13,11 +12,13 @@ import org.apache.spark.sql.functions._
   * column — the clustering trick behind Delta/Iceberg `ZORDER BY`.
   *
   * The bit interleave is a fold of shift/and/or column expressions —
-  * plain Catalyst built-ins, codegen-friendly, no UDF. Bucketing
-  * uses ntile over a global sort here (exact quantiles); at 100 TB
-  * swap to approx_percentile boundaries + a broadcast range lookup —
-  * same z-value dataflow, no global sort (the standard production
-  * substitution, same shape as q_histogram_equidepth's note).
+  * plain Catalyst built-ins, codegen-friendly, no UDF. Bucketing is
+  * exact-quantile via PrefixSum's distributed rank + ntileFromRank
+  * (no single-partition window — a table re-layout is exactly the
+  * data-proportional case that must not serialize through one task);
+  * at extreme scale the cheaper approx_percentile-boundary + broadcast
+  * range lookup substitution still applies when exact tiling isn't
+  * required.
   */
 object ZOrder {
 
@@ -38,13 +39,16 @@ object ZOrder {
   def layout(df: DataFrame, a: Column, b: Column, tiebreak: Column,
       numFiles: Int, bits: Int = 10): DataFrame = {
     val n = 1 << bits
-    val withZ = df
-      .withColumn("__za", (ntile(n).over(Window.orderBy(a, tiebreak)) - 1).cast("long"))
-      .withColumn("__zb", (ntile(n).over(Window.orderBy(b, tiebreak)) - 1).cast("long"))
+    val rankedA = PrefixSum.attach(df, Nil, Seq(a, tiebreak),
+      rank = Some("__ra"), countTotal = Some("__n"))
+    val rankedB = PrefixSum.attach(rankedA, Nil, Seq(b, tiebreak),
+      rank = Some("__rb"))
+    rankedB
+      .withColumn("__za", PrefixSum.ntileFromRank(col("__ra"), col("__n"), n) - 1)
+      .withColumn("__zb", PrefixSum.ntileFromRank(col("__rb"), col("__n"), n) - 1)
       .withColumn("__z", zvalue(col("__za"), col("__zb"), bits))
-    withZ
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions(col("__z"))
-      .drop("__za", "__zb", "__z")
+      .drop("__ra", "__rb", "__n", "__za", "__zb", "__z")
   }
 }

@@ -66,4 +66,80 @@ object Sources {
     */
   def textLines(spark: SparkSession, path: String): DataFrame =
     spark.read.text(path)
+
+  // ---- JDBC (Spark's built-in connector; proven here against the
+  // Derby embedded driver that ships in /opt/spark/jars) ------------
+  //
+  // Scale contract: a bare jdbc() read is ONE task holding one
+  // connection — fine for dimension-sized tables, a bottleneck (and
+  // an OOM risk on misbehaving drivers) for facts. Use
+  // jdbcPartitioned (numeric/temporal range split: each task issues
+  // its own bounded query) or jdbcByPredicates (one task per
+  // caller-supplied WHERE shard) for anything big. Filters and column
+  // pruning push into the generated SQL (JDBCRelation compiles
+  // `.filter`/`.select` into WHERE/SELECT — `PushedFilters` visible
+  // in the scan node, asserted in JdbcSourcesSpec), so the database
+  // does the cheap reduction and only surviving rows cross the wire.
+
+  /** Single-connection JDBC read (dimension-sized tables only —
+    * see the scale contract above). `driver` is the JDBC driver
+    * class; connection properties ride `props`.
+    */
+  def jdbc(spark: SparkSession, url: String, table: String,
+      driver: String, props: Map[String, String] = Map.empty): DataFrame = {
+    val p = new java.util.Properties()
+    p.setProperty("driver", driver)
+    props.foreach { case (k, v) => p.setProperty(k, v) }
+    spark.read.jdbc(url, table, p)
+  }
+
+  /** Parallel JDBC read: `numPartitions` tasks, each issuing its own
+    * `partitionColumn BETWEEN`-bounded query over an equal slice of
+    * [lowerBound, upperBound]. Rows outside the bounds still arrive
+    * (first/last slice are unbounded) — bounds shape parallelism,
+    * never correctness.
+    */
+  def jdbcPartitioned(spark: SparkSession, url: String, table: String,
+      driver: String, partitionColumn: String, lowerBound: Long,
+      upperBound: Long, numPartitions: Int,
+      props: Map[String, String] = Map.empty): DataFrame = {
+    val p = new java.util.Properties()
+    p.setProperty("driver", driver)
+    props.foreach { case (k, v) => p.setProperty(k, v) }
+    spark.read.jdbc(url, table, partitionColumn, lowerBound, upperBound,
+      numPartitions, p)
+  }
+
+  /** Predicate-sharded JDBC read: one task per WHERE shard — the
+    * split for non-numeric keys (date ranges, hash buckets, tenant
+    * lists). Shards must partition the row space: overlaps duplicate
+    * rows, gaps drop them — that contract is the caller's. Predicates
+    * are RAW dialect SQL pasted into each task's WHERE: quote
+    * identifiers exactly as the database stores them (Spark's writer
+    * creates quoted-lowercase columns; an unquoted name upcases in
+    * most dialects).
+    */
+  def jdbcByPredicates(spark: SparkSession, url: String, table: String,
+      driver: String, predicates: Seq[String],
+      props: Map[String, String] = Map.empty): DataFrame = {
+    val p = new java.util.Properties()
+    p.setProperty("driver", driver)
+    props.foreach { case (k, v) => p.setProperty(k, v) }
+    spark.read.jdbc(url, table, predicates.toArray, p)
+  }
+
+  /** JDBC sink: per-partition connections, `batchsize`d inserts.
+    * `overwrite` truncates/recreates; `append` adds rows. At scale,
+    * coalesce the frame to the connection count the database can
+    * actually absorb — a 1000-task write is a connection storm.
+    */
+  def writeJdbc(df: DataFrame, url: String, table: String, driver: String,
+      mode: String = "overwrite", batchSize: Int = 1000,
+      props: Map[String, String] = Map.empty): Unit = {
+    val p = new java.util.Properties()
+    p.setProperty("driver", driver)
+    p.setProperty("batchsize", batchSize.toString)
+    props.foreach { case (k, v) => p.setProperty(k, v) }
+    df.write.mode(mode).jdbc(url, table, p)
+  }
 }
