@@ -472,6 +472,80 @@ object TextAnalysis extends QueryModule {
       ORDER BY lang
     """))
 
+  /** Mixture rebalancing — the training-data "data mixing" op: sample
+    * each language down to a UNIFORM share of a half-corpus token
+    * budget (target per lang = total_tokens / (2·n_langs)), so
+    * over-represented sources shrink and under-represented ones keep
+    * everything. The per-lang keep-rate becomes an EXACT integer
+    * byte threshold t = (256·total) div (2·n·lang_tokens) (bigint
+    * div — no float rate anywhere), and each doc keeps iff its md5
+    * hex prefix sorts below t (the q_sample_weighted idiom, with the
+    * same 'g' sentinel for rate ≥ 1). Deterministic, map-side, stable
+    * across retries — and the expected kept-token mass per language
+    * is t/256 · lang_tokens ≈ the uniform target. At 100 TB: one
+    * token-count aggregate, a ≤|langs|-row threshold table joined
+    * back (AQE broadcasts it), zero RNG, zero shuffle beyond the
+    * final rollup.
+    */
+  val mixtureSample = QueryDef(
+    "q_mixture_sample",
+    (s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          size(TF.tokens(col("text"))).cast("long").as("tok"))
+      val perLang = toks.groupBy(col("lang"))
+        .agg(sum(col("tok")).as("lang_tokens"))
+      val stats = toks.agg(sum(col("tok")).as("corpus_tokens"),
+        countDistinct(col("lang")).as("nl"))
+      val th = perLang.crossJoin(stats)
+        .withColumn("t",
+          expr("(256 * corpus_tokens) div (2 * nl * lang_tokens)"))
+        .withColumn("thresh", when(col("t") >= 256, lit("g"))
+          .otherwise(lower(lpad(hex(col("t")), 2, "0"))))
+        .select(col("lang"), col("lang_tokens"), col("t"), col("thresh"))
+      toks.join(th, Seq("lang"))
+        .withColumn("kept",
+          substring(md5(col("doc_id").cast("string")), 1, 2) < col("thresh"))
+        .groupBy(col("lang"))
+        .agg(max(col("lang_tokens")).as("lang_tokens"),
+          max(col("t")).as("threshold_byte"),
+          count(when(col("kept"), 1)).as("kept_docs"),
+          coalesce(sum(when(col("kept"), col("tok"))), lit(0L)).as("kept_tokens"))
+        .orderBy(col("lang"))
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, lang,
+               CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT)
+                 AS tok
+        FROM documents),
+      per_lang AS (
+        SELECT lang, CAST(sum(tok) AS BIGINT) AS lang_tokens
+        FROM toks GROUP BY lang),
+      stats AS (
+        SELECT CAST(sum(tok) AS BIGINT) AS corpus_tokens,
+               CAST(count(DISTINCT lang) AS BIGINT) AS nl
+        FROM toks),
+      th AS (
+        SELECT lang, lang_tokens,
+               (256 * corpus_tokens) // (2 * nl * lang_tokens) AS t,
+               CASE WHEN (256 * corpus_tokens) // (2 * nl * lang_tokens) >= 256
+                    THEN 'g'
+                    ELSE lower(lpad(hex((256 * corpus_tokens)
+                           // (2 * nl * lang_tokens)), 2, '0')) END AS thresh
+        FROM per_lang CROSS JOIN stats)
+      SELECT t.lang,
+             CAST(max(th.lang_tokens) AS BIGINT) AS lang_tokens,
+             CAST(max(th.t) AS BIGINT) AS threshold_byte,
+             count(*) FILTER (substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 2) < th.thresh)
+               AS kept_docs,
+             CAST(coalesce(sum(t.tok) FILTER (substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 2)
+               < th.thresh), 0) AS BIGINT) AS kept_tokens
+      FROM toks t JOIN th ON t.lang = th.lang
+      GROUP BY t.lang
+      ORDER BY t.lang
+    """))
+
   /** Vocabulary coverage: the top-25 corpus tokens by frequency with
     * each token's cumulative share of all token occurrences — the
     * curve a tokenizer/vocab builder reads to pick a vocab size.
@@ -1388,5 +1462,5 @@ object TextAnalysis extends QueryModule {
     vocabCoverage, trainSplit, contamination, profileDocuments,
     repetition, qualityRules, redactTerms, unigramLogprob, zipfFit,
     shardPlan, chunkDocs, driftPsi, cooccurrence, boilerplate, bm25,
-    hybridRrf, jaroWinkler, damerau)
+    hybridRrf, jaroWinkler, damerau, mixtureSample)
 }

@@ -169,8 +169,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_churn_rate", // 1-row corpus-max-date cross join (tf_idf pattern)
     "q_pagerank", // 1-row node-count cross join per unrolled iteration (tf_idf pattern)
     "q_cross_sell", // 1-row basket-total cross join (tf_idf pattern)
-    "q_khop") // 1-row literal BFS seed: constant folding turns the first
+    "q_khop", // 1-row literal BFS seed: constant folding turns the first
               // frontier⋈edges equi-join into a 1-row broadcast BNL
+    "q_mixture_sample") // 1-row corpus-stats cross join (tf_idf pattern)
 
   /** Queries whose plan legitimately contains a Window with an EMPTY
     * partition spec (single-partition WindowExec). Every entry windows
