@@ -546,6 +546,60 @@ object TextAnalysis extends QueryModule {
       ORDER BY t.lang
     """))
 
+  /** The corpus-pipeline CAPSTONE: quality gate → exact dedup →
+    * leak-proof split → per-(split, lang) doc/token accounting, as
+    * ONE composed plan — the end-to-end flow a training-data job
+    * runs nightly, demonstrating that the §2.10 stages compose
+    * without materialization barriers. Stage contracts reused
+    * verbatim: the ≥5-token gate (q_quality_rules' floor), md5(text)
+    * exact dedup keeping the smallest doc_id (q_dedup_exact /
+    * q_dedup_keep_best convention — a partitioned window, parallel
+    * per hash group), and the q_train_split hash split (12/2/2
+    * sixteenths by md5 first hex). One shuffle per stage boundary
+    * that needs one (dedup's hash group, the final rollup); the gate
+    * and split are map-side.
+    */
+  val corpusPipeline = QueryDef(
+    "q_corpus_pipeline",
+    (s, d) => {
+      val w = Window.partitionBy(col("h")).orderBy(col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("text"),
+          size(TF.tokens(col("text"))).cast("long").as("tok"))
+        .filter(col("tok") >= 5)
+        .withColumn("h", md5(col("text")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .withColumn("split",
+          when(substring(md5(col("doc_id").cast("string")), 1, 1) <= "b", "train")
+            .when(substring(md5(col("doc_id").cast("string")), 1, 1) <= "d", "val")
+            .otherwise("test"))
+        .groupBy(col("split"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("n_tokens"))
+        .orderBy(col("split"), col("lang"))
+    },
+    Some("""
+      WITH gated AS (
+        SELECT * FROM (
+          SELECT doc_id, lang, text,
+                 CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT)
+                   AS tok
+          FROM documents)
+        WHERE tok >= 5),
+      deduped AS (
+        SELECT doc_id, lang, tok,
+               row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        FROM gated
+        QUALIFY rn = 1)
+      SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'b' THEN 'train'
+                  WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'd' THEN 'val'
+                  ELSE 'test' END AS split,
+             lang, count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS n_tokens
+      FROM deduped
+      GROUP BY split, lang
+      ORDER BY split, lang
+    """))
+
   /** Vocabulary coverage: the top-25 corpus tokens by frequency with
     * each token's cumulative share of all token occurrences — the
     * curve a tokenizer/vocab builder reads to pick a vocab size.
@@ -1462,5 +1516,5 @@ object TextAnalysis extends QueryModule {
     vocabCoverage, trainSplit, contamination, profileDocuments,
     repetition, qualityRules, redactTerms, unigramLogprob, zipfFit,
     shardPlan, chunkDocs, driftPsi, cooccurrence, boilerplate, bm25,
-    hybridRrf, jaroWinkler, damerau, mixtureSample)
+    hybridRrf, jaroWinkler, damerau, mixtureSample, corpusPipeline)
 }

@@ -152,4 +152,40 @@ class PropertySpec extends AnyFunSuite {
       assert(guaranteed.subsetOf(merged.keySet), s"seed=$seed lost $guaranteed")
     }
   }
+
+  /** PrefixSum's distributed rank/cumsum against the sequential
+    * reference computed in plain Scala — generated data with heavy
+    * duplicate keys, random group counts, and random input
+    * partitioning, so tie truncation and boundary placement are both
+    * exercised away from the curated fixtures.
+    */
+  test("PrefixSum rank/cumsum equal the sequential reference on generated data") {
+    import graft.functions.PrefixSum
+    val rowGen2 = for {
+      g <- Gen.choose(0, 2)
+      k <- Gen.choose(0, 15) // 16 distinct keys over ~80 rows → dense ties
+      v <- Gen.choose(-50L, 50L)
+    } yield (s"g$g", k.toLong, v)
+    for (seed <- 1 to 5) {
+      val rows = Gen.listOfN(80, rowGen2)
+        .pureApply(Gen.Parameters.default, Seed(seed.toLong))
+        .zipWithIndex.map { case ((g, k, v), i) => (g, k, i.toLong, v) }
+      val parts = 1 + seed % 7
+      val df = rows.toDF("g", "k", "tb", "v").repartition(parts)
+      val out = PrefixSum.attach(df, Seq("g"), Seq(col("k"), col("tb")),
+          rank = Some("rk"), sums = Seq("v" -> "cs"))
+        .select($"g", $"tb", $"rk", $"cs")
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+        .toMap
+      // sequential reference: per group, sort by (k, tb), running sum
+      rows.groupBy(_._1).foreach { case (g, grp) =>
+        var cum = 0L
+        grp.sortBy(t => (t._2, t._3)).zipWithIndex.foreach { case ((_, _, tb, v), i) =>
+          cum += v
+          assert(out((g, tb)) === ((i + 1L, cum)),
+            s"seed=$seed parts=$parts g=$g tb=$tb")
+        }
+      }
+    }
+  }
 }
