@@ -104,6 +104,24 @@ class PrefixSumSpec extends AnyFunSuite {
     }
   }
 
+  test("results are bucket-count-independent: shuffle.partitions 4 vs 9 agree") {
+    // buckets come from spark.sql.shuffle.partitions; the rank/cumsum
+    // contract must not depend on how many range slices carve the
+    // order (the cluster-sizing knob), only on the total order itself
+    def attachAt(parts: String) = {
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", parts)
+      try PrefixSum.attach(df, Seq("g"), Seq(col("k"), col("tb")),
+          rank = Some("rk"), sums = Seq("v" -> "cs"))
+        .select(col("tb"), col("rk"), col("cs")).localCheckpoint()
+      finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
+    val at4 = attachAt("4")
+    val at9 = attachAt("9")
+    assert(at4.exceptAll(at9).isEmpty && at9.exceptAll(at4).isEmpty,
+      "prefix results changed with the bucket count")
+  }
+
   test("rank is partitioning-independent: 1, 3, and 13 input partitions agree") {
     val variants = Seq(1, 3, 13).map { p =>
       PrefixSum.attach(df.repartition(p), Nil, Seq(col("k"), col("tb")),
