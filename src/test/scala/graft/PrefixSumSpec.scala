@@ -73,6 +73,44 @@ class PrefixSumSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((1L, 10L), (2L, 30L), (3L, 60L)))
   }
 
+  test("null group keys are kept and ranked (null-safe pass-3 join)") {
+    // pass 1's groupBy keeps a null group; a plain equi-join back would
+    // silently drop those rows — the <=> join must keep all 5
+    val withNulls = Seq(
+      (Option("a"), 1L, 10L), (Option.empty[String], 2L, 20L),
+      (Option("a"), 3L, 30L), (Option.empty[String], 4L, 40L),
+      (Option("b"), 5L, 50L)).toDF("g", "tb", "v")
+    val w = Window.partitionBy(col("g")).orderBy(col("tb"))
+    val expected = withNulls
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("cs", sum(col("v"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("g"))))
+    val actual = PrefixSum.attach(withNulls, Seq("g"), Seq(col("tb")),
+      rank = Some("rk"), sums = Seq("v" -> "cs"), countTotal = Some("n"))
+    assert(actual.count() == 5, "null-group rows vanished from the output")
+    assert(actual.exceptAll(expected).isEmpty && expected.exceptAll(actual).isEmpty,
+      "null-group ranks/sums diverged from the window")
+  }
+
+  test("high-cardinality groups trip the guard and fall back bit-identically") {
+    // one group per row → partials are data-sized; with maxPartials = 10
+    // the guarded collect must abort (≤ 11 rows reach the driver) and
+    // the partitioned-window fallback must produce the same answer the
+    // un-guarded prefix path gives
+    val many = (1 to 500).map { i =>
+      (i.toLong % 251, i.toLong, (i * 7).toLong % 100)
+    }.toDF("g", "tb", "v").repartition(5)
+    def run(cap: Int) = PrefixSum.attach(many, Seq("g"), Seq(col("tb")),
+      rank = Some("rk"), sums = Seq("v" -> "cs"),
+      totals = Seq("v" -> "tot"), countTotal = Some("n"), maxPartials = cap)
+    val guarded = run(10)
+    val prefix = run(PrefixSum.DefaultMaxPartials)
+    assert(guarded.count() == 500)
+    assert(guarded.exceptAll(prefix).isEmpty && prefix.exceptAll(guarded).isEmpty,
+      "fallback diverged from the prefix path")
+  }
+
   test("empty input yields an empty result with the attached columns") {
     val empty = Seq.empty[(Long, Long)].toDF("id", "v")
     val out = PrefixSum.attach(empty, Nil, Seq(col("id")),
