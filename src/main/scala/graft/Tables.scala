@@ -33,18 +33,27 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses to
-    * read natively. Read it as a long (requires
+  /** events.ts has shipped in two physical encodings across test-data
+    * generations: parquet TIMESTAMP(NANOS) (which Spark 4 refuses to
+    * read natively — surfaced as a long via
     * `spark.sql.legacy.parquet.nanosAsLong=true`, set once at session
-    * build — Graft.session / Verify / Bench / TestSpark) and truncate
-    * ns→µs into a proper TimestampType — the same truncation DuckDB
-    * applies on `CAST(ts AS TIMESTAMP)`, so oracle SQL stays aligned
-    * (SURVEY.md §5). Conf is NOT set here: mutating session conf
-    * during concurrent plan construction is racy.
+    * build) and plain TIMESTAMP(MICROS) (read natively). Adapt on the
+    * observed schema: a long column is ns→µs truncated into a proper
+    * TimestampType — the same truncation DuckDB applies on
+    * `CAST(ts AS TIMESTAMP)` — while a native timestamp passes
+    * through, where that CAST is a no-op, so oracle SQL stays aligned
+    * either way (SURVEY.md §5). Conf is NOT set here: mutating
+    * session conf during concurrent plan construction is racy.
     */
-  def events(s: SparkSession, d: String): DataFrame =
-    load(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  def events(s: SparkSession, d: String): DataFrame = {
+    val raw = load(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampType => raw
+      case _ => raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
+  }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 

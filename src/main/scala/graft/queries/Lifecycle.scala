@@ -953,23 +953,34 @@ object Lifecycle extends QueryModule {
     * pair a→b with ≥3 co-occurrences, support count, confidence
     * n(a,b)/n(a) and lift n(a,b)·N / (n(a)·n(b)) — the
     * support/confidence/lift triple of classic market-basket mining,
-    * extending q_basket_affinity's raw counts. Pair candidates are
-    * order-local (Σ per-order parts², never |lineitem|²); part
-    * totals join back broadcast-small; every ratio divides exact
-    * integers once. Top-20 by lift with a (part1, part2) tiebreak.
+    * extending q_basket_affinity's raw counts. One shuffle builds the
+    * per-order part sets (bounded: an order has a handful of lines at
+    * any corpus size, so `collect_set` is metadata-sized per group),
+    * localCheckpointed so the three derivations (pair explosion, part
+    * totals, order count) read the materialized baskets instead of
+    * re-shuffling lineitem — this replaces the old plan's
+    * distinct+self-join, which paid the same (orderkey, partkey)
+    * exchange twice. Pairs are generated MAP-SIDE by set×set
+    * explosion (Σ per-order parts², never |lineitem|²); part totals
+    * join back broadcast-small; every ratio divides exact integers
+    * once. Top-20 by lift with a (part1, part2) tiebreak.
     */
   val crossSell = QueryDef(
     "q_cross_sell",
     (s, d) => {
-      val op = Tables.lineitem(s, d)
-        .select(col("l_orderkey"), col("l_partkey")).distinct()
-      val nOrders = op.agg(countDistinct(col("l_orderkey")).as("n_total"))
-      val pc = op.groupBy(col("l_partkey")).agg(count(lit(1)).as("n_part"))
-      op.as("a")
-        .join(op.as("b"),
-          col("a.l_orderkey") === col("b.l_orderkey")
-            && col("a.l_partkey") =!= col("b.l_partkey"))
-        .groupBy(col("a.l_partkey").as("part1"), col("b.l_partkey").as("part2"))
+      val sets = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey"))
+        .groupBy(col("l_orderkey"))
+        .agg(collect_set(col("l_partkey")).as("parts"))
+        .localCheckpoint()
+      val nOrders = sets.agg(count(lit(1)).cast("long").as("n_total"))
+      val pc = sets.select(explode(col("parts")).as("l_partkey"))
+        .groupBy(col("l_partkey")).agg(count(lit(1)).as("n_part"))
+      sets
+        .select(explode(col("parts")).as("part1"), col("parts"))
+        .select(col("part1"), explode(col("parts")).as("part2"))
+        .filter(col("part1") =!= col("part2"))
+        .groupBy(col("part1"), col("part2"))
         .agg(count(lit(1)).as("n_both"))
         .filter(col("n_both") >= 3)
         .join(pc.select(col("l_partkey").as("part1"), col("n_part").as("n1")), "part1")
