@@ -61,4 +61,22 @@ object Graft {
 
   /** The declared inventory names. */
   def inventory: Seq[String] = SparkEntry.all.map(_.name)
+
+  /** Drop every memoized plan/artifact the library keeps per
+    * (session, dataset): table relations (incl. the eventsByDate
+    * partitioned layout), LSH signature/verified-pair checkpoints,
+    * and the graph edge table. The memos exist so one Verify/Bench
+    * run never re-derives a shared artifact; they are keyed by
+    * (SparkSession, dir) and so retained for the session's lifetime —
+    * a slow leak in a long-lived service cycling many datasets. Call
+    * this at dataset-retirement points; the next query re-derives
+    * everything identically (CachesSpec pins result equality across a
+    * clear). Checkpoint blocks are reclaimed by Spark's
+    * ContextCleaner once the dropped references are collected.
+    */
+  def clearCaches(): Unit = {
+    Tables.clearCache()
+    queries.Dedup.clearCaches()
+    queries.Graphs.clearCache()
+  }
 }

@@ -26,6 +26,13 @@ object Tables {
     cache.computeIfAbsent((spark, sfDir, name),
       _ => spark.read.parquet(s"$sfDir/$name.parquet"))
 
+  /** Drop every memoized plan (incl. eventsByDate layouts — the
+    * on-disk partitioned copy stays and is simply re-read, or
+    * re-written mode-overwrite, on next use). For long-lived services
+    * juggling many datasets; see Graft.clearCaches.
+    */
+  private[graft] def clearCache(): Unit = cache.clear()
+
   def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = load(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame   = load(s, d, "customer")

@@ -232,6 +232,14 @@ object Dedup extends QueryModule {
     pairsCache.computeIfAbsent((s, d),
       _ => minhashPairs(s, d).localCheckpoint(false))
 
+  /** Drop the memoized signature/pair artifacts; next consumer
+    * re-derives them identically (CachesSpec). The checkpoint blocks
+    * are reclaimed by Spark's ContextCleaner once unreferenced — no
+    * eager unpersist here, which would break queries still holding
+    * the old DataFrames mid-flight. See Graft.clearCaches.
+    */
+  private[graft] def clearCaches(): Unit = { sigCache.clear(); pairsCache.clear() }
+
   val dedupMinhash = QueryDef(
     "q_dedup_minhash",
     (s, d) => verifiedPairs(s, d).orderBy(col("doc1"), col("doc2")),

@@ -29,6 +29,11 @@ object Graphs extends QueryModule {
   private val edgeCache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), DataFrame]()
 
+  /** Drop the memoized edge table; re-derived identically on next use
+    * (CachesSpec). See Graft.clearCaches.
+    */
+  private[graft] def clearCache(): Unit = edgeCache.clear()
+
   /** Undirected above-mean-weight trade edges (a < b), memoized.
     * Construction pays one Spark job (the localCheckpoint action) —
     * same contract as Dedup.verifiedPairs / Tables.eventsByDate.
