@@ -153,6 +153,7 @@ class PlanAuditSpec extends AnyFunSuite {
     */
   private val bnlAllowed = Set(
     "q_cosine_topk", "q_ann_lsh", "q_lang_id", "q_tf_idf", "q_join_cross",
+    "q_ann_lsh_wide", // same tiny plane/probe broadcasts as q_ann_lsh (4-plane twin)
     "q_dedup_embedding", "q_vector_stats", "q_clean_corpus", "q_vocab_coverage",
     "q_text_jaccard", "q_text_ngram_jaccard", "q_forecast_revenue",
     "q_promo_revenue", "q_subquery_scalar", "q_funnel", "q_gap_fill",
