@@ -63,7 +63,7 @@ object Graphs extends QueryModule {
       // run the fact-sized edge aggregation before the cache warms
       und.crossJoin(stats)
         .filter(col("w") * col("ne") > col("tw"))
-        .select(col("a"), col("b"))
+        .select(col("a"), col("b"), col("w"))
         .localCheckpoint()
     })
 
@@ -89,7 +89,7 @@ object Graphs extends QueryModule {
                CAST(sum(w) AS BIGINT) AS w
         FROM e0 WHERE src <> dst GROUP BY 1, 2),
       stats AS MATERIALIZED (SELECT count(*) AS ne, CAST(sum(w) AS BIGINT) AS tw FROM und),
-      kept AS MATERIALIZED (SELECT a, b FROM und CROSS JOIN stats WHERE w * ne > tw)"""
+      kept AS MATERIALIZED (SELECT a, b, w FROM und CROSS JOIN stats WHERE w * ne > tw)"""
 
   /** Per-node triangle participation: enumerate each triangle once in
     * canonical a<b<c orientation ((a,b)⋈(b,c)⋈(a,c) over the ordered
@@ -190,5 +190,116 @@ object Graphs extends QueryModule {
       ORDER BY hops, nationkey
     """))
 
-  def defs: Seq[QueryDef] = Seq(triangles, khop)
+  /** Weighted shortest path from nation 0 — 4 unrolled Bellman-Ford
+    * relaxation rounds over the min-plus semiring: each round extends
+    * the frontier by one edge (`dist(v) = min(dist(v), dist(u) +
+    * w(u,v))`), so round k holds the exact shortest distance over
+    * paths of ≤ k edges. The hop-count twin is q_khop (same loop,
+    * `+1` in place of `+w`); 4 rounds cover the graph's observed
+    * diameter at every SF, and all arithmetic is exact bigint (edge
+    * weight = trade count), so min() can never sit on a float
+    * boundary. Scale: identical contract to q_khop — the one
+    * fact-sized job is the memoized edge aggregation; every
+    * relaxation round joins a ≤|nations| frontier against the
+    * ≤|nations|² checkpointed edge table.
+    */
+  val shortestPath = QueryDef(
+    "q_shortest_path",
+    (s, d) => {
+      val kept = keptEdges(s, d)
+      val sym = kept.select(col("a").as("src"), col("b").as("dst"), col("w"))
+        .unionAll(kept.select(col("b").as("src"), col("a").as("dst"), col("w")))
+      var dist = s.range(1).select(lit(0L).as("v"), lit(0L).as("dist"))
+      for (_ <- 1 to 4) {
+        dist = dist
+          .unionAll(dist.join(sym, col("v") === col("src"))
+            .select(col("dst").as("v"), (col("dist") + col("w")).as("dist")))
+          .groupBy(col("v")).agg(min(col("dist")).as("dist"))
+      }
+      dist
+        .join(Tables.nation(s, d), col("v") === col("n_nationkey"))
+        .select(col("v").as("nationkey"), col("n_name").as("nation"), col("dist"))
+        .orderBy(col("dist"), col("nationkey"))
+    },
+    Some(s"""
+      WITH $keptCte,
+      sym AS MATERIALIZED (SELECT a AS src, b AS dst, w FROM kept
+              UNION ALL SELECT b, a, w FROM kept),
+      p0 AS MATERIALIZED (SELECT CAST(0 AS BIGINT) AS v, CAST(0 AS BIGINT) AS dist),
+      p1 AS MATERIALIZED (SELECT v, CAST(min(dist) AS BIGINT) AS dist FROM (
+        SELECT v, dist FROM p0
+        UNION ALL SELECT dst AS v, dist + w FROM p0 JOIN sym ON v = src)
+        GROUP BY v),
+      p2 AS MATERIALIZED (SELECT v, CAST(min(dist) AS BIGINT) AS dist FROM (
+        SELECT v, dist FROM p1
+        UNION ALL SELECT dst AS v, dist + w FROM p1 JOIN sym ON v = src)
+        GROUP BY v),
+      p3 AS MATERIALIZED (SELECT v, CAST(min(dist) AS BIGINT) AS dist FROM (
+        SELECT v, dist FROM p2
+        UNION ALL SELECT dst AS v, dist + w FROM p2 JOIN sym ON v = src)
+        GROUP BY v),
+      p4 AS MATERIALIZED (SELECT v, CAST(min(dist) AS BIGINT) AS dist FROM (
+        SELECT v, dist FROM p3
+        UNION ALL SELECT dst AS v, dist + w FROM p3 JOIN sym ON v = src)
+        GROUP BY v)
+      SELECT v AS nationkey, n_name AS nation, dist
+      FROM p4 JOIN nation ON v = n_nationkey
+      ORDER BY dist, nationkey
+    """))
+
+  /** Link prediction by neighborhood Jaccard: for every node pair
+    * sharing at least one neighbor, |N(a)∩N(b)| / |N(a)∪N(b)| —
+    * the classic "predict the missing edge" score. The pair
+    * enumeration joins the symmetric adjacency list WITH ITSELF ON
+    * THE SHARED NEIGHBOR (a < b canonicalization), so candidate work
+    * is Σ per-node degree² — bucket-local on the shared-neighbor key,
+    * never |V|² — the same contract as q_basket_affinity's
+    * order-local pairing. Union size comes from inclusion-exclusion
+    * over exact bigint degrees (deg(a) + deg(b) − common), no
+    * distinct-union materialization. The division is the only float,
+    * performed identically (bigint → IEEE double) in both engines at
+    * output time; top-15 ties broken by (node_a, node_b).
+    */
+  val graphJaccard = QueryDef(
+    "q_graph_jaccard",
+    (s, d) => {
+      val kept = keptEdges(s, d)
+      val sym = kept.select(col("a").as("v"), col("b").as("n"))
+        .unionAll(kept.select(col("b").as("v"), col("a").as("n")))
+      val deg = sym.groupBy(col("v")).agg(count(lit(1)).as("deg"))
+      val pairs = sym.as("x")
+        .join(sym.as("y"), col("x.n") === col("y.n") && col("x.v") < col("y.v"))
+        .groupBy(col("x.v").as("node_a"), col("y.v").as("node_b"))
+        .agg(count(lit(1)).as("common_neighbors"))
+      pairs
+        .join(deg.select(col("v").as("node_a"), col("deg").as("deg_a")), Seq("node_a"))
+        .join(deg.select(col("v").as("node_b"), col("deg").as("deg_b")), Seq("node_b"))
+        .select(col("node_a"), col("node_b"), col("common_neighbors"),
+          round(col("common_neighbors").cast("double") /
+            (col("deg_a") + col("deg_b") - col("common_neighbors")).cast("double"),
+            4).as("jaccard"))
+        .orderBy(col("jaccard").desc, col("node_a"), col("node_b"))
+        .limit(15)
+    },
+    Some(s"""
+      WITH $keptCte,
+      sym AS MATERIALIZED (SELECT a AS v, b AS n FROM kept
+              UNION ALL SELECT b, a FROM kept),
+      deg AS MATERIALIZED (SELECT v, count(*) AS deg FROM sym GROUP BY v),
+      pairs AS MATERIALIZED (
+        SELECT x.v AS node_a, y.v AS node_b, count(*) AS common_neighbors
+        FROM sym x JOIN sym y ON x.n = y.n AND x.v < y.v
+        GROUP BY 1, 2)
+      SELECT node_a, node_b,
+             CAST(common_neighbors AS BIGINT) AS common_neighbors,
+             round(CAST(common_neighbors AS DOUBLE)
+                   / CAST(da.deg + db.deg - common_neighbors AS DOUBLE), 4) AS jaccard
+      FROM pairs
+      JOIN deg da ON node_a = da.v
+      JOIN deg db ON node_b = db.v
+      ORDER BY jaccard DESC, node_a, node_b
+      LIMIT 15
+    """))
+
+  def defs: Seq[QueryDef] = Seq(triangles, khop, shortestPath, graphJaccard)
 }

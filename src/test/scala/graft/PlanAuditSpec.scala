@@ -172,6 +172,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_cross_sell", // 1-row basket-total cross join (tf_idf pattern)
     "q_khop", // 1-row literal BFS seed: constant folding turns the first
               // frontier⋈edges equi-join into a 1-row broadcast BNL
+    "q_shortest_path", // same 1-row literal seed as q_khop (Bellman-Ford twin)
     "q_mixture_sample") // 1-row corpus-stats cross join (tf_idf pattern)
 
   /** Queries whose plan legitimately contains a Window with an EMPTY
