@@ -835,7 +835,42 @@ object Aggregations extends QueryModule {
       FROM ranked GROUP BY prio ORDER BY prio
     """))
 
+  /** Boolean / bitwise aggregate forms — count_if, bool_and/bool_or
+    * (SQL EVERY/ANY), and the bit_and/bit_or/bit_xor reductions. All
+    * are order-independent commutative monoids, so they map-side
+    * combine into two-phase HashAggregate like any sum: a 100 TB scan
+    * reduces each group to one long/boolean before the shuffle.
+    * bit_xor is the interesting one at scale — it is its own inverse,
+    * the basis of set-reconciliation checksums (a shard's xor of row
+    * keys detects drift against a replica without moving rows).
+    */
+  val aggBoolean = QueryDef(
+    "q_agg_boolean",
+    (s, d) => Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("count_if(l_tax < 0.05)").as("n_low_tax"),
+        expr("bool_and(l_extendedprice > l_quantity)").as("all_price_gt_qty"),
+        expr("bool_or(l_quantity > 45)").as("any_big_qty"),
+        expr("bit_and(l_orderkey)").as("key_bit_and"),
+        expr("bit_or(l_orderkey)").as("key_bit_or"),
+        expr("bit_xor(l_orderkey)").as("key_bit_xor"))
+      .orderBy(col("l_returnflag")),
+    Some("""
+      SELECT l_returnflag,
+             count(*) FILTER (WHERE l_tax < 0.05) AS n_low_tax,
+             bool_and(l_extendedprice > l_quantity) AS all_price_gt_qty,
+             bool_or(l_quantity > 45) AS any_big_qty,
+             CAST(bit_and(l_orderkey) AS BIGINT) AS key_bit_and,
+             CAST(bit_or(l_orderkey) AS BIGINT) AS key_bit_or,
+             CAST(bit_xor(l_orderkey) AS BIGINT) AS key_bit_xor
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag
+    """))
+
   def defs: Seq[QueryDef] = Seq(
+    aggBoolean,
     aggGlobal, countDistinctQ, approxDistinct, rollupQ, cubeQ,
     groupingSetsQ, aggFiltered, maxByQ, collectQ, statsQ, percentileQ,
     pivotQ, histogramQ, modeQ, anyValueQ, percentileDiscQ,
