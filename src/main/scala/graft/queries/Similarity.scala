@@ -260,6 +260,59 @@ object Similarity extends QueryModule {
       FROM ranked WHERE rn = 1 ORDER BY vec_id
     """))
 
+  /** Embedding-outlier curation: assign every vector to its nearest
+    * centroid (the q_kmeans_assign step), then surface the 3 FARTHEST
+    * members of each cluster — the "prune noisy/mislabeled samples"
+    * pass a training-data pipeline runs after clustering. The ranking
+    * window partitions on cluster_id (bounded: |centroids|, a config
+    * constant — never data-proportional), so at 100 TB each cluster's
+    * top-3 reduces map-side via WindowGroupLimit and the only wide op
+    * is the broadcast-centroid assignment scan. Distances are the
+    * same expanded dot-product form both engines compute identically;
+    * ties break on vec_id.
+    */
+  val embeddingOutliers = QueryDef(
+    "q_embedding_outliers",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      val centroids = e.filter(col("vec_id").between(200, 204))
+        .select((col("vec_id") - 199).as("cluster_id"),
+          transform(col("embedding"), x => x.cast("double")).as("centroid"))
+      val assigned = graft.functions.KMeansLite.assign(e, centroids)
+      val w = Window.partitionBy(col("cluster_id"))
+        .orderBy(col("dist").desc, col("vec_id"))
+      assigned
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("cluster_id"), col("rn").cast("long").as("outlier_rank"),
+          col("vec_id"), col("dist").cast("float").as("dist"))
+        .orderBy(col("cluster_id"), col("outlier_rank"))
+    },
+    Some("""
+      WITH centroids AS (
+        SELECT vec_id - 199 AS cluster_id, CAST(embedding AS DOUBLE[]) AS centroid
+        FROM embeddings WHERE vec_id BETWEEN 200 AND 204),
+      scored AS (
+        SELECT e.vec_id, c.cluster_id,
+               list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))
+                 - 2 * list_dot_product(CAST(e.embedding AS DOUBLE[]), c.centroid)
+                 + list_dot_product(c.centroid, c.centroid) AS dist
+        FROM embeddings e CROSS JOIN centroids c),
+      ranked AS (
+        SELECT vec_id, cluster_id, dist,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster_id) AS rn
+        FROM scored),
+      assigned AS (SELECT vec_id, cluster_id, dist FROM ranked WHERE rn = 1),
+      outl AS (
+        SELECT cluster_id, vec_id, dist,
+               row_number() OVER (PARTITION BY cluster_id ORDER BY dist DESC, vec_id) AS orn
+        FROM assigned)
+      SELECT cluster_id, CAST(orn AS BIGINT) AS outlier_rank, vec_id,
+             CAST(dist AS FLOAT) AS dist
+      FROM outl WHERE orn <= 3
+      ORDER BY cluster_id, outlier_rank
+    """))
+
   /** Bucketed kNN self-join: top-3 cosine neighbors for EVERY corpus
     * vector, candidates restricted to the vector's own IVF bucket
     * (label) — the all-corpus variant of q_ann_ivf, used for
@@ -394,5 +447,5 @@ object Similarity extends QueryModule {
 
   def defs: Seq[QueryDef] =
     Seq(cosineTopK, annIvf, vectorStats, annLsh, annLshWide, kmeansAssign,
-      knnJoin, annIvfMultiprobe)
+      knnJoin, annIvfMultiprobe, embeddingOutliers)
 }

@@ -158,6 +158,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_text_jaccard", "q_text_ngram_jaccard", "q_forecast_revenue",
     "q_promo_revenue", "q_subquery_scalar", "q_funnel", "q_gap_fill",
     "q_kmeans_assign", // 5-row broadcast centroid table (KMeansLite.assign)
+    "q_embedding_outliers", // same 5-row centroid broadcast (kmeans_assign step)
     "q_unigram_logprob", // lazy 1-row corpus-total cross join (tf_idf pattern)
     "q_global_customers", // 1-row avg-balance threshold cross join (tf_idf pattern)
     "q_important_parts", // 1-row corpus-total threshold cross join (tf_idf pattern)
