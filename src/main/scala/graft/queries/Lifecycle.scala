@@ -1340,6 +1340,71 @@ object Lifecycle extends QueryModule {
       FROM cum GROUP BY n1, n2
     """))
 
+  /** Mann-Kendall trend test over the daily revenue series — the
+    * nonparametric "is there a monotonic trend" member of the exact
+    * panel (vs q_cusum's changepoint and q_autocorr's serial
+    * dependence). S = Σ_{i<j} sign(x_j − x_i) over day pairs; the
+    * tie-corrected variance n(n−1)(2n+5) − Σ t(t−1)(2t+5) over 18 and
+    * the continuity-corrected z are the standard forms. Revenue is
+    * exact integer cents (the paretoCutoff double-round pattern), so
+    * every sign() compares bigints — no float boundary until the one
+    * final sqrt/division, which both engines round identically. Scale:
+    * the pairwise self-join is CALENDAR-bounded (day count doesn't
+    * grow with data volume — the q_event_paths class), so the tiny
+    * broadcast theta-join is a bounded fixed cost at any SF; the only
+    * fact-sized job is the per-day aggregate.
+    */
+  val mannKendall = QueryDef(
+    "q_mann_kendall",
+    (s, d) => {
+      val daily = Tables.orders(s, d)
+        .groupBy(col("o_orderdate").cast("date").as("day"))
+        .agg(round(round(sum(col("o_totalprice")), 2) * 100, 0)
+          .cast("long").as("rev_cents"))
+      val sAgg = daily.as("a")
+        .join(daily.as("b"), col("a.day") < col("b.day"))
+        .agg(sum(signum(col("b.rev_cents") - col("a.rev_cents")).cast("long"))
+          .as("s_stat"))
+      val nAgg = daily.agg(count(lit(1)).as("n_days"))
+      val tieAgg = daily.groupBy(col("rev_cents")).agg(count(lit(1)).as("t"))
+        .agg(coalesce(sum(when(col("t") > 1,
+          col("t") * (col("t") - 1) * (lit(2L) * col("t") + 5))), lit(0L))
+          .as("tie_term"))
+      sAgg.crossJoin(nAgg).crossJoin(tieAgg)
+        .select(col("n_days"), col("s_stat"),
+          round(
+            (when(col("s_stat") > 0, (col("s_stat") - 1).cast("double"))
+              .when(col("s_stat") < 0, (col("s_stat") + 1).cast("double"))
+              .otherwise(lit(0.0))) /
+            sqrt((col("n_days") * (col("n_days") - 1)
+              * (lit(2L) * col("n_days") + 5) - col("tie_term"))
+              .cast("double") / 18.0),
+            4).as("z_mk"))
+    },
+    Some("""
+      WITH daily AS MATERIALIZED (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(round(round(sum(o_totalprice), 2) * 100, 0) AS BIGINT) AS rev_cents
+        FROM orders GROUP BY 1),
+      s AS (
+        SELECT CAST(sum(CASE WHEN b.rev_cents > a.rev_cents THEN 1
+                             WHEN b.rev_cents < a.rev_cents THEN -1
+                             ELSE 0 END) AS BIGINT) AS s_stat
+        FROM daily a JOIN daily b ON a.day < b.day),
+      n AS (SELECT count(*) AS n_days FROM daily),
+      ties AS (
+        SELECT COALESCE(CAST(sum(CASE WHEN t > 1
+                 THEN t * (t - 1) * (2 * t + 5) ELSE 0 END) AS BIGINT), 0) AS tie_term
+        FROM (SELECT count(*) AS t FROM daily GROUP BY rev_cents))
+      SELECT n_days, s_stat,
+             round((CASE WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE)
+                         WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE)
+                         ELSE 0 END)
+                   / sqrt(CAST(n_days * (n_days - 1) * (2 * n_days + 5)
+                               - tie_term AS DOUBLE) / 18.0), 4) AS z_mk
+      FROM s CROSS JOIN n CROSS JOIN ties
+    """))
+
   /** Mann-Whitney U (rank-sum) between F and O order totals, with
     * tie-corrected average ranks — the nonparametric "is one sample
     * stochastically larger" companion to q_ks_test. Everything stays
@@ -1460,5 +1525,5 @@ object Lifecycle extends QueryModule {
     concurrentSessions, gini, sessionStats, pagerank, eventPaths,
     conversionLag, shipLag, growthAccounting, anomalyIqr, activityHeatmap,
     crossSell, readability, cusum, harmonicGeo, hhi, mutualInfo,
-    weightedMedian, ksTest, mannWhitney, cramersV)
+    weightedMedian, ksTest, mannWhitney, mannKendall, cramersV)
 }

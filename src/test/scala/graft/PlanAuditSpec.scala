@@ -174,7 +174,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_khop", // 1-row literal BFS seed: constant folding turns the first
               // frontier⋈edges equi-join into a 1-row broadcast BNL
     "q_shortest_path", // same 1-row literal seed as q_khop (Bellman-Ford twin)
-    "q_mixture_sample") // 1-row corpus-stats cross join (tf_idf pattern)
+    "q_mixture_sample", // 1-row corpus-stats cross join (tf_idf pattern)
+    "q_mann_kendall") // calendar-bounded day-pair theta join + 1-row stat
+                      // cross joins: the broadcast side can't grow with
+                      // data volume (q_event_paths class)
 
   /** Queries whose plan legitimately contains a Window with an EMPTY
     * partition spec (single-partition WindowExec). Every entry windows
