@@ -566,8 +566,47 @@ object Functions extends QueryModule {
       ORDER BY o_orderkey, kind
     """))
 
+  /** Array SET operations — union / intersect / except between the
+    * distinct token sets of adjacent documents, plus the sorted
+    * intersection itself. Spark's array_intersect/array_union/
+    * array_except have engine-specific ELEMENT ORDER, so every
+    * compared array goes through array_sort and the same pipeline
+    * (lower → split → drop empties → distinct) runs in both engines.
+    * Map-side per pair after one equi-join on the adjacent-id key —
+    * no shuffle beyond the join at any scale.
+    */
+  val arraySetOps = QueryDef(
+    "q_array_setops",
+    (s, d) => {
+      val toks = expr("filter(array_distinct(split(lower(text), ' +')), x -> x != '')")
+      val docs = Tables.documents(s, d).select(col("doc_id"), toks.as("t"))
+      docs.as("a")
+        .join(docs.as("b"), col("a.doc_id") + 1 === col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_id"),
+          expr("cast(size(array_union(a.t, b.t)) as bigint)").as("n_union"),
+          expr("cast(size(array_intersect(a.t, b.t)) as bigint)").as("n_inter"),
+          expr("cast(size(array_except(a.t, b.t)) as bigint)").as("n_except"),
+          expr("array_sort(array_intersect(a.t, b.t))").as("inter_tokens"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id,
+               list_distinct(list_filter(string_split_regex(lower(text), ' +'),
+                                         x -> x != '')) AS t
+        FROM documents)
+      SELECT a.doc_id AS doc_id,
+             CAST(len(list_distinct(list_concat(a.t, b.t))) AS BIGINT) AS n_union,
+             CAST(len(list_filter(a.t, x -> list_contains(b.t, x))) AS BIGINT) AS n_inter,
+             CAST(len(list_filter(a.t, x -> NOT list_contains(b.t, x))) AS BIGINT) AS n_except,
+             list_sort(list_filter(a.t, x -> list_contains(b.t, x))) AS inter_tokens
+      FROM toks a JOIN toks b ON a.doc_id + 1 = b.doc_id
+      ORDER BY doc_id
+    """))
+
   def defs: Seq[QueryDef] = Seq(
     stringFuncs, dateFuncs, mathFuncs, arrayFuncs, jsonFuncs, variantFuncs,
     explodeTokens, mapFuncs, posExplode, stackUnpivot, stringAgg, bitwiseFuncs,
-    regexFuncs, stringFuncs2, dateFuncs2, mathFuncs2, tryFuncs, generatorFuncs)
+    regexFuncs, stringFuncs2, dateFuncs2, mathFuncs2, tryFuncs, generatorFuncs,
+    arraySetOps)
 }
