@@ -303,6 +303,38 @@ object Aggregations extends QueryModule {
       ORDER BY user_id
     """))
 
+  /** Pivot with MULTIPLE aggregates per cell — each pivot value fans
+    * out to {value}_{aggAlias} columns (count + rounded sum here), the
+    * API form reports actually use. Same single-shuffle two-phase
+    * HashAggregate as q_pivot: the pivot list is explicit, so the
+    * schema is static and no extra distinct-values job runs — the
+    * at-scale contract (an unlisted pivot pays a full distinct scan
+    * first). Counts fill to 0 for absent combinations; sums stay NULL
+    * (both engines agree: COUNT of nothing is 0, SUM of nothing is
+    * NULL).
+    */
+  val pivotMultiQ = QueryDef(
+    "q_pivot_multi",
+    (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "view", "purchase"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("val"))
+        .na.fill(0L, Seq("click_n", "view_n", "purchase_n"))
+        .orderBy(col("user_id")),
+    Some("""
+      SELECT user_id,
+             count(*) FILTER (WHERE event_type = 'click') AS click_n,
+             round(sum(value) FILTER (WHERE event_type = 'click'), 2) AS click_val,
+             count(*) FILTER (WHERE event_type = 'view') AS view_n,
+             round(sum(value) FILTER (WHERE event_type = 'view'), 2) AS view_val,
+             count(*) FILTER (WHERE event_type = 'purchase') AS purchase_n,
+             round(sum(value) FILTER (WHERE event_type = 'purchase'), 2) AS purchase_val
+      FROM events
+      GROUP BY user_id
+      ORDER BY user_id
+    """))
+
   /** Fixed-width histogram: integer bucket math on both engines
     * (floor of price/width, capped), no boundary ambiguity.
     */
@@ -873,7 +905,7 @@ object Aggregations extends QueryModule {
     aggBoolean,
     aggGlobal, countDistinctQ, approxDistinct, rollupQ, cubeQ,
     groupingSetsQ, aggFiltered, maxByQ, collectQ, statsQ, percentileQ,
-    pivotQ, histogramQ, modeQ, anyValueQ, percentileDiscQ,
+    pivotQ, pivotMultiQ, histogramQ, modeQ, anyValueQ, percentileDiscQ,
     approxPercentileQ, regressionQ, momentsQ, percentileMultiQ,
     percentileWindowQ, percentileApproxScaleQ, bandByQuantileQ,
     winsorizeQ, histogramEquidepthQ, madQ, corrMatrixQ,

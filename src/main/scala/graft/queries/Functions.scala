@@ -586,7 +586,9 @@ object Functions extends QueryModule {
           expr("cast(size(array_union(a.t, b.t)) as bigint)").as("n_union"),
           expr("cast(size(array_intersect(a.t, b.t)) as bigint)").as("n_inter"),
           expr("cast(size(array_except(a.t, b.t)) as bigint)").as("n_except"),
-          expr("array_sort(array_intersect(a.t, b.t))").as("inter_tokens"))
+          // canonical-string encode (q_collect_list pattern): the
+          // harness hash compare can't hash array cells
+          expr("array_join(array_sort(array_intersect(a.t, b.t)), ' ')").as("inter_tokens"))
         .orderBy(col("doc_id"))
     },
     Some("""
@@ -599,7 +601,7 @@ object Functions extends QueryModule {
              CAST(len(list_distinct(list_concat(a.t, b.t))) AS BIGINT) AS n_union,
              CAST(len(list_filter(a.t, x -> list_contains(b.t, x))) AS BIGINT) AS n_inter,
              CAST(len(list_filter(a.t, x -> NOT list_contains(b.t, x))) AS BIGINT) AS n_except,
-             list_sort(list_filter(a.t, x -> list_contains(b.t, x))) AS inter_tokens
+             array_to_string(list_sort(list_filter(a.t, x -> list_contains(b.t, x))), ' ') AS inter_tokens
       FROM toks a JOIN toks b ON a.doc_id + 1 = b.doc_id
       ORDER BY doc_id
     """))
