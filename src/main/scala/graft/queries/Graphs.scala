@@ -271,13 +271,19 @@ object Graphs extends QueryModule {
         .join(sym.as("y"), col("x.n") === col("y.n") && col("x.v") < col("y.v"))
         .groupBy(col("x.v").as("node_a"), col("y.v").as("node_b"))
         .agg(count(lit(1)).as("common_neighbors"))
+      // the prediction target is a NON-edge: flag pairs already linked
+      // (kept is canonical a<b, same as the pair orientation)
+      val linked = kept.select(col("a").as("node_a"), col("b").as("node_b"),
+        lit(true).as("already_linked"))
       pairs
         .join(deg.select(col("v").as("node_a"), col("deg").as("deg_a")), Seq("node_a"))
         .join(deg.select(col("v").as("node_b"), col("deg").as("deg_b")), Seq("node_b"))
+        .join(linked, Seq("node_a", "node_b"), "left")
         .select(col("node_a"), col("node_b"), col("common_neighbors"),
           round(col("common_neighbors").cast("double") /
             (col("deg_a") + col("deg_b") - col("common_neighbors")).cast("double"),
-            4).as("jaccard"))
+            4).as("jaccard"),
+          coalesce(col("already_linked"), lit(false)).as("already_linked"))
         .orderBy(col("jaccard").desc, col("node_a"), col("node_b"))
         .limit(15)
     },
@@ -293,10 +299,13 @@ object Graphs extends QueryModule {
       SELECT node_a, node_b,
              CAST(common_neighbors AS BIGINT) AS common_neighbors,
              round(CAST(common_neighbors AS DOUBLE)
-                   / CAST(da.deg + db.deg - common_neighbors AS DOUBLE), 4) AS jaccard
+                   / CAST(da.deg + db.deg - common_neighbors AS DOUBLE), 4) AS jaccard,
+             COALESCE(k.already_linked, false) AS already_linked
       FROM pairs
       JOIN deg da ON node_a = da.v
       JOIN deg db ON node_b = db.v
+      LEFT JOIN (SELECT a AS node_a, b AS node_b, true AS already_linked
+                 FROM kept) k USING (node_a, node_b)
       ORDER BY jaccard DESC, node_a, node_b
       LIMIT 15
     """))
