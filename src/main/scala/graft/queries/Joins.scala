@@ -231,6 +231,56 @@ object Joins extends QueryModule {
       ORDER BY purchase_id
     """))
 
+  /** As-of join with TOLERANCE — q_join_asof's match is kept only
+    * when the preceding click/view falls within 30 minutes of the
+    * purchase (the pandas merge_asof `tolerance` semantic: stale
+    * context is no context). Same single-pass union+window rewrite
+    * and one-shuffle linear profile; the tolerance is a pure
+    * post-window predicate, so the plan is IDENTICAL to the unbounded
+    * form — no extra shuffle, no range join.
+    */
+  val joinAsOfTolerance = QueryDef(
+    "q_join_asof_tolerance",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .filter(col("event_type").isin("purchase", "click", "view"))
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+          when(col("event_type") =!= "purchase", col("event_id")).as("c_id"),
+          when(col("event_type") =!= "purchase", col("ts")).as("c_ts"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val within = col("last_click_ts") >= col("ts") - expr("INTERVAL 30 MINUTES")
+      ev.withColumn("last_click_id", last(col("c_id"), ignoreNulls = true).over(w))
+        .withColumn("last_click_ts", last(col("c_ts"), ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          when(within, col("last_click_id")).as("last_click_id"),
+          when(within, col("last_click_ts")).as("last_click_ts"))
+        .orderBy(col("purchase_id"))
+    },
+    Some("""
+      SELECT purchase_id, user_id,
+             CASE WHEN last_click_ts >= purchase_ts - INTERVAL 30 MINUTE
+                  THEN last_click_id END AS last_click_id,
+             CASE WHEN last_click_ts >= purchase_ts - INTERVAL 30 MINUTE
+                  THEN last_click_ts END AS last_click_ts
+      FROM (
+        SELECT event_id AS purchase_id, user_id, event_type,
+               CAST(ts AS TIMESTAMP) AS purchase_ts,
+               last_value(CASE WHEN event_type <> 'purchase' THEN event_id END IGNORE NULLS)
+                 OVER w AS last_click_id,
+               last_value(CASE WHEN event_type <> 'purchase' THEN CAST(ts AS TIMESTAMP) END IGNORE NULLS)
+                 OVER w AS last_click_ts
+        FROM events
+        WHERE event_type IN ('purchase', 'click', 'view')
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      )
+      WHERE event_type = 'purchase'
+      ORDER BY purchase_id
+    """))
+
   /** Forward as-of join — the mirror of q_join_asof: for each
     * purchase, the NEXT click/view by the same user strictly after
     * it (attribution's "what did they do next"). Same single-pass
@@ -506,5 +556,6 @@ object Joins extends QueryModule {
   def defs: Seq[QueryDef] = Seq(
     joinInner, joinLeft, joinRight, joinFull, joinSemi, joinAnti,
     joinCross, joinThetaRange, joinAsOf, joinAsOfForward, joinAsOfNearest,
+    joinAsOfTolerance,
     joinStar, joinRangeBucketed, joinSkewed, joinExistence)
 }
