@@ -62,6 +62,34 @@ object EventsTime extends QueryModule {
       ORDER BY bucket_start
     """))
 
+  /** Shared oracle for both sessionization forms: q_sessionize and
+    * its two-level skew-safe twin q_sessionize_2level compute the
+    * SAME session table, so grading both against one SQL is the
+    * equivalence proof.
+    */
+  private val sessionizeSql = """
+      SELECT user_id, session_id, count(*) AS events_in_session,
+             min(CAST(ts AS TIMESTAMP)) AS session_start,
+             max(CAST(ts AS TIMESTAMP)) AS session_last,
+             round(sum(value), 2) AS session_value
+      FROM (
+        SELECT user_id, ts, value,
+               CAST(sum(CASE WHEN prev_us IS NULL
+                        OR epoch_us(CAST(ts AS TIMESTAMP)) - prev_us >= 1800000000
+                        THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        FROM (
+          SELECT user_id, ts, event_id, value,
+                 lag(epoch_us(CAST(ts AS TIMESTAMP)), 1)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+          FROM events
+        )
+      )
+      GROUP BY user_id, session_id
+      ORDER BY user_id, session_id
+    """
+
   /** Gap-based sessionization, portable rewrite: lag → gap≥30min flag
     * → running-sum session id. One shuffle on user_id; linear at any
     * scale (the flagship streaming-analytics pattern).
@@ -84,28 +112,59 @@ object EventsTime extends QueryModule {
           round(sum(col("value")), 2).as("session_value"))
         .orderBy(col("user_id"), col("session_id"))
     },
-    Some("""
-      SELECT user_id, session_id, count(*) AS events_in_session,
-             min(CAST(ts AS TIMESTAMP)) AS session_start,
-             max(CAST(ts AS TIMESTAMP)) AS session_last,
-             round(sum(value), 2) AS session_value
-      FROM (
-        SELECT user_id, ts, value,
-               CAST(sum(CASE WHEN prev_us IS NULL
-                        OR epoch_us(CAST(ts AS TIMESTAMP)) - prev_us >= 1800000000
-                        THEN 1 ELSE 0 END)
-                 OVER (PARTITION BY user_id ORDER BY ts, event_id
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
-        FROM (
-          SELECT user_id, ts, event_id, value,
-                 lag(epoch_us(CAST(ts AS TIMESTAMP)), 1)
-                   OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
-          FROM events
-        )
-      )
-      GROUP BY user_id, session_id
-      ORDER BY user_id, session_id
-    """))
+    Some(sessionizeSql))
+
+  /** TWO-LEVEL sessionization — the skew lever SCALING.md prescribes
+    * for the one giant key (a user with millions of events would
+    * serialize q_sessionize's per-user window through one task).
+    * Level 1 sessionizes within (user, day) buckets — the window
+    * partition count multiplies by |days| and no partition exceeds a
+    * user-day; level 2 re-runs the SAME gap algorithm at SESSION
+    * granularity (lag end_us per user over provisional sessions,
+    * merge when the boundary gap < 30 min), which is data-reduced by
+    * orders of magnitude — a mega-user's session count is bounded by
+    * active-time/30 min, not event count. Exactly the same session
+    * table falls out: within-bucket splits already satisfy the gap
+    * rule, bucket-boundary pairs are globally consecutive events, and
+    * chained merges reproduce multi-day sessions. GRADED AGAINST THE
+    * IDENTICAL ORACLE as q_sessionize — the hash match IS the
+    * equivalence proof.
+    */
+  val sessionize2Level = QueryDef(
+    "q_sessionize_2level",
+    (s, d) => {
+      val byBucket = Window.partitionBy(col("user_id"), col("day"))
+        .orderBy(col("ts"), col("event_id"))
+      val runB = byBucket.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val pre = Tables.events(s, d)
+        .withColumn("day", to_date(col("ts")))
+        .withColumn("us", unix_micros(col("ts")))
+        .withColumn("prev_us", lag(col("us"), 1).over(byBucket))
+        .withColumn("new_sess",
+          when(col("prev_us").isNull
+            || col("us") - col("prev_us") >= 1800000000L, 1L).otherwise(0L))
+        .withColumn("bucket_sess", sum(col("new_sess")).over(runB))
+        .groupBy(col("user_id"), col("day"), col("bucket_sess"))
+        .agg(count(lit(1)).as("cnt"),
+          min(col("ts")).as("p_start"), max(col("ts")).as("p_last"),
+          min(col("us")).as("start_us"), max(col("us")).as("end_us"),
+          sum(col("value")).as("p_value"))
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("start_us"))
+      val runU = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      pre
+        .withColumn("prev_end", lag(col("end_us"), 1).over(byUser))
+        .withColumn("new_grp",
+          when(col("prev_end").isNull
+            || col("start_us") - col("prev_end") >= 1800000000L, 1L).otherwise(0L))
+        .withColumn("session_id", sum(col("new_grp")).over(runU))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(sum(col("cnt")).as("events_in_session"),
+          min(col("p_start")).as("session_start"),
+          max(col("p_last")).as("session_last"),
+          round(sum(col("p_value")), 2).as("session_value"))
+        .orderBy(col("user_id"), col("session_id"))
+    },
+    Some(sessionizeSql))
 
   /** Native session_window() (Spark's built-in gap-merge operator);
     * oracle is the equivalent lag-rewrite. end = last event + gap per
@@ -708,7 +767,8 @@ object EventsTime extends QueryModule {
     """))
 
   def defs: Seq[QueryDef] = Seq(
-    tumbling, sliding, sessionize, sessionWindowNative, dedupRows, gapFill,
+    tumbling, sliding, sessionize, sessionize2Level, sessionWindowNative,
+    dedupRows, gapFill,
     funnel, cohortRetention, wauRolling, stickiness, anomalies, ohlc,
     attribution, timeWeightedAvg, autocorr, eventsPruned, eventsDpp, scd2,
     entropy)
