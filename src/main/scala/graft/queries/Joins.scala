@@ -188,6 +188,28 @@ object Joins extends QueryModule {
       ORDER BY o_orderpriority
     """))
 
+  /** Shared oracle for the backward as-of forms: q_join_asof and the
+    * two-level skew-safe twin q_join_asof_2level return the SAME
+    * table, so one SQL grades both — the hash match is the
+    * equivalence proof.
+    */
+  private val asofSql = """
+      SELECT purchase_id, user_id, last_click_id, last_click_ts
+      FROM (
+        SELECT event_id AS purchase_id, user_id, event_type,
+               last_value(CASE WHEN event_type <> 'purchase' THEN event_id END IGNORE NULLS)
+                 OVER w AS last_click_id,
+               last_value(CASE WHEN event_type <> 'purchase' THEN CAST(ts AS TIMESTAMP) END IGNORE NULLS)
+                 OVER w AS last_click_ts
+        FROM events
+        WHERE event_type IN ('purchase', 'click', 'view')
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      )
+      WHERE event_type = 'purchase'
+      ORDER BY purchase_id
+    """
+
   /** As-of join: for each purchase event, the most recent click/view
     * by the same user strictly before it. Implemented as the
     * single-pass union+window rewrite (tag both streams, last_value
@@ -214,22 +236,53 @@ object Joins extends QueryModule {
           col("last_click_id"), col("last_click_ts"))
         .orderBy(col("purchase_id"))
     },
-    Some("""
-      SELECT purchase_id, user_id, last_click_id, last_click_ts
-      FROM (
-        SELECT event_id AS purchase_id, user_id, event_type,
-               last_value(CASE WHEN event_type <> 'purchase' THEN event_id END IGNORE NULLS)
-                 OVER w AS last_click_id,
-               last_value(CASE WHEN event_type <> 'purchase' THEN CAST(ts AS TIMESTAMP) END IGNORE NULLS)
-                 OVER w AS last_click_ts
-        FROM events
-        WHERE event_type IN ('purchase', 'click', 'view')
-        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-      )
-      WHERE event_type = 'purchase'
-      ORDER BY purchase_id
-    """))
+    Some(asofSql))
+
+  /** TWO-LEVEL as-of join — the same giant-key lever as
+    * q_sessionize_2level applied to the as-of carry-forward. Level 1
+    * windows within (user, day) buckets (no partition exceeds a
+    * user-day); level 2 carries each bucket's LATEST click forward
+    * across the user's bucket rows — session-granularity data, orders
+    * of magnitude below events — and each purchase takes its
+    * within-bucket match when present, else the carried one. Bucket
+    * boundaries are time-disjoint, so "latest click in any earlier
+    * bucket" composes exactly with the within-bucket window; graded
+    * against the IDENTICAL oracle as q_join_asof at all 3 SFs.
+    */
+  val joinAsOf2Level = QueryDef(
+    "q_join_asof_2level",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .filter(col("event_type").isin("purchase", "click", "view"))
+        .withColumn("day", to_date(col("ts")))
+        .select(col("user_id"), col("day"), col("ts"), col("event_id"),
+          col("event_type"),
+          when(col("event_type") =!= "purchase", col("event_id")).as("c_id"),
+          when(col("event_type") =!= "purchase", col("ts")).as("c_ts"))
+      val byBucket = Window.partitionBy(col("user_id"), col("day"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val withLocal = ev
+        .withColumn("loc_id", last(col("c_id"), ignoreNulls = true).over(byBucket))
+        .withColumn("loc_ts", last(col("c_ts"), ignoreNulls = true).over(byBucket))
+      // per-bucket latest click (struct max = lexicographic (ts, id))
+      val buckets = ev.groupBy(col("user_id"), col("day"))
+        .agg(max(when(col("c_id").isNotNull,
+          struct(col("c_ts").as("ts"), col("c_id").as("id")))).as("bucket_last"))
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val carry = buckets
+        .withColumn("carry", last(col("bucket_last"), ignoreNulls = true).over(byUser))
+        .select(col("user_id"), col("day"), col("carry"))
+      withLocal
+        .join(carry, Seq("user_id", "day"), "left")
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          coalesce(col("loc_id"), col("carry.id")).as("last_click_id"),
+          coalesce(col("loc_ts"), col("carry.ts")).as("last_click_ts"))
+        .orderBy(col("purchase_id"))
+    },
+    Some(asofSql))
 
   /** As-of join with TOLERANCE — q_join_asof's match is kept only
     * when the preceding click/view falls within 30 minutes of the
@@ -556,6 +609,6 @@ object Joins extends QueryModule {
   def defs: Seq[QueryDef] = Seq(
     joinInner, joinLeft, joinRight, joinFull, joinSemi, joinAnti,
     joinCross, joinThetaRange, joinAsOf, joinAsOfForward, joinAsOfNearest,
-    joinAsOfTolerance,
+    joinAsOfTolerance, joinAsOf2Level,
     joinStar, joinRangeBucketed, joinSkewed, joinExistence)
 }
