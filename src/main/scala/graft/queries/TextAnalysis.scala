@@ -102,6 +102,62 @@ object TextAnalysis extends QueryModule {
       ORDER BY doc1, doc2
     """))
 
+  /** ASYMMETRIC containment — |A∩B| / |A| per direction — the
+    * quote/partial-duplicate detector Jaccard misses: a paragraph
+    * fully embedded in a much longer document scores near-zero
+    * Jaccard (the union is huge) but containment 1.0 in the
+    * short→long direction. Same prefix-bucket candidates and staged
+    * shingle projections as q_text_ngram_jaccard; zero-shingle docs
+    * (< 3 tokens) yield NULL, never a division error. Both directions
+    * emitted — dedup pipelines keep the superset and drop the
+    * contained side.
+    */
+  val textContainment = QueryDef(
+    "q_text_containment",
+    (s, d) => {
+      graft.functions.expressions.WordNgrams.register(s)
+      prefixPairs(s, d)
+        .select(col("doc1"), col("doc2"),
+          TF.tokens(col("text1")).as("toks1"),
+          TF.tokens(col("text2")).as("toks2"))
+        .select(col("doc1"), col("doc2"),
+          TF.shinglesFast(col("toks1"), 3).as("s1"),
+          TF.shinglesFast(col("toks2"), 3).as("s2"))
+        .select(col("doc1"), col("doc2"),
+          size(array_intersect(col("s1"), col("s2"))).cast("long").as("n_shared"),
+          when(size(col("s1")) > 0,
+            round(size(array_intersect(col("s1"), col("s2"))).cast("double")
+              / size(col("s1")).cast("double"), 4)).as("containment_1in2"),
+          when(size(col("s2")) > 0,
+            round(size(array_intersect(col("s1"), col("s2"))).cast("double")
+              / size(col("s2")).cast("double"), 4)).as("containment_2in1"))
+        .orderBy(col("doc1"), col("doc2"))
+    },
+    Some(s"""
+      WITH $duckPrefixPairs,
+      sh AS (
+        SELECT doc1, doc2,
+               list_distinct(list_transform(generate_series(1, len(t1) - 2),
+                 i -> t1[i] || ' ' || t1[i + 1] || ' ' || t1[i + 2])) AS s1,
+               list_distinct(list_transform(generate_series(1, len(t2) - 2),
+                 i -> t2[i] || ' ' || t2[i + 1] || ' ' || t2[i + 2])) AS s2
+        FROM (
+          SELECT doc1, doc2,
+                 list_filter(string_split(text1, ' '), t -> t <> '') AS t1,
+                 list_filter(string_split(text2, ' '), t -> t <> '') AS t2
+          FROM pairs))
+      SELECT doc1, doc2,
+             CAST(len(list_intersect(s1, s2)) AS BIGINT) AS n_shared,
+             CASE WHEN len(s1) > 0
+                  THEN round(CAST(len(list_intersect(s1, s2)) AS DOUBLE) / len(s1), 4)
+             END AS containment_1in2,
+             CASE WHEN len(s2) > 0
+                  THEN round(CAST(len(list_intersect(s1, s2)) AS DOUBLE) / len(s2), 4)
+             END AS containment_2in1
+      FROM sh
+      ORDER BY doc1, doc2
+    """))
+
   /** Character-bigram language ID: build a top-20-bigram profile per
     * language from a deterministic 5% corpus sample, score each doc's
     * distinct bigrams against every profile, predict the argmax
@@ -1511,7 +1567,7 @@ object TextAnalysis extends QueryModule {
     """))
 
   def defs: Seq[QueryDef] = Seq(
-    textJaccard, ngramJaccard, langId, langStats, textQuality,
+    textJaccard, ngramJaccard, textContainment, langId, langStats, textQuality,
     tokenStats, docFingerprint, cleanCorpus, tfIdf, sampleBalanced,
     vocabCoverage, trainSplit, contamination, profileDocuments,
     repetition, qualityRules, redactTerms, unigramLogprob, zipfFit,
