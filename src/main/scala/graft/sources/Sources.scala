@@ -67,6 +67,21 @@ object Sources {
   def textLines(spark: SparkSession, path: String): DataFrame =
     spark.read.text(path)
 
+  /** Raw-file ingest via the `binaryFile` source — one row per file
+    * with (path, modificationTime, length, content) — the shape an
+    * image/audio/video corpus enters the pipeline in before
+    * multimodal.BinaryPipeline touches the bytes. Parallelism is
+    * per-file (each file one split; the source never splits a file),
+    * and `glob` prunes by name AT LISTING TIME, so a
+    * "*.png"-filtered scan over a mixed 100 TB bucket never even
+    * stats the excluded objects' contents.
+    */
+  def binaryFiles(spark: SparkSession, path: String,
+      glob: String = "*"): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(path)
+
   // ---- JDBC (Spark's built-in connector; proven here against the
   // Derby embedded driver that ships in /opt/spark/jars) ------------
   //

@@ -128,6 +128,34 @@ class MultimodalSourcesSpec extends AnyFunSuite {
     assert(toks.agg(org.apache.spark.sql.functions.min("n")).head().getInt(0) >= 1)
   }
 
+  test("binaryFile source ingests raw files with glob pruning") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bin")
+    def put(name: String, bytes: Array[Byte]): Unit =
+      java.nio.file.Files.write(dir.resolve(name), bytes)
+    put("a.img", Array[Byte](1, 2, 3, 4))
+    put("b.img", Array[Byte](5, 6))
+    put("skip.txt", Array[Byte](9, 9, 9))
+
+    val all = Sources.binaryFiles(spark, dir.toString)
+    assert(all.count() === 3)
+    assert(all.columns.toSet ===
+      Set("path", "modificationTime", "length", "content"))
+
+    // glob prunes at listing time — the .txt never enters the scan
+    val imgs = Sources.binaryFiles(spark, dir.toString, glob = "*.img")
+    val rows = imgs.select(col("path"), col("length"), col("content"))
+      .collect().map(r => (r.getString(0).split('/').last,
+        r.getLong(1), r.getAs[Array[Byte]](2).toSeq)).sortBy(_._1)
+    assert(rows.map(_._1).toSeq === Seq("a.img", "b.img"))
+    assert(rows.map(_._2).toSeq === Seq(4L, 2L))
+    assert(rows.head._3 === Seq[Byte](1, 2, 3, 4))
+
+    // the content column feeds the multimodal pipeline directly
+    val meta = graft.multimodal.BinaryPipeline.decodeMeta(
+      imgs.select(crc32(col("path")).as("doc_id"), col("content").as("payload")))
+    assert(meta.count() === 2)
+  }
+
   test("in-memory source and partitioned parquet sink") {
     val schema = StructType(Seq(
       StructField("k", LongType), StructField("part", StringType)))
