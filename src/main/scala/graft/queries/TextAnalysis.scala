@@ -158,6 +158,53 @@ object TextAnalysis extends QueryModule {
       ORDER BY doc1, doc2
     """))
 
+  /** Corpus-wide n-gram NOVELTY — per document, the fraction of its
+    * distinct 3-shingles appearing in NO other document. The
+    * df-at-shingle-level curation signal: boilerplate-heavy docs
+    * score near 0 (everything they say, something else already says),
+    * original content near 1 — the per-doc keep/drop twin of the
+    * pairwise containment/Jaccard detectors. Scale: explode distinct
+    * shingles once, one groupBy on the shingle key (bucket-local,
+    * same shuffle contract as q_tf_idf's document frequency), join
+    * the df back on the same key, per-doc aggregate. Linear in total
+    * shingle count, never pairwise.
+    */
+  val ngramNovelty = QueryDef(
+    "q_ngram_novelty",
+    (s, d) => {
+      graft.functions.expressions.WordNgrams.register(s)
+      val sh = Tables.documents(s, d)
+        .select(col("doc_id"), TF.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), explode(TF.shinglesFast(col("toks"), 3)).as("sh"))
+      val df = sh.groupBy(col("sh")).agg(countDistinct(col("doc_id")).as("df"))
+      sh.join(df, Seq("sh"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
+        .select(col("doc_id"), col("n_shingles"), col("n_unique"),
+          round(col("n_unique").cast("double") / col("n_shingles").cast("double"),
+            4).as("novelty"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH sh AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(
+                 generate_series(1, len(t) - 2),
+                 i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]))) AS sh
+        FROM (
+          SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+          FROM documents)),
+      df AS (SELECT sh, count(DISTINCT doc_id) AS df FROM sh GROUP BY sh)
+      SELECT doc_id,
+             count(*) AS n_shingles,
+             CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+             round(CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                   / count(*), 4) AS novelty
+      FROM sh JOIN df USING (sh)
+      GROUP BY doc_id
+      ORDER BY doc_id
+    """))
+
   /** Character-bigram language ID: build a top-20-bigram profile per
     * language from a deterministic 5% corpus sample, score each doc's
     * distinct bigrams against every profile, predict the argmax
@@ -1567,7 +1614,8 @@ object TextAnalysis extends QueryModule {
     """))
 
   def defs: Seq[QueryDef] = Seq(
-    textJaccard, ngramJaccard, textContainment, langId, langStats, textQuality,
+    textJaccard, ngramJaccard, textContainment, ngramNovelty, langId,
+    langStats, textQuality,
     tokenStats, docFingerprint, cleanCorpus, tfIdf, sampleBalanced,
     vocabCoverage, trainSplit, contamination, profileDocuments,
     repetition, qualityRules, redactTerms, unigramLogprob, zipfFit,
