@@ -27,9 +27,10 @@ object Tables {
       _ => spark.read.parquet(s"$sfDir/$name.parquet"))
 
   /** Drop every memoized plan (incl. eventsByDate layouts — the
-    * on-disk partitioned copy stays and is simply re-read, or
-    * re-written mode-overwrite, on next use). For long-lived services
-    * juggling many datasets; see Graft.clearCaches.
+    * on-disk partitioned copy stays; a post-clear re-derivation writes
+    * a FRESH versioned directory, never overwriting the old one, so
+    * queries still scanning the previous layout are unaffected). For
+    * long-lived services juggling many datasets; see Graft.clearCaches.
     */
   private[graft] def clearCache(): Unit = cache.clear()
 
@@ -78,6 +79,14 @@ object Tables {
   private lazy val partRoot =
     java.nio.file.Files.createTempDirectory("graft-part-").toString
 
+  // Monotonic suffix for re-derived layouts: after clearCache() the
+  // next eventsByDate call writes layout v(N+1) in a NEW directory
+  // rather than mode-overwriting v(N) in place. In-flight queries
+  // whose plans still point at v(N) keep reading intact files — the
+  // production dataset-retirement pattern (write new version, flip
+  // pointer, garbage-collect old only after quiescence).
+  private val layoutVersion = new java.util.concurrent.atomic.AtomicLong(0L)
+
   def eventsByDate(s: SparkSession, d: String): DataFrame = {
     val key = (s, d, "events_by_date")
     // NOT computeIfAbsent: building the layout calls events() → the
@@ -96,9 +105,11 @@ object Tables {
         else {
           // collision-free per-dataset subdir: sanitized full path
           // (a 32-bit hashCode of the dir can collide and overwrite
-          // another dataset's live layout)
+          // another dataset's live layout); versioned leaf so a
+          // re-derivation after clearCache never deletes files an
+          // in-flight scan may still hold open
           val sub = d.replaceAll("[^A-Za-z0-9._-]", "_")
-          val out = s"$partRoot/$sub/events_by_date"
+          val out = s"$partRoot/$sub/events_by_date/v${layoutVersion.incrementAndGet()}"
           src.withColumn("event_date", to_date(col("ts")))
             .write.mode("overwrite").partitionBy("event_date").parquet(out)
           val df = s.read.parquet(out)

@@ -106,16 +106,27 @@ object EventStreams {
     * 100 TB the file chunking bounds per-batch cluster memory while
     * the checkpointed offset log bounds re-scan cost to the NEW file
     * listing, not the archive.
+    *
+    * A scheduled catch-up may fire before the producer has written
+    * anything: pass `schema` explicitly to start the stream against an
+    * empty directory, or leave it None and the run no-ops (returns
+    * None) instead of crashing on schema inference — the nightly-cron
+    * contract is "process what's there", and "nothing" is a valid
+    * answer.
     */
   def backfillAvailableNow(
       spark: org.apache.spark.sql.SparkSession,
       srcDir: String,
       sinkDir: String,
       checkpoint: String,
-      maxFilesPerTrigger: Int = 1): org.apache.spark.sql.streaming.StreamingQuery = {
-    val schema = spark.read.parquet(srcDir).schema
-    spark.readStream
-      .schema(schema)
+      maxFilesPerTrigger: Int = 1,
+      schema: Option[org.apache.spark.sql.types.StructType] = None)
+      : Option[org.apache.spark.sql.streaming.StreamingQuery] = {
+    val resolved = schema.orElse(
+      // infer only when readable files exist; empty/absent dir → no-op
+      scala.util.Try(spark.read.parquet(srcDir).schema).toOption)
+    resolved.map(sch => spark.readStream
+      .schema(sch)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(srcDir)
       .writeStream
@@ -124,6 +135,6 @@ object EventStreams {
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
+      .start())
   }
 }

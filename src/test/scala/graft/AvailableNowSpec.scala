@@ -36,6 +36,7 @@ class AvailableNowSpec extends AnyFunSuite {
     addFile(orders.filter(col("o_orderkey") % 3 === 2), src, "slice2.parquet")
 
     val q = EventStreams.backfillAvailableNow(spark, src.toString, sink, ckpt)
+      .getOrElse(fail("non-empty source must start a query"))
     assert(q.awaitTermination(120000), "backfill did not self-terminate")
     assert(!q.isActive, "AvailableNow query must stop after draining")
     // maxFilesPerTrigger=1 → the drain was chunked, not one giant batch
@@ -50,7 +51,28 @@ class AvailableNowSpec extends AnyFunSuite {
     addFile(orders.limit(50), src, "slice3.parquet")
     assert(spark.read.parquet(sink).count() === total)
     val q2 = EventStreams.backfillAvailableNow(spark, src.toString, sink, ckpt)
+      .getOrElse(fail("non-empty source must start a query"))
     assert(q2.awaitTermination(120000), "second backfill did not self-terminate")
     assert(spark.read.parquet(sink).count() === total + 50)
+  }
+
+  test("a catch-up against a not-yet-populated source no-ops instead of crashing; " +
+      "an explicit schema starts a (trivially empty) bounded run") {
+    val src = Files.createTempDirectory("graft-an-empty")
+    val sink = Files.createTempDirectory("graft-an-esink").toString
+    val ckpt1 = Files.createTempDirectory("graft-an-eckpt1").toString
+
+    // no schema, no files → the nightly cron's "nothing to do" path
+    assert(EventStreams.backfillAvailableNow(spark, src.toString, sink, ckpt1).isEmpty,
+      "empty source without a schema must no-op")
+
+    // explicit schema → the stream starts, drains zero files, stops
+    val ckpt2 = Files.createTempDirectory("graft-an-eckpt2").toString
+    val schema = Tables.orders(spark, TestSpark.sf0001).schema
+    val q = EventStreams.backfillAvailableNow(
+      spark, src.toString, sink, ckpt2, schema = Some(schema))
+      .getOrElse(fail("explicit schema must start a query"))
+    assert(q.awaitTermination(120000), "empty-source backfill did not self-terminate")
+    assert(!q.isActive)
   }
 }

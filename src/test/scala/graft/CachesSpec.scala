@@ -14,11 +14,15 @@ class CachesSpec extends AnyFunSuite {
   private val sf = TestSpark.sf0001
 
   /** One query per memo family: verified-pair checkpoint (Dedup),
-    * edge-table checkpoint (Graphs), eventsByDate layout (Tables),
-    * plain relation memo (any TPC-H query).
+    * edge-table checkpoint (Graphs), eventsByDate layout (Tables —
+    * q_events_pruned actually consumes Tables.eventsByDate, so the
+    * clear→rewrite→re-read path of the partitioned layout is pinned;
+    * q_sessionize covers the flat events relation), plain relation
+    * memo (any TPC-H query).
     */
   private val probes =
-    Seq("q_dedup_minhash", "q_triangles", "q_sessionize", "q_pricing_summary")
+    Seq("q_dedup_minhash", "q_triangles", "q_sessionize",
+      "q_events_pruned", "q_pricing_summary")
 
   private def snapshot(name: String): Seq[String] =
     SparkEntry.queries(name)(spark, sf)

@@ -26,7 +26,10 @@ class CommitBackendSpec extends AnyFunSuite {
     def name: String
     def backend: CommitBackend
     def markerContent(root: String, slot: Int): Option[String]
-    def publishedFile(root: String, v: Int, file: String): Option[String]
+    def publishedBytes(root: String, v: Int, file: String): Option[Array[Byte]]
+    final def publishedFile(root: String, v: Int, file: String): Option[String] =
+      publishedBytes(root, v, file)
+        .map(new String(_, java.nio.charset.StandardCharsets.UTF_8))
   }
 
   private object FsFixture extends Fixture {
@@ -36,9 +39,9 @@ class CommitBackendSpec extends AnyFunSuite {
       val p = Paths.get(root, "_log", slot.toString)
       if (Files.exists(p)) Some(Files.readString(p)) else None
     }
-    def publishedFile(root: String, v: Int, file: String): Option[String] = {
+    def publishedBytes(root: String, v: Int, file: String): Option[Array[Byte]] = {
       val p = Paths.get(root, s"v=$v", file)
-      if (Files.exists(p)) Some(Files.readString(p)) else None
+      if (Files.exists(p)) Some(Files.readAllBytes(p)) else None
     }
   }
 
@@ -47,8 +50,8 @@ class CommitBackendSpec extends AnyFunSuite {
     private val store = new InMemoryObjectStore
     val backend = new ObjectStoreCommitBackend(store)
     def markerContent(root: String, slot: Int): Option[String] =
-      store.get(s"$root/_log/$slot").map(_.body)
-    def publishedFile(root: String, v: Int, file: String): Option[String] =
+      store.get(s"$root/_log/$slot").map(_.text)
+    def publishedBytes(root: String, v: Int, file: String): Option[Array[Byte]] =
       store.get(s"$root/v=$v/$file").map(_.body)
   }
 
@@ -126,6 +129,27 @@ class CommitBackendSpec extends AnyFunSuite {
       assert(f.publishedFile(root, 1, "part-0.parquet").contains("data"))
       assert(!Files.exists(staging))
     }
+
+    test(s"${f.name}: publish carries binary (non-UTF-8) bodies byte-identically") {
+      // Real staged snapshot files are parquet: magic bytes plus byte
+      // sequences that are INVALID UTF-8 (0xFF/0xFE continuations). A
+      // text-modeled store would throw or corrupt here; the contract
+      // is byte fidelity, same as an S3/GCS PUT.
+      val root = freshRoot("pub-bin")
+      val staging = Files.createDirectories(Paths.get(root, "_staging", "sb"))
+      val body: Array[Byte] =
+        "PAR1".getBytes("US-ASCII") ++
+          Array[Byte](0x00, 0xFF.toByte, 0xFE.toByte, 0x80.toByte, 0xC0.toByte) ++
+          (0 until 256).map(_.toByte).toArray ++
+          "PAR1".getBytes("US-ASCII")
+      Files.write(staging.resolve("part-0.parquet"), body)
+      b.publish(root, staging, 2)
+      val got = f.publishedBytes(root, 2, "part-0.parquet")
+      assert(got.isDefined, "binary object not published")
+      assert(java.util.Arrays.equals(got.get, body),
+        "published bytes differ from staged bytes")
+      assert(!Files.exists(staging))
+    }
   }
 
   test("object-store: generation CAS rejects stale writers (the 412 path)") {
@@ -135,7 +159,7 @@ class CommitBackendSpec extends AnyFunSuite {
     assert(store.putIfGeneration("t/_VERSION", "2", g1), "fresh generation wins")
     assert(!store.putIfGeneration("t/_VERSION", "9", g1),
       "stale generation must see the 412-equivalent")
-    assert(store.get("t/_VERSION").get.body == "2")
+    assert(store.get("t/_VERSION").get.text == "2")
     assert(!store.putIfAbsent("t/_VERSION", "9"), "create-only PUT on existing key loses")
   }
 }
