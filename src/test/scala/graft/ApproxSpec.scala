@@ -1,17 +1,21 @@
 package graft
 
+import graft.queries.Aggregations
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-/** The sketch-backed queries carry no DuckDB oracle (approximate by
-  * design); this spec bounds their error against the exact answers on
-  * the same data, which is the contract a user actually relies on.
+/** Error bounds for the sketch-backed queries. Since r8 the graded
+  * forms emit (exact value, within-tolerance boolean) rows and carry
+  * full DuckDB oracles; this spec keeps the stronger RAW contracts
+  * honest — it bounds the raw sketch output against exact answers on
+  * the same data (the error bar a user actually relies on), and
+  * asserts the graded booleans come out true end-to-end.
   */
 class ApproxSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
   test("approx_percentile lands within 2% of exact percentile") {
-    val approx = SparkEntry.queries("q_approx_percentile")(spark, TestSpark.sf0001)
+    val approx = Aggregations.approxPercentileRaw(spark, TestSpark.sf0001)
       .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
     val exact = Tables.lineitem(spark, TestSpark.sf0001)
       .groupBy(col("l_returnflag"))
@@ -44,8 +48,8 @@ class ApproxSpec extends AnyFunSuite {
     }
   }
 
-  test("q_percentile_approx_scale tracks the exact quantile vector within 2%") {
-    val approx = SparkEntry.queries("q_percentile_approx_scale")(spark, TestSpark.sf0001)
+  test("q_percentile_approx_scale raw vector tracks the exact quantiles within 2%") {
+    val approx = Aggregations.percentileApproxScaleRaw(spark, TestSpark.sf0001)
       .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
     val exact = SparkEntry.queries("q_percentile_multi")(spark, TestSpark.sf0001)
       .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getFloat(2).toDouble).toMap
@@ -55,8 +59,8 @@ class ApproxSpec extends AnyFunSuite {
     }
   }
 
-  test("q_band_by_quantile puts ~25% of each group in each band") {
-    val bands = SparkEntry.queries("q_band_by_quantile")(spark, TestSpark.sf0001)
+  test("q_band_by_quantile raw counts put ~25% of each group in each band") {
+    val bands = Aggregations.bandCountsRaw(spark, TestSpark.sf0001)
       .collect()
       .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
     val totals = bands.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
@@ -73,7 +77,7 @@ class ApproxSpec extends AnyFunSuite {
   }
 
   test("approx_count_distinct lands within 5% of exact count distinct") {
-    val approx = SparkEntry.queries("q_approx_count_distinct")(spark, TestSpark.sf0001)
+    val approx = Aggregations.approxDistinctRaw(spark, TestSpark.sf0001)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val exact = Tables.lineitem(spark, TestSpark.sf0001)
       .groupBy(col("l_returnflag"))
@@ -81,6 +85,24 @@ class ApproxSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     exact.foreach { case (k, n) =>
       assert(math.abs(approx(k) - n).toDouble / n < 0.05, s"$k off: ${approx(k)} vs $n")
+    }
+  }
+
+  test("the graded within-tolerance booleans hold end-to-end at two SFs") {
+    // the oracle hard-codes TRUE; this asserts the Spark side agrees
+    // BEFORE the driver does, at both tested scales
+    for (sf <- Seq(TestSpark.sf0001, TestSpark.sf001)) {
+      val acd = SparkEntry.queries("q_approx_count_distinct")(spark, sf).collect()
+      assert(acd.nonEmpty && acd.forall(_.getBoolean(2)), s"HLL out of bound at $sf")
+      val ap = SparkEntry.queries("q_approx_percentile")(spark, sf).collect()
+      assert(ap.nonEmpty && ap.forall(r => r.getBoolean(3) && r.getBoolean(4)),
+        s"approx percentile out of bound at $sf")
+      val pas = SparkEntry.queries("q_percentile_approx_scale")(spark, sf).collect()
+      assert(pas.nonEmpty && pas.forall(_.getBoolean(3)),
+        s"approx quantile vector out of bound at $sf")
+      val bbq = SparkEntry.queries("q_band_by_quantile")(spark, sf).collect()
+      assert(bbq.length % 4 == 0 && bbq.forall(_.getBoolean(3)),
+        s"band shares out of bound at $sf")
     }
   }
 }
