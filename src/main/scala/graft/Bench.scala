@@ -83,13 +83,20 @@ object Bench {
 
     val fullEval = sys.env.get("SPARK_GRAFT_BENCH_ACTION").contains("write")
     val repeat = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEAT", "1").toInt)
+    // Optional comma-separated name filter for targeted iteration
+    // (SPARK_GRAFT_BENCH_FILTER=q_mad,q_doc_fingerprint); full suite
+    // when unset.
+    val filter = sys.env.get("SPARK_GRAFT_BENCH_FILTER")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = filter.fold(SparkEntry.queries)(f =>
+      SparkEntry.queries.view.filterKeys(f).toMap)
     def run(df: org.apache.spark.sql.DataFrame): Unit =
       if (fullEval) df.write.format("noop").mode("overwrite").save()
       else { df.count(); () }
 
     val pool = Executors.newFixedThreadPool(conc)
     val t0 = System.nanoTime()
-    val futures = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val futures = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       name -> pool.submit(new Callable[Double] {
         override def call(): Double = {
           try {

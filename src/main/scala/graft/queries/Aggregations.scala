@@ -72,15 +72,23 @@ object Aggregations extends QueryModule {
     */
   val approxDistinct = QueryDef(
     "q_approx_count_distinct",
-    (s, d) =>
-      Tables.lineitem(s, d)
+    (s, d) => {
+      // exact and sketch as SEPARATE aggregates joined on the (tiny)
+      // group key: a single agg mixing countDistinct's Expand rewrite
+      // with the imperative HLL buffer falls off the codegen
+      // HashAggregate path (measured 6.2s vs 0.5s split, sf0.1 write)
+      val exact = Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"))
-        .agg(countDistinct(col("l_orderkey")).as("exact_orders"),
-          approx_count_distinct(col("l_orderkey"), 0.02).as("approx"))
+        .agg(countDistinct(col("l_orderkey")).as("exact_orders"))
+      val approx = Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag").as("af"))
+        .agg(approx_count_distinct(col("l_orderkey"), 0.02).as("approx"))
+      exact.join(broadcast(approx), col("l_returnflag") === col("af"))
         .select(col("l_returnflag"), col("exact_orders"),
           (abs(col("approx") - col("exact_orders"))
             <= col("exact_orders") * lit(0.05)).as("approx_within_5pct"))
-        .orderBy(col("l_returnflag")),
+        .orderBy(col("l_returnflag"))
+    },
     Some("""
       SELECT l_returnflag, count(DISTINCT l_orderkey) AS exact_orders,
              TRUE AS approx_within_5pct
@@ -111,20 +119,29 @@ object Aggregations extends QueryModule {
     */
   val approxPercentileQ = QueryDef(
     "q_approx_percentile",
-    (s, d) =>
-      Tables.lineitem(s, d)
+    (s, d) => {
+      // split aggregates + broadcast join, same rationale as
+      // q_approx_count_distinct: each imperative aggregate keeps its
+      // own (Object)HashAggregate without dragging the other's
+      // buffers through a shared sort-fallback path
+      val exact = Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"))
-        .agg(
-          expr("percentile(l_extendedprice, 0.5D)").as("m"),
-          expr("percentile(l_extendedprice, 0.9D)").as("p90"),
-          expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("am"),
-          expr("approx_percentile(l_extendedprice, 0.9, 10000)").as("ap90"))
+        .agg(expr("percentile(l_extendedprice, array(0.5D, 0.9D))").as("eq"))
+        .select(col("l_returnflag"),
+          col("eq")(0).as("m"), col("eq")(1).as("p90"))
+      val approx = Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag").as("af"))
+        .agg(expr("approx_percentile(l_extendedprice, array(0.5D, 0.9D), 10000)")
+          .as("aq"))
+        .select(col("af"), col("aq")(0).as("am"), col("aq")(1).as("ap90"))
+      exact.join(broadcast(approx), col("l_returnflag") === col("af"))
         .select(col("l_returnflag"),
           col("m").cast("float").as("price_median"),
           col("p90").cast("float").as("price_p90"),
           (abs(col("am") - col("m")) <= col("m") * lit(0.02)).as("median_within_2pct"),
           (abs(col("ap90") - col("p90")) <= col("p90") * lit(0.02)).as("p90_within_2pct"))
-        .orderBy(col("l_returnflag")),
+        .orderBy(col("l_returnflag"))
+    },
     Some("""
       SELECT l_returnflag,
              CAST(quantile_cont(l_extendedprice, 0.5) AS FLOAT) AS price_median,

@@ -398,6 +398,18 @@ object TextAnalysis extends QueryModule {
   /** Document fingerprint (winnowing-lite): minimum md5 over all
     * 8-char rolling windows — a locality-sensitive signature that
     * near-identical docs share with high probability.
+    *
+    * Plan shape (r7 verdict item 4): every output is a PER-DOCUMENT
+    * function of that document's text alone, so the whole query is a
+    * map-only projection — the codegen'd CharNgrams kernel feeds
+    * array higher-order functions (`array_min∘transform(md5)` for the
+    * signature, `array_distinct` for the exact shingle count) and no
+    * row is ever exploded or shuffled. The previous form exploded
+    * every shingle occurrence (~n_chars rows per doc) and shuffled
+    * them into a two-phase countDistinct aggregate: correct, but at
+    * 100 TB that shuffle is ~the corpus size × 9. Docs shorter than
+    * the window produce no shingles and are filtered, matching the
+    * oracle's GROUP-BY-over-unnest semantics (no rows → no group).
     */
   val docFingerprint = QueryDef(
     "q_doc_fingerprint",
@@ -406,11 +418,12 @@ object TextAnalysis extends QueryModule {
       graft.functions.expressions.CharNgrams.register(s)
       Tables.documents(s, d)
         .select(col("doc_id"),
-          explode(call_function(graft.functions.expressions.CharNgrams.name,
-            col("text"), lit(8))).as("shingle"))
-        .groupBy(col("doc_id"))
-        .agg(min(md5(col("shingle"))).as("fingerprint"),
-          countDistinct(col("shingle")).as("distinct_shingles"))
+          call_function(graft.functions.expressions.CharNgrams.name,
+            col("text"), lit(8)).as("sh"))
+        .filter(size(col("sh")) > 0)
+        .select(col("doc_id"),
+          array_min(transform(col("sh"), x => md5(x))).as("fingerprint"),
+          size(array_distinct(col("sh"))).cast("long").as("distinct_shingles"))
         .orderBy(col("doc_id"))
       },
     Some("""
