@@ -587,8 +587,14 @@ object Functions extends QueryModule {
           expr("cast(size(array_intersect(a.t, b.t)) as bigint)").as("n_inter"),
           expr("cast(size(array_except(a.t, b.t)) as bigint)").as("n_except"),
           // canonical-string encode (q_collect_list pattern): the
-          // harness hash compare can't hash array cells
-          expr("array_join(array_sort(array_intersect(a.t, b.t)), ' ')").as("inter_tokens"))
+          // harness hash compare can't hash array cells. coalesce''d
+          // on BOTH sides: DuckDB's array_to_string returns NULL for
+          // an EMPTY list where Spark's array_join returns '' — a
+          // divergence no doc pair triggered below sf1 (found by the
+          // r8 10x scale validation)
+          coalesce(
+            expr("array_join(array_sort(array_intersect(a.t, b.t)), ' ')"),
+            lit("")).as("inter_tokens"))
         .orderBy(col("doc_id"))
     },
     Some("""
@@ -601,7 +607,7 @@ object Functions extends QueryModule {
              CAST(len(list_distinct(list_concat(a.t, b.t))) AS BIGINT) AS n_union,
              CAST(len(list_filter(a.t, x -> list_contains(b.t, x))) AS BIGINT) AS n_inter,
              CAST(len(list_filter(a.t, x -> NOT list_contains(b.t, x))) AS BIGINT) AS n_except,
-             array_to_string(list_sort(list_filter(a.t, x -> list_contains(b.t, x))), ' ') AS inter_tokens
+             coalesce(array_to_string(list_sort(list_filter(a.t, x -> list_contains(b.t, x))), ' '), '') AS inter_tokens
       FROM toks a JOIN toks b ON a.doc_id + 1 = b.doc_id
       ORDER BY doc_id
     """))

@@ -480,9 +480,16 @@ object SnapshotTable {
     val cur = currentVersion(root)
     val merged =
       if (cur == 0) source
-      else read(spark, root, cur)
-        .join(source.select(keyCols.map(col): _*), keyCols, "left_anti")
-        .unionByName(source)
+      else {
+        val curDf = read(spark, root, cur)
+        // the using-columns join form moves keyCols to the FRONT of
+        // its output; restore the table's column order so every
+        // version shares one physical layout (changes() and any
+        // positional consumer depend on it)
+        curDf.join(source.select(keyCols.map(col): _*), keyCols, "left_anti")
+          .select(curDf.columns.map(col): _*)
+          .unionByName(source)
+      }
     commit(spark, root, merged, readVersion = cur, maxRetries = maxRetries)
   }
 
@@ -974,7 +981,16 @@ object SnapshotTable {
   def changes(spark: SparkSession, root: String, fromV: Int, toV: Int): DataFrame = {
     import org.apache.spark.sql.functions.lit
     val a = read(spark, root, fromV)
-    val b = read(spark, root, toV)
+    // exceptAll/unionAll pair rows POSITIONALLY; align the newer
+    // version's columns to the older one's order by NAME first, so a
+    // version whose physical column order drifted (e.g. a pre-fix
+    // mergeByKey moved key columns to the front) can never mis-pair
+    // columns into silently-wrong change rows
+    val bRaw = read(spark, root, toV)
+    require(bRaw.columns.sorted.sameElements(a.columns.sorted),
+      s"changes() requires v$fromV and v$toV to share a column set " +
+        "(schema-evolved tables: diff by key with changesByKey())")
+    val b = bRaw.select(a.columns.map(org.apache.spark.sql.functions.col): _*)
     b.exceptAll(a).withColumn("_change_type", lit("insert"))
       .unionAll(a.exceptAll(b).withColumn("_change_type", lit("delete")))
   }
