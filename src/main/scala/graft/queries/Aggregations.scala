@@ -585,6 +585,16 @@ object Aggregations extends QueryModule {
     * list-typed quantile_cont once per group and unnests it by
     * 1-based index, so both engines still pay exactly one sort/buffer
     * per group.
+    *
+    * 100-TB NOTE: exact `percentile` is a value-BUFFERING aggregate
+    * (ObjectHashAggregate holds every group value); with 3 bounded
+    * groups each buffer is corpus/3 — an executor-OOM risk at scale.
+    * This query is kept as the exact ORACLE ANCHOR; the production
+    * default at scale is the mergeable t-digest twin
+    * `q_percentile_approx_scale` (same vector, graded with a bounded
+    * comparison against this exact form, ≤2% error pinned in
+    * ApproxSpec). PlanAuditSpec's ObjectHashAggregate audit encodes
+    * this split for the whole suite.
     */
   val percentileMultiQ = QueryDef(
     "q_percentile_multi",

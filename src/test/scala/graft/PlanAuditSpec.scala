@@ -235,6 +235,55 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  /** Queries whose plan legitimately contains an ObjectHashAggregate
+    * (a value-BUFFERING aggregate: exact percentile / collect_list /
+    * listagg — the per-group buffer lives on the executor heap).
+    * Two admissible classes, each entry tagged:
+    *
+    *   "bounded"      — the buffered values per group CANNOT grow with
+    *                    data volume (an enum, a profile slice, a
+    *                    centroid table, a mergeable sketch whose size
+    *                    is fixed by its accuracy parameter);
+    *   "exact-anchor" — the buffer IS data-proportional (exact
+    *                    percentile over a corpus-fraction group), kept
+    *                    deliberately as the bit-exact ORACLE ANCHOR
+    *                    next to a graded scale-safe sketch twin
+    *                    (q_percentile_approx_scale / q_band_by_quantile
+    *                    / q_sketch_quantiles); at 100 TB run the twin.
+    *
+    * Anything else acquiring an ObjectHashAggregate is an unreviewed
+    * executor-memory risk and fails the audit (VERDICT r7 item 5).
+    */
+  private val objectHashAllowed = Map(
+    "q_collect_list" -> "bounded", // per-user set/list of event TYPES (≤|enum| values)
+    "q_string_agg" -> "bounded", // listagg of ≤25 nation names per region
+    "q_lang_id" -> "bounded", // per-lang profile slice (top-k bigrams)
+    "q_ann_ivf_multiprobe" -> "bounded", // per-label centroid assembly (k×dims rows)
+    "q_band_by_quantile" -> "bounded", // approx_percentile only: t-digest buffer fixed by accuracy
+    "q_percentile_approx_scale" -> "exact-anchor", // sketch + its exact comparison column (grading artifact)
+    "q_approx_percentile" -> "exact-anchor", // sketch + its exact comparison column (grading artifact)
+    "q_percentile" -> "exact-anchor",
+    "q_percentile_disc" -> "exact-anchor",
+    "q_percentile_multi" -> "exact-anchor", // scale twin: q_percentile_approx_scale
+    "q_winsorize" -> "exact-anchor", // exact p05/p95 clip bounds
+    "q_mad" -> "exact-anchor", // exact median-of-deviations
+    "q_funnel" -> "exact-anchor", // global exact median conversion lag
+    "q_session_stats" -> "exact-anchor", // global exact session-duration percentiles
+    "q_conversion_lag" -> "exact-anchor",
+    "q_ship_lag" -> "exact-anchor")
+
+  test("value-buffering aggregates only where bounded or twin-anchored") {
+    val offenders = SparkEntry.all.flatMap { q =>
+      val p = SparkEntry.queries(q.name)(spark, TestSpark.sf0001)
+        .queryExecution.executedPlan.toString
+      if (p.contains("ObjectHashAggregate") && !objectHashAllowed.contains(q.name))
+        Some(s"${q.name}: unreviewed ObjectHashAggregate (value-buffering) — " +
+          "justify as bounded or pair with a sketch twin")
+      else None
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+
   test("no query plans a CartesianProduct; BNL only on the tiny-broadcast list") {
     val offenders = SparkEntry.all.flatMap { q =>
       val p = SparkEntry.queries(q.name)(spark, TestSpark.sf0001)
