@@ -52,5 +52,11 @@ object GenInventory {
     sb.toString
   }
 
-  def main(args: Array[String]): Unit = print(table())
+  /** With an argument, write the table there as UTF-8 (the forked
+    * JVM's stdout charset mangles '§'); else print.
+    */
+  def main(args: Array[String]): Unit =
+    if (args.nonEmpty)
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(args(0)), table())
+    else print(table())
 }

@@ -10,9 +10,6 @@ import org.scalatest.funsuite.AnyFunSuite
 class InventorySpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
-  private val approxExempt = Set("q_approx_count_distinct", "q_approx_percentile",
-    "q_percentile_approx_scale", "q_band_by_quantile")
-
   test("query names are unique and nonempty") {
     val names = SparkEntry.all.map(_.name)
     assert(names.nonEmpty)
@@ -20,10 +17,26 @@ class InventorySpec extends AnyFunSuite {
     assert(names.forall(_.startsWith("q_")))
   }
 
-  test("every non-approx query declares an oracle") {
-    val missing = SparkEntry.all
-      .filter(q => q.oracle.isEmpty && !approxExempt(q.name)).map(_.name)
+  test("every query declares an oracle") {
+    // the former approx exemptions are gone: the sketch queries carry
+    // bounded-comparison oracles since r7 (exact value + within-ε
+    // boolean in one plan), so oracle coverage is total
+    val missing = SparkEntry.all.filter(_.oracle.isEmpty).map(_.name)
     assert(missing.isEmpty, s"queries missing oracle SQL: $missing")
+  }
+
+  test("SURVEY.md §2.17 lists exactly the registered query names") {
+    val survey = java.nio.file.Files.readString(
+      java.nio.file.Paths.get("SURVEY.md"))
+    val section = survey.split("## §2.17").last
+    val listed = "\\| (q_[a-z0-9_]+) \\|".r
+      .findAllMatchIn(section).map(_.group(1)).toSet
+    val registered = SparkEntry.all.map(_.name).toSet
+    val missing = registered -- listed
+    val stale = listed -- registered
+    assert(missing.isEmpty && stale.isEmpty,
+      s"§2.17 drifted — regenerate with GenInventory. " +
+        s"missing=$missing stale=$stale")
   }
 
   test("no query emits a nested-typed output column") {
