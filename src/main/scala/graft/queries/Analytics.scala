@@ -57,10 +57,10 @@ object Analytics extends QueryModule {
           && col("l_shipdate") < lit("1998-01-01").cast("timestamp")
           && col("l_discount").between(0.03, 0.07)
           && col("l_quantity") < 24)
-        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).cast("float").as("revenue"),
           count(lit(1)).as("qualifying_lines")),
     Some("""
-      SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+      SELECT CAST(round(sum(l_extendedprice * l_discount), 2) AS FLOAT) AS revenue,
              count(*) AS qualifying_lines
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
@@ -82,14 +82,14 @@ object Analytics extends QueryModule {
         .agg(
           round(sum(when(col("p_type").like("PROMO%"),
             col("l_extendedprice") * (lit(1) - col("l_discount"))).otherwise(0.0)), 2)
-            .as("promo_revenue"),
+            .cast("float").as("promo_revenue"),
           round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-            .as("total_revenue"))
+            .cast("float").as("total_revenue"))
     },
     Some("""
-      SELECT round(sum(CASE WHEN p_type LIKE 'PROMO%'
-                       THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END), 2) AS promo_revenue,
-             round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+      SELECT CAST(round(sum(CASE WHEN p_type LIKE 'PROMO%'
+                       THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END), 2) AS FLOAT) AS promo_revenue,
+             CAST(round(sum(l_extendedprice * (1 - l_discount)), 2) AS FLOAT) AS total_revenue
       FROM lineitem JOIN part ON l_partkey = p_partkey
       WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
         AND l_shipdate <  TIMESTAMP '1997-07-01 00:00:00'
@@ -250,17 +250,17 @@ object Analytics extends QueryModule {
           (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"),
           col("n_name"))
       rev.groupBy(col("o_year"))
-        .agg(round(sum(col("rev")), 2).as("total_revenue"),
+        .agg(round(sum(col("rev")), 2).cast("float").as("total_revenue"),
           round(sum(when(col("n_name") === "NATION_3", col("rev")).otherwise(0.0)), 2)
-            .as("nation3_revenue"),
+            .cast("float").as("nation3_revenue"),
           (sum(when(col("n_name") === "NATION_3", col("rev")).otherwise(0.0))
             / sum(col("rev"))).cast("float").as("nation3_share"))
         .orderBy(col("o_year"))
     },
     Some("""
       SELECT o_year,
-             round(sum(rev), 2) AS total_revenue,
-             round(sum(CASE WHEN n_name = 'NATION_3' THEN rev ELSE 0.0 END), 2) AS nation3_revenue,
+             CAST(round(sum(rev), 2) AS FLOAT) AS total_revenue,
+             CAST(round(sum(CASE WHEN n_name = 'NATION_3' THEN rev ELSE 0.0 END), 2) AS FLOAT) AS nation3_revenue,
              CAST(sum(CASE WHEN n_name = 'NATION_3' THEN rev ELSE 0.0 END)
                   / sum(rev) AS FLOAT) AS nation3_share
       FROM (
@@ -504,12 +504,12 @@ object Analytics extends QueryModule {
         .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
         .groupBy(col("n_name"))
         .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-          .as("revenue"),
+          .cast("float").as("revenue"),
           count(lit(1)).as("local_lines"))
         .orderBy(col("revenue").desc, col("n_name")),
     Some("""
       SELECT n_name,
-             round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+             CAST(round(sum(l_extendedprice * (1 - l_discount)), 2) AS FLOAT) AS revenue,
              count(*) AS local_lines
       FROM lineitem
       JOIN orders   ON l_orderkey = o_orderkey
@@ -576,13 +576,15 @@ object Analytics extends QueryModule {
         .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
         .agg(round(sum(col("o_totalprice")), 2).as("revenue"))
         .withColumn("prev_revenue", lag(col("revenue"), 1).over(w))
-        .select(col("month"), col("revenue"), col("prev_revenue"),
+        .select(col("month"), col("revenue").cast("float").as("revenue"),
+          col("prev_revenue").cast("float").as("prev_revenue"),
           ((col("revenue") - col("prev_revenue")) / col("prev_revenue"))
             .cast("float").as("mom_growth"))
         .orderBy(col("month"))
     },
     Some("""
-      SELECT month, revenue, prev_revenue,
+      SELECT month, CAST(revenue AS FLOAT) AS revenue,
+             CAST(prev_revenue AS FLOAT) AS prev_revenue,
              CAST((revenue - prev_revenue) / prev_revenue AS FLOAT) AS mom_growth
       FROM (
         SELECT month, revenue, lag(revenue, 1) OVER (ORDER BY month) AS prev_revenue
@@ -668,7 +670,7 @@ object Analytics extends QueryModule {
           PrefixSum.ntileFromRank(col("__m"), col("__n"), 5).as("m_score"))
         .groupBy(col("r_score"), col("f_score"), col("m_score"))
         .agg(count(lit(1)).as("n_customers"),
-          round(sum(col("monetary")), 2).as("segment_revenue"))
+          round(sum(col("monetary")), 2).cast("float").as("segment_revenue"))
         .orderBy(col("r_score"), col("f_score"), col("m_score"))
     },
     Some("""
@@ -689,7 +691,7 @@ object Analytics extends QueryModule {
         FROM base)
       SELECT r_score, f_score, m_score,
              count(*) AS n_customers,
-             round(sum(monetary), 2) AS segment_revenue
+             CAST(round(sum(monetary), 2) AS FLOAT) AS segment_revenue
       FROM scored
       GROUP BY r_score, f_score, m_score
       ORDER BY r_score, f_score, m_score

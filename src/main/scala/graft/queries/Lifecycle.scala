@@ -134,10 +134,11 @@ object Lifecycle extends QueryModule {
           (datediff(col("day"), lit("1970-01-04").cast("date")) % 7).cast("long"))
         .groupBy(col("dow"))
         .agg(count(lit(1)).as("n_days"),
-          round(sum(col("day_rev")), 2).as("dow_revenue"))
-        .select(col("dow"), col("n_days"), col("dow_revenue"),
-          ((col("dow_revenue") / col("n_days"))
-            / (sum(col("dow_revenue")).over(all) / sum(col("n_days")).over(all)))
+          round(sum(col("day_rev")), 2).as("dow_rev_d"))
+        .select(col("dow"), col("n_days"),
+          col("dow_rev_d").cast("float").as("dow_revenue"),
+          ((col("dow_rev_d") / col("n_days"))
+            / (sum(col("dow_rev_d")).over(all) / sum(col("n_days")).over(all)))
             .cast("float").as("seasonal_index"))
         .orderBy(col("dow"))
     },
@@ -149,11 +150,11 @@ object Lifecycle extends QueryModule {
       dw AS (
         SELECT CAST(date_diff('day', DATE '1970-01-04', day) % 7 AS BIGINT) AS dow,
                count(*) AS n_days,
-               round(sum(day_rev), 2) AS dow_revenue
+               round(sum(day_rev), 2) AS dow_rev_d
         FROM daily GROUP BY 1)
-      SELECT dow, n_days, dow_revenue,
-             CAST((dow_revenue / n_days)
-                  / (sum(dow_revenue) OVER ()
+      SELECT dow, n_days, CAST(dow_rev_d AS FLOAT) AS dow_revenue,
+             CAST((dow_rev_d / n_days)
+                  / (sum(dow_rev_d) OVER ()
                      / CAST(sum(n_days) OVER () AS BIGINT)) AS FLOAT)
                AS seasonal_index
       FROM dw

@@ -76,7 +76,7 @@ object Subqueries extends QueryModule {
       Tables.orders(s, d).createOrReplaceTempView("orders_gba_v")
       s.sql("""
         SELECT o_orderstatus, o_orderpriority,
-               count(*) AS cnt, round(sum(o_totalprice), 2) AS total
+               count(*) AS cnt, CAST(round(sum(o_totalprice), 2) AS FLOAT) AS total
         FROM orders_gba_v
         GROUP BY ALL
         ORDER BY o_orderstatus, o_orderpriority
@@ -84,7 +84,7 @@ object Subqueries extends QueryModule {
     },
     Some("""
       SELECT o_orderstatus, o_orderpriority,
-             count(*) AS cnt, round(sum(o_totalprice), 2) AS total
+             count(*) AS cnt, CAST(round(sum(o_totalprice), 2) AS FLOAT) AS total
       FROM orders
       GROUP BY ALL
       ORDER BY o_orderstatus, o_orderpriority
@@ -117,7 +117,7 @@ object Subqueries extends QueryModule {
         )
         SELECT months.m AS month_start,
                coalesce(order_count, 0) AS order_count,
-               coalesce(revenue, 0.0) AS revenue
+               CAST(coalesce(revenue, 0.0) AS FLOAT) AS revenue
         FROM months LEFT JOIN rev ON months.m = rev.m
         ORDER BY month_start
       """)
@@ -137,7 +137,7 @@ object Subqueries extends QueryModule {
       )
       SELECT months.m AS month_start,
              coalesce(order_count, 0) AS order_count,
-             coalesce(revenue, 0.0) AS revenue
+             CAST(coalesce(revenue, 0.0) AS FLOAT) AS revenue
       FROM months LEFT JOIN rev ON months.m = rev.m
       ORDER BY month_start
     """))
@@ -146,13 +146,17 @@ object Subqueries extends QueryModule {
     * row fans out to a 2-row computed relation referencing the outer
     * columns — the standard lateral shape that predates generator
     * functions. Aggregated down so the graded artifact stays small.
+    * The sum is float-cast AFTER round(2): at ≥sf1 the engines'
+    * different summation orders drift by more than 0.01 at 4e11
+    * magnitude, so 2dp rounding alone stops being deterministic
+    * (found by the r8 10x scale validation).
     */
   val lateralJoin = QueryDef(
     "q_lateral",
     (s, d) => {
       Tables.orders(s, d).createOrReplaceTempView("orders_lat_v")
       s.sql("""
-        SELECT l.kind, count(*) AS cnt, round(sum(l.v), 2) AS total
+        SELECT l.kind, count(*) AS cnt, CAST(round(sum(l.v), 2) AS FLOAT) AS total
         FROM orders_lat_v o JOIN LATERAL (
           SELECT 'net' AS kind, o.o_totalprice * 0.9 AS v
           UNION ALL
@@ -163,7 +167,7 @@ object Subqueries extends QueryModule {
       """)
     },
     Some("""
-      SELECT l.kind, count(*) AS cnt, round(sum(l.v), 2) AS total
+      SELECT l.kind, count(*) AS cnt, CAST(round(sum(l.v), 2) AS FLOAT) AS total
       FROM orders o, LATERAL (
         SELECT 'net' AS kind, o.o_totalprice * 0.9 AS v
         UNION ALL

@@ -115,12 +115,12 @@ object Supply extends QueryModule {
         .filter(col("supp_bloc") =!= col("cust_bloc"))
         .groupBy(col("supp_bloc"), col("cust_bloc"),
           year(col("l_shipdate")).cast("long").as("l_year"))
-        .agg(round(sum(rev), 2).as("revenue"), count(lit(1)).as("lines"))
+        .agg(round(sum(rev), 2).cast("float").as("revenue"), count(lit(1)).as("lines"))
         .orderBy(col("supp_bloc"), col("cust_bloc"), col("l_year"))
     },
     Some("""
       SELECT supp_bloc, cust_bloc, l_year,
-             round(sum(rev), 2) AS revenue, count(*) AS lines
+             CAST(round(sum(rev), 2) AS FLOAT) AS revenue, count(*) AS lines
       FROM (
         SELECT CASE WHEN n1.n_nationkey < 8 THEN 'BLOC_A' ELSE 'BLOC_B' END
                  AS supp_bloc,
@@ -161,11 +161,14 @@ object Supply extends QueryModule {
           col("s_nationkey") === col("n_nationkey"))
         .groupBy(col("n_name").as("nation"),
           year(col("o_orderdate")).cast("long").as("o_year"))
+        // float-cast after round(2): per-(nation,year) profit reaches
+        // 1e8 at sf1, where the engines' summation-order drift exceeds
+        // the 2dp grain (r8 scale validation)
         .agg(round(sum(rev - lit(0.6) * col("p_retailprice") * col("l_quantity")), 2)
-          .as("profit"))
+          .cast("float").as("profit"))
         .orderBy(col("nation"), col("o_year").desc),
     Some("""
-      SELECT nation, o_year, round(sum(amount), 2) AS profit
+      SELECT nation, o_year, CAST(round(sum(amount), 2) AS FLOAT) AS profit
       FROM (
         SELECT n_name AS nation,
                CAST(year(o_orderdate) AS BIGINT) AS o_year,
@@ -267,11 +270,11 @@ object Supply extends QueryModule {
         .agg((avg(col("l_quantity")) * 0.2).as("qty_thresh"))
       slice.join(thresh, col("l_partkey") === col("t_partkey"))
         .filter(col("l_quantity") < col("qty_thresh"))
-        .agg(round(sum(col("l_extendedprice")) / 7.0, 2).as("avg_yearly"),
+        .agg(round(sum(col("l_extendedprice")) / 7.0, 2).cast("float").as("avg_yearly"),
           count(lit(1)).as("small_lines"))
     },
     Some("""
-      SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+      SELECT CAST(round(sum(l_extendedprice) / 7.0, 2) AS FLOAT) AS avg_yearly,
              count(*) AS small_lines
       FROM lineitem l
       JOIN part ON l_partkey = p_partkey
@@ -301,10 +304,10 @@ object Supply extends QueryModule {
               && col("l_quantity").between(10, 30))
             || (col("p_brand") === "Brand#3" && col("p_size").between(20, 40)
               && col("l_quantity").between(20, 40)))
-        .agg(round(sum(rev), 2).as("revenue"),
+        .agg(round(sum(rev), 2).cast("float").as("revenue"),
           count(lit(1)).as("matched_lines")),
     Some("""
-      SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      SELECT CAST(round(sum(l_extendedprice * (1 - l_discount)), 2) AS FLOAT) AS revenue,
              count(*) AS matched_lines
       FROM lineitem JOIN part ON l_partkey = p_partkey
       WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10

@@ -310,12 +310,12 @@ object Windows extends QueryModule {
       val w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
       perNation
         .select(col("c_nationkey"),
-          round(col("rev"), 2).as("revenue"),
+          round(col("rev"), 2).cast("float").as("revenue"),
           (col("rev") / sum(col("rev")).over(w)).cast("float").as("share"))
         .orderBy(col("c_nationkey"))
     },
     Some("""
-      SELECT c_nationkey, round(rev, 2) AS revenue,
+      SELECT c_nationkey, CAST(round(rev, 2) AS FLOAT) AS revenue,
              CAST(rev / sum(rev) OVER () AS FLOAT) AS share
       FROM (
         SELECT c_nationkey, sum(o_totalprice) AS rev
