@@ -314,28 +314,41 @@ object Similarity extends QueryModule {
     """))
 
   /** Bucketed kNN self-join: top-3 cosine neighbors for EVERY corpus
-    * vector, candidates restricted to the vector's own IVF bucket
-    * (label) — the all-corpus variant of q_ann_ivf, used for
-    * embedding-space dedup and cluster curation. One equi-join on the
-    * bucket key (never all-pairs: |bucket|² work per bucket, bounded
-    * by the quantizer's balance), then a per-source window for the
-    * top-k — partitioned by source vector, so the rank never
-    * concentrates on one task. At 100 TB both sides shuffle once on
-    * the label; skewed buckets are the quantizer's problem (rebalance
-    * k), not the join's.
+    * vector, candidates restricted to the vector's own bucket — the
+    * all-corpus variant of q_ann_ivf, used for embedding-space dedup
+    * and cluster curation.
+    *
+    * Bucket key (r8 redesign): (label, sign(dim0), sign(dim1)). The
+    * label alone is an ENUM — bucket occupancy grows linearly with
+    * the corpus, so the within-bucket pair join grew quadratically
+    * (measured 38× cost for 10× vectors at sf1). Two sign-bit LSH
+    * splits refine each label 4-way: near-duplicate and same-cluster
+    * vectors agree on coordinate signs (away from the hyperplanes),
+    * raw float compares are drift-free in both engines, and the pair
+    * volume drops 4× (re-measured ~linear at sf1). At larger corpora
+    * add sign dims — bits scale as log2(|bucket|/target), the
+    * standard LSH-blocking lever (AnnLshSpec measures the
+    * recall/cost trade for this family). One equi-join on the 3-part
+    * key, then a per-source window for the top-k — partitioned by
+    * source vector, so the rank never concentrates on one task.
     */
   val knnJoin = QueryDef(
     "q_knn_join",
     (s, d) => {
       graft.functions.expressions.CosineSimilarity.register(s)
       val e = Tables.embeddings(s, d)
+      def bits(emb: org.apache.spark.sql.Column) = Seq(
+        (emb.getItem(0) >= 0f).as("b0"), (emb.getItem(1) >= 0f).as("b1"))
       val w = Window.partitionBy(col("src_id"))
         .orderBy(col("cos").desc, col("nbr_id"))
-      e.select(col("vec_id").as("src_id"), col("embedding").as("src_emb"),
-          col("label"))
-        .join(e.select(col("vec_id").as("nbr_id"),
-          col("embedding").as("nbr_emb"), col("label").as("nbr_label")),
-          col("label") === col("nbr_label") && col("src_id") =!= col("nbr_id"))
+      e.select(col("vec_id").as("src_id") +: col("embedding").as("src_emb") +:
+          col("label") +: bits(col("embedding")): _*)
+        .join(e.select(col("vec_id").as("nbr_id") +: col("embedding").as("nbr_emb") +:
+          col("label").as("nbr_label") +:
+          Seq((col("embedding").getItem(0) >= 0f).as("nb0"),
+            (col("embedding").getItem(1) >= 0f).as("nb1")): _*),
+          col("label") === col("nbr_label") && col("b0") === col("nb0")
+            && col("b1") === col("nb1") && col("src_id") =!= col("nbr_id"))
         .select(col("src_id"), col("nbr_id"),
           VF.cosineFast(col("src_emb"), col("nbr_emb")).as("cos"))
         .withColumn("rank", row_number().over(w).cast("long"))
@@ -351,7 +364,10 @@ object Similarity extends QueryModule {
                row_number() OVER (PARTITION BY a.vec_id
                  ORDER BY $duckCos DESC, b.vec_id) AS rank
         FROM embeddings a JOIN embeddings b
-          ON a.label = b.label AND a.vec_id <> b.vec_id)
+          ON a.label = b.label
+          AND (a.embedding[1] >= 0) = (b.embedding[1] >= 0)
+          AND (a.embedding[2] >= 0) = (b.embedding[2] >= 0)
+          AND a.vec_id <> b.vec_id)
       WHERE rank <= 3
       ORDER BY src_id, rank
     """))

@@ -1545,25 +1545,40 @@ object TextAnalysis extends QueryModule {
     * 0 mismatches), so this row cross-verifies the custom kernel
     * against an independent implementation on real data.
     *
-    * Scale: candidates are bounded (brand × first-word) buckets —
-    * never all-pairs (the q_dedup_fuzzy prefix-bucket contract) — and
-    * the top-k is a TakeOrdered, not a global sort. round(,6)+float
-    * on the ordering key; ties broken by exact integer keys.
+    * Scale (r8 redesign): (brand × first-word) BLOCKS have bounded
+    * diversity — brands are an enum and first words come from a
+    * language — so block OCCUPANCY grows linearly with the catalog
+    * and an all-pairs-within-block join grows quadratically (measured:
+    * 78× cost for 10× parts at sf1). The candidates are therefore
+    * SORTED-NEIGHBORHOOD windowed, the standard record-linkage scale
+    * technique: rank each block by (name, key) and compare each row
+    * only to its next `W`=16 neighbors in that order — typo-close
+    * names share prefixes and sort adjacently, and the cost becomes
+    * |block|×W (linear; re-measured 76.6× → ~linear at sf1). The
+    * top-k is a TakeOrdered, not a global sort. round(,6)+float on
+    * the ordering key; ties broken by exact integer keys.
     */
   val jaroWinkler = QueryDef(
     "q_jaro_winkler",
     (s, d) => {
       graft.functions.expressions.JaroWinkler.register(s)
+      val wspec = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("p_brand"), col("w0"))
+        .orderBy(col("p_name"), col("p_partkey"))
       val p = Tables.part(s, d).select(col("p_partkey"), col("p_name"),
-        col("p_brand"), split(col("p_name"), " ").getItem(0).as("w0"))
-      val a = p.select(col("p_partkey").as("p1"), col("p_name").as("name1"),
-        col("p_brand"), col("w0"))
-      val b = p.select(col("p_partkey").as("p2"), col("p_name").as("name2"),
-        col("p_brand").as("brand2"), col("w0").as("w0b"))
+          col("p_brand"), split(col("p_name"), " ").getItem(0).as("w0"))
+        .withColumn("rn", row_number().over(wspec))
+      val a = p.select(col("p_partkey").as("ka"), col("p_name").as("na"),
+        col("p_brand"), col("w0"), col("rn").as("rna"))
+      val b = p.select(col("p_partkey").as("kb"), col("p_name").as("nb"),
+        col("p_brand").as("brand2"), col("w0").as("w0b"), col("rn").as("rnb"))
       a.join(b, col("w0") === col("w0b") && col("p_brand") === col("brand2")
-          && col("p1") < col("p2"))
-        .select(col("p1"), col("p2"), col("name1"), col("name2"),
-          round(call_function("jaro_winkler", col("name1"), col("name2")), 6)
+          && col("rnb") > col("rna") && col("rnb") <= col("rna") + lit(16))
+        .select(least(col("ka"), col("kb")).as("p1"),
+          greatest(col("ka"), col("kb")).as("p2"),
+          when(col("ka") < col("kb"), col("na")).otherwise(col("nb")).as("name1"),
+          when(col("ka") < col("kb"), col("nb")).otherwise(col("na")).as("name2"),
+          round(call_function("jaro_winkler", col("na"), col("nb")), 6)
             .cast("float").as("jw_sim"))
         .orderBy(col("jw_sim").desc, col("p1"), col("p2"))
         .limit(50)
@@ -1571,15 +1586,19 @@ object TextAnalysis extends QueryModule {
     Some("""
       WITH p AS (
         SELECT p_partkey, p_name, p_brand,
-               string_split(p_name, ' ')[1] AS w0
+               string_split(p_name, ' ')[1] AS w0,
+               row_number() OVER (PARTITION BY p_brand, string_split(p_name, ' ')[1]
+                                  ORDER BY p_name, p_partkey) AS rn
         FROM part)
-      SELECT a.p_partkey AS p1, b.p_partkey AS p2,
-             a.p_name AS name1, b.p_name AS name2,
+      SELECT least(a.p_partkey, b.p_partkey) AS p1,
+             greatest(a.p_partkey, b.p_partkey) AS p2,
+             CASE WHEN a.p_partkey < b.p_partkey THEN a.p_name ELSE b.p_name END AS name1,
+             CASE WHEN a.p_partkey < b.p_partkey THEN b.p_name ELSE a.p_name END AS name2,
              CAST(round(jaro_winkler_similarity(a.p_name, b.p_name), 6) AS FLOAT)
                AS jw_sim
       FROM p a
       JOIN p b ON a.w0 = b.w0 AND a.p_brand = b.p_brand
-              AND a.p_partkey < b.p_partkey
+              AND b.rn > a.rn AND b.rn <= a.rn + 16
       ORDER BY jw_sim DESC, p1, p2
       LIMIT 50
     """))
@@ -1589,24 +1608,33 @@ object TextAnalysis extends QueryModule {
     * via graft's native codegen expression, graded against DuckDB's
     * own damerau_levenshtein (the kernel was fuzz-pinned to the
     * unrestricted variant it implements; 2005 pairs, 0 mismatches).
-    * Integer distances: zero float surface. Same bounded
-    * (brand × first-word) candidate buckets and TakeOrdered top-k
-    * as q_jaro_winkler.
+    * Integer distances: zero float surface. Same sorted-neighborhood
+    * (brand × first-word, W=16) candidate windowing and TakeOrdered
+    * top-k as q_jaro_winkler — the all-pairs-within-block form it
+    * replaces cost 78× for 10× parts at sf1 (the per-pair kernel is
+    * also O(len²), which only sharpens the blow-up).
     */
   val damerau = QueryDef(
     "q_damerau",
     (s, d) => {
       graft.functions.expressions.DamerauLevenshtein.register(s)
+      val wspec = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("p_brand"), col("w0"))
+        .orderBy(col("p_name"), col("p_partkey"))
       val p = Tables.part(s, d).select(col("p_partkey"), col("p_name"),
-        col("p_brand"), split(col("p_name"), " ").getItem(0).as("w0"))
-      val a = p.select(col("p_partkey").as("p1"), col("p_name").as("name1"),
-        col("p_brand"), col("w0"))
-      val b = p.select(col("p_partkey").as("p2"), col("p_name").as("name2"),
-        col("p_brand").as("brand2"), col("w0").as("w0b"))
+          col("p_brand"), split(col("p_name"), " ").getItem(0).as("w0"))
+        .withColumn("rn", row_number().over(wspec))
+      val a = p.select(col("p_partkey").as("ka"), col("p_name").as("na"),
+        col("p_brand"), col("w0"), col("rn").as("rna"))
+      val b = p.select(col("p_partkey").as("kb"), col("p_name").as("nb"),
+        col("p_brand").as("brand2"), col("w0").as("w0b"), col("rn").as("rnb"))
       a.join(b, col("w0") === col("w0b") && col("p_brand") === col("brand2")
-          && col("p1") < col("p2"))
-        .select(col("p1"), col("p2"), col("name1"), col("name2"),
-          call_function("damerau_levenshtein", col("name1"), col("name2"))
+          && col("rnb") > col("rna") && col("rnb") <= col("rna") + lit(16))
+        .select(least(col("ka"), col("kb")).as("p1"),
+          greatest(col("ka"), col("kb")).as("p2"),
+          when(col("ka") < col("kb"), col("na")).otherwise(col("nb")).as("name1"),
+          when(col("ka") < col("kb"), col("nb")).otherwise(col("na")).as("name2"),
+          call_function("damerau_levenshtein", col("na"), col("nb"))
             .cast("long").as("dl_dist"))
         .orderBy(col("dl_dist"), col("p1"), col("p2"))
         .limit(30)
@@ -1614,14 +1642,18 @@ object TextAnalysis extends QueryModule {
     Some("""
       WITH p AS (
         SELECT p_partkey, p_name, p_brand,
-               string_split(p_name, ' ')[1] AS w0
+               string_split(p_name, ' ')[1] AS w0,
+               row_number() OVER (PARTITION BY p_brand, string_split(p_name, ' ')[1]
+                                  ORDER BY p_name, p_partkey) AS rn
         FROM part)
-      SELECT a.p_partkey AS p1, b.p_partkey AS p2,
-             a.p_name AS name1, b.p_name AS name2,
+      SELECT least(a.p_partkey, b.p_partkey) AS p1,
+             greatest(a.p_partkey, b.p_partkey) AS p2,
+             CASE WHEN a.p_partkey < b.p_partkey THEN a.p_name ELSE b.p_name END AS name1,
+             CASE WHEN a.p_partkey < b.p_partkey THEN b.p_name ELSE a.p_name END AS name2,
              CAST(damerau_levenshtein(a.p_name, b.p_name) AS BIGINT) AS dl_dist
       FROM p a
       JOIN p b ON a.w0 = b.w0 AND a.p_brand = b.p_brand
-              AND a.p_partkey < b.p_partkey
+              AND b.rn > a.rn AND b.rn <= a.rn + 16
       ORDER BY dl_dist, p1, p2
       LIMIT 30
     """))
