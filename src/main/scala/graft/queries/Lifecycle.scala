@@ -977,13 +977,20 @@ object Lifecycle extends QueryModule {
       val nOrders = sets.agg(count(lit(1)).cast("long").as("n_total"))
       val pc = sets.select(explode(col("parts")).as("l_partkey"))
         .groupBy(col("l_partkey")).agg(count(lit(1)).as("n_part"))
-      sets
+      // co-occurrence is symmetric: count UNDIRECTED pairs (part1 <
+      // part2 — half the exploded rows reach the shuffle) and mirror
+      // the surviving (tiny, n_both>=3-filtered) pair table into both
+      // orientations afterwards; the directed result is identical
+      val und = sets
         .select(explode(col("parts")).as("part1"), col("parts"))
         .select(col("part1"), explode(col("parts")).as("part2"))
-        .filter(col("part1") =!= col("part2"))
+        .filter(col("part1") < col("part2"))
         .groupBy(col("part1"), col("part2"))
         .agg(count(lit(1)).as("n_both"))
         .filter(col("n_both") >= 3)
+      und
+        .unionByName(und.select(col("part2").as("part1"),
+          col("part1").as("part2"), col("n_both")))
         .join(pc.select(col("l_partkey").as("part1"), col("n_part").as("n1")), "part1")
         .join(pc.select(col("l_partkey").as("part2"), col("n_part").as("n2")), "part2")
         .crossJoin(nOrders)
@@ -1001,13 +1008,17 @@ object Lifecycle extends QueryModule {
         SELECT l_partkey, count(*) AS n_part FROM op GROUP BY l_partkey),
       nt AS (
         SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_total FROM op),
-      pairs AS (
+      und AS (
         SELECT a.l_partkey AS part1, b.l_partkey AS part2,
                count(*) AS n_both
         FROM op a JOIN op b
-          ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
         GROUP BY 1, 2
-        HAVING count(*) >= 3)
+        HAVING count(*) >= 3),
+      pairs AS (
+        SELECT part1, part2, n_both FROM und
+        UNION ALL
+        SELECT part2 AS part1, part1 AS part2, n_both FROM und)
       SELECT part1, part2, n_both,
              p1.n_part AS n1, p2.n_part AS n2,
              CAST(CAST(n_both AS DOUBLE) / p1.n_part AS FLOAT) AS confidence,
