@@ -247,7 +247,13 @@ object Dedup extends QueryModule {
     * query's cost. Bench.scala is the only intended caller.
     */
   private[graft] def warm(s: org.apache.spark.sql.SparkSession, d: String): Unit = {
-    verifiedPairs(s, d); ()
+    // verifiedPairs memoizes a LAZY checkpoint (regular queries must
+    // not run jobs at plan construction) — so warming must run an
+    // action, or the first acting query pays the whole pairs build
+    // inside its timed region (measured: q_dedup_cluster +51 s at 26×
+    // bench scale because it sorts alphabetically before
+    // q_dedup_minhash; the r7 warm() built only the plan)
+    verifiedPairs(s, d).count(); ()
   }
 
   val dedupMinhash = QueryDef(

@@ -318,14 +318,14 @@ object Similarity extends QueryModule {
     * all-corpus variant of q_ann_ivf, used for embedding-space dedup
     * and cluster curation.
     *
-    * Bucket key (r8 redesign): (label, sign(dim0), sign(dim1)). The
+    * Bucket key (r8 redesign): (label, sign(dim0..2)). The
     * label alone is an ENUM — bucket occupancy grows linearly with
     * the corpus, so the within-bucket pair join grew quadratically
-    * (measured 38× cost for 10× vectors at sf1). Two sign-bit LSH
-    * splits refine each label 4-way: near-duplicate and same-cluster
+    * (measured 38× cost for 10× vectors at sf1). Three sign-bit LSH
+    * splits refine each label 8-way: near-duplicate and same-cluster
     * vectors agree on coordinate signs (away from the hyperplanes),
     * raw float compares are drift-free in both engines, and the pair
-    * volume drops 4× (re-measured ~linear at sf1). At larger corpora
+    * volume drops ~8× where the signs split the cluster. At larger corpora
     * add sign dims — bits scale as log2(|bucket|/target), the
     * standard LSH-blocking lever (AnnLshSpec measures the
     * recall/cost trade for this family). One equi-join on the 3-part
@@ -338,7 +338,8 @@ object Similarity extends QueryModule {
       graft.functions.expressions.CosineSimilarity.register(s)
       val e = Tables.embeddings(s, d)
       def bits(emb: org.apache.spark.sql.Column) = Seq(
-        (emb.getItem(0) >= 0f).as("b0"), (emb.getItem(1) >= 0f).as("b1"))
+        (emb.getItem(0) >= 0f).as("b0"), (emb.getItem(1) >= 0f).as("b1"),
+        (emb.getItem(2) >= 0f).as("b2"))
       val w = Window.partitionBy(col("src_id"))
         .orderBy(col("cos").desc, col("nbr_id"))
       e.select(col("vec_id").as("src_id") +: col("embedding").as("src_emb") +:
@@ -346,9 +347,11 @@ object Similarity extends QueryModule {
         .join(e.select(col("vec_id").as("nbr_id") +: col("embedding").as("nbr_emb") +:
           col("label").as("nbr_label") +:
           Seq((col("embedding").getItem(0) >= 0f).as("nb0"),
-            (col("embedding").getItem(1) >= 0f).as("nb1")): _*),
+            (col("embedding").getItem(1) >= 0f).as("nb1"),
+            (col("embedding").getItem(2) >= 0f).as("nb2")): _*),
           col("label") === col("nbr_label") && col("b0") === col("nb0")
-            && col("b1") === col("nb1") && col("src_id") =!= col("nbr_id"))
+            && col("b1") === col("nb1") && col("b2") === col("nb2")
+            && col("src_id") =!= col("nbr_id"))
         .select(col("src_id"), col("nbr_id"),
           VF.cosineFast(col("src_emb"), col("nbr_emb")).as("cos"))
         .withColumn("rank", row_number().over(w).cast("long"))
@@ -367,6 +370,7 @@ object Similarity extends QueryModule {
           ON a.label = b.label
           AND (a.embedding[1] >= 0) = (b.embedding[1] >= 0)
           AND (a.embedding[2] >= 0) = (b.embedding[2] >= 0)
+          AND (a.embedding[3] >= 0) = (b.embedding[3] >= 0)
           AND a.vec_id <> b.vec_id)
       WHERE rank <= 3
       ORDER BY src_id, rank
