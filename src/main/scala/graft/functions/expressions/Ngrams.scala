@@ -30,15 +30,37 @@ object NgramKernels {
   private val empty = new GenericArrayData(Array.empty[Any])
   private val space = UTF8String.fromString(" ")
 
-  /** All length-n character windows of `text`, 1-char stride. */
+  /** All length-n character windows of `text`, 1-char stride.
+    *
+    * r8 rewrite: the original called `substringSQL(i+1, n)` per
+    * position, and UTF8String's CHARACTER indexing scans from the
+    * start of the string to find the i-th boundary (UTF-8 is
+    * variable-width) — O(len²) bytes touched per document, which at
+    * 26× bench scale made n-gram construction 38 s of q_lang_id's
+    * 48 s (and taxed every shingle pipeline the same way). Now: one
+    * forward pass records each character's byte offset, then every
+    * window is a zero-copy `fromBytes` slice over the shared byte
+    * array — O(len) scanning total, identical output.
+    */
   def charNgrams(text: UTF8String, n: Int): ArrayData = {
-    val count = text.numChars() - n + 1
+    val numChars = text.numChars()
+    val count = numChars - n + 1
     if (count <= 0) return empty
-    val out = new Array[Any](count)
+    val bytes = text.getBytes // at most one copy, only for offset views
+    val starts = new Array[Int](numChars + 1)
     var i = 0
-    while (i < count) {
-      out(i) = text.substringSQL(i + 1, n)
-      i += 1
+    var c = 0
+    while (i < bytes.length) {
+      starts(c) = i
+      i += UTF8String.numBytesForFirstByte(bytes(i))
+      c += 1
+    }
+    starts(c) = bytes.length
+    val out = new Array[Any](count)
+    var k = 0
+    while (k < count) {
+      out(k) = UTF8String.fromBytes(bytes, starts(k), starts(k + n) - starts(k))
+      k += 1
     }
     new GenericArrayData(out)
   }

@@ -248,6 +248,13 @@ object TextAnalysis extends QueryModule {
         .groupBy(col("lang"))
         .agg(collect_list(col("bigram")).as("profile_bigrams"))
         .select(col("lang").as("profile_lang"), col("profile_bigrams"))
+      // (r8 perf note: the real cost here was never the intersect —
+      // it was the O(len²) char-indexing inside the old CharNgrams
+      // kernel, fixed in NgramKernels.charNgrams. An explode + join +
+      // countDistinct rewrite of this scoring pass was measured and
+      // REJECTED: streaming the 38M raw bigrams through a join +
+      // distinct shuffle costs ~2.5× this map-side form once the
+      // kernel is linear.)
       val score = docs
         .select(col("doc_id"), array_distinct(bigrams(col("text"))).as("db"))
         .crossJoin(broadcast(profile))

@@ -16,7 +16,7 @@ object LangIdProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val d = "/root/testdata/sf0.1"
+    val d = sys.env.getOrElse("LI_SF", "/root/testdata/sf0.1")
     def time(label: String)(f: => Long): Unit = {
       val t0 = System.nanoTime(); val n = f
       println(f"[li] $label%-28s ${(System.nanoTime() - t0) / 1e9}%6.2f s  rows=$n")
