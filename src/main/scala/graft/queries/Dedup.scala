@@ -397,47 +397,68 @@ object Dedup extends QueryModule {
       ORDER BY doc1, doc2
     """))
 
+  /** Shared 16-bit SimHash fingerprint table (doc_id, simhash16).
+    * r8 one-pass form: the original exploded tokens ×16 bits into a
+    * vote ROW per (token, bit) — a 16× row blow-up through a full
+    * (doc, bit) shuffle (104M rows at 26× bench scale). The 16
+    * per-bit vote sums are now 16 AGGREGATE COLUMNS of one pass over
+    * the token rows (all codegen; map-side partial agg), and the
+    * fingerprint packs from those columns directly — no bit explode,
+    * one shuffle of |docs| rows × 16 longs.
+    */
+  private val simhashHex = "0123456789abcdef"
+  private def simhashFp(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"), explode(TF.tokens(col("text"))).as("token"))
+      .select(col("doc_id"), md5(col("token")).as("h"))
+    val sums = (0 until 16).map(b =>
+      sum((instr(lit(simhashHex), substr(col("h"), lit(b + 1), lit(1))) - 1) % 2 * 2 - 1)
+        .as(s"s$b"))
+    tok.groupBy(col("doc_id"))
+      .agg(sums.head, sums.tail: _*)
+      .select(col("doc_id"),
+        (0 until 16).map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash16"))
+  }
+
+  /** The matching one-pass fp CTE for the DuckDB oracles (generated
+    * so both engines keep the identical 16-term formulation).
+    */
+  private val simhashFpCte: String = {
+    val sumCols = (0 until 16).map(b =>
+      s"sum(((instr('0123456789abcdef', substr(h, ${b + 1}, 1)) - 1) % 2) * 2 - 1) AS s$b")
+      .mkString(",\n               ")
+    val fpExpr = (0 until 16).map(b => s"CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END")
+      .mkString(" + ")
+    s"""fp AS (
+        SELECT doc_id, CAST($fpExpr AS BIGINT) AS simhash16
+        FROM (
+          SELECT doc_id,
+               $sumCols
+          FROM (SELECT doc_id, md5(token) AS h
+                FROM (SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS token
+                      FROM documents))
+          GROUP BY doc_id))"""
+  }
+
   /** 16-bit SimHash: per token, bit i's vote is ±1 by the parity of
-    * the i-th hex digit of md5(token); per (doc, bit) the votes sum
-    * over tokens WITH multiplicity; fingerprint packs the positive
-    * bits. Docs sharing a fingerprint are near-dup candidates.
-    * Pure integer/string math — bit-identical across engines.
+    * the i-th hex digit of md5(token); per doc the votes sum over
+    * tokens WITH multiplicity; fingerprint packs the positive bits
+    * (one-pass column form — see simhashFp). Docs sharing a
+    * fingerprint are near-dup candidates. Pure integer/string math —
+    * bit-identical across engines.
     */
   val dedupSimhash = QueryDef(
     "q_dedup_simhash",
     (s, d) => {
-      val votes = Tables.documents(s, d)
-        .select(col("doc_id"), explode(TF.tokens(col("text"))).as("token"))
-        .select(col("doc_id"), md5(col("token")).as("h"))
-        .select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(15))).as("bit"))
-        .select(col("doc_id"), col("bit"),
-          ((instr(lit("0123456789abcdef"),
-            substr(col("h"), col("bit") + 1, lit(1))) - 1) % 2 * 2 - 1).as("vote"))
-      val fp = votes
-        .groupBy(col("doc_id"), col("bit"))
-        .agg(sum(col("vote")).as("score"))
-        .groupBy(col("doc_id"))
-        .agg(sum(when(col("score") > 0,
-          pow(lit(2), col("bit")).cast("long")).otherwise(0L)).as("simhash16"))
       val w = Window.partitionBy(col("simhash16"))
-      fp.select(col("doc_id"), col("simhash16"),
+      simhashFp(s, d).select(col("doc_id"), col("simhash16"),
           count(lit(1)).over(w).as("bucket_size"))
         .orderBy(col("doc_id"))
     },
-    Some("""
-      WITH votes AS (
-        SELECT doc_id, bit,
-               ((instr('0123456789abcdef', substr(h, CAST(bit + 1 AS INT), 1)) - 1) % 2) * 2 - 1 AS vote
-        FROM (
-          SELECT doc_id, md5(token) AS h
-          FROM (SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS token
-                FROM documents)
-        ), generate_series(0, 15) AS g(bit)),
-      fp AS (
-        SELECT doc_id,
-               CAST(sum(CASE WHEN score > 0 THEN CAST(round(pow(2, bit)) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash16
-        FROM (SELECT doc_id, bit, sum(vote) AS score FROM votes GROUP BY doc_id, bit)
-        GROUP BY doc_id)
+    Some(s"""
+      WITH $simhashFpCte
       SELECT doc_id, simhash16,
              count(*) OVER (PARTITION BY simhash16) AS bucket_size
       FROM fp
@@ -452,24 +473,20 @@ object Dedup extends QueryModule {
     * doc_id < match-side doc_id keeps each pair exactly once (the
     * reverse flip fails the inequality). At 100 TB this is 16 bucket
     * lookups per doc instead of a Hamming range scan — candidate work
-    * still scales with bucket occupancy.
+    * still scales with bucket occupancy. NOTE the occupancy lever:
+    * a FIXED 16-bit space densifies quadratically as the corpus
+    * grows (birthday collisions — measured: pair volume dominates
+    * the query's cost at 26× bench scale), so at real scale the
+    * fingerprint widens to 64 bits (same pipeline: 64 hex-parity
+    * sums, probes = 64 bit-flips) exactly like LSH band width.
     */
   val dedupSimhashHamming = QueryDef(
     "q_dedup_simhash_hamming",
     (s, d) => {
-      val votes = Tables.documents(s, d)
-        .select(col("doc_id"), explode(TF.tokens(col("text"))).as("token"))
-        .select(col("doc_id"), md5(col("token")).as("h"))
-        .select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(15))).as("bit"))
-        .select(col("doc_id"), col("bit"),
-          ((instr(lit("0123456789abcdef"),
-            substr(col("h"), col("bit") + 1, lit(1))) - 1) % 2 * 2 - 1).as("vote"))
-      val fp = votes
-        .groupBy(col("doc_id"), col("bit"))
-        .agg(sum(col("vote")).as("score"))
-        .groupBy(col("doc_id"))
-        .agg(sum(when(col("score") > 0,
-          pow(lit(2), col("bit")).cast("long")).otherwise(0L)).as("simhash16"))
+      // shared one-pass fingerprint; localCheckpoint so the probe and
+      // match sides of the self-join read ONE materialization instead
+      // of re-deriving the token aggregation twice
+      val fp = simhashFp(s, d).localCheckpoint(false)
       val probes = fp
         .select(col("doc_id"), col("simhash16"),
           explode(sequence(lit(0), lit(15))).as("i"))
@@ -481,20 +498,8 @@ object Dedup extends QueryModule {
         .select(col("doc1"), col("doc2"), col("fp1"), col("fp2"))
         .orderBy(col("doc1"), col("doc2"))
     },
-    Some("""
-      WITH votes AS (
-        SELECT doc_id, bit,
-               ((instr('0123456789abcdef', substr(h, CAST(bit + 1 AS INT), 1)) - 1) % 2) * 2 - 1 AS vote
-        FROM (
-          SELECT doc_id, md5(token) AS h
-          FROM (SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS token
-                FROM documents)
-        ), generate_series(0, 15) AS g(bit)),
-      fp AS (
-        SELECT doc_id,
-               CAST(sum(CASE WHEN score > 0 THEN CAST(round(pow(2, bit)) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash16
-        FROM (SELECT doc_id, bit, sum(vote) AS score FROM votes GROUP BY doc_id, bit)
-        GROUP BY doc_id),
+    Some(s"""
+      WITH $simhashFpCte,
       probes AS (
         SELECT doc_id AS doc1, simhash16 AS fp1,
                xor(simhash16, CAST(round(pow(2, i)) AS BIGINT)) AS probe_fp
