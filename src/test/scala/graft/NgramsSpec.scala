@@ -19,6 +19,32 @@ class NgramsSpec extends AnyFunSuite {
     WordNgrams.register(spark)
   }
 
+  test("multi-byte UTF-8: kernel boundary math equals substring semantics") {
+    // The r8 kernel computes character boundaries manually (one
+    // forward byte pass instead of substringSQL's per-call scan) —
+    // the corpus is ASCII, so pin the variable-width path explicitly:
+    // 1-byte (a), 2-byte (é), 3-byte (中), and 4-byte (😀, one code
+    // point) characters, in every adjacency. The HOF twin goes
+    // through Spark's own substr (code-point semantics), which IS the
+    // contract the old implementation had.
+    registered()
+    import spark.implicits._
+    val rows = Seq("aéb中c😀d", "😀😀", "é", "中中中中", "a😀", "", "plain ascii")
+      .toDF("text")
+    for (n <- Seq(2, 3)) {
+      val hof = transform(sequence(lit(1), greatest(length(col("text")) - (n - 1), lit(0))),
+        i => substr(col("text"), i, lit(n)))
+      val native = call_function(CharNgrams.name, col("text"), lit(n))
+      val bad = rows
+        .select(col("text"),
+          when(length(col("text")) >= n, hof).otherwise(array().cast("array<string>")).as("h"),
+          native.as("n"))
+        .filter(not(col("h") === col("n")))
+        .collect()
+      assert(bad.isEmpty, s"n=$n: ${bad.mkString(", ")}")
+    }
+  }
+
   test("native char bigrams (raw) equal transform∘sequence on the corpus") {
     registered()
     val hof = transform(sequence(lit(1), length(col("text")) - 1),
