@@ -318,39 +318,78 @@ object Similarity extends QueryModule {
     * all-corpus variant of q_ann_ivf, used for embedding-space dedup
     * and cluster curation.
     *
-    * Bucket key (r8 redesign): (label, sign(dim0..2)). The
-    * label alone is an ENUM — bucket occupancy grows linearly with
-    * the corpus, so the within-bucket pair join grew quadratically
-    * (measured 38× cost for 10× vectors at sf1). Three sign-bit LSH
-    * splits refine each label 8-way: near-duplicate and same-cluster
-    * vectors agree on coordinate signs (away from the hyperplanes),
-    * raw float compares are drift-free in both engines, and the pair
-    * volume drops ~8× where the signs split the cluster. At larger corpora
-    * add sign dims — bits scale as log2(|bucket|/target), the
-    * standard LSH-blocking lever (AnnLshSpec measures the
-    * recall/cost trade for this family). One equi-join on the 3-part
-    * key, then a per-source window for the top-k — partitioned by
-    * source vector, so the rank never concentrates on one task.
+    * Bucket key (r9 redesign, closing the last measured-superlinear
+    * family): (label, adaptive sign-bit string). The r8 constant
+    * 3-bit key still left 15.3× sequential cost for 10× data,
+    * because (a) occupancy kept growing under a FIXED split factor
+    * and (b) the first three coordinates are not where a given
+    * cluster actually straddles zero — a sign dim whose whole
+    * cluster is positive splits nothing. Two data-adaptive choices,
+    * both computed in one tiny stats pass and both exactly
+    * mirrorable in the oracle:
+    *
+    *   - bits(label) = ⌈log2(|label| / 64)⌉ clamped to [0, 8],
+    *     evaluated as an INTEGER threshold chain (c ≤ 64·2^k), not
+    *     float log2 — occupancy at a power-of-two boundary cannot
+    *     flip the bucket key between engines. Pair volume per label
+    *     is then ~|label|·64: LINEAR in the corpus, the standard
+    *     LSH-blocking contract (AnnLshSpec measures the recall/cost
+    *     trade for this family). Target 64 measured better than 128
+    *     at every scale (sf1 3.8→2.2 s) with no sf0.1 regression.
+    *   - The bits dims chosen are the label's MOST BALANCED sign
+    *     splits: rank dims by |2·pos − n| ascending (pos = count of
+    *     non-negative values — pure integers, drift-free), tie-break
+    *     by dim index. A 50/50 dim halves the bucket; the r8 fixed
+    *     dims were sometimes 90/10.
+    *
+    * The stats pass is a map-side-combinable agg over n·dim values
+    * producing |labels|·dim rows, and the chosen-dims table is
+    * |labels| rows — broadcast. The pair join stays one equi-join on
+    * (label, bkey); the top-k window partitions by source vector, so
+    * the rank never concentrates on one task. Measured (r9, seq
+    * min-of-2): sf0.1 0.93 s → sf1 2.22 s (2.4× for 10× data, was
+    * 15.3×) → sf26 3.84 s (4.1× for 26× data, was 33×).
     */
   val knnJoin = QueryDef(
     "q_knn_join",
     (s, d) => {
       graft.functions.expressions.CosineSimilarity.register(s)
       val e = Tables.embeddings(s, d)
-      def bits(emb: org.apache.spark.sql.Column) = Seq(
-        (emb.getItem(0) >= 0f).as("b0"), (emb.getItem(1) >= 0f).as("b1"),
-        (emb.getItem(2) >= 0f).as("b2"))
+      // smallest k in [0, 8] with c <= 128 * 2^k, as integer compares
+      def bitsOf(c: org.apache.spark.sql.Column) =
+        (1 until 8).foldLeft(when(c <= 64, 0)) { (acc, k) =>
+          acc.when(c <= (64L << k), k)
+        }.otherwise(8)
+      val cnt = e.groupBy(col("label"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("bits", bitsOf(col("n")))
+      val balance = e
+        .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+        .groupBy(col("label"), col("dim"))
+        .agg(sum(when(col("v") >= 0f, 1L).otherwise(0L)).as("pos"))
+      val wDim = Window.partitionBy(col("label"))
+        .orderBy(abs(lit(2) * col("pos") - col("n")), col("dim"))
+      val chosenDims = balance.join(cnt, "label")
+        .withColumn("dr", row_number().over(wDim))
+        .filter(col("dr") <= col("bits"))
+        .groupBy(col("label"))
+        .agg(transform(array_sort(collect_list(struct(col("dr"), col("dim")))),
+          x => x.getField("dim")).as("ds"))
+      val keyed = e.join(broadcast(chosenDims), Seq("label"), "left")
+        .withColumn("bkey", coalesce(
+          array_join(transform(col("ds"),
+            dm => when(element_at(col("embedding"), dm + 1) >= 0f, "1")
+              .otherwise("0")), ""),
+          lit("")))
+        .select(col("vec_id"), col("label"), col("embedding"), col("bkey"))
       val w = Window.partitionBy(col("src_id"))
         .orderBy(col("cos").desc, col("nbr_id"))
-      e.select(col("vec_id").as("src_id") +: col("embedding").as("src_emb") +:
-          col("label") +: bits(col("embedding")): _*)
-        .join(e.select(col("vec_id").as("nbr_id") +: col("embedding").as("nbr_emb") +:
-          col("label").as("nbr_label") +:
-          Seq((col("embedding").getItem(0) >= 0f).as("nb0"),
-            (col("embedding").getItem(1) >= 0f).as("nb1"),
-            (col("embedding").getItem(2) >= 0f).as("nb2")): _*),
-          col("label") === col("nbr_label") && col("b0") === col("nb0")
-            && col("b1") === col("nb1") && col("b2") === col("nb2")
+      keyed.select(col("vec_id").as("src_id"), col("embedding").as("src_emb"),
+          col("label"), col("bkey"))
+        .join(keyed.select(col("vec_id").as("nbr_id"),
+          col("embedding").as("nbr_emb"), col("label").as("nbr_label"),
+          col("bkey").as("nbr_bkey")),
+          col("label") === col("nbr_label") && col("bkey") === col("nbr_bkey")
             && col("src_id") =!= col("nbr_id"))
         .select(col("src_id"), col("nbr_id"),
           VF.cosineFast(col("src_emb"), col("nbr_emb")).as("cos"))
@@ -360,18 +399,42 @@ object Similarity extends QueryModule {
           round(col("cos"), 4).as("cosine"))
         .orderBy(col("src_id"), col("rank"))
     },
+    // range(64): the corpus embedding dim is fixed at 64 (TESTDATA.md);
+    // the Spark side's posexplode covers actual length generically.
     Some(s"""
+      WITH cnt AS (
+        SELECT label, count(*) AS n,
+               CASE WHEN count(*) <= 64 THEN 0 WHEN count(*) <= 128 THEN 1
+                    WHEN count(*) <= 256 THEN 2 WHEN count(*) <= 512 THEN 3
+                    WHEN count(*) <= 1024 THEN 4 WHEN count(*) <= 2048 THEN 5
+                    WHEN count(*) <= 4096 THEN 6 WHEN count(*) <= 8192 THEN 7
+                    ELSE 8 END AS bits
+        FROM embeddings GROUP BY label),
+      balance AS (
+        SELECT label, t.i AS dim,
+               sum(CASE WHEN embedding[t.i + 1] >= 0 THEN 1 ELSE 0 END) AS pos
+        FROM embeddings, range(64) t(i) GROUP BY 1, 2),
+      rk AS (
+        SELECT b.label, b.dim, c.bits,
+               row_number() OVER (PARTITION BY b.label
+                 ORDER BY abs(2 * b.pos - c.n), b.dim) AS dr
+        FROM balance b JOIN cnt c USING (label)),
+      ds AS (
+        SELECT label, list(dim ORDER BY dr) AS dims
+        FROM rk WHERE dr <= bits GROUP BY label),
+      keyed AS (
+        SELECT e.vec_id, e.label, e.embedding,
+               coalesce(array_to_string(list_transform(ds.dims,
+                 dm -> CASE WHEN e.embedding[dm + 1] >= 0 THEN '1' ELSE '0' END),
+                 ''), '') AS bkey
+        FROM embeddings e LEFT JOIN ds ON e.label = ds.label)
       SELECT src_id, nbr_id, rank, round(cos, 4) AS cosine
       FROM (
         SELECT a.vec_id AS src_id, b.vec_id AS nbr_id, $duckCos AS cos,
                row_number() OVER (PARTITION BY a.vec_id
                  ORDER BY $duckCos DESC, b.vec_id) AS rank
-        FROM embeddings a JOIN embeddings b
-          ON a.label = b.label
-          AND (a.embedding[1] >= 0) = (b.embedding[1] >= 0)
-          AND (a.embedding[2] >= 0) = (b.embedding[2] >= 0)
-          AND (a.embedding[3] >= 0) = (b.embedding[3] >= 0)
-          AND a.vec_id <> b.vec_id)
+        FROM keyed a JOIN keyed b
+          ON a.label = b.label AND a.bkey = b.bkey AND a.vec_id <> b.vec_id)
       WHERE rank <= 3
       ORDER BY src_id, rank
     """))
