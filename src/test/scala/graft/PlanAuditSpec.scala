@@ -125,6 +125,23 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), "as-of must not be a BNL join")
   }
 
+  test("sorted-neighborhood pairs join on the window bucket (bounded enumeration)") {
+    // The floor(rn/W) bucket must be part of the hash/sort-merge JOIN
+    // KEY (probe side exploded to own+next bucket), not only a
+    // residual band filter — otherwise the probe enumerates all
+    // |block|² same-block pairs before filtering (VERDICT r8 nit).
+    for (name <- Seq("q_damerau", "q_jaro_winkler")) {
+      val p = SparkEntry.queries(name)(spark, TestSpark.sf0001)
+        .queryExecution.optimizedPlan
+      val joinKeys = p.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join =>
+          j.condition.map(_.sql).getOrElse("")
+      }.mkString("\n")
+      assert(joinKeys.contains("pb = ") || joinKeys.contains("pb ="),
+        s"$name: bucket probe key missing from join condition:\n$joinKeys")
+    }
+  }
+
   test("sortWithinPartitions sorts locally with no Exchange") {
     import org.apache.spark.sql.functions.{col, spark_partition_id}
     val df = Tables.lineitem(spark, TestSpark.sf0001)
