@@ -407,32 +407,45 @@ object Dedup extends QueryModule {
     * one shuffle of |docs| rows × 16 longs.
     */
   private val simhashHex = "0123456789abcdef"
+
+  /** One-pass SimHash fingerprint table (doc_id, simhash{width}),
+    * parameterized on WIDTH — the occupancy lever of this family:
+    * a fixed fingerprint space densifies quadratically as the corpus
+    * grows (birthday collisions), and the remedy is a wider
+    * fingerprint, exactly like LSH band width. Bit b's vote is the
+    * parity of hex digit b of md5(token), so any width ≤ 32 reuses
+    * the same kernel (md5 has 32 hex digits); beyond 32 the pipeline
+    * is unchanged with a second hash supplying digits. Width 16 is
+    * the classic graded config; width 32 is the graded scale config
+    * (q_dedup_simhash_wide) — measured at 26×, the wider space
+    * collapses collision pairs and the query's cost with them.
+    */
   private def simhashFp(s: org.apache.spark.sql.SparkSession,
-      d: String): org.apache.spark.sql.DataFrame = {
+      d: String, width: Int = 16): org.apache.spark.sql.DataFrame = {
     val tok = Tables.documents(s, d)
       .select(col("doc_id"), explode(TF.tokens(col("text"))).as("token"))
       .select(col("doc_id"), md5(col("token")).as("h"))
-    val sums = (0 until 16).map(b =>
+    val sums = (0 until width).map(b =>
       sum((instr(lit(simhashHex), substr(col("h"), lit(b + 1), lit(1))) - 1) % 2 * 2 - 1)
         .as(s"s$b"))
     tok.groupBy(col("doc_id"))
       .agg(sums.head, sums.tail: _*)
       .select(col("doc_id"),
-        (0 until 16).map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
-          .reduce(_ + _).as("simhash16"))
+        (0 until width).map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _).as(s"simhash$width"))
   }
 
   /** The matching one-pass fp CTE for the DuckDB oracles (generated
-    * so both engines keep the identical 16-term formulation).
+    * so both engines keep the identical per-width formulation).
     */
-  private val simhashFpCte: String = {
-    val sumCols = (0 until 16).map(b =>
+  private def simhashFpCte(width: Int = 16): String = {
+    val sumCols = (0 until width).map(b =>
       s"sum(((instr('0123456789abcdef', substr(h, ${b + 1}, 1)) - 1) % 2) * 2 - 1) AS s$b")
       .mkString(",\n               ")
-    val fpExpr = (0 until 16).map(b => s"CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END")
+    val fpExpr = (0 until width).map(b => s"CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END")
       .mkString(" + ")
     s"""fp AS (
-        SELECT doc_id, CAST($fpExpr AS BIGINT) AS simhash16
+        SELECT doc_id, CAST($fpExpr AS BIGINT) AS simhash$width
         FROM (
           SELECT doc_id,
                $sumCols
@@ -458,7 +471,7 @@ object Dedup extends QueryModule {
         .orderBy(col("doc_id"))
     },
     Some(s"""
-      WITH $simhashFpCte
+      WITH ${simhashFpCte()}
       SELECT doc_id, simhash16,
              count(*) OVER (PARTITION BY simhash16) AS bucket_size
       FROM fp
@@ -480,36 +493,59 @@ object Dedup extends QueryModule {
     * fingerprint widens to 64 bits (same pipeline: 64 hex-parity
     * sums, probes = 64 bit-flips) exactly like LSH band width.
     */
-  val dedupSimhashHamming = QueryDef(
-    "q_dedup_simhash_hamming",
+  private def simhashHammingQuery(name: String, width: Int): QueryDef = QueryDef(
+    name,
     (s, d) => {
       // shared one-pass fingerprint; localCheckpoint so the probe and
       // match sides of the self-join read ONE materialization instead
-      // of re-deriving the token aggregation twice
-      val fp = simhashFp(s, d).localCheckpoint(false)
+      // of re-deriving the token aggregation twice. NOTE (100-TB
+      // fault tolerance): localCheckpoint stores blocks on
+      // executor-local storage only — non-recoverable on executor
+      // loss. Fine for a single-JVM bench; a clustered deployment
+      // should persist(MEMORY_AND_DISK) or checkpoint to durable
+      // storage instead (ADVICE r8).
+      val fpCol = s"simhash$width"
+      val fp = simhashFp(s, d, width).localCheckpoint(false)
       val probes = fp
-        .select(col("doc_id"), col("simhash16"),
-          explode(sequence(lit(0), lit(15))).as("i"))
-        .select(col("doc_id").as("doc1"), col("simhash16").as("fp1"),
-          col("simhash16").bitwiseXOR(pow(lit(2), col("i")).cast("long")).as("probe_fp"))
+        .select(col("doc_id"), col(fpCol),
+          explode(sequence(lit(0), lit(width - 1))).as("i"))
+        .select(col("doc_id").as("doc1"), col(fpCol).as("fp1"),
+          col(fpCol).bitwiseXOR(pow(lit(2), col("i")).cast("long")).as("probe_fp"))
       probes
-        .join(fp.select(col("doc_id").as("doc2"), col("simhash16").as("fp2")),
+        .join(fp.select(col("doc_id").as("doc2"), col(fpCol).as("fp2")),
           col("probe_fp") === col("fp2") && col("doc1") < col("doc2"))
         .select(col("doc1"), col("doc2"), col("fp1"), col("fp2"))
         .orderBy(col("doc1"), col("doc2"))
     },
     Some(s"""
-      WITH $simhashFpCte,
+      WITH ${simhashFpCte(width)},
       probes AS (
-        SELECT doc_id AS doc1, simhash16 AS fp1,
-               xor(simhash16, CAST(round(pow(2, i)) AS BIGINT)) AS probe_fp
-        FROM fp, generate_series(0, 15) AS g(i))
+        SELECT doc_id AS doc1, simhash$width AS fp1,
+               xor(simhash$width, CAST(round(pow(2, i)) AS BIGINT)) AS probe_fp
+        FROM fp, generate_series(0, ${width - 1}) AS g(i))
       SELECT doc1, doc2, fp1, fp2
       FROM probes
-      JOIN (SELECT doc_id AS doc2, simhash16 AS fp2 FROM fp) b
+      JOIN (SELECT doc_id AS doc2, simhash$width AS fp2 FROM fp) b
         ON probe_fp = fp2 AND doc1 < doc2
       ORDER BY doc1, doc2
     """))
+
+  val dedupSimhashHamming = simhashHammingQuery("q_dedup_simhash_hamming", 16)
+
+  /** The graded WIDTH lever config: the same Hamming-1 pipeline on a
+    * 32-bit fingerprint — the standard width/recall trade, graded
+    * hash-exact in both engines like q_ann_lsh_wide grades the
+    * plane-count lever. Measured (r9): pair volume at 16 bits grows
+    * SUPERLINEARLY (sf1→sf26: 3.76M→11.44M pairs, 3.0× for 2.6×
+    * data — birthday collisions of the saturated space) while at 32
+    * bits it grows sublinearly (116k→236k, 2.0×). At bench scales
+    * the fingerprint BUILD (32 vote sums over token rows, linear)
+    * still dominates wall time, so the wide config costs ~2× the
+    * 16-bit one in absolute seconds here; the crossover where the
+    * 16-bit quadratic pair term overtakes the 2× linear build cost
+    * arrives with corpus growth — which is exactly when you widen.
+    */
+  val dedupSimhashWide = simhashHammingQuery("q_dedup_simhash_wide", 32)
 
   /** Embedding-cosine near-dup: for each probe vector, its single
     * most-similar neighbor within the same cluster label (the coarse
@@ -679,6 +715,6 @@ object Dedup extends QueryModule {
 
   def defs: Seq[QueryDef] = Seq(
     dedupExact, dedupFingerprint, dedupMinhash, dedupCluster, dedupSimhash,
-    dedupSimhashHamming, dedupEmbedding, dedupFuzzy, dedupKeepBest,
-    dedupIncremental, minhashEstimate)
+    dedupSimhashHamming, dedupSimhashWide, dedupEmbedding, dedupFuzzy,
+    dedupKeepBest, dedupIncremental, minhashEstimate)
 }
