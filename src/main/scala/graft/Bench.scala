@@ -32,7 +32,7 @@ import org.apache.spark.sql.SparkSession
   * table — each an ingest-time build several queries read) are ALL
   * forced in the untimed warmup, so no query's number depends on
   * whether it touched an artifact first. SPARK_GRAFT_BENCH_REPEAT=n
-  * (default 1) runs each query n times and reports the MIN — the
+  * (default 2) runs each query n times and reports the MIN — the
   * standard way to strip page-cache cold starts and host stalls from
   * a throughput comparison; `value` stays the wall-clock of the
   * whole (repeated) suite, `sum_sec` sums the per-query minima.
@@ -82,7 +82,11 @@ object Bench {
     queries.Graphs.warm(spark, sfDir)
 
     val fullEval = sys.env.get("SPARK_GRAFT_BENCH_ACTION").contains("write")
-    val repeat = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEAT", "1").toInt)
+    // default min-of-2 (r8 verdict item 5): the driver's single-pass
+    // window numbers were dominated by cold-start/host-stall noise
+    // (BENCH_r08 sum 295 s vs the same code's calm 114 s); min-of-2
+    // self-adjudicates at the cost of one extra suite pass
+    val repeat = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEAT", "2").toInt)
     // Optional comma-separated name filter for targeted iteration
     // (SPARK_GRAFT_BENCH_FILTER=q_mad,q_doc_fingerprint); full suite
     // when unset.
