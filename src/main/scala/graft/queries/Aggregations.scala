@@ -237,13 +237,13 @@ object Aggregations extends QueryModule {
         .agg(
           count(when(col("o_orderpriority") === "1-URGENT", lit(1))).as("urgent_count"),
           count(when(col("o_orderpriority") === "5-LOW", lit(1))).as("low_count"),
-          round(sum(when(col("o_totalprice") > 100000.0, col("o_totalprice"))), 2).cast("float").as("big_total"))
+          centsSum(when(col("o_totalprice") > 100000.0, col("o_totalprice"))).as("big_total"))
         .orderBy(col("o_orderstatus")),
-    Some("""
+    Some(s"""
       SELECT o_orderstatus,
              count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS urgent_count,
              count(*) FILTER (WHERE o_orderpriority = '5-LOW') AS low_count,
-             CAST(round(sum(o_totalprice) FILTER (WHERE o_totalprice > 100000.0), 2) AS FLOAT) AS big_total
+             sum(CAST(round(o_totalprice * 100) AS BIGINT)) FILTER (WHERE o_totalprice > 100000.0) / 100.0 AS big_total
       FROM orders
       GROUP BY o_orderstatus
       ORDER BY o_orderstatus

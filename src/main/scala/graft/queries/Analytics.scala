@@ -57,10 +57,10 @@ object Analytics extends QueryModule {
           && col("l_shipdate") < lit("1998-01-01").cast("timestamp")
           && col("l_discount").between(0.03, 0.07)
           && col("l_quantity") < 24)
-        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).cast("float").as("revenue"),
+        .agg(centsSum(col("l_extendedprice") * col("l_discount")).as("revenue"),
           count(lit(1)).as("qualifying_lines")),
-    Some("""
-      SELECT CAST(round(sum(l_extendedprice * l_discount), 2) AS FLOAT) AS revenue,
+    Some(s"""
+      SELECT ${centsSumSql("l_extendedprice * l_discount")} AS revenue,
              count(*) AS qualifying_lines
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
@@ -80,16 +80,15 @@ object Analytics extends QueryModule {
           && col("l_shipdate") < lit("1997-07-01").cast("timestamp"))
       l.join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
         .agg(
-          round(sum(when(col("p_type").like("PROMO%"),
-            col("l_extendedprice") * (lit(1) - col("l_discount"))).otherwise(0.0)), 2)
-            .cast("float").as("promo_revenue"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-            .cast("float").as("total_revenue"))
+          centsSum(when(col("p_type").like("PROMO%"),
+            col("l_extendedprice") * (lit(1) - col("l_discount"))).otherwise(0.0))
+            .as("promo_revenue"),
+          centsSum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .as("total_revenue"))
     },
-    Some("""
-      SELECT CAST(round(sum(CASE WHEN p_type LIKE 'PROMO%'
-                       THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END), 2) AS FLOAT) AS promo_revenue,
-             CAST(round(sum(l_extendedprice * (1 - l_discount)), 2) AS FLOAT) AS total_revenue
+    Some(s"""
+      SELECT ${centsSumSql("CASE WHEN p_type LIKE 'PROMO%' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END")} AS promo_revenue,
+             ${centsSumSql("l_extendedprice * (1 - l_discount)")} AS total_revenue
       FROM lineitem JOIN part ON l_partkey = p_partkey
       WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
         AND l_shipdate <  TIMESTAMP '1997-07-01 00:00:00'
@@ -236,7 +235,8 @@ object Analytics extends QueryModule {
   /** Q8 analog — market share: one nation's share of total revenue
     * per order year. Share is a ratio of two full-precision sums,
     * FLOAT-cast to absorb the engines' different partial-sum merge
-    * orders (memory: stats-agg rule); the displayed totals round at 2.
+    * orders (memory: stats-agg rule); the displayed totals are
+    * cent-exact order-independent sums (centsSum, ADVICE r8).
     */
   val marketShare = QueryDef(
     "q_market_share",
@@ -250,17 +250,17 @@ object Analytics extends QueryModule {
           (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"),
           col("n_name"))
       rev.groupBy(col("o_year"))
-        .agg(round(sum(col("rev")), 2).cast("float").as("total_revenue"),
-          round(sum(when(col("n_name") === "NATION_3", col("rev")).otherwise(0.0)), 2)
-            .cast("float").as("nation3_revenue"),
+        .agg(centsSum(col("rev")).as("total_revenue"),
+          centsSum(when(col("n_name") === "NATION_3", col("rev")).otherwise(0.0))
+            .as("nation3_revenue"),
           (sum(when(col("n_name") === "NATION_3", col("rev")).otherwise(0.0))
             / sum(col("rev"))).cast("float").as("nation3_share"))
         .orderBy(col("o_year"))
     },
-    Some("""
+    Some(s"""
       SELECT o_year,
-             CAST(round(sum(rev), 2) AS FLOAT) AS total_revenue,
-             CAST(round(sum(CASE WHEN n_name = 'NATION_3' THEN rev ELSE 0.0 END), 2) AS FLOAT) AS nation3_revenue,
+             ${centsSumSql("rev")} AS total_revenue,
+             ${centsSumSql("CASE WHEN n_name = 'NATION_3' THEN rev ELSE 0.0 END")} AS nation3_revenue,
              CAST(sum(CASE WHEN n_name = 'NATION_3' THEN rev ELSE 0.0 END)
                   / sum(rev) AS FLOAT) AS nation3_share
       FROM (
@@ -503,13 +503,13 @@ object Analytics extends QueryModule {
             && col("s_nationkey") === col("c_nationkey"))
         .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
         .groupBy(col("n_name"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-          .cast("float").as("revenue"),
+        .agg(centsSum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"),
           count(lit(1)).as("local_lines"))
         .orderBy(col("revenue").desc, col("n_name")),
-    Some("""
+    Some(s"""
       SELECT n_name,
-             CAST(round(sum(l_extendedprice * (1 - l_discount)), 2) AS FLOAT) AS revenue,
+             ${centsSumSql("l_extendedprice * (1 - l_discount)")} AS revenue,
              count(*) AS local_lines
       FROM lineitem
       JOIN orders   ON l_orderkey = o_orderkey
@@ -574,23 +574,21 @@ object Analytics extends QueryModule {
       val w = Window.orderBy(col("month"))
       Tables.orders(s, d)
         .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
-        .agg(round(sum(col("o_totalprice")), 2).as("revenue"))
+        .agg(centsSum(col("o_totalprice")).as("revenue"))
         .withColumn("prev_revenue", lag(col("revenue"), 1).over(w))
-        .select(col("month"), col("revenue").cast("float").as("revenue"),
-          col("prev_revenue").cast("float").as("prev_revenue"),
+        .select(col("month"), col("revenue"), col("prev_revenue"),
           ((col("revenue") - col("prev_revenue")) / col("prev_revenue"))
             .cast("float").as("mom_growth"))
         .orderBy(col("month"))
     },
-    Some("""
-      SELECT month, CAST(revenue AS FLOAT) AS revenue,
-             CAST(prev_revenue AS FLOAT) AS prev_revenue,
+    Some(s"""
+      SELECT month, revenue, prev_revenue,
              CAST((revenue - prev_revenue) / prev_revenue AS FLOAT) AS mom_growth
       FROM (
         SELECT month, revenue, lag(revenue, 1) OVER (ORDER BY month) AS prev_revenue
         FROM (
           SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
-                 round(sum(o_totalprice), 2) AS revenue
+                 ${centsSumSql("o_totalprice")} AS revenue
           FROM orders GROUP BY 1))
       ORDER BY month
     """))
@@ -670,10 +668,10 @@ object Analytics extends QueryModule {
           PrefixSum.ntileFromRank(col("__m"), col("__n"), 5).as("m_score"))
         .groupBy(col("r_score"), col("f_score"), col("m_score"))
         .agg(count(lit(1)).as("n_customers"),
-          round(sum(col("monetary")), 2).cast("float").as("segment_revenue"))
+          centsSum(col("monetary")).as("segment_revenue"))
         .orderBy(col("r_score"), col("f_score"), col("m_score"))
     },
-    Some("""
+    Some(s"""
       WITH base AS (
         SELECT o_custkey,
                CAST(date_diff('day', last_order, corpus_max) AS BIGINT) AS recency_days,
@@ -691,7 +689,7 @@ object Analytics extends QueryModule {
         FROM base)
       SELECT r_score, f_score, m_score,
              count(*) AS n_customers,
-             CAST(round(sum(monetary), 2) AS FLOAT) AS segment_revenue
+             ${centsSumSql("monetary")} AS segment_revenue
       FROM scored
       GROUP BY r_score, f_score, m_score
       ORDER BY r_score, f_score, m_score

@@ -24,11 +24,11 @@ object Joins extends QueryModule {
           col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("line_count"),
-          round(sum(col("l_extendedprice")), 2).cast("float").as("total_price"))
+          centsSum(col("l_extendedprice")).as("total_price"))
         .orderBy(col("o_orderpriority")),
-    Some("""
+    Some(s"""
       SELECT o_orderpriority, count(*) AS line_count,
-             CAST(round(sum(l_extendedprice), 2) AS FLOAT) AS total_price
+             ${centsSumSql("l_extendedprice")} AS total_price
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       WHERE o_orderstatus = 'F'
       GROUP BY o_orderpriority
@@ -472,13 +472,13 @@ object Joins extends QueryModule {
         .join(n, col("c_nationkey") === col("n_nationkey"))
         .join(r, col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("r_name"), col("n_name"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).cast("float").as("revenue"),
+        .agg(centsSum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
           count(lit(1)).as("line_count"))
         .orderBy(col("r_name"), col("n_name"))
     },
-    Some("""
+    Some(s"""
       SELECT r_name, n_name,
-             CAST(round(sum(l_extendedprice * (1 - l_discount)), 2) AS FLOAT) AS revenue,
+             ${centsSumSql("l_extendedprice * (1 - l_discount)")} AS revenue,
              count(*) AS line_count
       FROM lineitem
       JOIN orders   ON l_orderkey = o_orderkey
@@ -510,12 +510,12 @@ object Joins extends QueryModule {
           bands, "o_totalprice", "lo", "hi", bucketWidth = 4000.0)
         .groupBy(col("band_id"))
         .agg(count(lit(1)).as("orders_in_band"),
-          round(sum(col("o_totalprice")), 2).cast("float").as("band_total"))
+          centsSum(col("o_totalprice")).as("band_total"))
         .orderBy(col("band_id"))
     },
-    Some("""
+    Some(s"""
       SELECT band_id, count(*) AS orders_in_band,
-             CAST(round(sum(o_totalprice), 2) AS FLOAT) AS band_total
+             ${centsSumSql("o_totalprice")} AS band_total
       FROM orders
       JOIN (SELECT i AS band_id, i * 4000.0 AS lo, i * 4000.0 + 3999.0 AS hi
             FROM generate_series(0, 50) AS g(i)) b
@@ -575,7 +575,7 @@ object Joins extends QueryModule {
       Tables.lineitem(s, d).createOrReplaceTempView("lineitem_ex_v")
       s.sql("""
         SELECT o_orderpriority, count(*) AS order_count,
-               CAST(round(sum(o_totalprice), 2) AS FLOAT) AS total_value
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_value
         FROM orders_ex_v o
         WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
           AND o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
@@ -591,7 +591,7 @@ object Joins extends QueryModule {
     },
     Some("""
       SELECT o_orderpriority, count(*) AS order_count,
-             CAST(round(sum(o_totalprice), 2) AS FLOAT) AS total_value
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_value
       FROM orders o
       WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
         AND o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'

@@ -25,20 +25,20 @@ object Relational extends QueryModule {
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
           round(sum(col("l_quantity")), 2).as("sum_qty"),
-          round(sum(col("l_extendedprice")), 2).cast("float").as("sum_base_price"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).cast("float").as("sum_disc_price"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).cast("float").as("sum_charge"),
+          centsSum(col("l_extendedprice")).as("sum_base_price"),
+          centsSum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+          centsSum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))).as("sum_charge"),
           round(avg(col("l_quantity")), 4).as("avg_qty"),
           round(avg(col("l_extendedprice")), 4).as("avg_price"),
           round(avg(col("l_discount")), 4).as("avg_disc"),
           count(lit(1)).as("count_order"))
         .orderBy(col("l_returnflag"), col("l_linestatus")),
-    Some("""
+    Some(s"""
       SELECT l_returnflag, l_linestatus,
              round(sum(l_quantity), 2) AS sum_qty,
-             CAST(round(sum(l_extendedprice), 2) AS FLOAT) AS sum_base_price,
-             CAST(round(sum(l_extendedprice * (1 - l_discount)), 2) AS FLOAT) AS sum_disc_price,
-             CAST(round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS FLOAT) AS sum_charge,
+             ${centsSumSql("l_extendedprice")} AS sum_base_price,
+             ${centsSumSql("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
+             ${centsSumSql("l_extendedprice * (1 - l_discount) * (1 + l_tax)")} AS sum_charge,
              round(avg(l_quantity), 4) AS avg_qty,
              round(avg(l_extendedprice), 4) AS avg_price,
              round(avg(l_discount), 4) AS avg_disc,

@@ -76,7 +76,7 @@ object Subqueries extends QueryModule {
       Tables.orders(s, d).createOrReplaceTempView("orders_gba_v")
       s.sql("""
         SELECT o_orderstatus, o_orderpriority,
-               count(*) AS cnt, CAST(round(sum(o_totalprice), 2) AS FLOAT) AS total
+               count(*) AS cnt, CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total
         FROM orders_gba_v
         GROUP BY ALL
         ORDER BY o_orderstatus, o_orderpriority
@@ -84,7 +84,7 @@ object Subqueries extends QueryModule {
     },
     Some("""
       SELECT o_orderstatus, o_orderpriority,
-             count(*) AS cnt, CAST(round(sum(o_totalprice), 2) AS FLOAT) AS total
+             count(*) AS cnt, CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total
       FROM orders
       GROUP BY ALL
       ORDER BY o_orderstatus, o_orderpriority
@@ -111,13 +111,13 @@ object Subqueries extends QueryModule {
         rev AS (
           SELECT to_date(date_trunc('month', o_orderdate)) AS m,
                  count(*) AS order_count,
-                 round(sum(o_totalprice), 2) AS revenue
+                 CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS revenue
           FROM orders_rec_v
           GROUP BY 1
         )
         SELECT months.m AS month_start,
                coalesce(order_count, 0) AS order_count,
-               CAST(coalesce(revenue, 0.0) AS FLOAT) AS revenue
+               coalesce(revenue, 0.0) AS revenue
         FROM months LEFT JOIN rev ON months.m = rev.m
         ORDER BY month_start
       """)
@@ -131,13 +131,13 @@ object Subqueries extends QueryModule {
       rev AS (
         SELECT date_trunc('month', o_orderdate) AS m,
                count(*) AS order_count,
-               round(sum(o_totalprice), 2) AS revenue
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS revenue
         FROM orders
         GROUP BY 1
       )
       SELECT months.m AS month_start,
              coalesce(order_count, 0) AS order_count,
-             CAST(coalesce(revenue, 0.0) AS FLOAT) AS revenue
+             coalesce(revenue, 0.0) AS revenue
       FROM months LEFT JOIN rev ON months.m = rev.m
       ORDER BY month_start
     """))
@@ -156,7 +156,7 @@ object Subqueries extends QueryModule {
     (s, d) => {
       Tables.orders(s, d).createOrReplaceTempView("orders_lat_v")
       s.sql("""
-        SELECT l.kind, count(*) AS cnt, CAST(round(sum(l.v), 2) AS FLOAT) AS total
+        SELECT l.kind, count(*) AS cnt, CAST(sum(CAST(round(l.v * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total
         FROM orders_lat_v o JOIN LATERAL (
           SELECT 'net' AS kind, o.o_totalprice * 0.9 AS v
           UNION ALL
@@ -167,7 +167,7 @@ object Subqueries extends QueryModule {
       """)
     },
     Some("""
-      SELECT l.kind, count(*) AS cnt, CAST(round(sum(l.v), 2) AS FLOAT) AS total
+      SELECT l.kind, count(*) AS cnt, CAST(sum(CAST(round(l.v * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total
       FROM orders o, LATERAL (
         SELECT 'net' AS kind, o.o_totalprice * 0.9 AS v
         UNION ALL

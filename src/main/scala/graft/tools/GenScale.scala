@@ -72,11 +72,27 @@ object GenScale {
       }
 
     def off(c: String, i: Int) = (col(c) + lit(i * KeyOffset)).as(c)
+    // Replica key ranges are disjoint ONLY if every source key is
+    // below KeyOffset — running GenScale on an already-scaled or
+    // larger corpus would silently collide keys across replicas
+    // (ADVICE r8), so check instead of assuming.
+    def assertKeysBelowOffset(df: DataFrame, name: String, keys: Seq[String]): Unit =
+      for (k <- keys if df.columns.contains(k)) {
+        val mx = df.agg(max(col(k)).cast("long")).head.getLong(0)
+        require(mx < KeyOffset,
+          s"$name.$k max $mx >= KeyOffset $KeyOffset — source already scaled? " +
+            "Replica key ranges would collide; raise KeyOffset or use the original corpus.")
+      }
     def tag(c: String, i: Int) =
       (if (i == 0) col(c) else concat(col(c), lit(s"_r$i"))).as(c)
 
+    val offsetKeys = Seq("c_custkey", "s_suppkey", "p_partkey", "o_orderkey",
+      "o_custkey", "l_orderkey", "l_partkey", "l_suppkey", "event_id",
+      "user_id", "doc_id", "vec_id")
+
     def replicate(name: String)(f: (DataFrame, Int) => DataFrame): Unit = {
       val base = spark.read.parquet(s"$src/$name.parquet")
+      assertKeysBelowOffset(base, name, offsetKeys)
       val out = (0 until n).map(i => f(base, i)).reduce(_.unionByName(_))
       writeSingle(out, name)
     }

@@ -28,7 +28,13 @@ class InventorySpec extends AnyFunSuite {
   test("SURVEY.md §2.17 lists exactly the registered query names") {
     val survey = java.nio.file.Files.readString(
       java.nio.file.Paths.get("SURVEY.md"))
-    val section = survey.split("## §2.17").last
+    // bound the slice at the next "## " heading so later sections'
+    // prose can never be misread as inventory rows (ADVICE r8)
+    val afterHeading = survey.split("## §2.17").last
+    val section = afterHeading.indexOf("\n## ") match {
+      case -1 => afterHeading
+      case i  => afterHeading.take(i)
+    }
     val listed = "\\| (q_[a-z0-9_]+) \\|".r
       .findAllMatchIn(section).map(_.group(1)).toSet
     val registered = SparkEntry.all.map(_.name).toSet
