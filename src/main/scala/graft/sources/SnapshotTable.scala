@@ -482,13 +482,37 @@ object SnapshotTable {
       if (cur == 0) source
       else {
         val curDf = read(spark, root, cur)
+        // shared columns keep the TABLE's type (the store-assignment
+        // contract of the transactional formats): the source is
+        // implicitly cast where ANSI store assignment allows it
+        // (numeric widening/narrowing, not string->numeric), so a
+        // merge can never silently flip a column's physical type
+        // between versions — the changes() alignment treats a
+        // same-name type change as corruption
+        val shared = curDf.schema.filter(f => source.columns.contains(f.name))
+        for (f <- shared; sf = source.schema(f.name) if sf.dataType != f.dataType)
+          require(org.apache.spark.sql.catalyst.expressions.Cast
+            .canANSIStoreAssign(sf.dataType, f.dataType),
+            s"merge source column ${f.name} has type ${sf.dataType}, " +
+              s"table has ${f.dataType} — cast before merging")
+        val srcAligned = source.select(source.columns.map { c =>
+          curDf.schema.find(_.name == c) match {
+            case Some(f) if f.dataType != source.schema(c).dataType =>
+              col(c).cast(f.dataType).as(c)
+            case _ => col(c)
+          }
+        }.toSeq: _*)
         // the using-columns join form moves keyCols to the FRONT of
         // its output; restore the table's column order so every
         // version shares one physical layout (changes() and any
-        // positional consumer depend on it)
-        curDf.join(source.select(keyCols.map(col): _*), keyCols, "left_anti")
+        // positional consumer depend on it). allowMissingColumns
+        // makes the merge SCHEMA-EVOLVING: a source with a new
+        // column appends it (old rows null), a source missing a
+        // table column nulls it in the merged-in rows — the additive
+        // evolution contract of the transactional formats.
+        curDf.join(srcAligned.select(keyCols.map(col): _*), keyCols, "left_anti")
           .select(curDf.columns.map(col): _*)
-          .unionByName(source)
+          .unionByName(srcAligned, allowMissingColumns = true)
       }
     commit(spark, root, merged, readVersion = cur, maxRetries = maxRetries)
   }
@@ -981,18 +1005,44 @@ object SnapshotTable {
   def changes(spark: SparkSession, root: String, fromV: Int, toV: Int): DataFrame = {
     import org.apache.spark.sql.functions.lit
     val a = read(spark, root, fromV)
-    // exceptAll/unionAll pair rows POSITIONALLY; align the newer
-    // version's columns to the older one's order by NAME first, so a
-    // version whose physical column order drifted (e.g. a pre-fix
-    // mergeByKey moved key columns to the front) can never mis-pair
-    // columns into silently-wrong change rows
     val bRaw = read(spark, root, toV)
-    require(bRaw.columns.sorted.sameElements(a.columns.sorted),
-      s"changes() requires v$fromV and v$toV to share a column set " +
-        "(schema-evolved tables: diff by key with changesByKey())")
-    val b = bRaw.select(a.columns.map(org.apache.spark.sql.functions.col): _*)
-    b.exceptAll(a).withColumn("_change_type", lit("insert"))
-      .unionAll(a.exceptAll(b).withColumn("_change_type", lit("delete")))
+    // exceptAll/unionAll pair rows POSITIONALLY; align BOTH versions
+    // to one column list by NAME first, so a version whose physical
+    // column order drifted (e.g. a pre-fix mergeByKey moved key
+    // columns to the front) can never mis-pair columns into
+    // silently-wrong change rows. Across a schema-EVOLUTION boundary
+    // (additive merge, or a restore past one) the alignment target is
+    // the UNION of both column sets with typed nulls for the side
+    // missing a column — a row whose new column went null→value then
+    // reads as delete+insert, which is exactly what changed.
+    val aligned = alignVersions(a, bRaw, "changes()")
+    val (av, bv) = aligned
+    bv.exceptAll(av).withColumn("_change_type", lit("insert"))
+      .unionAll(av.exceptAll(bv).withColumn("_change_type", lit("delete")))
+  }
+
+  /** Align two versions of a table to one column list (the older
+    * side's order, then columns only the newer side has), with typed
+    * null literals where a side lacks a column. Shared columns must
+    * agree on type — a same-name type change is genuine corruption,
+    * not evolution, and fails loudly.
+    */
+  private def alignVersions(a: DataFrame, b: DataFrame,
+      op: String): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.functions.{col, lit}
+    for (f <- a.schema if b.columns.contains(f.name)) {
+      val bt = b.schema(f.name).dataType
+      require(bt == f.dataType,
+        s"$op: column ${f.name} changed type ${f.dataType} -> $bt " +
+          "between versions; cannot align")
+    }
+    val all = a.columns ++ b.columns.filterNot(a.columns.contains)
+    def align(df: DataFrame, other: DataFrame): DataFrame =
+      df.select(all.map { c =>
+        if (df.columns.contains(c)) col(c)
+        else lit(null).cast(other.schema(c).dataType).as(c)
+      }.toSeq: _*)
+    (align(a, b), align(b, a))
   }
 
   /** Keyed change feed: classify by `keyCols` into insert / delete /
@@ -1005,12 +1055,16 @@ object SnapshotTable {
   def changesByKey(spark: SparkSession, root: String,
       fromV: Int, toV: Int, keyCols: Seq[String]): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit, struct}
-    val a = read(spark, root, fromV)
-    val b = read(spark, root, toV)
+    val aRaw = read(spark, root, fromV)
+    val bRaw = read(spark, root, toV)
+    require(keyCols.forall(k =>
+      aRaw.columns.contains(k) && bRaw.columns.contains(k)),
+      s"changesByKey: key columns $keyCols must exist in both versions")
+    // union-of-columns alignment, same contract as changes(): across
+    // an additive evolution boundary the pre/postimages carry the
+    // union schema with typed nulls for the missing side
+    val (a, b) = alignVersions(aRaw, bRaw, "changesByKey()")
     val cols = a.columns.toSeq
-    require(b.columns.toSeq.sorted == cols.sorted,
-      "changesByKey requires both versions to share a schema " +
-        "(schema-evolved tables: use changes())")
     val onKeys = keyCols.map(k => col(s"a.$k") <=> col(s"b.$k")).reduce(_ && _)
     val j = a.as("a").join(b.as("b"), onKeys, "full_outer")
     val aKey = col(s"a.${keyCols.head}")
