@@ -72,14 +72,13 @@ object Bench {
     // q_dedup_events 0.56 → 2.56 s in the r3→r4 bench diff, isolated
     // re-measure in BASELINE.md r5). Warming it here charges every
     // query the same (zero) layout cost, like the table cache above.
-    Tables.eventsByDate(spark, sfDir).limit(1).count()
-    // Same contract for the other memoized per-dataset artifacts:
-    // LSH signatures + verified pairs (Dedup) and the sparsified
-    // edge table (Graphs) are one-time eager-checkpoint builds shared
-    // across several queries — charging them to whichever query runs
-    // first made that query's number a coin flip across windows.
-    queries.Dedup.warm(spark, sfDir)
-    queries.Graphs.warm(spark, sfDir)
+    // ...and the other memoized per-dataset artifacts (LSH
+    // signatures + verified pairs, graph edge table) — one-time
+    // eager-checkpoint builds shared across several queries; charging
+    // them to whichever query runs first made that query's number a
+    // coin flip across windows. Graft.warmAll is the same entry point
+    // exposed to interactive users.
+    Graft.warmAll(spark, sfDir)
 
     val fullEval = sys.env.get("SPARK_GRAFT_BENCH_ACTION").contains("write")
     // default min-of-2 (r8 verdict item 5): the driver's single-pass

