@@ -547,6 +547,102 @@ object Dedup extends QueryModule {
     */
   val dedupSimhashWide = simhashHammingQuery("q_dedup_simhash_wide", 32)
 
+  /** Banded SimHash probing — the RADIUS lever, complementing the
+    * width lever above: pairs within Hamming distance ≤ 3 on a
+    * 60-bit fingerprint. Bit-flip probing (the Hamming-1 queries)
+    * costs C(width, r) probes per doc at radius r — 34k at r=3/60 —
+    * while the standard band trick needs only `bands` equi-joins:
+    * split the fingerprint into 4 × 15-bit bands; any pair differing
+    * in ≤ 3 bits agrees EXACTLY on at least one band (pigeonhole), so
+    * candidates = pairs sharing any band, then one
+    * `bit_count(xor) ≤ 3` residual filters to true matches. Both
+    * engines evaluate the same integer band arithmetic and popcount —
+    * drift-free.
+    *
+    * Width chose itself (measured): a first cut at 32 bits / 8-bit
+    * bands returned 2.26M pairs at sf1 — the 256-value band space
+    * saturates and most matches are random near-collisions, the same
+    * saturation the width lever documents. 4×15-bit bands (32k
+    * values each, total 60 bits so the packed fingerprint and every
+    * partial stays inside BIGINT on both engines) keep band
+    * occupancy ~n/32k and random ≤3-bit collisions ~nil: 13 / 512 /
+    * 22.6k pairs at sf0.01/0.1/1, all genuinely-similar docs. The
+    * fingerprint kernel is also cheaper per bit than the parity form:
+    * ONE md5, 15 digit extractions, then 60 integer nibble-bit votes
+    * ((d[b/4] >> (b%4)) & 1) — no per-bit string ops.
+    */
+  val dedupSimhashBanded = QueryDef(
+    "q_dedup_simhash_banded",
+    (s, d) => {
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), explode(TF.tokens(col("text"))).as("token"))
+        .select(col("doc_id"), md5(col("token")).as("h"))
+      val digits = (0 until 15).map(k =>
+        (instr(lit(simhashHex), substr(col("h"), lit(k + 1), lit(1))) - 1).as(s"d$k"))
+      val sums = (0 until 60).map(b =>
+        sum(shiftright(col(s"d${b / 4}"), b % 4).bitwiseAND(lit(1)) * 2 - 1).as(s"s$b"))
+      val fp = tok.select(col("doc_id") +: digits: _*)
+        .groupBy(col("doc_id"))
+        .agg(sums.head, sums.tail: _*)
+        .select(col("doc_id"),
+          (0 until 60).map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+            .reduce(_ + _).as("simhash60"))
+        .localCheckpoint(false)
+      def bands(idCol: String, fpCol: String) = fp
+        .select(col("doc_id").as(idCol), col("simhash60").as(fpCol),
+          explode(array((0 until 4).map(b => struct(lit(b).as("band_id"),
+            shiftright(col("simhash60"), 15 * b).bitwiseAND(lit(32767L))
+              .as("band_val"))): _*)).as("bd"))
+        .select(col(idCol), col(fpCol),
+          col("bd.band_id").as("band_id"), col("bd.band_val").as("band_val"))
+      bands("doc1", "fp1")
+        .join(bands("doc2", "fp2"), Seq("band_id", "band_val"))
+        .filter(col("doc1") < col("doc2"))
+        .select(col("doc1"), col("doc2"), col("fp1"), col("fp2")).distinct()
+        .filter(bit_count(col("fp1").bitwiseXOR(col("fp2"))) <= 3)
+        .select(col("doc1"), col("doc2"),
+          bit_count(col("fp1").bitwiseXOR(col("fp2"))).cast("long").as("hamming"))
+        .orderBy(col("doc1"), col("doc2"))
+    },
+    Some {
+      val digits = (0 until 15).map(k =>
+        s"(instr('0123456789abcdef', substr(h, ${k + 1}, 1)) - 1) AS d$k")
+        .mkString(",\n               ")
+      val sums = (0 until 60).map(b =>
+        s"sum((((d${b / 4} >> ${b % 4}) & 1) * 2) - 1) AS s$b")
+        .mkString(",\n               ")
+      val fpe = (0 until 60).map(b => s"CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END")
+        .mkString(" + ")
+      s"""
+      WITH fp AS (
+        SELECT doc_id, CAST($fpe AS BIGINT) AS simhash60
+        FROM (
+          SELECT doc_id,
+               $sums
+          FROM (
+            SELECT doc_id,
+               $digits
+            FROM (SELECT doc_id, md5(token) AS h
+                  FROM (SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS token
+                        FROM documents)))
+          GROUP BY doc_id)),
+      bands AS (
+        SELECT doc_id, simhash60, g.i AS band_id,
+               (simhash60 >> (15 * g.i)) & 32767 AS band_val
+        FROM fp, generate_series(0, 3) AS g(i)),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2,
+               a.simhash60 AS fp1, b.simhash60 AS fp2
+        FROM bands a JOIN bands b
+          ON a.band_id = b.band_id AND a.band_val = b.band_val
+          AND a.doc_id < b.doc_id)
+      SELECT doc1, doc2, CAST(bit_count(xor(fp1, fp2)) AS BIGINT) AS hamming
+      FROM cand
+      WHERE bit_count(xor(fp1, fp2)) <= 3
+      ORDER BY doc1, doc2
+    """
+    })
+
   /** Embedding-cosine near-dup: for each probe vector, its single
     * most-similar neighbor within the same cluster label (the coarse
     * bucket). Join key = label, so candidate scoring is bucket-local —
@@ -715,6 +811,6 @@ object Dedup extends QueryModule {
 
   def defs: Seq[QueryDef] = Seq(
     dedupExact, dedupFingerprint, dedupMinhash, dedupCluster, dedupSimhash,
-    dedupSimhashHamming, dedupSimhashWide, dedupEmbedding, dedupFuzzy,
+    dedupSimhashHamming, dedupSimhashWide, dedupSimhashBanded, dedupEmbedding, dedupFuzzy,
     dedupKeepBest, dedupIncremental, minhashEstimate)
 }
