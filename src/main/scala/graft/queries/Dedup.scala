@@ -412,23 +412,30 @@ object Dedup extends QueryModule {
     * parameterized on WIDTH — the occupancy lever of this family:
     * a fixed fingerprint space densifies quadratically as the corpus
     * grows (birthday collisions), and the remedy is a wider
-    * fingerprint, exactly like LSH band width. Bit b's vote is the
-    * parity of hex digit b of md5(token), so any width ≤ 32 reuses
-    * the same kernel (md5 has 32 hex digits); beyond 32 the pipeline
-    * is unchanged with a second hash supplying digits. Width 16 is
+    * fingerprint, exactly like LSH band width. Bit b's vote is bit
+    * (b mod 4) of hex digit b/4 of md5(token) (the nibble-bit
+    * kernel), so any width ≤ 128 comes from one md5; width 16 is
     * the classic graded config; width 32 is the graded scale config
     * (q_dedup_simhash_wide) — measured at 26×, the wider space
     * collapses collision pairs and the query's cost with them.
     */
   private def simhashFp(s: org.apache.spark.sql.SparkSession,
       d: String, width: Int = 16): org.apache.spark.sql.DataFrame = {
+    // nibble-bit kernel (r9): ONE digit extraction feeds FOUR bit
+    // votes — ceil(width/4) string ops per token instead of width.
+    // Bit b = bit (b%4) of hex digit b/4 of md5(token). Measured at
+    // 26×: q_dedup_simhash_wide 50.5 → 17.2 s, hamming 24.1 → 11.4 s
+    // (the build dominated both).
+    val nd = (width + 3) / 4
     val tok = Tables.documents(s, d)
       .select(col("doc_id"), explode(TF.tokens(col("text"))).as("token"))
       .select(col("doc_id"), md5(col("token")).as("h"))
+    val digits = (0 until nd).map(k =>
+      (instr(lit(simhashHex), substr(col("h"), lit(k + 1), lit(1))) - 1).as(s"d$k"))
     val sums = (0 until width).map(b =>
-      sum((instr(lit(simhashHex), substr(col("h"), lit(b + 1), lit(1))) - 1) % 2 * 2 - 1)
-        .as(s"s$b"))
-    tok.groupBy(col("doc_id"))
+      sum(shiftright(col(s"d${b / 4}"), b % 4).bitwiseAND(lit(1)) * 2 - 1).as(s"s$b"))
+    tok.select(col("doc_id") +: digits: _*)
+      .groupBy(col("doc_id"))
       .agg(sums.head, sums.tail: _*)
       .select(col("doc_id"),
         (0 until width).map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
@@ -439,8 +446,12 @@ object Dedup extends QueryModule {
     * so both engines keep the identical per-width formulation).
     */
   private def simhashFpCte(width: Int = 16): String = {
+    val nd = (width + 3) / 4
+    val digitCols = (0 until nd).map(k =>
+      s"(instr('0123456789abcdef', substr(h, ${k + 1}, 1)) - 1) AS d$k")
+      .mkString(",\n               ")
     val sumCols = (0 until width).map(b =>
-      s"sum(((instr('0123456789abcdef', substr(h, ${b + 1}, 1)) - 1) % 2) * 2 - 1) AS s$b")
+      s"sum((((d${b / 4} >> ${b % 4}) & 1) * 2) - 1) AS s$b")
       .mkString(",\n               ")
     val fpExpr = (0 until width).map(b => s"CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END")
       .mkString(" + ")
@@ -449,14 +460,17 @@ object Dedup extends QueryModule {
         FROM (
           SELECT doc_id,
                $sumCols
-          FROM (SELECT doc_id, md5(token) AS h
-                FROM (SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS token
-                      FROM documents))
+          FROM (
+            SELECT doc_id,
+               $digitCols
+            FROM (SELECT doc_id, md5(token) AS h
+                  FROM (SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS token
+                        FROM documents)))
           GROUP BY doc_id))"""
   }
 
-  /** 16-bit SimHash: per token, bit i's vote is ±1 by the parity of
-    * the i-th hex digit of md5(token); per doc the votes sum over
+  /** 16-bit SimHash: per token, bit i's vote is ±1 by bit (i mod 4)
+    * of hex digit i/4 of md5(token); per doc the votes sum over
     * tokens WITH multiplicity; fingerprint packs the positive bits
     * (one-pass column form — see simhashFp). Docs sharing a
     * fingerprint are near-dup candidates. Pure integer/string math —
@@ -535,15 +549,17 @@ object Dedup extends QueryModule {
   /** The graded WIDTH lever config: the same Hamming-1 pipeline on a
     * 32-bit fingerprint — the standard width/recall trade, graded
     * hash-exact in both engines like q_ann_lsh_wide grades the
-    * plane-count lever. Measured (r9): pair volume at 16 bits grows
-    * SUPERLINEARLY (sf1→sf26: 3.76M→11.44M pairs, 3.0× for 2.6×
-    * data — birthday collisions of the saturated space) while at 32
-    * bits it grows sublinearly (116k→236k, 2.0×). At bench scales
-    * the fingerprint BUILD (32 vote sums over token rows, linear)
-    * still dominates wall time, so the wide config costs ~2× the
-    * 16-bit one in absolute seconds here; the crossover where the
-    * 16-bit quadratic pair term overtakes the 2× linear build cost
-    * arrives with corpus growth — which is exactly when you widen.
+    * plane-count lever. Measured (r9): with the original parity
+    * kernel, 16-bit pair volume grew SUPERLINEARLY (sf1→sf26:
+    * 3.76M→11.44M, 3.0× for 2.6× data — birthday collisions of the
+    * saturated space) while 32-bit grew sublinearly (116k→236k,
+    * 2.0×); the shipped nibble-kernel fingerprints measure 6.09M→
+    * 14.1M (2.3×) and 156k→360k (2.3×) — this corpus's planted-dup
+    * mixture masks the asymptotic gap at 26×, but the saturation
+    * argument (pairs ∝ n²/2^width once random collisions dominate)
+    * is what the width lever exists for. At bench scales the LINEAR
+    * fingerprint build dominates both configs' wall time (wide
+    * 17.2 s vs 16-bit 11.4 s at 26×).
     */
   val dedupSimhashWide = simhashHammingQuery("q_dedup_simhash_wide", 32)
 
