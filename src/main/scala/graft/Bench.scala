@@ -55,6 +55,11 @@ object Bench {
       // instead of cpus near-empty tasks (pure overhead at small
       // scale, harmless at large scale where partitions stay full)
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      // size-driven join strategy sized for large-memory executors: the
+      // r9 hint audit removed forced broadcasts on data-proportional
+      // dims (part/supplier); 64m keeps them broadcast while they are
+      // genuinely small and degrades to shuffle joins when they are not
+      .config("spark.sql.autoBroadcastJoinThreshold", "64m")
       .config("spark.scheduler.mode", "FAIR")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true") // events.ts (Tables.events)

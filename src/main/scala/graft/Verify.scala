@@ -21,6 +21,11 @@ object Verify {
       // instead of cpus near-empty tasks (pure overhead at small
       // scale, harmless at large scale where partitions stay full)
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      // size-driven join strategy sized for large-memory executors: the
+      // r9 hint audit removed forced broadcasts on data-proportional
+      // dims (part/supplier); 64m keeps them broadcast while they are
+      // genuinely small and degrades to shuffle joins when they are not
+      .config("spark.sql.autoBroadcastJoinThreshold", "64m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true") // events.ts (Tables.events)
       .config("spark.ui.enabled", "false")

@@ -70,7 +70,11 @@ object Analytics extends QueryModule {
     """))
 
   /** Q14 analog — promo revenue share: conditional aggregation over a
-    * fact⋈dim join (part side broadcastable).
+    * fact⋈dim join. No broadcast HINT on part: it is data-
+    * proportional (scales with SF — unbroadcastable at 100 TB), so
+    * the join strategy is left to Catalyst/AQE size statistics, which
+    * broadcast it exactly while it is actually small (r9 hint audit:
+    * only bounded enums nation/region keep explicit hints).
     */
   val promoRevenue = QueryDef(
     "q_promo_revenue",
@@ -78,7 +82,7 @@ object Analytics extends QueryModule {
       val l = Tables.lineitem(s, d)
         .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp")
           && col("l_shipdate") < lit("1997-07-01").cast("timestamp"))
-      l.join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+      l.join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
         .agg(
           centsSum(when(col("p_type").like("PROMO%"),
             col("l_extendedprice") * (lit(1) - col("l_discount"))).otherwise(0.0))
@@ -135,7 +139,7 @@ object Analytics extends QueryModule {
     "q_parts_stats",
     (s, d) =>
       Tables.lineitem(s, d)
-        .join(broadcast(Tables.part(s, d).filter(col("p_brand") =!= "Brand#1")),
+        .join(Tables.part(s, d).filter(col("p_brand") =!= "Brand#1"),
           col("l_partkey") === col("p_partkey"))
         .select(col("p_brand"),
           substring(col("p_type"), 1, 6).as("type_prefix"),
@@ -498,7 +502,7 @@ object Analytics extends QueryModule {
       Tables.lineitem(s, d)
         .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
         .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
-        .join(broadcast(Tables.supplier(s, d)),
+        .join(Tables.supplier(s, d),
           col("l_suppkey") === col("s_suppkey")
             && col("s_nationkey") === col("c_nationkey"))
         .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))

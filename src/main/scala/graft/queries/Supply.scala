@@ -39,7 +39,7 @@ object Supply extends QueryModule {
       // so the one fact shuffle carries 1/50 of the data (aggregating
       // everything and discarding 98% after would waste the shuffle)
       val best = Tables.lineitem(s, d)
-        .join(broadcast(Tables.part(s, d).filter(col("p_size") === 15)),
+        .join(Tables.part(s, d).filter(col("p_size") === 15),
           col("l_partkey") === col("p_partkey"))
         .select(col("l_partkey"), col("p_partkey"), col("p_brand"),
           struct((col("l_extendedprice") / col("l_quantity")).as("unit_price"),
@@ -49,7 +49,7 @@ object Supply extends QueryModule {
         .select(col("p_partkey"), col("p_brand"),
           col("m.unit_price").as("best_price"), col("m.supp").as("best_supp"))
       best
-        .join(broadcast(Tables.supplier(s, d)),
+        .join(Tables.supplier(s, d),
           col("best_supp") === col("s_suppkey"))
         .join(broadcast(Tables.nation(s, d)),
           col("s_nationkey") === col("n_nationkey"))
@@ -97,10 +97,10 @@ object Supply extends QueryModule {
     (s, d) => {
       def bloc(key: org.apache.spark.sql.Column) =
         when(key < 8, "BLOC_A").otherwise("BLOC_B")
-      val supp = broadcast(Tables.supplier(s, d)
-        .join(Tables.nation(s, d).filter(col("n_nationkey") < 16),
+      val supp = Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d).filter(col("n_nationkey") < 16)),
           col("s_nationkey") === col("n_nationkey"))
-        .select(col("s_suppkey"), bloc(col("n_nationkey")).as("supp_bloc")))
+        .select(col("s_suppkey"), bloc(col("n_nationkey")).as("supp_bloc"))
       val cust = Tables.customer(s, d)
         .join(broadcast(Tables.nation(s, d).filter(col("n_nationkey") < 16)
           .select(col("n_nationkey").as("cn_key"))),
@@ -152,9 +152,9 @@ object Supply extends QueryModule {
     "q_product_profit",
     (s, d) =>
       Tables.lineitem(s, d)
-        .join(broadcast(Tables.part(s, d).filter(col("p_name").contains("red"))),
+        .join(Tables.part(s, d).filter(col("p_name").contains("red")),
           col("l_partkey") === col("p_partkey"))
-        .join(broadcast(Tables.supplier(s, d)),
+        .join(Tables.supplier(s, d),
           col("l_suppkey") === col("s_suppkey"))
         .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(Tables.nation(s, d)),
@@ -263,8 +263,8 @@ object Supply extends QueryModule {
     "q_small_qty_revenue",
     (s, d) => {
       val slice = Tables.lineitem(s, d)
-        .join(broadcast(Tables.part(s, d).filter(col("p_brand") === "Brand#3")
-          .select(col("p_partkey"))),
+        .join(Tables.part(s, d).filter(col("p_brand") === "Brand#3")
+          .select(col("p_partkey")),
           col("l_partkey") === col("p_partkey"))
       val thresh = slice.groupBy(col("l_partkey").as("t_partkey"))
         .agg((avg(col("l_quantity")) * 0.2).as("qty_thresh"))
@@ -296,7 +296,7 @@ object Supply extends QueryModule {
     "q_disjunctive_revenue",
     (s, d) =>
       Tables.lineitem(s, d)
-        .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+        .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
         .filter(
           (col("p_brand") === "Brand#1" && col("p_size").between(1, 10)
             && col("l_quantity").between(1, 20))
@@ -330,8 +330,8 @@ object Supply extends QueryModule {
     "q_dominant_supplier",
     (s, d) => {
       val perSupp = Tables.lineitem(s, d)
-        .join(broadcast(Tables.part(s, d).filter(col("p_name").like("%bolt%"))
-          .select(col("p_partkey"))),
+        .join(Tables.part(s, d).filter(col("p_name").like("%bolt%"))
+          .select(col("p_partkey")),
           col("l_partkey") === col("p_partkey"))
         .groupBy(col("l_partkey"), col("l_suppkey"))
         .agg(sum(col("l_quantity")).as("supp_qty"))
@@ -340,7 +340,7 @@ object Supply extends QueryModule {
       perSupp.join(perPart, col("l_partkey") === col("pp_key"))
         .filter(col("supp_qty") > col("part_qty") * 0.15)
         .select(col("l_suppkey")).distinct()
-        .join(broadcast(Tables.supplier(s, d)),
+        .join(Tables.supplier(s, d),
           col("l_suppkey") === col("s_suppkey"))
         .join(broadcast(Tables.nation(s, d)),
           col("s_nationkey") === col("n_nationkey"))
