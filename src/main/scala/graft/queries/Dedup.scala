@@ -590,20 +590,7 @@ object Dedup extends QueryModule {
   val dedupSimhashBanded = QueryDef(
     "q_dedup_simhash_banded",
     (s, d) => {
-      val tok = Tables.documents(s, d)
-        .select(col("doc_id"), explode(TF.tokens(col("text"))).as("token"))
-        .select(col("doc_id"), md5(col("token")).as("h"))
-      val digits = (0 until 15).map(k =>
-        (instr(lit(simhashHex), substr(col("h"), lit(k + 1), lit(1))) - 1).as(s"d$k"))
-      val sums = (0 until 60).map(b =>
-        sum(shiftright(col(s"d${b / 4}"), b % 4).bitwiseAND(lit(1)) * 2 - 1).as(s"s$b"))
-      val fp = tok.select(col("doc_id") +: digits: _*)
-        .groupBy(col("doc_id"))
-        .agg(sums.head, sums.tail: _*)
-        .select(col("doc_id"),
-          (0 until 60).map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
-            .reduce(_ + _).as("simhash60"))
-        .localCheckpoint(false)
+      val fp = simhashFp(s, d, 60).localCheckpoint(false)
       def bands(idCol: String, fpCol: String) = fp
         .select(col("doc_id").as(idCol), col("simhash60").as(fpCol),
           explode(array((0 until 4).map(b => struct(lit(b).as("band_id"),
@@ -620,28 +607,8 @@ object Dedup extends QueryModule {
           bit_count(col("fp1").bitwiseXOR(col("fp2"))).cast("long").as("hamming"))
         .orderBy(col("doc1"), col("doc2"))
     },
-    Some {
-      val digits = (0 until 15).map(k =>
-        s"(instr('0123456789abcdef', substr(h, ${k + 1}, 1)) - 1) AS d$k")
-        .mkString(",\n               ")
-      val sums = (0 until 60).map(b =>
-        s"sum((((d${b / 4} >> ${b % 4}) & 1) * 2) - 1) AS s$b")
-        .mkString(",\n               ")
-      val fpe = (0 until 60).map(b => s"CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END")
-        .mkString(" + ")
-      s"""
-      WITH fp AS (
-        SELECT doc_id, CAST($fpe AS BIGINT) AS simhash60
-        FROM (
-          SELECT doc_id,
-               $sums
-          FROM (
-            SELECT doc_id,
-               $digits
-            FROM (SELECT doc_id, md5(token) AS h
-                  FROM (SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS token
-                        FROM documents)))
-          GROUP BY doc_id)),
+    Some(s"""
+      WITH ${simhashFpCte(60)},
       bands AS (
         SELECT doc_id, simhash60, g.i AS band_id,
                (simhash60 >> (15 * g.i)) & 32767 AS band_val
@@ -656,8 +623,7 @@ object Dedup extends QueryModule {
       FROM cand
       WHERE bit_count(xor(fp1, fp2)) <= 3
       ORDER BY doc1, doc2
-    """
-    })
+    """))
 
   /** Embedding-cosine near-dup: for each probe vector, its single
     * most-similar neighbor within the same cluster label (the coarse

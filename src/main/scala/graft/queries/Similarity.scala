@@ -355,7 +355,7 @@ object Similarity extends QueryModule {
     (s, d) => {
       graft.functions.expressions.CosineSimilarity.register(s)
       val e = Tables.embeddings(s, d)
-      // smallest k in [0, 8] with c <= 128 * 2^k, as integer compares
+      // smallest k in [0, 8] with c <= 64 * 2^k, as integer compares
       def bitsOf(c: org.apache.spark.sql.Column) =
         (1 until 8).foldLeft(when(c <= 64, 0)) { (acc, k) =>
           acc.when(c <= (64L << k), k)
@@ -369,12 +369,17 @@ object Similarity extends QueryModule {
         .agg(sum(when(col("v") >= 0f, 1L).otherwise(0L)).as("pos"))
       val wDim = Window.partitionBy(col("label"))
         .orderBy(abs(lit(2) * col("pos") - col("n")), col("dim"))
+      // lazy localCheckpoint (same pattern as Dedup's fingerprint
+      // self-joins): both sides of the self-join below read ONE
+      // materialization of the |labels|-row stats result instead of
+      // re-running the count + posexplode balance pass twice
       val chosenDims = balance.join(cnt, "label")
         .withColumn("dr", row_number().over(wDim))
         .filter(col("dr") <= col("bits"))
         .groupBy(col("label"))
         .agg(transform(array_sort(collect_list(struct(col("dr"), col("dim")))),
           x => x.getField("dim")).as("ds"))
+        .localCheckpoint(false)
       val keyed = e.join(broadcast(chosenDims), Seq("label"), "left")
         .withColumn("bkey", coalesce(
           array_join(transform(col("ds"),

@@ -482,13 +482,13 @@ object SnapshotTable {
       if (cur == 0) source
       else {
         val curDf = read(spark, root, cur)
-        // shared columns keep the TABLE's type (the store-assignment
-        // contract of the transactional formats): the source is
-        // implicitly cast where ANSI store assignment allows it
-        // (numeric widening/narrowing, not string->numeric), so a
-        // merge can never silently flip a column's physical type
-        // between versions — the changes() alignment treats a
-        // same-name type change as corruption
+        // shared VALUE columns keep the TABLE's type (the
+        // store-assignment contract of the transactional formats):
+        // the source is implicitly cast where ANSI store assignment
+        // allows it (numeric widening/narrowing, not
+        // string->numeric), so a merge can never silently flip a
+        // column's physical type between versions — the changes()
+        // alignment treats a same-name type change as corruption.
         val shared = curDf.schema.filter(f => source.columns.contains(f.name))
         for (f <- shared; sf = source.schema(f.name) if sf.dataType != f.dataType)
           require(org.apache.spark.sql.catalyst.expressions.Cast
@@ -502,6 +502,19 @@ object SnapshotTable {
             case _ => col(c)
           }
         }.toSeq: _*)
+        // A key cast can be lossy (1.2 and 1.4 both -> 1L), so the
+        // one-row-per-key contract must be re-checked on the CAST
+        // keys — the guard at the top ran on the raw source and
+        // would miss cast-collapsed duplicates.
+        if (keyCols.exists(k => curDf.schema.find(_.name == k)
+            .exists(_.dataType != source.schema(k).dataType))) {
+          val castDups = srcAligned.groupBy(keyCols.map(col): _*)
+            .agg(count(lit(1)).as("n")).filter(col("n") > 1).limit(1).collect()
+          require(castDups.isEmpty,
+            "merge source keys collapse to duplicates after casting to the " +
+              s"table's key type (e.g. ${castDups.headOption.getOrElse("")}) — " +
+              "cast keys explicitly before merging")
+        }
         // the using-columns join form moves keyCols to the FRONT of
         // its output; restore the table's column order so every
         // version shares one physical layout (changes() and any

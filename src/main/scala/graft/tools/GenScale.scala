@@ -76,13 +76,21 @@ object GenScale {
     // below KeyOffset — running GenScale on an already-scaled or
     // larger corpus would silently collide keys across replicas
     // (ADVICE r8), so check instead of assuming.
-    def assertKeysBelowOffset(df: DataFrame, name: String, keys: Seq[String]): Unit =
-      for (k <- keys if df.columns.contains(k)) {
-        val mx = df.agg(max(col(k)).cast("long")).head.getLong(0)
-        require(mx < KeyOffset,
-          s"$name.$k max $mx >= KeyOffset $KeyOffset — source already scaled? " +
-            "Replica key ranges would collide; raise KeyOffset or use the original corpus.")
+    def assertKeysBelowOffset(df: DataFrame, name: String, keys: Seq[String]): Unit = {
+      val present = keys.filter(df.columns.contains)
+      if (present.nonEmpty) {
+        // one aggregation pass for all key columns (not one scan each);
+        // an empty table aggregates to nulls — trivially collision-free
+        val row = df.agg(max(col(present.head)).cast("long"),
+          present.tail.map(k => max(col(k)).cast("long")): _*).head
+        for ((k, i) <- present.zipWithIndex if !row.isNullAt(i)) {
+          val mx = row.getLong(i)
+          require(mx < KeyOffset,
+            s"$name.$k max $mx >= KeyOffset $KeyOffset — source already scaled? " +
+              "Replica key ranges would collide; raise KeyOffset or use the original corpus.")
+        }
       }
+    }
     def tag(c: String, i: Int) =
       (if (i == 0) col(c) else concat(col(c), lit(s"_r$i"))).as(c)
 

@@ -137,7 +137,7 @@ class PlanAuditSpec extends AnyFunSuite {
         case j: org.apache.spark.sql.catalyst.plans.logical.Join =>
           j.condition.map(_.sql).getOrElse("")
       }.mkString("\n")
-      assert(joinKeys.contains("pb = ") || joinKeys.contains("pb ="),
+      assert(joinKeys.contains("pb") && joinKeys.contains("bktb"),
         s"$name: bucket probe key missing from join condition:\n$joinKeys")
     }
   }

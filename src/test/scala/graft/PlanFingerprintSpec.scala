@@ -59,12 +59,13 @@ class PlanFingerprintSpec extends AnyFunSuite {
     "q_volume_shipping" -> Map("BroadcastExchange" -> 5, "BroadcastHashJoin" -> 5, "Exchange hashpartitioning" -> 1, "Exchange rangepartitioning" -> 1),
     // Q20 shape: two-level reagg + SMJ join-back of the two sum tables
     "q_dominant_supplier" -> Map("BroadcastExchange" -> 4, "BroadcastHashJoin" -> 4, "Exchange hashpartitioning" -> 5, "Exchange rangepartitioning" -> 1, "SortMergeJoin" -> 1),
-    // bucketed kNN (r9 adaptive blocking): the (label, bkey) pair
-    // equi-join is the 1 hashpartitioning exchange pair; the other 2
-    // hash exchanges + 4 broadcasts are the tiny per-label stats pass
-    // (count + dim-balance, computed once per self-join side) — a
-    // CartesianProduct here means the bucket restriction was lost
-    "q_knn_join" -> Map("BroadcastExchange" -> 4, "BroadcastHashJoin" -> 4, "Exchange hashpartitioning" -> 3, "Exchange rangepartitioning" -> 1, "WindowGroupLimit" -> 2),
+    // bucketed kNN (r9 adaptive blocking): the per-label stats pass
+    // (count + dim-balance) runs ONCE behind a lazy localCheckpoint
+    // shared by both self-join sides (2 broadcasts); the corpus×corpus
+    // (label, bkey) pair join is a SortMergeJoin — the correct
+    // at-scale shape for two corpus-sized sides. A CartesianProduct
+    // here means the bucket restriction was lost.
+    "q_knn_join" -> Map("BroadcastExchange" -> 2, "BroadcastHashJoin" -> 2, "SortMergeJoin" -> 1, "Exchange hashpartitioning" -> 3, "Exchange rangepartitioning" -> 1, "WindowGroupLimit" -> 2),
     // Q17 shape: brand slice aggregated then joined back (SMJ at this SF)
     "q_small_qty_revenue" -> Map("BroadcastExchange" -> 2, "BroadcastHashJoin" -> 2, "Exchange hashpartitioning" -> 2, "SortMergeJoin" -> 1),
     // EXISTS-in-disjunction MUST stay an ExistenceJoin (a semi join

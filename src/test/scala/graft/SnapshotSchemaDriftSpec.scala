@@ -162,4 +162,22 @@ class SnapshotSchemaDriftSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("cast before merging"))
   }
+
+  test("merge rejects source keys that collapse to duplicates under the key cast") {
+    import spark.implicits._
+    val root = tmp()
+    SnapshotTable.mergeByKey(spark, root, Seq((1L, "a")).toDF("k", "s"), Seq("k"))
+    // distinct DOUBLE keys 2.2 and 2.4 both cast to 2L — accepting
+    // them would silently commit two rows for key 2 despite the
+    // one-row-per-key contract (code-review r9 finding)
+    val e = intercept[IllegalArgumentException] {
+      SnapshotTable.mergeByKey(spark, root,
+        Seq((2.2, "x"), (2.4, "y")).toDF("k", "s"), Seq("k"))
+    }
+    assert(e.getMessage.contains("collapse to duplicates"))
+    // a lossless cast of distinct keys still merges fine
+    SnapshotTable.mergeByKey(spark, root,
+      Seq((3.0, "z")).toDF("k", "s"), Seq("k"))
+    assert(SnapshotTable.read(spark, root).count() === 2)
+  }
 }
