@@ -23,14 +23,24 @@ trait QueryModule {
     * round(sum, 2) — absorbed that drift by throwing away sensitivity
     * (float32 ulp at 1e9 is ~128, so dollar-level engine divergences
     * became ungradable). Instead: round each ROW to integer cents
-    * (identical in both engines), sum the longs (order-independent,
-    * exact), divide by 100.0 (one deterministic op) — full cent-level
-    * bug-detection power at any magnitude. DuckDB twin:
-    * `sum(CAST(round(x * 100) AS BIGINT)) / 100.0`.
+    * (identical in both engines), sum them exactly
+    * (order-independent), divide by 100.0 (one deterministic op) —
+    * full cent-level bug-detection power at any magnitude. DuckDB
+    * twin: `sum(CAST(round(x * 100) AS BIGINT)) / 100.0`.
+    *
+    * The Spark accumulator is DECIMAL(38,0), not LONG (ADVICE r9):
+    * DuckDB's sum(BIGINT) promotes to HUGEINT (int128), so the
+    * engines' overflow behavior was asymmetric — a whole-corpus
+    * money sum at the 100 TB design point (~2.3e18 cents) sits
+    * within ~4× of Long.MaxValue, where Spark would overflow while
+    * the oracle stays exact. DECIMAL(38,0) holds 10^38 — both
+    * engines are now exact at any realistic magnitude, and the
+    * final cast to DOUBLE is the same nearest-double conversion of
+    * the same exact integer on both sides.
     */
   protected def centsSum(x: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions.{round, sum}
-    sum(round(x * 100).cast("long")) / 100.0
+    sum(round(x * 100).cast("decimal(38,0)")).cast("double") / 100.0
   }
 
   /** The matching oracle-side SQL fragment. */

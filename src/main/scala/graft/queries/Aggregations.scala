@@ -640,23 +640,45 @@ object Aggregations extends QueryModule {
     "q_percentile_window",
     (s, d) => {
       val ps = typedLit(Seq(0.25d, 0.5d, 0.75d, 0.99d))
-      val wRank = Window.partitionBy(col("l_returnflag")).orderBy(col("l_extendedprice"))
+      // Pre-aggregate to (group, value, count) BEFORE any window
+      // (VERDICT r9 item 2): the first cut ran row_number over every
+      // ROW, so each group's sort buffered corpus/3 rows — the one
+      // suite member that could fail a concurrent bench under memory
+      // pressure (UNABLE_TO_ACQUIRE_MEMORY at 26× under conc-8).
+      // Distinct values ≪ rows on any real corpus, and the groupBy
+      // is a map-side-combinable hash aggregate, so the window's
+      // sort now touches |distinct| rows. A value at cumulative
+      // count `cum` with multiplicity `c` occupies ranks
+      // [cum−c+1, cum]; a quantile boundary rank r hits the value
+      // whose rank interval contains it — exact semantics, same
+      // oracle, no per-row expansion.
+      val wRank = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("l_extendedprice"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val wAll = Window.partitionBy(col("l_returnflag"))
       Tables.lineitem(s, d)
-        .select(col("l_returnflag"), col("l_extendedprice"))
-        .withColumn("rn", row_number().over(wRank))
-        .withColumn("n", count(lit(1)).over(wAll))
-        // keep only rows that are a floor/ceil boundary of SOME p
+        .groupBy(col("l_returnflag"), col("l_extendedprice"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum(col("c")).over(wRank))
+        .withColumn("n", sum(col("c")).over(wAll))
+        .withColumn("lo", col("cum") - col("c") + 1)
+        // keep only values whose rank interval contains a floor/ceil
+        // boundary of SOME p
         .filter(exists(ps, p =>
-          col("rn") === floor(lit(1) + p * (col("n") - 1)) ||
-            col("rn") === ceil(lit(1) + p * (col("n") - 1))))
-        .select(col("l_returnflag"), col("l_extendedprice"), col("rn"), col("n"),
-          explode(ps).as("p"))
+          (floor(lit(1) + p * (col("n") - 1)) >= col("lo") &&
+            floor(lit(1) + p * (col("n") - 1)) <= col("cum")) ||
+            (ceil(lit(1) + p * (col("n") - 1)) >= col("lo") &&
+              ceil(lit(1) + p * (col("n") - 1)) <= col("cum"))))
+        .select(col("l_returnflag"), col("l_extendedprice"), col("lo"),
+          col("cum"), col("n"), explode(ps).as("p"))
         .withColumn("r", lit(1) + col("p") * (col("n") - 1))
-        .filter(col("rn") === floor(col("r")) || col("rn") === ceil(col("r")))
+        .filter((floor(col("r")) >= col("lo") && floor(col("r")) <= col("cum")) ||
+          (ceil(col("r")) >= col("lo") && ceil(col("r")) <= col("cum")))
         .groupBy(col("l_returnflag"), col("p"))
-        .agg(min(col("l_extendedprice")).as("vlo"),
-          max(col("l_extendedprice")).as("vhi"),
+        .agg(min(when(floor(col("r")) >= col("lo") && floor(col("r")) <= col("cum"),
+          col("l_extendedprice"))).as("vlo"),
+          max(when(ceil(col("r")) >= col("lo") && ceil(col("r")) <= col("cum"),
+            col("l_extendedprice"))).as("vhi"),
           max(col("r")).as("r"))
         .select(col("l_returnflag"), col("p"),
           (col("vlo") + (col("r") - floor(col("r"))) * (col("vhi") - col("vlo")))

@@ -502,30 +502,60 @@ object SnapshotTable {
             case _ => col(c)
           }
         }.toSeq: _*)
-        // A key cast can be lossy (1.2 and 1.4 both -> 1L), so the
-        // one-row-per-key contract must be re-checked on the CAST
-        // keys — the guard at the top ran on the raw source and
-        // would miss cast-collapsed duplicates.
-        if (keyCols.exists(k => curDf.schema.find(_.name == k)
-            .exists(_.dataType != source.schema(k).dataType))) {
-          val castDups = srcAligned.groupBy(keyCols.map(col): _*)
-            .agg(count(lit(1)).as("n")).filter(col("n") > 1).limit(1).collect()
-          require(castDups.isEmpty,
-            "merge source keys collapse to duplicates after casting to the " +
-              s"table's key type (e.g. ${castDups.headOption.getOrElse("")}) — " +
-              "cast keys explicitly before merging")
+        // ANSI store assignment permits casts that are lossy for
+        // SOME values (DOUBLE 1.9 -> LONG 1). A type-level guard
+        // (canUpCast) would reject legitimate in-range narrowing, so
+        // the contract is lossless-IN-FACT (ADVICE r9): every cast
+        // column must round-trip back to its source value exactly,
+        // checked in one pass over the batch-sized source; a row
+        // that would lose precision fails the merge loudly instead
+        // of committing silently truncated data. This also subsumes
+        // the r9 key-collapse guard: an exact round-trip makes the
+        // cast injective on the source's values (cast(a)=cast(b) ⇒
+        // a = back(cast(a)) = back(cast(b)) = b), so distinct keys
+        // can no longer collapse to duplicates after casting.
+        val castCols = source.schema.flatMap { sf =>
+          curDf.schema.find(_.name == sf.name)
+            .filter(_.dataType != sf.dataType).map(f => (sf, f))
         }
+        if (castCols.nonEmpty) {
+          val lossy = castCols.map { case (sf, f) =>
+            source(sf.name).cast(f.dataType).cast(sf.dataType) =!= source(sf.name)
+          }.reduce(_ || _)
+          val bad = source.filter(lossy).limit(1).collect()
+          require(bad.isEmpty,
+            s"merge source row loses precision casting to the table's " +
+              s"column types (e.g. ${bad.headOption.getOrElse("")}; " +
+              s"cast columns: ${castCols.map(c => c._1.name +
+                s" ${c._1.dataType.simpleString}->${c._2.dataType.simpleString}")
+                .mkString(", ")}) — cast explicitly before merging")
+        }
+        // Schema evolution semantics (Delta MERGE parity, ADVICE
+        // r9): a source with a NEW column appends it (old rows
+        // null). A source MISSING a table column must not null it on
+        // MATCHED keys — updateAll preserves target columns absent
+        // from the source — so matched rows pull the missing columns
+        // from their CURRENT row via a left join on the keys;
+        // unmatched (inserted) keys get null there, the insertAll
+        // contract. The join's right side is the table projected to
+        // (keys ++ missing) — one row per key by the table
+        // invariant, so source cardinality is preserved.
+        val missingCols = curDf.schema.map(_.name)
+          .filterNot(source.columns.contains)
+        val srcFull =
+          if (missingCols.isEmpty) srcAligned
+          else srcAligned.join(
+            curDf.select((keyCols ++ missingCols).map(col): _*),
+            keyCols, "left")
         // the using-columns join form moves keyCols to the FRONT of
         // its output; restore the table's column order so every
         // version shares one physical layout (changes() and any
         // positional consumer depend on it). allowMissingColumns
-        // makes the merge SCHEMA-EVOLVING: a source with a new
-        // column appends it (old rows null), a source missing a
-        // table column nulls it in the merged-in rows — the additive
-        // evolution contract of the transactional formats.
+        // keeps the merge schema-evolving for source-side NEW
+        // columns (appended, old rows null).
         curDf.join(srcAligned.select(keyCols.map(col): _*), keyCols, "left_anti")
           .select(curDf.columns.map(col): _*)
-          .unionByName(srcAligned, allowMissingColumns = true)
+          .unionByName(srcFull, allowMissingColumns = true)
       }
     commit(spark, root, merged, readVersion = cur, maxRetries = maxRetries)
   }

@@ -92,11 +92,19 @@ class SnapshotSchemaDriftSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getString(1),
         if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSet
     assert(rows === Set((1L, "a", None), (2L, "b2", Some(9.9)), (3L, "c", Some(7.7))))
-    // source MISSING a table column nulls it in the merged rows
-    SnapshotTable.mergeByKey(spark, root, Seq((4L, 1.1)).toDF("k", "extra"), Seq("k"))
-    val r4 = SnapshotTable.read(spark, root).filter(col("k") === 4)
-      .select("s").collect()
-    assert(r4.length === 1 && r4(0).isNullAt(0))
+    // source MISSING a table column: INSERTED keys get null there
+    // (insertAll), but MATCHED keys keep their current value
+    // (updateAll preserves target columns absent from the source —
+    // Delta MERGE parity, ADVICE r9)
+    SnapshotTable.mergeByKey(spark, root,
+      Seq((4L, 1.1), (2L, 2.2)).toDF("k", "extra"), Seq("k"))
+    val r42 = SnapshotTable.read(spark, root).filter(col("k").isin(4, 2))
+      .select("k", "s", "extra").collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getString(1)), r.getDouble(2))).toSet
+    assert(r42 === Set(
+      (4L, None, 1.1),          // inserted: missing column is null
+      (2L, Some("b2"), 2.2)))   // updated: missing column preserved
   }
 
   test("bag CDC across an evolution boundary carries the union schema") {
@@ -163,21 +171,32 @@ class SnapshotSchemaDriftSpec extends AnyFunSuite {
     assert(e.getMessage.contains("cast before merging"))
   }
 
-  test("merge rejects source keys that collapse to duplicates under the key cast") {
+  test("merge rejects any store-assign cast that loses a value (keys AND values)") {
     import spark.implicits._
     val root = tmp()
-    SnapshotTable.mergeByKey(spark, root, Seq((1L, "a")).toDF("k", "s"), Seq("k"))
-    // distinct DOUBLE keys 2.2 and 2.4 both cast to 2L — accepting
-    // them would silently commit two rows for key 2 despite the
-    // one-row-per-key contract (code-review r9 finding)
-    val e = intercept[IllegalArgumentException] {
+    SnapshotTable.mergeByKey(spark, root, Seq((1L, 10L)).toDF("k", "n"), Seq("k"))
+    // lossy KEY cast: DOUBLE 2.2 -> 2L would silently retarget key 2
+    // (and 2.2/2.4 would collapse to duplicates — the r9 finding,
+    // now subsumed: an exact round-trip makes the cast injective)
+    val e1 = intercept[IllegalArgumentException] {
       SnapshotTable.mergeByKey(spark, root,
-        Seq((2.2, "x"), (2.4, "y")).toDF("k", "s"), Seq("k"))
+        Seq((2.2, 20L), (2.4, 21L)).toDF("k", "n"), Seq("k"))
     }
-    assert(e.getMessage.contains("collapse to duplicates"))
-    // a lossless cast of distinct keys still merges fine
+    assert(e1.getMessage.contains("loses precision"))
+    // lossy VALUE cast: DOUBLE 1.9 into a LONG table column would
+    // commit as 1 (ADVICE r9) — loud failure instead
+    val e2 = intercept[IllegalArgumentException] {
+      SnapshotTable.mergeByKey(spark, root,
+        Seq((2L, 1.9)).toDF("k", "n"), Seq("k"))
+    }
+    assert(e2.getMessage.contains("loses precision") && e2.getMessage.contains("n double->bigint"))
+    // in-range lossless casts (key 3.0 -> 3L, value 30.0 -> 30L)
+    // still merge fine: the contract is lossless-in-fact, not
+    // lossless-in-type
     SnapshotTable.mergeByKey(spark, root,
-      Seq((3.0, "z")).toDF("k", "s"), Seq("k"))
+      Seq((3.0, 30.0)).toDF("k", "n"), Seq("k"))
     assert(SnapshotTable.read(spark, root).count() === 2)
+    assert(SnapshotTable.read(spark, root).filter(col("k") === 3)
+      .select("n").collect().head.getLong(0) === 30L)
   }
 }
