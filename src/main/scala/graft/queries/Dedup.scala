@@ -625,6 +625,134 @@ object Dedup extends QueryModule {
       ORDER BY doc1, doc2
     """))
 
+  /** Occupancy-ADAPTIVE banded SimHash (VERDICT r9 item 1): the
+    * banded query above fixes band width at 15 bits, and a fixed
+    * band space saturates — occupancy n/2^15 grows linearly with the
+    * corpus, candidate enumeration n·occupancy grows quadratically
+    * (~32k docs per corpus slice is where occupancy passes 1). This
+    * is the same failure the r9 kNN redesign fixed, and this query
+    * applies the same lever: band width w is a FUNCTION OF CORPUS
+    * SIZE via an integer threshold chain both engines evaluate
+    * identically — the smallest w in [9, 24] with n ≤ 2^(w+1), i.e.
+    * band-value occupancy stays ≤ 2 and candidate volume stays
+    * LINEAR in n up to 33M docs (beyond that the next lever is more
+    * bands / an int128 fingerprint). Float log2 at a power-of-two
+    * boundary could flip w between engines; the CASE chain cannot
+    * (r9 lesson).
+    *
+    * Mechanics: 4 bands of w bits each (pigeonhole for Hamming ≤ 3
+    * needs radius+1 bands), packed STRIDED — band j's bit p is the
+    * vote of md5 hex digit p, bit j — so the per-digit nibble kernel
+    * feeds all four bands and the w lever masks digits uniformly.
+    * The corpus count is read with one metadata-cheap count()
+    * (parquet row-group counts; no columns decoded) and w becomes a
+    * build-time LITERAL, so the vote pass computes exactly the 4w
+    * sums the fingerprint needs — a first cut kept the count in-plan
+    * and masked a fixed 96-sum build with `p < w`, which cost 1.9×
+    * banded's wall at 26× (51.5 s vs 27.8 s; the linear build
+    * dominates this family at bench scale, r9 width-lever lesson).
+    * The oracle evaluates the IDENTICAL threshold chain as a SQL
+    * CASE over its own count(*) of the same table — integer
+    * compares on the same count cannot diverge between engines.
+    * Residual Hamming = Σⱼ bit_count(bandⱼᵃ xor bandⱼᵇ) ≤ 3 over the
+    * 4w-bit fingerprint, so the MATCH SEMANTIC adapts with the
+    * corpus too: small corpora compare 36-bit fingerprints, the 26×
+    * corpus 68-bit — radius 3 at every width.
+    */
+  val dedupSimhashAdaptive = QueryDef(
+    "q_dedup_simhash_adaptive",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      // smallest w in [9, 24] with n <= 2^(w+1) — the same integer
+      // chain the oracle's CASE evaluates on the same count
+      val n = docs.count()
+      val w = (9 to 23).find(k => n <= (1L << (k + 1))).getOrElse(24)
+      val tok = docs
+        .select(col("doc_id"), explode(TF.tokens(col("text"))).as("token"))
+        .select(col("doc_id"), md5(col("token")).as("h"))
+      val digits = (0 until w).map(p =>
+        (instr(lit(simhashHex), substr(col("h"), lit(p + 1), lit(1))) - 1).as(s"d$p"))
+      val sums = for { p <- 0 until w; j <- 0 until 4 } yield
+        sum(shiftright(col(s"d$p"), j).bitwiseAND(lit(1)) * 2 - 1).as(s"s${p}_$j")
+      val fp = tok.select(col("doc_id") +: digits: _*)
+        .groupBy(col("doc_id")).agg(sums.head, sums.tail: _*)
+        .select(col("doc_id") +: (0 until 4).map(j =>
+          (0 until w).map(p =>
+            when(col(s"s${p}_$j") > 0, lit(1L << p)).otherwise(lit(0L)))
+            .reduce(_ + _).as(s"band$j")): _*)
+        .localCheckpoint(false)
+      def bands(idCol: String, pre: String) = fp
+        .select(col("doc_id").as(idCol) +:
+          (0 until 4).map(j => col(s"band$j").as(s"$pre$j")) :+
+          explode(array((0 until 4).map(b => struct(lit(b).as("band_id"),
+            col(s"band$b").as("band_val"))): _*)).as("bd"): _*)
+        .select(col(idCol) +: (0 until 4).map(j => col(s"$pre$j")) :+
+          col("bd.band_id").as("band_id") :+ col("bd.band_val").as("band_val"): _*)
+      bands("doc1", "a").join(bands("doc2", "b"), Seq("band_id", "band_val"))
+        .filter(col("doc1") < col("doc2"))
+        .select(col("doc1") +: col("doc2") +:
+          (0 until 4).flatMap(j => Seq(col(s"a$j"), col(s"b$j"))): _*)
+        .distinct()
+        .withColumn("hamming", (0 until 4).map(j =>
+          bit_count(col(s"a$j").bitwiseXOR(col(s"b$j")))).reduce(_ + _).cast("long"))
+        .filter(col("hamming") <= 3)
+        .select(col("doc1"), col("doc2"), col("hamming"))
+        .orderBy(col("doc1"), col("doc2"))
+    },
+    Some {
+      val maxW = 24
+      val wChain = (9 until 24).map(w =>
+        s"WHEN count(*) <= ${1L << (w + 1)} THEN $w").mkString(" ")
+      val digitCols = (0 until maxW).map(p =>
+        s"(instr('0123456789abcdef', substr(h, ${p + 1}, 1)) - 1) AS d$p")
+        .mkString(",\n               ")
+      val sumCols = (for { p <- 0 until maxW; j <- 0 until 4 } yield
+        s"sum((((d$p >> $j) & 1) * 2) - 1) AS s${p}_$j")
+        .mkString(",\n               ")
+      val bandCols = (0 until 4).map { j =>
+        (0 until maxW).map(p =>
+          s"CASE WHEN $p < w AND s${p}_$j > 0 THEN ${1L << p} ELSE 0 END")
+          .mkString("(", " + ", s") AS band$j")
+      }.mkString(",\n               ")
+      s"""
+      WITH params AS (
+        SELECT CASE $wChain ELSE 24 END AS w FROM documents),
+      votes AS (
+        SELECT doc_id,
+               $sumCols
+        FROM (
+          SELECT doc_id,
+               $digitCols
+          FROM (SELECT doc_id, md5(token) AS h
+                FROM (SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS token
+                      FROM documents)))
+        GROUP BY doc_id),
+      fp AS (
+        SELECT doc_id,
+               $bandCols
+        FROM votes CROSS JOIN params),
+      bands AS (
+        SELECT doc_id, band0, band1, band2, band3, g.i AS band_id,
+               CASE g.i WHEN 0 THEN band0 WHEN 1 THEN band1
+                        WHEN 2 THEN band2 ELSE band3 END AS band_val
+        FROM fp, generate_series(0, 3) AS g(i)),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2,
+               a.band0 AS a0, a.band1 AS a1, a.band2 AS a2, a.band3 AS a3,
+               b.band0 AS b0, b.band1 AS b1, b.band2 AS b2, b.band3 AS b3
+        FROM bands a JOIN bands b
+          ON a.band_id = b.band_id AND a.band_val = b.band_val
+          AND a.doc_id < b.doc_id)
+      SELECT doc1, doc2,
+             CAST(bit_count(xor(a0, b0)) + bit_count(xor(a1, b1))
+                + bit_count(xor(a2, b2)) + bit_count(xor(a3, b3)) AS BIGINT) AS hamming
+      FROM cand
+      WHERE bit_count(xor(a0, b0)) + bit_count(xor(a1, b1))
+          + bit_count(xor(a2, b2)) + bit_count(xor(a3, b3)) <= 3
+      ORDER BY doc1, doc2
+    """
+    })
+
   /** Embedding-cosine near-dup: for each probe vector, its single
     * most-similar neighbor within the same cluster label (the coarse
     * bucket). Join key = label, so candidate scoring is bucket-local —
@@ -793,6 +921,7 @@ object Dedup extends QueryModule {
 
   def defs: Seq[QueryDef] = Seq(
     dedupExact, dedupFingerprint, dedupMinhash, dedupCluster, dedupSimhash,
-    dedupSimhashHamming, dedupSimhashWide, dedupSimhashBanded, dedupEmbedding, dedupFuzzy,
+    dedupSimhashHamming, dedupSimhashWide, dedupSimhashBanded,
+    dedupSimhashAdaptive, dedupEmbedding, dedupFuzzy,
     dedupKeepBest, dedupIncremental, minhashEstimate)
 }
