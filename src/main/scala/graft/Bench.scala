@@ -21,21 +21,26 @@ import org.apache.spark.sql.SparkSession
   * scheduler) — a single small query can't saturate a 32-thread
   * executor, and whole-suite throughput is the meaningful
   * single-node number for a query suite on one box. Reported fields:
-  * `value` = wall-clock seconds for the whole suite, `queries` =
-  * per-query wall seconds under that concurrency, `sum_sec` = their
-  * sum over succeeded queries (the sequential-equivalent cost),
-  * `failed` = names of queries that threw. Set
-  * SPARK_GRAFT_BENCH_CONC=1 for strictly sequential timing.
+  * `value` = MIN wall-clock seconds over the `repeat` complete suite
+  * passes (each pass runs the whole suite once under the
+  * concurrency; min-over-passes strips host stalls from the headline
+  * the same way per-query min-of-2 strips them from sum_sec — r9
+  * verdict item 7), `queries` = per-query wall seconds (min across
+  * passes), `sum_sec` = their sum over succeeded queries (the
+  * sequential-equivalent cost), `wall_all_passes` = total wall of
+  * all passes (the old `value` semantic), `failed` = names of
+  * queries that threw in every pass. Set SPARK_GRAFT_BENCH_CONC=1
+  * for strictly sequential timing.
   *
   * Window robustness (r7 verdict item 3): per-dataset shared
   * artifacts (eventsByDate layout, LSH verified pairs, graph edge
   * table — each an ingest-time build several queries read) are ALL
   * forced in the untimed warmup, so no query's number depends on
   * whether it touched an artifact first. SPARK_GRAFT_BENCH_REPEAT=n
-  * (default 2) runs each query n times and reports the MIN — the
-  * standard way to strip page-cache cold starts and host stalls from
-  * a throughput comparison; `value` stays the wall-clock of the
-  * whole (repeated) suite, `sum_sec` sums the per-query minima.
+  * (default 2) runs the suite n complete passes and reports
+  * per-query MINs — the standard way to strip page-cache cold starts
+  * and host stalls from a throughput comparison; `value` is the min
+  * pass wall, `sum_sec` sums the per-query minima.
   *
   * Output: the long per-query JSON line first, then a SHORT headline
   * line (metric/value/sum_sec only) last so a tail-capturing harness
@@ -102,32 +107,52 @@ object Bench {
       if (fullEval) df.write.format("noop").mode("overwrite").save()
       else { df.count(); () }
 
-    val pool = Executors.newFixedThreadPool(conc)
-    val t0 = System.nanoTime()
-    val futures = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      name -> pool.submit(new Callable[Double] {
-        override def call(): Double = {
-          try {
-            // min over `repeat` runs; plan construction re-executed
-            // each time (it is part of a query's real cost)
-            (1 to repeat).map { _ =>
+    // The suite runs as `repeat` COMPLETE PASSES, each pass fully
+    // concurrent inside, and the reported wall (`value`) is the MIN
+    // over passes (r9 verdict item 7): the old shape interleaved
+    // both reps inside one pool window, so the headline wall always
+    // carried both reps plus any host stall that hit either — the
+    // driver's r9 window read 66 s against the same code's 41 s calm
+    // anchor. Per-pass timing makes the headline self-adjudicate the
+    // way per-query min-of-2 already made sum_sec: a stall inflates
+    // one pass, the other still measures calm throughput. Per-query
+    // numbers stay the min across passes.
+    def onePass(): (Map[String, Double], Double) = {
+      val pool = Executors.newFixedThreadPool(conc)
+      val t0 = System.nanoTime()
+      val futures = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+        name -> pool.submit(new Callable[Double] {
+          override def call(): Double = {
+            try { // plan construction re-executed each pass (it is
+              // part of a query's real cost)
               val s = System.nanoTime()
               run(fn(spark, sfDir))
               (System.nanoTime() - s) / 1e9
-            }.min
+            }
+            catch { case e: Throwable => // failure marker; diagnose on stderr
+              System.err.println(s"[bench] $name FAILED: $e")
+              e.getStackTrace.take(5).foreach(f => System.err.println(s"[bench]   at $f"))
+              -1.0
+            }
           }
-          catch { case e: Throwable => // failure marker; diagnose on stderr
-            System.err.println(s"[bench] $name FAILED: $e")
-            e.getStackTrace.take(5).foreach(f => System.err.println(s"[bench]   at $f"))
-            -1.0
-          }
-        }
-      })
+        })
+      }
+      val res = futures.map { case (n, f) => n -> f.get() }.toMap
+      val passWall = (System.nanoTime() - t0) / 1e9
+      pool.shutdown()
+      pool.awaitTermination(60, TimeUnit.SECONDS)
+      (res, passWall)
     }
-    val results = futures.map { case (n, f) => n -> f.get() }
-    val wall = (System.nanoTime() - t0) / 1e9
-    pool.shutdown()
-    pool.awaitTermination(60, TimeUnit.SECONDS)
+    val passes = (1 to repeat).map(_ => onePass())
+    val wall = passes.map(_._2).min
+    val wallAll = passes.map(_._2).sum
+    // per-query min across passes; a query that failed in EVERY pass
+    // keeps the -1 marker, one that succeeded in any pass reports
+    // its best honest time
+    val results = selected.keySet.toSeq.sorted.map { n =>
+      val ts = passes.map(_._1.getOrElse(n, -1.0)).filter(_ >= 0.0)
+      n -> (if (ts.isEmpty) -1.0 else ts.min)
+    }
 
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -135,7 +160,7 @@ object Bench {
     val sum = ok.map(_._2).sum
     val failedList = failed.map(n => "\"" + n._1 + "\"").mkString("[", ",", "]")
     val detail =
-      s"""{"metric":"total","value":$wall,"unit":"sec","queries":$qs,"sum_sec":$sum,"failed":$failedList,"concurrency":$conc,"repeat":$repeat,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$wall,"unit":"sec","queries":$qs,"sum_sec":$sum,"failed":$failedList,"concurrency":$conc,"repeat":$repeat,"wall_all_passes":$wallAll,"sf":"$sfDir"}"""
     // The per-query detail line is long (~3KB); the harness tail-captures
     // stdout, so print it FIRST and finish with a short headline line that
     // survives head-truncation. Full JSON also lands in a file.
