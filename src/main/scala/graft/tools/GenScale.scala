@@ -48,9 +48,33 @@ object GenScale {
   private val KeyOffset = 100000000L // 1e8: far above any source key
 
   def main(args: Array[String]): Unit = {
-    require(args.length == 3, "usage: GenScale <srcSfDir> <dstDir> <replicas>")
+    require(args.length == 3 || args.length == 4,
+      "usage: GenScale <srcSfDir> <dstDir> <replicas> [skewPctOfEvents]")
     val src = args(0); val dst = args(1); val n = args(2).toInt
     require(n >= 1 && n <= 100, s"replicas out of range: $n")
+    // SKEW MODE (VERDICT r9 item 5): reassign skewPct% of ALL events
+    // (every replica) to ONE hot user, so the giant-key levers
+    // (q_sessionize_2level / q_join_asof_2level) can be measured on
+    // the workload they exist for — a key that concentrates a
+    // corpus-proportional share of a table. Selection is
+    // pmod(event_id, 100) < pct, and the replica key offset (1e8) is
+    // divisible by 100, so every replica skews the same event slice
+    // deterministically; all other tables are untouched and the
+    // corpus stays self-consistent for the DuckDB oracle.
+    // optional: "<pct>" or "<pct>:<table,table>" — the table list
+    // restricts REPLICATION to those tables (others copy at 1×), for
+    // building a targeted stress corpus (e.g. 100× events with a 95%
+    // hot user) without paying a 100× lineitem write. A filtered
+    // corpus is NOT referentially complete across tables — use it
+    // only for queries over the replicated tables.
+    val (skewPct, onlyTables) = if (args.length == 4) {
+      args(3).split(":") match {
+        case Array(p) => (p.toInt, Set.empty[String])
+        case Array(p, ts) => (p.toInt, ts.split(",").map(_.trim).toSet)
+      }
+    } else (0, Set.empty[String])
+    require(skewPct >= 0 && skewPct < 100, s"skew pct out of range: $skewPct")
+    val hotUser = 7L // a base-corpus user id; stays in-range for joins
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -101,7 +125,8 @@ object GenScale {
     def replicate(name: String)(f: (DataFrame, Int) => DataFrame): Unit = {
       val base = spark.read.parquet(s"$src/$name.parquet")
       assertKeysBelowOffset(base, name, offsetKeys)
-      val out = (0 until n).map(i => f(base, i)).reduce(_.unionByName(_))
+      val reps = if (onlyTables.isEmpty || onlyTables(name)) n else 1
+      val out = (0 until reps).map(i => f(base, i)).reduce(_.unionByName(_))
       writeSingle(out, name)
     }
 
@@ -146,7 +171,10 @@ object GenScale {
       col("l_linestatus"), col("l_shipdate")))
 
     replicate("events")((df, i) => df.select(
-      off("event_id", i), col("ts"), off("user_id", i),
+      off("event_id", i), col("ts"),
+      (if (skewPct == 0) off("user_id", i)
+       else when(pmod(col("event_id"), lit(100L)) < skewPct, lit(hotUser))
+         .otherwise(col("user_id") + lit(i * KeyOffset)).as("user_id")),
       col("event_type"), col("value"), col("props")))
 
     replicate("documents")((df, i) => df.select(
