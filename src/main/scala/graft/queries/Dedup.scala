@@ -419,7 +419,7 @@ object Dedup extends QueryModule {
     * (q_dedup_simhash_wide) — measured at 26×, the wider space
     * collapses collision pairs and the query's cost with them.
     */
-  private def simhashFp(s: org.apache.spark.sql.SparkSession,
+  private[graft] def simhashFp(s: org.apache.spark.sql.SparkSession,
       d: String, width: Int = 16): org.apache.spark.sql.DataFrame = {
     // nibble-bit kernel (r9): ONE digit extraction feeds FOUR bit
     // votes — ceil(width/4) string ops per token instead of width.
