@@ -190,6 +190,54 @@ class SnapshotFuzzSpec extends AnyFunSuite {
         case _ => compactOp()
       }
 
+      // ---- verify CDC between random version pairs ----------------
+      // (the r8 CDC bug survived seven rounds of fixtures; fuzz it
+      // too). Expected keyed feed from the model: inserts = keys only
+      // in v2, deletes = keys only in v1 (restores produce real
+      // deletes), update pre/post where the union-aligned rows
+      // differ. A column re-added with a DIFFERENT physical type
+      // after a restore boundary must refuse loudly instead.
+      val versions = history.keys.toSeq.sorted
+      val pairs = Seq.fill(3)((versions(rnd.nextInt(versions.length)),
+        versions(rnd.nextInt(versions.length))))
+        .collect { case (a, b) if a < b => (a, b) }.distinct
+      for ((v1, v2) <- pairs) {
+        val (l1, m1) = history(v1)
+        val (l2, m2) = history(v2)
+        val conflict = l1.exists { case (n, dt) =>
+          l2.exists(c => c._1 == n && c._2 != dt) }
+        if (conflict) {
+          val e = intercept[IllegalArgumentException] {
+            SnapshotTable.changesByKey(spark, root, v1, v2, Seq("k")).collect()
+          }
+          assert(e.getMessage.contains("changed type"),
+            s"scenario $scenario cdc $v1->$v2 conflict not loud")
+        } else {
+          val ul = l1 ++ l2.filterNot(c => l1.exists(_._1 == c._1))
+          def pad(r: Map[String, Any]): Map[String, Any] =
+            ul.map { case (n, _) => n -> r.getOrElse(n, null) }.toMap
+          val k1 = m1.keySet; val k2 = m2.keySet
+          val expected: Set[(Map[String, Any], String)] =
+            (k2 -- k1).map(k => (pad(m2(k)), "insert")) ++
+              (k1 -- k2).map(k => (pad(m1(k)), "delete")) ++
+              (k1 & k2).filter(k => pad(m1(k)) != pad(m2(k)))
+                .flatMap(k => Seq((pad(m1(k)), "update_preimage"),
+                  (pad(m2(k)), "update_postimage")))
+          val got = SnapshotTable.changesByKey(spark, root, v1, v2, Seq("k"))
+            .collect().map { r =>
+              (ul.map { case (n, _) =>
+                n -> (if (r.isNullAt(r.fieldIndex(n))) null
+                      else r.get(r.fieldIndex(n)))
+              }.toMap,
+                r.getString(r.fieldIndex("_change_type")))
+            }.toSet
+          assert(got === expected,
+            s"scenario $scenario (seed ${seed + scenario}) cdc $v1->$v2 mismatch:\n" +
+              s"  got      ${got.toSeq.map(_.toString).sorted.mkString("; ")}\n" +
+              s"  expected ${expected.toSeq.map(_.toString).sorted.mkString("; ")}")
+        }
+      }
+
       // ---- verify EVERY version by time travel --------------------
       for ((v, (l, m)) <- history) {
         val df = SnapshotTable.read(spark, root, v)
