@@ -618,23 +618,24 @@ object Aggregations extends QueryModule {
       ORDER BY l_returnflag, p
     """))
 
-  /** Exact multi-percentile via SORT, not buffering: Spark's
-    * percentile() is an ObjectHashAggregate that holds EVERY group
-    * value in one in-memory buffer — at 100 TB a hot group OOMs the
-    * executor, and even here it is the suite's costliest honest
-    * aggregate (~5 s/600k rows under full evaluation). This query
-    * computes the same interpolated quantiles from a rank window:
-    * one spill-safe sort shuffle on (group, value), each row checks
-    * `rn` against the target ranks of ALL requested quantiles with a
-    * codegen'd array `exists` (no row expansion), and only the ≤2
-    * boundary rows per (group, p) survive to the tiny interpolation
-    * aggregate. Same answers as q_percentile_multi (the oracle is
-    * the same quantile_cont). Measured (full-eval sf0.1, warm): the
-    * two forms COST THE SAME here (~2.3-5 s buffer vs ~3-4 s sort —
-    * 3 fat groups sort as one partition each); the sort form's win
-    * is not local speed but that it never holds a group in memory —
-    * the form that survives a hot key at 100 TB, where the buffer
-    * form is an executor OOM.
+  /** Exact multi-percentile via aggregation + a DISTINCT-VALUE rank
+    * window, not buffering: Spark's percentile() is an
+    * ObjectHashAggregate that holds EVERY group value in one
+    * in-memory buffer — at 100 TB a hot group OOMs the executor.
+    * This query computes the same interpolated quantiles exactly,
+    * with nothing data-proportional held per task: a map-side-
+    * combinable count aggregate reduces the input to (group, value,
+    * count) rows FIRST (distinct values ≪ rows on any real corpus),
+    * then a running-sum window over the distinct values assigns each
+    * value its rank interval [cum−c+1, cum], and a value survives to
+    * the tiny interpolation aggregate iff its interval contains a
+    * floor/ceil boundary rank of some requested quantile. Same
+    * answers as q_percentile_multi (the oracle is the same
+    * quantile_cont). History: the first cut ran row_number over raw
+    * rows and was the ONE suite member that could fail a concurrent
+    * bench under memory pressure (UNABLE_TO_ACQUIRE_MEMORY at 26×
+    * under conc-8, r9) — the pre-aggregation removed that failure
+    * mode while keeping exact semantics (VERDICT r9 item 2).
     */
   val percentileWindowQ = QueryDef(
     "q_percentile_window",
