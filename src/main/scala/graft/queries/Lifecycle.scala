@@ -477,14 +477,22 @@ object Lifecycle extends QueryModule {
         .groupBy(col("o_custkey"))
         .agg(round(round(sum(col("o_totalprice")), 2) * 100, 0)
           .cast("long").as("rev_cents"))
+      // Σ(rank·cents) must accumulate WIDE (ADVICE-r9 class, found
+      // for real by the 26× oracle run: rank reaches 3.9M and
+      // customer revenue ~1.5e8 cents, so the long sum passes 9.2e18
+      // between sf1 and sf26 and ANSI throws). The product is cast
+      // to DECIMAL(38,0) BEFORE multiplying (a long product itself
+      // overflows at ~1e9 customers), matching the oracle's HUGEINT
+      // arithmetic: both engines are exact integers into the final
+      // nearest-double conversion.
       PrefixSum.attach(rev, Nil,
           Seq(col("rev_cents"), col("o_custkey")), rank = Some("i"))
         .agg(count(lit(1)).as("n_customers"),
-          sum(col("i") * col("rev_cents")).as("weighted"),
-          sum(col("rev_cents")).as("total"))
+          sum(col("i").cast("decimal(38,0)") * col("rev_cents")).as("weighted"),
+          sum(col("rev_cents").cast("decimal(38,0)")).as("total"))
         .select(col("n_customers"),
           ((lit(2) * col("weighted") - (col("n_customers") + 1) * col("total"))
-            .cast("double") / (col("n_customers") * col("total")))
+            .cast("double") / (col("n_customers") * col("total")).cast("double"))
             .cast("float").as("gini"))
     },
     Some("""
@@ -497,9 +505,9 @@ object Lifecycle extends QueryModule {
                CAST(row_number() OVER (ORDER BY rev_cents, o_custkey) AS BIGINT) AS i
         FROM rev)
       SELECT count(*) AS n_customers,
-             CAST(CAST(2 * CAST(sum(i * rev_cents) AS BIGINT)
-                       - (count(*) + 1) * CAST(sum(rev_cents) AS BIGINT) AS DOUBLE)
-                  / (count(*) * CAST(sum(rev_cents) AS BIGINT)) AS FLOAT) AS gini
+             CAST(CAST(2 * sum(CAST(i AS HUGEINT) * rev_cents)
+                       - (count(*) + 1) * sum(CAST(rev_cents AS HUGEINT)) AS DOUBLE)
+                  / CAST(count(*) * sum(CAST(rev_cents AS HUGEINT)) AS DOUBLE) AS FLOAT) AS gini
       FROM ranked
     """))
 
