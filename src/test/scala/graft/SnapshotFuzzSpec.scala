@@ -180,12 +180,33 @@ class SnapshotFuzzSpec extends AnyFunSuite {
         history += SnapshotTable.currentVersion(root) -> (layout, rows)
       }
 
+      // deletion-vector DELETE by key predicate: exercises the
+      // merge-on-read path (hard-linked files + cumulative _dv)
+      // inside random sequences — a later merge re-inserting a
+      // deleted key must resurrect it, restore must bring deleted
+      // rows back, compact must drop them physically
+      def deleteOp(): Unit = {
+        if (rows.nonEmpty) {
+          val kPhys = layout.find(_._1 == "k").get._2
+          val victims = rnd.shuffle(rows.keys.toSeq).take(1 + rnd.nextInt(2))
+          def litOf(seed: Any): String = coerce(seed, kPhys) match {
+            case s: String => s"'$s'"
+            case x => x.toString
+          }
+          SnapshotTable.deleteWhere(spark, root,
+            s"k IN (${victims.map(litOf).mkString(", ")})")
+          rows = rows -- victims
+          history += SnapshotTable.currentVersion(root) -> (layout, rows)
+        }
+      }
+
       // ---- run ----------------------------------------------------
       mergeOp(withEvo = false) // seed the table
       val nOps = 3 + rnd.nextInt(3)
       for (_ <- 0 until nOps) rnd.nextInt(10) match {
-        case n if n <= 5 => mergeOp(withEvo = false)
-        case 6 | 7 => mergeOp(withEvo = true)
+        case n if n <= 4 => mergeOp(withEvo = false)
+        case 5 | 6 => mergeOp(withEvo = true)
+        case 7 => deleteOp()
         case 8 => restoreOp()
         case _ => compactOp()
       }
