@@ -657,16 +657,26 @@ object Dedup extends QueryModule {
     * Residual Hamming = Σⱼ bit_count(bandⱼᵃ xor bandⱼᵇ) ≤ 3 over the
     * 4w-bit fingerprint, so the MATCH SEMANTIC adapts with the
     * corpus too: small corpora compare 36-bit fingerprints, the 26×
-    * corpus 68-bit — radius 3 at every width.
+    * corpus 64-bit (w=16) — radius 3 at every width.
     */
+  /** The adaptive band width: smallest w in [9, 24] with
+    * n ≤ 2^(w+1) — band-value occupancy stays ≤ 2 so candidate
+    * volume stays linear in n. The oracle evaluates the IDENTICAL
+    * chain as a generated SQL CASE on its own count(*)
+    * (same count → same w; integer compares cannot drift between
+    * engines, unlike float log2 at a power-of-two boundary).
+    * Extracted so SimhashAdaptiveSpec can pin the boundaries the
+    * generated SQL must agree with.
+    */
+  private[graft] def adaptiveBandBits(n: Long): Int =
+    (9 to 23).find(k => n <= (1L << (k + 1))).getOrElse(24)
+
   val dedupSimhashAdaptive = QueryDef(
     "q_dedup_simhash_adaptive",
     (s, d) => {
       val docs = Tables.documents(s, d)
-      // smallest w in [9, 24] with n <= 2^(w+1) — the same integer
-      // chain the oracle's CASE evaluates on the same count
       val n = docs.count()
-      val w = (9 to 23).find(k => n <= (1L << (k + 1))).getOrElse(24)
+      val w = adaptiveBandBits(n)
       val tok = docs
         .select(col("doc_id"), explode(TF.tokens(col("text"))).as("token"))
         .select(col("doc_id"), md5(col("token")).as("h"))
