@@ -519,16 +519,32 @@ object SnapshotTable {
             .filter(_.dataType != sf.dataType).map(f => (sf, f))
         }
         if (castCols.nonEmpty) {
+          // null-safe inequality (<=>): a cast that OVERFLOWS to null
+          // in a non-ANSI session would make the plain =!= round-trip
+          // compare evaluate to null, slip through the filter, and
+          // commit null over real data — the exact silent corruption
+          // this guard exists to stop (code-review r10). Under ANSI
+          // the same overflow throws inside the filter itself, so the
+          // probe is wrapped to surface the friendly diagnostic
+          // either way.
           val lossy = castCols.map { case (sf, f) =>
-            source(sf.name).cast(f.dataType).cast(sf.dataType) =!= source(sf.name)
+            !(source(sf.name).cast(f.dataType).cast(sf.dataType) <=> source(sf.name))
           }.reduce(_ || _)
-          val bad = source.filter(lossy).limit(1).collect()
+          val castDesc = castCols.map(c => c._1.name +
+            s" ${c._1.dataType.simpleString}->${c._2.dataType.simpleString}")
+            .mkString(", ")
+          val bad =
+            try source.filter(lossy).limit(1).collect()
+            catch { case e: org.apache.spark.SparkThrowable =>
+              throw new IllegalArgumentException(
+                s"merge source row loses precision (cast overflow) casting to " +
+                  s"the table's column types (cast columns: $castDesc) — " +
+                  s"cast explicitly before merging", e.asInstanceOf[Throwable])
+            }
           require(bad.isEmpty,
             s"merge source row loses precision casting to the table's " +
               s"column types (e.g. ${bad.headOption.getOrElse("")}; " +
-              s"cast columns: ${castCols.map(c => c._1.name +
-                s" ${c._1.dataType.simpleString}->${c._2.dataType.simpleString}")
-                .mkString(", ")}) — cast explicitly before merging")
+              s"cast columns: $castDesc) — cast explicitly before merging")
         }
         // Schema evolution semantics (Delta MERGE parity, ADVICE
         // r9): a source with a NEW column appends it (old rows

@@ -69,8 +69,11 @@ object GenScale {
     // only for queries over the replicated tables.
     val (skewPct, onlyTables) = if (args.length == 4) {
       args(3).split(":") match {
-        case Array(p) => (p.toInt, Set.empty[String])
-        case Array(p, ts) => (p.toInt, ts.split(",").map(_.trim).toSet)
+        case Array(p) if p.forall(_.isDigit) => (p.toInt, Set.empty[String])
+        case Array(p, ts) if p.forall(_.isDigit) =>
+          (p.toInt, ts.split(",").map(_.trim).toSet)
+        case _ => throw new IllegalArgumentException(
+          s"bad skew argument '${args(3)}' — expected '<pct>' or '<pct>:<table,table>'")
       }
     } else (0, Set.empty[String])
     require(skewPct >= 0 && skewPct < 100, s"skew pct out of range: $skewPct")

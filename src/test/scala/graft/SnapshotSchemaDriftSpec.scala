@@ -190,6 +190,16 @@ class SnapshotSchemaDriftSpec extends AnyFunSuite {
         Seq((2L, 1.9)).toDF("k", "n"), Seq("k"))
     }
     assert(e2.getMessage.contains("loses precision") && e2.getMessage.contains("n double->bigint"))
+    // OVERFLOWING cast: DECIMAL 1e20 into the LONG column. Under
+    // ANSI the probe's cast throws (wrapped into the same friendly
+    // diagnostic); in a non-ANSI session it would overflow to NULL,
+    // which only the null-safe <=> round-trip catches (code-review
+    // r10) — either way the merge must refuse, not commit null/junk
+    val e3 = intercept[IllegalArgumentException] {
+      SnapshotTable.mergeByKey(spark, root,
+        Seq((2L, BigDecimal("10000000000000000000"))).toDF("k", "n"), Seq("k"))
+    }
+    assert(e3.getMessage.contains("loses precision"))
     // in-range lossless casts (key 3.0 -> 3L, value 30.0 -> 30L)
     // still merge fine: the contract is lossless-in-fact, not
     // lossless-in-type

@@ -64,21 +64,35 @@ def main():
         # NaN=NaN holds in duckdb's EXCEPT semantics natively.
         nS = con.sql("SELECT count(*) FROM spark_rel").fetchone()[0]
         nD = con.sql("SELECT count(*) FROM duck_rel").fetchone()[0]
-        if nS > 100000 or nD > 100000:
+        # guard rails (code-review r10): the fast path must not CAST
+        # across a cross-engine type mismatch (a lossy cast could mask
+        # a real divergence the slow path would FAIL), and its -0.0
+        # fold only covers top-level floats — so any type mismatch or
+        # nested (LIST/STRUCT) column falls back to the exact python
+        # compare regardless of size.
+        simple = {"BIGINT","INTEGER","SMALLINT","TINYINT","HUGEINT","UBIGINT",
+                  "UINTEGER","FLOAT","DOUBLE","VARCHAR","DATE","BOOLEAN"}
+        def simple_t(t):
+            return t in simple or t.startswith("DECIMAL") or t.startswith("TIMESTAMP")
+        fastable = not tdiff and all(simple_t(dtypes[c]) for c in scols)
+        if (nS > 100000 or nD > 100000) and fastable:
             if nS != nD:
                 print(f"FAIL  {name}: spark {nS} rows vs duck {nD}"); bad += 1; continue
             def sel(rel):
                 cols = []
                 for c in scols:
-                    e = f'CAST("{c}" AS {dtypes[c]})'
+                    e = f'"{c}"'
                     if dtypes[c] in ("FLOAT", "DOUBLE"):
                         e = f"({e} + 0.0)"
                     cols.append(f'{e} AS "{c}"')
                 return f"SELECT {', '.join(cols)} FROM {rel}"
-            diff = con.sql(
-                f"({sel('spark_rel')} EXCEPT ALL {sel('duck_rel')}) "
-                f"UNION ALL ({sel('duck_rel')} EXCEPT ALL {sel('spark_rel')}) "
-                f"LIMIT 3").fetchall()
+            try:
+                diff = con.sql(
+                    f"({sel('spark_rel')} EXCEPT ALL {sel('duck_rel')}) "
+                    f"UNION ALL ({sel('duck_rel')} EXCEPT ALL {sel('spark_rel')}) "
+                    f"LIMIT 3").fetchall()
+            except Exception as e:
+                print(f"FAIL  {name}: fast-path compare error: {e}"); bad += 1; continue
             if not diff:
                 print(f"ok    {name}: {nS} rows"); ok += 1
             else:
