@@ -298,15 +298,22 @@ object Analytics extends QueryModule {
         .select(col("o_orderkey"), col("o_orderdate"))
       val l = Tables.lineitem(s, d)
         .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
-      val late = l.join(o, col("l_orderkey") === col("o_orderkey"))
+      // SHUFFLE_HASH hints on every fact-side join (r10, same trap
+      // as q_basket_affinity): filtered orders and the narrow
+      // lineitem projections size-estimate under the 64m auto
+      // threshold at 26× while holding millions of rows, and Spark
+      // broadcast them (measured 5.6 s slower sequential). Fact ⋈
+      // fact declares shuffle; the genuinely bounded dims below
+      // (supplier per size, nation enum) stay size-driven broadcasts.
+      val late = l.join(o.hint("shuffle_hash"), col("l_orderkey") === col("o_orderkey"))
         .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
         .select(col("l_orderkey"), col("l_suppkey"))
       val otherLines = l.select(col("l_orderkey").as("x_orderkey"),
         col("l_suppkey").as("x_suppkey"))
       val otherLate = late.select(col("l_orderkey").as("y_orderkey"),
         col("l_suppkey").as("y_suppkey"))
-      late
-        .join(otherLines,
+      late.hint("shuffle_hash")
+        .join(otherLines.hint("shuffle_hash"),
           col("l_orderkey") === col("x_orderkey")
             && col("l_suppkey") =!= col("x_suppkey"), "left_semi")
         .join(otherLate,
@@ -704,15 +711,27 @@ object Analytics extends QueryModule {
     * l_orderkey, so candidate work is Σ per-order items² (orders hold
     * a handful of lines), NEVER |lineitem|². The same bucket-local
     * contract as every dedup/similarity op; at 100 TB the join
-    * shuffles both sides on orderkey once (AQE reuses the exchange)
-    * and the pair aggregate is the only wide output. Top-20 rides
-    * TakeOrderedAndProject.
+    * shuffles both sides on orderkey once and the pair aggregate is
+    * the only wide output. Top-20 rides TakeOrderedAndProject.
+    *
+    * The join carries an explicit SHUFFLE_HASH hint (r10): both
+    * sides are the FACT table, and the bytes-based auto-broadcast
+    * threshold (raised to 64m by the r9 hint audit so the real dims
+    * stay broadcast at bench scale) mis-fires here — the 2-column
+    * lineitem projection compresses under 64m at 26× while holding
+    * 15.6M rows, and Spark built+shipped a 15.6M-entry broadcast
+    * relation (measured: 28.8 s vs 11.5 s hinted, sequential
+    * min-of-2). The r9 lesson was "broadcast hints only on bounded
+    * enums"; this is its dual: a self-join of a data-proportional
+    * table declares shuffle explicitly, because a size ESTIMATE
+    * under any fixed byte threshold cannot distinguish a narrow
+    * projection of the biggest table from a genuinely small one.
     */
   val basketAffinity = QueryDef(
     "q_basket_affinity",
     (s, d) => {
       val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
-      li.as("a")
+      li.as("a").hint("shuffle_hash")
         .join(li.as("b"),
           col("a.l_orderkey") === col("b.l_orderkey")
             && col("a.l_partkey") < col("b.l_partkey"))

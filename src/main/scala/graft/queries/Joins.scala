@@ -580,10 +580,10 @@ object Joins extends QueryModule {
         WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
           AND o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
           AND (o_totalprice > 400000 OR EXISTS (
-            SELECT 1 FROM lineitem_ex_v l1
+            SELECT /*+ SHUFFLE_HASH(l1) */ 1 FROM lineitem_ex_v l1
             WHERE l1.l_orderkey = o.o_orderkey
               AND EXISTS (
-                SELECT 1 FROM lineitem_ex_v l2
+                SELECT /*+ SHUFFLE_HASH(l2) */ 1 FROM lineitem_ex_v l2
                 WHERE l2.l_orderkey = l1.l_orderkey
                   AND l2.l_suppkey <> l1.l_suppkey)))
         GROUP BY o_orderpriority

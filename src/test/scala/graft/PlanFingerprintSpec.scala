@@ -43,11 +43,15 @@ class PlanFingerprintSpec extends AnyFunSuite {
     "q_shipping_priority" -> Map("BroadcastExchange" -> 2, "BroadcastHashJoin" -> 2, "Exchange hashpartitioning" -> 1, "TakeOrderedAndProject" -> 1),
     "q_kmeans_assign" -> Map("BroadcastExchange" -> 1, "BroadcastNestedLoopJoin" -> 1, "Exchange hashpartitioning" -> 1, "Exchange rangepartitioning" -> 1, "WindowGroupLimit" -> 2),
     "q_ema" -> Map("Exchange hashpartitioning" -> 1, "Exchange rangepartitioning" -> 1),
-    // Q21 shape: semi+anti correlation joins; at sf0.001 the planner
-    // broadcasts the small sides (5 BHJ), one SMJ on the lineitem
-    // self-correlation — a lost TakeOrdered or a CartesianProduct here
-    // is the regression this pin guards
-    "q_waiting_orders" -> Map("BroadcastExchange" -> 5, "BroadcastHashJoin" -> 5, "Exchange hashpartitioning" -> 3, "SortMergeJoin" -> 1, "TakeOrderedAndProject" -> 1),
+    // Q21 shape: semi+anti correlation joins. r10: every fact ⋈ fact
+    // edge (orders⋈lineitem, the lineitem self-correlations) carries a
+    // SHUFFLE_HASH hint — the byte-based auto threshold mis-sizes
+    // narrow fact projections at scale (a 2-column lineitem slice
+    // compresses under 64m at 26× while holding 15M rows; measured
+    // 18.7 → 11.6 s sequential). The 2 surviving broadcasts are the
+    // bounded dims (supplier-per-size, nation enum) — still
+    // size-driven, not hinted.
+    "q_waiting_orders" -> Map("BroadcastExchange" -> 2, "BroadcastHashJoin" -> 2, "Exchange hashpartitioning" -> 6, "ShuffledHashJoin" -> 3, "SortMergeJoin" -> 1, "TakeOrderedAndProject" -> 1),
     // Q22 shape: 1-row threshold BNL (allowlisted) + anti BHJ
     "q_global_customers" -> Map("BroadcastExchange" -> 2, "BroadcastHashJoin" -> 1, "BroadcastNestedLoopJoin" -> 1, "Exchange hashpartitioning" -> 1, "Exchange rangepartitioning" -> 1),
     // one vocab-count shuffle, then TakeOrdered(200) BEFORE the
@@ -66,11 +70,19 @@ class PlanFingerprintSpec extends AnyFunSuite {
     // at-scale shape for two corpus-sized sides. A CartesianProduct
     // here means the bucket restriction was lost.
     "q_knn_join" -> Map("BroadcastExchange" -> 2, "BroadcastHashJoin" -> 2, "SortMergeJoin" -> 1, "Exchange hashpartitioning" -> 3, "Exchange rangepartitioning" -> 1, "WindowGroupLimit" -> 2),
+    // fact self-join on orderkey: MUST be a ShuffledHashJoin — the
+    // r10 trap this round fixed was Catalyst broadcasting a 15.6M-row
+    // 2-column lineitem projection because its bytes estimate sat
+    // under the 64m auto threshold (28.8 → 12.1 s at 26× hinted)
+    "q_basket_affinity" -> Map("Exchange hashpartitioning" -> 3, "ShuffledHashJoin" -> 1, "TakeOrderedAndProject" -> 1),
     // Q17 shape: brand slice aggregated then joined back (SMJ at this SF)
     "q_small_qty_revenue" -> Map("BroadcastExchange" -> 2, "BroadcastHashJoin" -> 2, "Exchange hashpartitioning" -> 2, "SortMergeJoin" -> 1),
     // EXISTS-in-disjunction MUST stay an ExistenceJoin (a semi join
-    // here would silently drop the high-value-only orders)
-    "q_join_existence" -> Map("BroadcastExchange" -> 2, "BroadcastHashJoin" -> 2, "Exchange hashpartitioning" -> 1, "Exchange rangepartitioning" -> 1, "ExistenceJoin" -> 1),
+    // here would silently drop the high-value-only orders). r10: both
+    // correlated lineitem probes carry SHUFFLE_HASH — the same
+    // narrow-fact-projection broadcast trap as q_waiting_orders
+    // (lineitem_ex_v estimated under 64m at 26×, measured win).
+    "q_join_existence" -> Map("ShuffledHashJoin" -> 2, "Exchange hashpartitioning" -> 4, "Exchange rangepartitioning" -> 1, "ExistenceJoin" -> 1),
   )
 
   test("plan fingerprints are unchanged (default planner)") {
