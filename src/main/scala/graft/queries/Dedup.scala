@@ -633,12 +633,17 @@ object Dedup extends QueryModule {
     * is the same failure the r9 kNN redesign fixed, and this query
     * applies the same lever: band width w is a FUNCTION OF CORPUS
     * SIZE via an integer threshold chain both engines evaluate
-    * identically — the smallest w in [9, 24] with n ≤ 2^(w+1), i.e.
+    * identically — the smallest w in [9, 32] with n ≤ 2^(w+1), i.e.
     * band-value occupancy stays ≤ 2 and candidate volume stays
-    * LINEAR in n up to 33M docs (beyond that the next lever is more
-    * bands / an int128 fingerprint). Float log2 at a power-of-two
-    * boundary could flip w between engines; the CASE chain cannot
-    * (r9 lesson).
+    * LINEAR in n up to 2^33 ≈ 8.6B docs — the 100 TB design point
+    * (~10 KB/doc ⇒ ~10B docs). The ceiling is exactly the md5 hex
+    * width: band j's bit p reads digit p of the ONE md5 already
+    * computed per token, and 32 digits feed 4 × 32-bit bands = a
+    * 128-bit fingerprint held as four packed BIGINTs (every band
+    * value < 2^32, comfortably in-range for both engines). Beyond
+    * 8.6B docs the next lever is a second hash for more digits.
+    * Float log2 at a power-of-two boundary could flip w between
+    * engines; the CASE chain cannot (r9 lesson).
     *
     * Mechanics: 4 bands of w bits each (pigeonhole for Hamming ≤ 3
     * needs radius+1 bands), packed STRIDED — band j's bit p is the
@@ -659,7 +664,7 @@ object Dedup extends QueryModule {
     * corpus too: small corpora compare 36-bit fingerprints, the 26×
     * corpus 64-bit (w=16) — radius 3 at every width.
     */
-  /** The adaptive band width: smallest w in [9, 24] with
+  /** The adaptive band width: smallest w in [9, 32] with
     * n ≤ 2^(w+1) — band-value occupancy stays ≤ 2 so candidate
     * volume stays linear in n. The oracle evaluates the IDENTICAL
     * chain as a generated SQL CASE on its own count(*)
@@ -669,7 +674,7 @@ object Dedup extends QueryModule {
     * generated SQL must agree with.
     */
   private[graft] def adaptiveBandBits(n: Long): Int =
-    (9 to 23).find(k => n <= (1L << (k + 1))).getOrElse(24)
+    (9 to 31).find(k => n <= (1L << (k + 1))).getOrElse(32)
 
   val dedupSimhashAdaptive = QueryDef(
     "q_dedup_simhash_adaptive",
@@ -710,8 +715,8 @@ object Dedup extends QueryModule {
         .orderBy(col("doc1"), col("doc2"))
     },
     Some {
-      val maxW = 24
-      val wChain = (9 until 24).map(w =>
+      val maxW = 32
+      val wChain = (9 until 32).map(w =>
         s"WHEN count(*) <= ${1L << (w + 1)} THEN $w").mkString(" ")
       val digitCols = (0 until maxW).map(p =>
         s"(instr('0123456789abcdef', substr(h, ${p + 1}, 1)) - 1) AS d$p")
@@ -726,7 +731,7 @@ object Dedup extends QueryModule {
       }.mkString(",\n               ")
       s"""
       WITH params AS (
-        SELECT CASE $wChain ELSE 24 END AS w FROM documents),
+        SELECT CASE $wChain ELSE 32 END AS w FROM documents),
       votes AS (
         SELECT doc_id,
                $sumCols

@@ -15,24 +15,25 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class SimhashAdaptiveSpec extends AnyFunSuite {
 
-  test("band-width chain boundaries: smallest w in [9,24] with n <= 2^(w+1)") {
+  test("band-width chain boundaries: smallest w in [9,32] with n <= 2^(w+1)") {
     // clamp floor: anything up to 2^10 is the 9-bit minimum
     assert(Dedup.adaptiveBandBits(0) === 9)
     assert(Dedup.adaptiveBandBits(1) === 9)
     assert(Dedup.adaptiveBandBits(1024) === 9)
     // every interior boundary flips at exactly 2^(w+1) + 1
-    for (w <- 10 to 23) {
+    for (w <- 10 to 31) {
       assert(Dedup.adaptiveBandBits(1L << w) === w - 1,
         s"n=2^$w should still be width ${w - 1}")
       assert(Dedup.adaptiveBandBits((1L << w) + 1) === w,
         s"n=2^$w+1 should flip to width $w")
     }
-    // clamp ceiling: beyond 2^24 the chain saturates at 24 (the
-    // documented ~33M-doc limit of this configuration)
-    assert(Dedup.adaptiveBandBits(1L << 24) === 23)
-    assert(Dedup.adaptiveBandBits((1L << 24) + 1) === 24)
-    assert(Dedup.adaptiveBandBits(1L << 25) === 24)
-    assert(Dedup.adaptiveBandBits(Long.MaxValue) === 24)
+    // clamp ceiling: beyond 2^32 the chain saturates at 32 — the md5
+    // hex width; occupancy <= 2 holds through 2^33 ~ 8.6B docs (the
+    // 100 TB design point at ~10 KB/doc)
+    assert(Dedup.adaptiveBandBits(1L << 32) === 31)
+    assert(Dedup.adaptiveBandBits((1L << 32) + 1) === 32)
+    assert(Dedup.adaptiveBandBits(1L << 33) === 32)
+    assert(Dedup.adaptiveBandBits(Long.MaxValue) === 32)
     // the corpus points this round actually measured
     assert(Dedup.adaptiveBandBits(500) === 9)    // sf0.001 / sf0.01
     assert(Dedup.adaptiveBandBits(5000) === 12)  // sf0.1
@@ -42,9 +43,9 @@ class SimhashAdaptiveSpec extends AnyFunSuite {
 
   test("the generated oracle CASE carries the identical thresholds") {
     val sql = SparkEntry.oracleSql("q_dedup_simhash_adaptive")
-    for (w <- 9 until 24)
+    for (w <- 9 until 32)
       assert(sql.contains(s"WHEN count(*) <= ${1L << (w + 1)} THEN $w"),
         s"oracle CASE is missing the w=$w threshold")
-    assert(sql.contains("ELSE 24"))
+    assert(sql.contains("ELSE 32"))
   }
 }
