@@ -177,6 +177,41 @@ object Subqueries extends QueryModule {
       ORDER BY l.kind
     """))
 
+  /** Correlated EXISTS + NOT EXISTS in one predicate: active customers
+    * (have at least one order) who never placed a large one. Catalyst
+    * decorrelates the pair into a left-semi join plus a left-anti join
+    * (RewritePredicateSubquery), so at scale this is two ordinary
+    * shuffle joins on o_custkey — never per-row probes. Complements
+    * q_subquery_in (IN → semi) and q_join_anti (DataFrame-API anti)
+    * with the SQL-text EXISTS surface.
+    */
+  val existsSubquery = QueryDef(
+    "q_subquery_exists",
+    (s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("customer_ex_v")
+      Tables.orders(s, d).createOrReplaceTempView("orders_ex_v")
+      s.sql("""
+        SELECT c_custkey, c_mktsegment, c_acctbal
+        FROM customer_ex_v c
+        WHERE EXISTS (SELECT 1 FROM orders_ex_v o
+                      WHERE o.o_custkey = c.c_custkey)
+          AND NOT EXISTS (SELECT 1 FROM orders_ex_v o2
+                          WHERE o2.o_custkey = c.c_custkey
+                            AND o2.o_totalprice > 300000)
+        ORDER BY c_custkey
+      """)
+    },
+    Some("""
+      SELECT c_custkey, c_mktsegment, c_acctbal
+      FROM customer c
+      WHERE EXISTS (SELECT 1 FROM orders o
+                    WHERE o.o_custkey = c.c_custkey)
+        AND NOT EXISTS (SELECT 1 FROM orders o2
+                        WHERE o2.o_custkey = c.c_custkey
+                          AND o2.o_totalprice > 300000)
+      ORDER BY c_custkey
+    """))
+
   def defs: Seq[QueryDef] = Seq(scalarSubquery, inSubquery, groupByAll,
-    recursiveCalendar, lateralJoin)
+    recursiveCalendar, lateralJoin, existsSubquery)
 }

@@ -1681,6 +1681,201 @@ object TextAnalysis extends QueryModule {
       LIMIT 30
     """))
 
+  /** Cluster keywords by c-TF-IDF (the BERTopic labeling formula):
+    * treat each embedding cluster as one "class document", score term
+    * t in cluster c as (tf(t,c) / |c|) · ln(1 + A / f(t)) where |c| is
+    * the cluster's token count, A the mean cluster token count and
+    * f(t) the corpus term frequency, then keep the top 5 terms per
+    * cluster — the standard topic-labeling pass after embedding
+    * clustering. One explode feeds three linear aggregations
+    * ((label,tok), label, tok); the label and scalar sides are
+    * cluster-cardinality-bounded (broadcast at any corpus size) and
+    * the tok-frequency join shuffles on the token key — never
+    * pairwise. The top-k window runs on the (label, tok) aggregate
+    * (vocab-bounded), not the corpus. Scores round(6) BEFORE ranking
+    * (the q_tf_idf float-ordering rule); A = exact sum/count, both
+    * engines divide the same integers.
+    */
+  val clusterKeywords = QueryDef(
+    "q_cluster_keywords",
+    (s, d) => {
+      val lab = Tables.embeddings(s, d)
+        .select(col("vec_id").as("doc_id"), col("label"))
+      val toks = Tables.documents(s, d).join(lab, Seq("doc_id"))
+        .select(col("label"), explode(TF.tokens(col("text"))).as("tok"))
+      val ctf = toks.groupBy(col("label"), col("tok")).agg(count(lit(1)).as("ctf"))
+      val wc = toks.groupBy(col("label")).agg(count(lit(1)).as("w_c"))
+      val ft = toks.groupBy(col("tok")).agg(count(lit(1)).as("f_t"))
+      val a = wc.agg((sum(col("w_c")).cast("double") / count(lit(1))).as("a_tokens"))
+      val w = Window.partitionBy(col("label"))
+        .orderBy(col("score").desc, col("tok"))
+      ctf.join(wc, Seq("label")).join(ft, Seq("tok")).crossJoin(a)
+        .select(col("label"), col("tok"),
+          round(col("ctf") / col("w_c")
+            * log(lit(1.0) + col("a_tokens") / col("f_t")), 6).as("score"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 5)
+        .select(col("label"), col("rank"), col("tok"), col("score"))
+        .orderBy(col("label"), col("rank"))
+    },
+    Some("""
+      WITH lab AS (SELECT vec_id AS doc_id, label FROM embeddings),
+      toks AS (
+        SELECT label, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
+        FROM documents JOIN lab USING (doc_id)),
+      ctf AS (SELECT label, tok, count(*) AS ctf FROM toks GROUP BY label, tok),
+      wc AS (SELECT label, count(*) AS w_c FROM toks GROUP BY label),
+      ft AS (SELECT tok, count(*) AS f_t FROM toks GROUP BY tok),
+      a AS (SELECT CAST(sum(w_c) AS DOUBLE) / count(*) AS a_tokens FROM wc),
+      scored AS (
+        SELECT label, tok,
+               round(CAST(ctf AS DOUBLE) / w_c
+                     * ln(1.0 + a_tokens / f_t), 6) AS score
+        FROM ctf JOIN wc USING (label) JOIN ft USING (tok) CROSS JOIN a),
+      ranked AS (
+        SELECT label, tok, score,
+               CAST(row_number() OVER (PARTITION BY label
+                 ORDER BY score DESC, tok) AS BIGINT) AS rank
+        FROM scored)
+      SELECT label, rank, tok, score
+      FROM ranked
+      WHERE rank <= 5
+      ORDER BY label, rank
+    """))
+
+  /** Per-language length-window trimming — the standard curation pass
+    * that drops length outliers before training: per language, the
+    * discrete 5th/95th percentile of n_chars bound the keep window,
+    * and the summary reports kept/total with the bounds. The bounds
+    * pass pre-aggregates to (lang, n_chars, count) FIRST — distinct
+    * lengths are value-bounded (max doc length), not corpus-bounded —
+    * so no exact-percentile value buffer ever holds data-proportional
+    * rows (the q_percentile_window rewrite pattern; a first cut used
+    * percentile_disc and failed the ObjectHashAggregate audit). The
+    * disc percentile itself is the pure-integer cume_dist threshold
+    * cum·100 ≥ p·100·total — exactly percentile_disc semantics
+    * (smallest value with cume_dist ≥ p), drift-free in both engines,
+    * validated against DuckDB's own quantile_disc. The bounds table is
+    * language-cardinality-bounded (broadcast at any corpus size), so
+    * the trim itself never shuffles the corpus.
+    */
+  val lengthTrim = QueryDef(
+    "q_length_trim",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val h = docs.groupBy(col("lang"), col("n_chars"))
+        .agg(count(lit(1)).as("cnt"))
+      val wcum = Window.partitionBy(col("lang")).orderBy(col("n_chars"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wtot = Window.partitionBy(col("lang"))
+      val bounds = h
+        .withColumn("cum", sum(col("cnt")).over(wcum))
+        .withColumn("tot", sum(col("cnt")).over(wtot))
+        .groupBy(col("lang"))
+        .agg(
+          min(when(col("cum") * 100 >= col("tot") * 5, col("n_chars"))).as("lo"),
+          min(when(col("cum") * 100 >= col("tot") * 95, col("n_chars"))).as("hi"))
+      docs.join(broadcast(bounds), Seq("lang"))
+        .groupBy(col("lang"))
+        .agg(min(col("lo")).as("lo"), min(col("hi")).as("hi"),
+          count(lit(1)).as("n_total"),
+          sum(when(col("n_chars").between(col("lo"), col("hi")), 1L)
+            .otherwise(0L)).as("n_kept"))
+        .select(col("lang"), col("lo"), col("hi"), col("n_total"), col("n_kept"),
+          round(col("n_kept").cast("double") / col("n_total"), 4).as("pct_kept"))
+        .orderBy(col("lang"))
+    },
+    Some("""
+      WITH h AS (
+        SELECT lang, n_chars, count(*) AS cnt
+        FROM documents GROUP BY lang, n_chars),
+      c AS (
+        SELECT lang, n_chars,
+               sum(cnt) OVER (PARTITION BY lang ORDER BY n_chars
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+               sum(cnt) OVER (PARTITION BY lang) AS tot
+        FROM h),
+      b AS (
+        SELECT lang,
+               min(CASE WHEN cum * 100 >= tot * 5 THEN n_chars END) AS lo,
+               min(CASE WHEN cum * 100 >= tot * 95 THEN n_chars END) AS hi
+        FROM c GROUP BY lang)
+      SELECT lang, min(lo) AS lo, min(hi) AS hi,
+             count(*) AS n_total,
+             CAST(sum(CASE WHEN n_chars BETWEEN lo AND hi THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_kept,
+             round(CAST(sum(CASE WHEN n_chars BETWEEN lo AND hi THEN 1 ELSE 0 END)
+               AS DOUBLE) / count(*), 4) AS pct_kept
+      FROM documents JOIN b USING (lang)
+      GROUP BY lang
+      ORDER BY lang
+    """))
+
+  /** Bigram language-model scoring (the perplexity-filter analog one
+    * order up from q_unigram_logprob): train add-one-smoothed bigram
+    * conditionals P(w2|w1) = (c(w1,w2)+1)/(c(w1·)+V) on the
+    * deterministic 5% sample, score every document by the average
+    * negative log-probability over its bigrams (with multiplicity).
+    * OOV contexts degrade smoothly to the 1/V floor via the left
+    * joins — no special cases. The model tables are vocabulary-
+    * bounded; the scoring stream shuffles once per join key (bigram,
+    * then context), both linear in corpus bigrams — never pairwise;
+    * at 100 TB the sample rate shrinks (the q_lang_id sampling
+    * contract). Division operands are exact-integer-valued on both
+    * sides; the FLOAT cast absorbs last-ulp ln()/avg-merge drift
+    * (q_unigram_logprob rule).
+    */
+  val bigramLogprob = QueryDef(
+    "q_bigram_logprob",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      def bigrams(df: org.apache.spark.sql.DataFrame) = df
+        .select(col("doc_id"), TF.tokens(col("text")).as("toks"))
+        .filter(size(col("toks")) >= 2)
+        // toks[i] is 0-based in Spark SQL: i in [2, size] → pairs
+        // (toks[i-2], toks[i-1]) enumerate adjacent bigrams in order
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(2, size(toks)), i -> named_struct('w1', toks[i-2], 'w2', toks[i-1]))")).as("b"))
+        .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      val all = bigrams(docs)
+      val samp = all.filter(pmod(col("doc_id"), lit(20)) === 0)
+      val c12 = samp.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      val c1 = samp.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+      val v = docs.filter(pmod(col("doc_id"), lit(20)) === 0)
+        .select(explode(TF.tokens(col("text"))).as("tok"))
+        .agg(countDistinct(col("tok")).as("v"))
+      all.join(c12, Seq("w1", "w2"), "left").join(c1, Seq("w1"), "left")
+        .crossJoin(v)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          avg(-log((coalesce(col("c12"), lit(0L)) + lit(1)).cast("double")
+            / (coalesce(col("c1"), lit(0L)) + col("v")).cast("double")))
+            .cast("float").as("avg_nll"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        FROM documents),
+      bg AS (
+        SELECT doc_id, unnest(list_transform(generate_series(2, len(toks)),
+                 i -> struct_pack(w1 := toks[i-1], w2 := toks[i]))) AS b
+        FROM t WHERE len(toks) >= 2),
+      bgf AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bg),
+      samp AS (SELECT * FROM bgf WHERE doc_id % 20 = 0),
+      c12 AS (SELECT w1, w2, count(*) AS c12 FROM samp GROUP BY w1, w2),
+      c1 AS (SELECT w1, count(*) AS c1 FROM samp GROUP BY w1),
+      v AS (SELECT count(DISTINCT tok) AS v
+            FROM (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+                  FROM documents WHERE doc_id % 20 = 0))
+      SELECT doc_id, count(*) AS n_bigrams,
+             CAST(avg(-ln(CAST(coalesce(c12, 0) + 1 AS DOUBLE)
+               / (coalesce(c1, 0) + v))) AS FLOAT) AS avg_nll
+      FROM bgf LEFT JOIN c12 USING (w1, w2) LEFT JOIN c1 USING (w1) CROSS JOIN v
+      GROUP BY doc_id
+      ORDER BY doc_id
+    """))
+
   def defs: Seq[QueryDef] = Seq(
     textJaccard, ngramJaccard, textContainment, ngramNovelty, langId,
     langStats, textQuality,
@@ -1688,5 +1883,6 @@ object TextAnalysis extends QueryModule {
     vocabCoverage, trainSplit, contamination, profileDocuments,
     repetition, qualityRules, redactTerms, unigramLogprob, zipfFit,
     shardPlan, chunkDocs, driftPsi, cooccurrence, boilerplate, bm25,
-    hybridRrf, jaroWinkler, damerau, mixtureSample, corpusPipeline)
+    hybridRrf, jaroWinkler, damerau, mixtureSample, corpusPipeline,
+    clusterKeywords, lengthTrim, bigramLogprob)
 }

@@ -192,6 +192,8 @@ class PlanAuditSpec extends AnyFunSuite {
               // frontier⋈edges equi-join into a 1-row broadcast BNL
     "q_shortest_path", // same 1-row literal seed as q_khop (Bellman-Ford twin)
     "q_mixture_sample", // 1-row corpus-stats cross join (tf_idf pattern)
+    "q_cluster_keywords", // 1-row mean-cluster-size cross join (tf_idf pattern)
+    "q_bigram_logprob", // 1-row vocab-size cross join (tf_idf pattern)
     "q_mann_kendall") // calendar-bounded day-pair theta join + 1-row stat
                       // cross joins: the broadcast side can't grow with
                       // data volume (q_event_paths class)
