@@ -260,6 +260,132 @@ object Similarity extends QueryModule {
       FROM ranked WHERE rn = 1 ORDER BY vec_id
     """))
 
+  /** The OTHER half of a Lloyd's iteration — the centroid UPDATE step
+    * (KMeansLite.updateCentroids) as a graded row set: assign every
+    * vector to its nearest of the 5 deterministic centroids (the
+    * q_kmeans_assign step), then recompute each centroid as the
+    * per-dimension mean of its members. Emitted as (cluster_id, pos,
+    * n_members, dim_mean) rows — 5 × 64 of them, bounded by k × dims
+    * regardless of corpus size. The per-dimension explode is the one
+    * wide op and is linear (rows × dims); the aggregation reduces
+    * map-side. The FLOAT cast absorbs the engines' avg merge-order
+    * drift (stats-agg rule); counts are exact.
+    */
+  val kmeansUpdate = QueryDef(
+    "q_kmeans_update",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      val centroids = e.filter(col("vec_id").between(200, 204))
+        .select((col("vec_id") - 199).as("cluster_id"),
+          transform(col("embedding"), x => x.cast("double")).as("centroid"))
+      graft.functions.KMeansLite.assign(e, centroids)
+        .select(col("cluster_id"), posexplode(col("embedding")))
+        .groupBy(col("cluster_id"), col("pos"))
+        .agg(count(lit(1)).as("n_members"),
+          avg(col("col").cast("double")).cast("float").as("dim_mean"))
+        .select(col("cluster_id"), col("pos").cast("long").as("pos"),
+          col("n_members"), col("dim_mean"))
+        .orderBy(col("cluster_id"), col("pos"))
+    },
+    Some("""
+      WITH centroids AS (
+        SELECT vec_id - 199 AS cluster_id, CAST(embedding AS DOUBLE[]) AS centroid
+        FROM embeddings WHERE vec_id BETWEEN 200 AND 204),
+      scored AS (
+        SELECT e.vec_id, c.cluster_id,
+               list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))
+                 - 2 * list_dot_product(CAST(e.embedding AS DOUBLE[]), c.centroid)
+                 + list_dot_product(c.centroid, c.centroid) AS dist
+        FROM embeddings e CROSS JOIN centroids c),
+      ranked AS (
+        SELECT vec_id, cluster_id,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster_id) AS rn
+        FROM scored),
+      assigned AS (SELECT vec_id, cluster_id FROM ranked WHERE rn = 1),
+      ex AS (
+        -- two unnests of equal-length lists zip positionally (the
+        -- generate_series TABLE function rejects lateral column refs)
+        SELECT a.cluster_id,
+               unnest(generate_series(1, len(e.embedding))) - 1 AS pos,
+               unnest(list_transform(generate_series(1, len(e.embedding)),
+                 i -> CAST(e.embedding[i] AS DOUBLE))) AS x
+        FROM assigned a JOIN embeddings e USING (vec_id))
+      SELECT cluster_id, CAST(pos AS BIGINT) AS pos,
+             count(*) AS n_members, CAST(avg(x) AS FLOAT) AS dim_mean
+      FROM ex
+      GROUP BY cluster_id, pos
+      ORDER BY cluster_id, pos
+    """))
+
+  /** k-NN label transfer (semi-supervised annotation): classify a
+    * bounded probe set by the majority label of its 5 nearest labeled
+    * neighbors by cosine, tie-broken toward the smaller label — the
+    * "propagate labels from the annotated slice to new data" pass.
+    * The probe side is a fixed 50-row broadcast (the q_cosine_topk
+    * scan shape: one linear pass over the labeled corpus, top-5
+    * reduces map-side via WindowGroupLimit); a corpus-scale probe set
+    * composes the identical vote stage with q_knn_join's adaptive
+    * sign-bit blocking instead. The rank-5 cut orders on the raw
+    * cosine — bit-identical across engines (both fold the same
+    * per-element double ops in the same order; q_cosine_topk
+    * precedent) — and the vote itself is pure integer arithmetic.
+    * Emitting true_label alongside makes the row set double as a
+    * held-out accuracy measurement.
+    */
+  val knnClassify = QueryDef(
+    "q_knn_classify",
+    (s, d) => {
+      graft.functions.expressions.CosineSimilarity.register(s)
+      val e = Tables.embeddings(s, d)
+      val probes = broadcast(e.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("probe_id"), col("label").as("true_label"),
+          col("embedding").as("probe_emb")))
+      val labeled = e.filter(col("vec_id") >= 50)
+        .select(col("vec_id").as("neighbor_id"), col("label"),
+          col("embedding").as("cand_emb"))
+      val wr = Window.partitionBy(col("probe_id"))
+        .orderBy(col("cos").desc, col("neighbor_id"))
+      val wv = Window.partitionBy(col("probe_id"))
+        .orderBy(col("votes").desc, col("label"))
+      probes.crossJoin(labeled)
+        .select(col("probe_id"), col("true_label"), col("label"), col("neighbor_id"),
+          VF.cosineFast(col("probe_emb"), col("cand_emb")).as("cos"))
+        .withColumn("rn", row_number().over(wr))
+        .filter(col("rn") <= 5)
+        .groupBy(col("probe_id"), col("true_label"), col("label"))
+        .agg(count(lit(1)).as("votes"))
+        .withColumn("vr", row_number().over(wv))
+        .filter(col("vr") === 1)
+        .select(col("probe_id"), col("label").as("predicted_label"), col("votes"),
+          col("true_label"), (col("label") === col("true_label")).as("correct"))
+        .orderBy(col("probe_id"))
+    },
+    Some(s"""
+      WITH scored AS (
+        SELECT a.vec_id AS probe_id, a.label AS true_label,
+               b.label, b.vec_id AS neighbor_id, $duckCos AS cos
+        FROM (SELECT * FROM embeddings WHERE vec_id < 50) a
+        CROSS JOIN (SELECT * FROM embeddings WHERE vec_id >= 50) b),
+      ranked AS (
+        SELECT probe_id, true_label, label,
+               row_number() OVER (PARTITION BY probe_id
+                 ORDER BY cos DESC, neighbor_id) AS rn
+        FROM scored),
+      votes AS (
+        SELECT probe_id, true_label, label, count(*) AS votes
+        FROM ranked WHERE rn <= 5
+        GROUP BY probe_id, true_label, label),
+      picked AS (
+        SELECT probe_id, true_label, label, votes,
+               row_number() OVER (PARTITION BY probe_id
+                 ORDER BY votes DESC, label) AS vr
+        FROM votes)
+      SELECT probe_id, label AS predicted_label, votes, true_label,
+             (label = true_label) AS correct
+      FROM picked WHERE vr = 1
+      ORDER BY probe_id
+    """))
+
   /** Embedding-outlier curation: assign every vector to its nearest
     * centroid (the q_kmeans_assign step), then surface the 3 FARTHEST
     * members of each cluster — the "prune noisy/mislabeled samples"
@@ -535,5 +661,5 @@ object Similarity extends QueryModule {
 
   def defs: Seq[QueryDef] =
     Seq(cosineTopK, annIvf, vectorStats, annLsh, annLshWide, kmeansAssign,
-      knnJoin, annIvfMultiprobe, embeddingOutliers)
+      knnJoin, annIvfMultiprobe, embeddingOutliers, kmeansUpdate, knnClassify)
 }

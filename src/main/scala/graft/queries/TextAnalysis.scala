@@ -1876,6 +1876,67 @@ object TextAnalysis extends QueryModule {
       ORDER BY doc_id
     """))
 
+  /** Model-based quality filtering — the "score every document with a
+    * trained classifier, keep above threshold" pass (the fastText-
+    * quality-model analog): a logistic model over four cheap token
+    * features (token count, distinct ratio, stopword ratio, mean
+    * token length) with FIXED stub weights standing in for trained
+    * ones — the distributed plumbing (one explode+aggregate shuffle,
+    * per-row scoring, threshold keep) is exactly what a real weight
+    * vector would run. Determinism: every feature is a ratio of exact
+    * integers and the logit is the same left-associated double chain
+    * in both engines — bit-identical per row — so the keep decision
+    * (logit ≥ 0 ⟺ score ≥ 0.5) is exact; only the displayed sigmoid
+    * goes through exp() and is FLOAT-cast (last-ulp rule).
+    */
+  val qualityLogreg = QueryDef(
+    "q_quality_logreg",
+    (s, d) => {
+      val f = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), explode(TF.tokens(col("text"))).as("tok"))
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(count(lit(1)).as("nt"),
+          countDistinct(col("tok")).as("nd"),
+          sum(when(col("tok").isin("a", "the"), 1L).otherwise(0L)).as("ns"),
+          sum(length(col("tok"))).as("sl"))
+      f.select(col("doc_id"), col("lang"), col("nt").as("n_tokens"),
+          (lit(-1.2) + lit(0.01) * col("nt")
+            + lit(0.8) * (col("nd").cast("double") / col("nt"))
+            - lit(2.0) * (col("ns").cast("double") / col("nt"))
+            + lit(0.05) * (col("sl").cast("double") / col("nt"))).as("z"))
+        .select(col("doc_id"), col("lang"), col("n_tokens"),
+          (lit(1.0) / (lit(1.0) + exp(-col("z")))).cast("float").as("score"),
+          (col("z") >= 0.0).as("keep"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id, lang,
+               unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+        FROM documents),
+      f AS (
+        SELECT doc_id, lang, count(*) AS nt, count(DISTINCT tok) AS nd,
+               sum(CASE WHEN tok IN ('a', 'the') THEN 1 ELSE 0 END) AS ns,
+               sum(length(tok)) AS sl
+        FROM t GROUP BY doc_id, lang),
+      z AS (
+        -- CAST(nt AS DOUBLE) in the first product: DuckDB parses 0.01
+        -- as DECIMAL and would multiply a BIGINT exactly, diverging
+        -- from Spark's double chain; a DOUBLE operand forces the same
+        -- IEEE ops in the same order on both sides
+        SELECT doc_id, lang, nt,
+               -1.2 + 0.01 * CAST(nt AS DOUBLE)
+                 + 0.8 * (CAST(nd AS DOUBLE) / nt)
+                 - 2.0 * (CAST(ns AS DOUBLE) / nt)
+                 + 0.05 * (CAST(sl AS DOUBLE) / nt) AS z
+        FROM f)
+      SELECT doc_id, lang, nt AS n_tokens,
+             CAST(1.0 / (1.0 + exp(-z)) AS FLOAT) AS score,
+             z >= 0.0 AS keep
+      FROM z
+      ORDER BY doc_id
+    """))
+
   def defs: Seq[QueryDef] = Seq(
     textJaccard, ngramJaccard, textContainment, ngramNovelty, langId,
     langStats, textQuality,
@@ -1884,5 +1945,5 @@ object TextAnalysis extends QueryModule {
     repetition, qualityRules, redactTerms, unigramLogprob, zipfFit,
     shardPlan, chunkDocs, driftPsi, cooccurrence, boilerplate, bm25,
     hybridRrf, jaroWinkler, damerau, mixtureSample, corpusPipeline,
-    clusterKeywords, lengthTrim, bigramLogprob)
+    clusterKeywords, lengthTrim, bigramLogprob, qualityLogreg)
 }

@@ -445,9 +445,47 @@ object Windows extends QueryModule {
       ORDER BY o_orderkey
     """))
 
+  /** The SQL-text WINDOW clause (named window shared by several
+    * functions) exercised through Spark's OWN SQL entry point — every
+    * other window query here is DataFrame-API on the Spark side with
+    * the WINDOW clause only in the oracle text; this one grades the
+    * SQL surface itself. One named spec feeds row_number, lag, and a
+    * cents-exact running sum; single shuffle on user_id, unique
+    * (ts, event_id) ordering so the default RANGE frame is
+    * deterministic. The running money sum uses the integer-cents
+    * contract (memory rule): Spark's window sum(BIGINT) stays LONG
+    * while DuckDB's promotes to HUGEINT, so both cast to DOUBLE
+    * before the /100.0.
+    */
+  val windowNamed = QueryDef(
+    "q_window_named",
+    (s, d) => {
+      Tables.events(s, d).createOrReplaceTempView("events_nw_v")
+      s.sql("""
+        SELECT event_id, user_id, event_type,
+               CAST(row_number() OVER w AS BIGINT) AS rn,
+               lag(event_type) OVER w AS prev_type,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS DOUBLE)
+                 / 100.0 AS run_value
+        FROM events_nw_v
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ORDER BY user_id, rn
+      """)
+    },
+    Some("""
+      SELECT event_id, user_id, event_type,
+             row_number() OVER w AS rn,
+             lag(event_type) OVER w AS prev_type,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS DOUBLE)
+               / 100.0 AS run_value
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ORDER BY user_id, rn
+    """))
+
   def defs: Seq[QueryDef] = Seq(
     windowRank, windowAnalytic, windowRunning, windowRangeRolling,
     topKPerGroup, sortLimit, windowRangeNumeric, windowIgnoreNulls,
     windowCountDistinct, windowShareOfTotal, orderStreaks, windowPct,
-    nullOrdering, windowMedian, pagination)
+    nullOrdering, windowMedian, pagination, windowNamed)
 }

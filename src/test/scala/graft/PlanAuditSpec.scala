@@ -176,6 +176,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_promo_revenue", "q_subquery_scalar", "q_funnel", "q_gap_fill",
     "q_kmeans_assign", // 5-row broadcast centroid table (KMeansLite.assign)
     "q_embedding_outliers", // same 5-row centroid broadcast (kmeans_assign step)
+    "q_kmeans_update", // same 5-row centroid broadcast (kmeans_assign step)
+    "q_knn_classify", // 50-row broadcast probe set (cosine_topk pattern)
     "q_unigram_logprob", // lazy 1-row corpus-total cross join (tf_idf pattern)
     "q_global_customers", // 1-row avg-balance threshold cross join (tf_idf pattern)
     "q_important_parts", // 1-row corpus-total threshold cross join (tf_idf pattern)
