@@ -241,7 +241,70 @@ object Relational extends QueryModule {
       ORDER BY lang
     """))
 
+  /** Data-validation constraint suite (the Deequ/Great-Expectations
+    * surface): a declared set of table constraints — key uniqueness,
+    * non-null, value domain, numeric range, referential integrity —
+    * evaluated in bulk and emitted as one (check_name, violations,
+    * passed) report row each. The plan shape is what matters at
+    * 100 TB: ALL per-table scalar checks fold into a single scan +
+    * one-row aggregate per table (map-side combine, no per-check
+    * rescans), unpivoted to rows with stack(); only the FK check pays
+    * a join, and it's the shuffle-join the optimizer would pick for
+    * fact×fact anyway. Every counter is an exact BIGINT — a
+    * validation report is the last place a float may drift.
+    */
+  val constraintCheck = QueryDef(
+    "q_constraint_check",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+      val l = Tables.lineitem(s, d)
+      val orderChecks = o.agg(
+          (count(lit(1)) - countDistinct(col("o_orderkey"))).as("pk"),
+          sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("nn"),
+          sum(when(!col("o_orderstatus").isin("O", "F", "P"), 1L)
+            .otherwise(0L)).as("dom"))
+        .select(expr("""stack(3,
+          'orders_pk_unique', pk,
+          'orders_custkey_not_null', nn,
+          'orders_status_domain', dom) AS (check_name, violations)"""))
+      val lineChecks = l.agg(
+          sum(when(!col("l_quantity").between(1, 50), 1L).otherwise(0L)).as("rng"),
+          sum(when(col("l_extendedprice") <= 0, 1L).otherwise(0L)).as("pos"))
+        .select(expr("""stack(2,
+          'lineitem_qty_range', rng,
+          'lineitem_price_positive', pos) AS (check_name, violations)"""))
+      val fk = l.join(o, l("l_orderkey") === o("o_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("violations"))
+        .select(lit("lineitem_fk_orders").as("check_name"), col("violations"))
+      orderChecks.unionByName(lineChecks).unionByName(fk)
+        .withColumn("passed", col("violations") === 0L)
+        .orderBy(col("check_name"))
+    },
+    Some("""
+      WITH o AS (
+        SELECT count(*) - count(DISTINCT o_orderkey) AS pk,
+               CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn,
+               CAST(sum(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END) AS BIGINT) AS dom
+        FROM orders),
+      l AS (
+        SELECT CAST(sum(CASE WHEN l_quantity NOT BETWEEN 1 AND 50 THEN 1 ELSE 0 END) AS BIGINT) AS rng,
+               CAST(sum(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS pos
+        FROM lineitem),
+      fk AS (
+        SELECT count(*) AS v FROM lineitem
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)),
+      rows_ AS (
+        SELECT 'orders_pk_unique' AS check_name, pk AS violations FROM o
+        UNION ALL SELECT 'orders_custkey_not_null', nn FROM o
+        UNION ALL SELECT 'orders_status_domain', dom FROM o
+        UNION ALL SELECT 'lineitem_qty_range', rng FROM l
+        UNION ALL SELECT 'lineitem_price_positive', pos FROM l
+        UNION ALL SELECT 'lineitem_fk_orders', v FROM fk)
+      SELECT check_name, violations, violations = 0 AS passed
+      FROM rows_ ORDER BY check_name
+    """))
+
   def defs: Seq[QueryDef] =
     Seq(pricingSummary, filterPredicates, conditionalExpr, distinctProjection,
-      hashSample, profileOrders, weightedSample)
+      hashSample, profileOrders, weightedSample, constraintCheck)
 }

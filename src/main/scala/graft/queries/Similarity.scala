@@ -386,6 +386,63 @@ object Similarity extends QueryModule {
       ORDER BY probe_id
     """))
 
+  /** Label-coherence audit: how tight is each LABEL's embedding
+    * cluster — per-label centroid (float-cast per dimension, the
+    * q_kmeans_update contract), then the mean and minimum cosine of
+    * each member to its own label centroid. Low mean → an incoherent
+    * label; a low min flags the single worst member (the mislabeled-
+    * sample candidate q_embedding_outliers surfaces by distance).
+    * Plan: one explode+agg shuffle builds 5 centroid rows, broadcast
+    * back; the member pass is a single linear scan with the fused
+    * cosine and a bounded final aggregate. Determinism: centroid
+    * dims are float-cast (absorbs both engines' avg merge-order
+    * drift), the per-member cosine is then the same left fold of the
+    * same doubles on both sides, and the final avg is float-cast
+    * again (min needs no cast protection but gets one for symmetry).
+    */
+  val labelCoherence = QueryDef(
+    "q_label_coherence",
+    (s, d) => {
+      graft.functions.expressions.CosineSimilarity.register(s)
+      val e = Tables.embeddings(s, d)
+      val cent = e.select(col("label"), posexplode(col("embedding")))
+        .groupBy(col("label"), col("pos"))
+        .agg(avg(col("col").cast("double")).cast("float").as("c"))
+        .groupBy(col("label"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+          x => x.getField("c")).as("centroid"))
+      e.join(broadcast(cent), "label")
+        .select(col("label"),
+          VF.cosineFast(col("embedding"), col("centroid")).as("cos"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_members"),
+          avg(col("cos")).cast("float").as("mean_cos"),
+          min(col("cos")).cast("float").as("min_cos"))
+        .orderBy(col("label"))
+    },
+    Some("""
+      WITH ex AS (
+        SELECT label, vec_id,
+               unnest(generate_series(1, len(embedding))) - 1 AS pos,
+               unnest(list_transform(generate_series(1, len(embedding)),
+                 i -> CAST(embedding[i] AS DOUBLE))) AS x
+        FROM embeddings),
+      cd AS (
+        SELECT label, pos, CAST(avg(x) AS FLOAT) AS c
+        FROM ex GROUP BY label, pos),
+      cent AS (
+        SELECT label, list(c ORDER BY pos) AS centroid FROM cd GROUP BY label),
+      scored AS (
+        SELECT e.label,
+               list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(c.centroid AS DOUBLE[]))
+                 / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+                    * sqrt(list_dot_product(CAST(c.centroid AS DOUBLE[]), CAST(c.centroid AS DOUBLE[])))) AS cos
+        FROM embeddings e JOIN cent c USING (label))
+      SELECT label, count(*) AS n_members, CAST(avg(cos) AS FLOAT) AS mean_cos,
+             CAST(min(cos) AS FLOAT) AS min_cos
+      FROM scored GROUP BY label ORDER BY label
+    """))
+
   /** Embedding-outlier curation: assign every vector to its nearest
     * centroid (the q_kmeans_assign step), then surface the 3 FARTHEST
     * members of each cluster — the "prune noisy/mislabeled samples"
@@ -661,5 +718,6 @@ object Similarity extends QueryModule {
 
   def defs: Seq[QueryDef] =
     Seq(cosineTopK, annIvf, vectorStats, annLsh, annLshWide, kmeansAssign,
-      knnJoin, annIvfMultiprobe, embeddingOutliers, kmeansUpdate, knnClassify)
+      knnJoin, annIvfMultiprobe, embeddingOutliers, kmeansUpdate, knnClassify,
+      labelCoherence)
 }

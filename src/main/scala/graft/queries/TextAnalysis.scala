@@ -801,6 +801,47 @@ object TextAnalysis extends QueryModule {
       ORDER BY lang, split
     """))
 
+  /** GROUP-aware split — q_train_split's leakage-safe sibling: the
+    * split key is the GROUP (user_id), not the row, so every event of
+    * a user lands in the same split by construction (the "split by
+    * author/session/source, never by example" ML-hygiene rule —
+    * row-level splits leak near-duplicate rows of one entity across
+    * train/test). Same md5 hash-prefix assignment contract as
+    * q_train_split: reproducible across engines/retries, pure
+    * map-side, stable under repartitioning. One aggregation shuffle;
+    * countDistinct(user) adds the usual partial-distinct expansion,
+    * still one exchange.
+    */
+  val groupSplit = QueryDef(
+    "q_group_split",
+    (s, d) =>
+      Tables.events(s, d)
+        .select(col("user_id"), col("value"),
+          when(substring(md5(col("user_id").cast("string")), 1, 1) <= "b", "train")
+            .when(substring(md5(col("user_id").cast("string")), 1, 1) <= "d", "val")
+            .otherwise("test").as("split"))
+        .groupBy(col("split"))
+        .agg(countDistinct(col("user_id")).as("users"),
+          count(lit(1)).as("events"),
+          centsSum(col("value")).as("value_sum"))
+        .withColumn("events_per_user",
+          (col("events").cast("double") / col("users")).cast("float"))
+        .orderBy(col("split")),
+    Some(s"""
+      SELECT split, count(DISTINCT user_id) AS users, count(*) AS events,
+             ${centsSumSql("value")} AS value_sum,
+             CAST(CAST(count(*) AS DOUBLE) / count(DISTINCT user_id) AS FLOAT)
+               AS events_per_user
+      FROM (
+        SELECT user_id, value,
+               CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1) <= 'b' THEN 'train'
+                    WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1) <= 'd' THEN 'val'
+                    ELSE 'test' END AS split
+        FROM events)
+      GROUP BY split
+      ORDER BY split
+    """))
+
   /** Decontamination check: which TEST documents share a 5-gram with
     * any TRAIN document (the benchmark-contamination scan every
     * training-data pipeline runs before eval). Splits come from the
@@ -1945,5 +1986,5 @@ object TextAnalysis extends QueryModule {
     repetition, qualityRules, redactTerms, unigramLogprob, zipfFit,
     shardPlan, chunkDocs, driftPsi, cooccurrence, boilerplate, bm25,
     hybridRrf, jaroWinkler, damerau, mixtureSample, corpusPipeline,
-    clusterKeywords, lengthTrim, bigramLogprob, qualityLogreg)
+    clusterKeywords, lengthTrim, bigramLogprob, qualityLogreg, groupSplit)
 }

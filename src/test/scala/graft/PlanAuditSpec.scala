@@ -281,6 +281,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_lang_id" -> "bounded", // per-lang profile slice (top-k bigrams)
     "q_ann_ivf_multiprobe" -> "bounded", // per-label centroid assembly (k×dims rows)
     "q_knn_join" -> "bounded", // per-label chosen-dims assembly (≤ min(8, dim)=8 structs/label)
+    "q_label_coherence" -> "bounded", // per-label centroid assembly (exactly dims=64 structs/label)
     "q_band_by_quantile" -> "bounded", // approx_percentile only: t-digest buffer fixed by accuracy
     "q_percentile_approx_scale" -> "exact-anchor", // sketch + its exact comparison column (grading artifact)
     "q_approx_percentile" -> "exact-anchor", // sketch + its exact comparison column (grading artifact)
