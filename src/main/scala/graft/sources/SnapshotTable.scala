@@ -60,8 +60,15 @@ import scala.jdk.CollectionConverters._
   * inputs are stale — retrying would silently drop the other commit's
   * effect — so the commit aborts with [[SnapshotConflict]] and the
   * caller re-derives from the new snapshot. Disjoint-partition
-  * writers rebase and retry automatically; that is exactly the
-  * serializable-unless-disjoint contract of Delta/Iceberg OCC.
+  * writers rebase and retry automatically AT THE METADATA LEVEL —
+  * but because a version directory is a COMPLETE snapshot, a raw
+  * [[commit]] that rebases re-publishes its stale bytes for every
+  * partition it did not touch, reverting the concurrent commit's
+  * rows. Partition-sliced read-modify-write must therefore go
+  * through [[commitPartitions]], which recomposes content against
+  * the new head on every rebase; with it the layer honors the
+  * serializable-unless-disjoint contract of Delta/Iceberg OCC
+  * (SnapshotRaceFuzzSpec proves it under randomized races).
   *
   * Old versions are immutable after commit, so `read(version = n)` is
   * reproducible forever and a long-running job that resolved its
@@ -224,6 +231,14 @@ object SnapshotTable {
 
   /** Commit `df` as the next version via optimistic concurrency.
     *
+    * `df` is the COMPLETE next table content. Declared `partitions`
+    * only scope the conflict CHECK — they do not slice the data — so
+    * a read-modify-write caller that passes them must accept that a
+    * disjoint-rebase re-publishes its own (possibly stale) bytes for
+    * the partitions it did not touch. For partition-sliced
+    * concurrent writers use [[commitPartitions]], which recomposes
+    * content on rebase instead.
+    *
     * @param partitions  partition values this commit rewrites; empty
     *                    means "whole table" (blind overwrite)
     * @param readVersion the snapshot version the caller derived `df`
@@ -316,6 +331,132 @@ object SnapshotTable {
       }
     }
     -1 // unreachable
+  }
+
+  /** Partition-sliced read-modify-write commit — the SOUND concurrent
+    * writer API for partitioned tables. `df` holds ONLY the new rows
+    * of the partitions it rewrites (every distinct `partitionCol`
+    * value in `df` is a rewritten partition); the committed version's
+    * content is composed here as (published head minus those
+    * partitions) ∪ `df`, and a lost CAS recomposes against the NEW
+    * head before retrying — so a concurrent disjoint-partition
+    * writer's rows are re-read and carried, never clobbered.
+    *
+    * This is the fix for the lost-update hazard of calling [[commit]]
+    * with declared partitions directly: there the caller stages the
+    * FULL table as read at `readVersion`, so a disjoint writer that
+    * rebases (new version number, same stale bytes) silently reverts
+    * every partition the concurrent commit touched. Here the rebase
+    * recomposes content, which is what "rebase" must mean when a
+    * version is a complete snapshot.
+    *
+    * Serialization contract (matches Delta/Iceberg OCC):
+    *  - overlapping-partition writers: loser aborts with
+    *    [[SnapshotConflict]] (stale inputs — re-read and re-derive);
+    *  - disjoint-partition writers: both land, both updates survive;
+    *  - a concurrent BLIND full-table write (`commit` with no
+    *    readVersion) either conflicts us (its `*` claim is visible) or
+    *    publishes after our claim, in which case its full overwrite is
+    *    the valid later serialization.
+    *
+    * Claims here are taken CONTIGUOUSLY (exactly published-head + 1,
+    * never skipping an in-flight claim), because composition can only
+    * read published data: skipping would publish a version that lacks
+    * the in-flight writer's rows. A dead writer's orphan claim at
+    * head+1 therefore blocks this path until `maxRetries` (the
+    * conservative trade documented on the class; recover by
+    * [[abortClaim]]-ing the orphan after forensics).
+    *
+    * Cost: one data-sized stage per (re)composition — a retry against
+    * a MOVED head pays a restage (that IS the rebase); a retry against
+    * an unmoved head (in-flight claim ahead) only waits.
+    */
+  def commitPartitions(spark: SparkSession, root: String, df: DataFrame,
+      partitionCol: String, readVersion: Int = -1,
+      maxRetries: Int = 10): Int = {
+    Files.createDirectories(logDir(root))
+    require(df.columns.contains(partitionCol),
+      s"partition column $partitionCol missing from ${df.columns.mkString(",")}")
+    // distinct partition values: metadata-sized by the partitioned-
+    // table contract (|partitions| ≪ |rows|)
+    val vals = df.select(partitionCol).distinct().collect().map(_.get(0)).toSeq
+    require(vals.nonEmpty, "partition-sliced commit carries no rows")
+    require(!vals.contains(null),
+      s"null $partitionCol values cannot address a partition")
+    val mine: Set[String] = vals.map(v => s"$partitionCol=$v").toSet
+    var attempt = 0
+    var composedBase = -1 // version the current staging was composed against
+    var staging: Path = null
+    var manifestTmp: Path = null
+    def cleanup(): Unit = {
+      if (staging != null) deleteTree(staging)
+      if (manifestTmp != null) { Files.deleteIfExists(manifestTmp); () }
+    }
+    while (attempt < maxRetries) {
+      val base = currentVersion(root) // compose against PUBLISHED data only
+      // conflict check spans CLAIMED head: an in-flight overlapping
+      // claim already invalidates our inputs (conservative, same rule
+      // as casCommit)
+      if (readVersion >= 0) {
+        ((readVersion + 1) to headVersion(root))
+          .find(v => overlaps(mine, touched(root, v)))
+          .foreach { v =>
+            cleanup()
+            throw new SnapshotConflict(
+              s"commit based on v$readVersion conflicts with v$v " +
+                s"(overlapping partitions); re-read and re-derive")
+          }
+      }
+      if (base != composedBase) {
+        cleanup()
+        val composed =
+          if (base == 0) df
+          else {
+            val prior = read(spark, root, base)
+            require(prior.columns.toSet == df.columns.toSet,
+              s"schema mismatch: table has ${prior.columns.sorted.mkString(",")}, " +
+                s"slice has ${df.columns.sorted.mkString(",")} (evolve via mergeByKey)")
+            // coalesce(…, false): a NULL partition value in the prior
+            // table is unaddressable by a slice and always survives
+            val replaced = org.apache.spark.sql.functions.coalesce(
+              org.apache.spark.sql.functions.col(partitionCol)
+                .isin(vals: _*), org.apache.spark.sql.functions.lit(false))
+            prior.filter(!replaced).unionByName(df.select(prior.columns.map(
+              org.apache.spark.sql.functions.col): _*))
+          }
+        staging = Paths.get(root, "_staging", java.util.UUID.randomUUID().toString)
+        composed.write.mode("overwrite").parquet(staging.toString)
+        try validateConstraints(spark, root, staging)
+        catch { case e: Throwable => cleanup(); throw e }
+        manifestTmp = Paths.get(root, "_staging",
+          staging.getFileName.toString + ".manifest")
+        Files.writeString(manifestTmp, mine.toSeq.sorted.mkString("\n"))
+        composedBase = base
+      }
+      // contiguous claim: exactly composedBase + 1
+      val next = composedBase + 1
+      if (backend.claim(root, next, manifestTmp)) {
+        try {
+          backend.publish(root, staging, next)
+          backend.advancePointer(root, next)
+          Files.deleteIfExists(manifestTmp)
+          return next
+        } catch {
+          case e: Throwable =>
+            deleteTree(Paths.get(root, s"v=$next"))
+            backend.abortClaim(root, next)
+            cleanup()
+            throw e
+        }
+      }
+      attempt += 1
+      // head unmoved means an in-flight claim owns next: wait, don't
+      // restage; a moved head recomposes on the next loop pass
+      if (currentVersion(root) == composedBase) Thread.sleep(50L * attempt)
+    }
+    cleanup()
+    throw new SnapshotConflict(
+      s"lost the commit race $maxRetries times at $root; giving up")
   }
 
   /** Read the latest snapshot (default) or time-travel to `version`. */
