@@ -31,16 +31,31 @@ object KMeansLite {
       .select(col(idCol), col(embCol), col("cluster_id"), col("dist"))
   }
 
-  /** Recompute centroids as per-dimension means of their members. */
-  def updateCentroids(assigned: DataFrame, embCol: String = "embedding"): DataFrame =
+  /** Recompute centroids as per-dimension means of their members —
+    * the ONE home of the posexplode → per-(group, pos) avg →
+    * array_sort(collect_list(struct)) → transform assembly idiom
+    * (the struct sort on the leading `pos` field is what makes
+    * collect_list's nondeterministic order irrelevant; every caller
+    * must go through here rather than re-inline it).
+    *
+    * @param groupCol  the cluster/label column centroids are built per
+    * @param floatDims cast each dimension mean to FLOAT — the
+    *                  cross-engine determinism lever for GRADED
+    *                  queries (absorbs avg merge-order drift on both
+    *                  sides); the iterative fit keeps full doubles
+    */
+  def updateCentroids(assigned: DataFrame, embCol: String = "embedding",
+      groupCol: String = "cluster_id", floatDims: Boolean = false): DataFrame = {
+    val mean = avg(col("col").cast("double"))
     assigned
-      .select(col("cluster_id"), posexplode(col(embCol)))
-      .groupBy(col("cluster_id"), col("pos"))
-      .agg(avg(col("col").cast("double")).as("mean"))
-      .groupBy(col("cluster_id"))
+      .select(col(groupCol), posexplode(col(embCol)))
+      .groupBy(col(groupCol), col("pos"))
+      .agg((if (floatDims) mean.cast("float") else mean).as("mean"))
+      .groupBy(col(groupCol))
       .agg(transform(
         array_sort(collect_list(struct(col("pos"), col("mean")))),
         s => s.getField("mean")).as("centroid"))
+  }
 
   /** Fixed-iteration fit. Initial centroids: the k lowest-id points
     * (deterministic seed). Returns (centroids, assignment).

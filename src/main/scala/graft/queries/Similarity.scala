@@ -405,12 +405,8 @@ object Similarity extends QueryModule {
     (s, d) => {
       graft.functions.expressions.CosineSimilarity.register(s)
       val e = Tables.embeddings(s, d)
-      val cent = e.select(col("label"), posexplode(col("embedding")))
-        .groupBy(col("label"), col("pos"))
-        .agg(avg(col("col").cast("double")).cast("float").as("c"))
-        .groupBy(col("label"))
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
-          x => x.getField("c")).as("centroid"))
+      val cent = graft.functions.KMeansLite.updateCentroids(
+        e, groupCol = "label", floatDims = true)
       e.join(broadcast(cent), "label")
         .select(col("label"),
           VF.cosineFast(col("embedding"), col("centroid")).as("cos"))
@@ -644,13 +640,9 @@ object Similarity extends QueryModule {
     (s, d) => {
       graft.functions.expressions.CosineSimilarity.register(s)
       val e = Tables.embeddings(s, d)
-      val cent = e
-        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
-        .groupBy(col("label"), col("pos"))
-        .agg(avg(col("v")).as("m"))
-        .groupBy(col("label"))
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-          x => x.getField("m")).as("centroid"))
+      // avg(float) already promotes to double, so the helper's explicit
+      // double cast is plan-equivalent to the previous inline assembly
+      val cent = graft.functions.KMeansLite.updateCentroids(e, groupCol = "label")
       val queries = e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("query_id"), col("embedding").as("query_emb"))
       val wProbe = Window.partitionBy(col("query_id"))

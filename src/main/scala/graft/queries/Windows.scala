@@ -452,10 +452,11 @@ object Windows extends QueryModule {
     * SQL surface itself. One named spec feeds row_number, lag, and a
     * cents-exact running sum; single shuffle on user_id, unique
     * (ts, event_id) ordering so the default RANGE frame is
-    * deterministic. The running money sum uses the integer-cents
-    * contract (memory rule): Spark's window sum(BIGINT) stays LONG
-    * while DuckDB's promotes to HUGEINT, so both cast to DOUBLE
-    * before the /100.0.
+    * deterministic. The running money sum follows the full
+    * integer-cents contract (centsSum): Spark accumulates in
+    * DECIMAL(38,0) — a window sum over BIGINT would stay LONG and
+    * wrap where DuckDB's HUGEINT stays exact — and both engines cast
+    * the exact integer to DOUBLE before the /100.0.
     */
   val windowNamed = QueryDef(
     "q_window_named",
@@ -465,7 +466,7 @@ object Windows extends QueryModule {
         SELECT event_id, user_id, event_type,
                CAST(row_number() OVER w AS BIGINT) AS rn,
                lag(event_type) OVER w AS prev_type,
-               CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS DOUBLE)
+               CAST(sum(CAST(round(value * 100) AS DECIMAL(38,0))) OVER w AS DOUBLE)
                  / 100.0 AS run_value
         FROM events_nw_v
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)

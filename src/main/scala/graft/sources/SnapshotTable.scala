@@ -101,6 +101,41 @@ object SnapshotTable {
 
   private def versionFile(root: String) = Paths.get(root, "_VERSION")
   private def logDir(root: String) = Paths.get(root, "_log")
+
+  /** The DV machinery stamps `__file`/`__idx` helper columns and joins
+    * against `__dv_file`/`__dv_idx`; a table whose OWN schema used one
+    * of those names would be silently clobbered by withColumn and then
+    * corrupted by the anti-join. Every commit entry point (commit,
+    * commitPartitions) must reserve them at the gate.
+    */
+  private def requireNoReservedColumns(df: DataFrame): Unit = {
+    val reserved = df.columns.toSet
+      .intersect(Set("__file", "__idx", "__dv_file", "__dv_idx"))
+    require(reserved.isEmpty,
+      s"column name(s) ${reserved.mkString(", ")} are reserved for the " +
+        "deletion-vector machinery; rename before committing")
+  }
+
+  /** Publish a claimed slot: the shared tail of every commit path. On
+    * publish failure the claim is rolled back so the slot does not
+    * poison future read-modify-write commits (another writer may have
+    * taken next+1 meanwhile — markers need not stay contiguous,
+    * headVersion is a max).
+    */
+  private def publishClaimed(root: String, staging: Path, manifestTmp: Path,
+      next: Int, cleanup: () => Unit): Int =
+    try {
+      backend.publish(root, staging, next)
+      backend.advancePointer(root, next)
+      Files.deleteIfExists(manifestTmp)
+      next
+    } catch {
+      case e: Throwable =>
+        deleteTree(Paths.get(root, s"v=$next"))
+        backend.abortClaim(root, next)
+        cleanup()
+        throw e
+    }
   private[sources] def markerFile(root: String, v: Int) = logDir(root).resolve(v.toString)
 
   /** The storage seam: every atomic metadata operation of the commit
@@ -251,16 +286,15 @@ object SnapshotTable {
       maxRetries: Int = 10, statsCols: Seq[String] = Nil,
       setCols: Seq[String] = Nil, setCap: Int = 1024): Int = {
     Files.createDirectories(logDir(root))
-    // The DV machinery stamps `__file`/`__idx` helper columns and joins
-    // against `__dv_file`/`__dv_idx`; a table whose OWN schema used one
-    // of those names would be silently clobbered by withColumn and then
-    // corrupted by the anti-join. Reserve them at the commit gate.
-    val reserved = df.columns.toSet
-      .intersect(Set("__file", "__idx", "__dv_file", "__dv_idx"))
-    require(reserved.isEmpty,
-      s"column name(s) ${reserved.mkString(", ")} are reserved for the " +
-        "deletion-vector machinery; rename before committing")
-    val mine: Set[String] = if (partitions.isEmpty) Set("*") else partitions.toSet
+    requireNoReservedColumns(df)
+    // escapeVal makes the newline-framed manifest injective: a
+    // partition token carrying a newline must not split into bogus
+    // entries that defeat a concurrent writer's overlap check (same
+    // framing rule as the stats/sets manifests). Escaping happens on
+    // BOTH the in-memory set and the written manifest, so overlaps()
+    // always compares like with like.
+    val mine: Set[String] =
+      if (partitions.isEmpty) Set("*") else partitions.map(escapeVal).toSet
     // Stage once — the expensive (data-sized) step happens exactly one
     // time no matter how many CAS retries the (metadata-sized) loop
     // takes. The manifest temp is written once too: the CAS hard-links
@@ -311,23 +345,8 @@ object SnapshotTable {
         }
         // loop: re-read head, re-check conflicts, next slot
       } else {
-        // We own version `next` exclusively from here on. On publish
-        // failure, roll our claim back so the slot does not poison
-        // future read-modify-write commits (another writer may have
-        // taken next+1 meanwhile — markers need not stay contiguous,
-        // headVersion is a max).
-        try {
-          backend.publish(root, staging, next)
-          backend.advancePointer(root, next)
-          Files.deleteIfExists(manifestTmp)
-          return next
-        } catch {
-          case e: Throwable =>
-            deleteTree(Paths.get(root, s"v=$next"))
-            backend.abortClaim(root, next)
-            cleanup()
-            throw e
-        }
+        // We own version `next` exclusively from here on.
+        return publishClaimed(root, staging, manifestTmp, next, () => cleanup())
       }
     }
     -1 // unreachable
@@ -375,6 +394,7 @@ object SnapshotTable {
       partitionCol: String, readVersion: Int = -1,
       maxRetries: Int = 10): Int = {
     Files.createDirectories(logDir(root))
+    requireNoReservedColumns(df)
     require(df.columns.contains(partitionCol),
       s"partition column $partitionCol missing from ${df.columns.mkString(",")}")
     // distinct partition values: metadata-sized by the partitioned-
@@ -383,7 +403,10 @@ object SnapshotTable {
     require(vals.nonEmpty, "partition-sliced commit carries no rows")
     require(!vals.contains(null),
       s"null $partitionCol values cannot address a partition")
-    val mine: Set[String] = vals.map(v => s"$partitionCol=$v").toSet
+    // whole-token escape, same framing rule as commit(): a value
+    // carrying a newline must not split the manifest into bogus
+    // entries that defeat a concurrent writer's overlap check
+    val mine: Set[String] = vals.map(v => escapeVal(s"$partitionCol=$v")).toSet
     var attempt = 0
     var composedBase = -1 // version the current staging was composed against
     var staging: Path = null
@@ -413,9 +436,19 @@ object SnapshotTable {
           if (base == 0) df
           else {
             val prior = read(spark, root, base)
-            require(prior.columns.toSet == df.columns.toSet,
-              s"schema mismatch: table has ${prior.columns.sorted.mkString(",")}, " +
-                s"slice has ${df.columns.sorted.mkString(",")} (evolve via mergeByKey)")
+            // names AND types must match exactly: a name-only check
+            // would let unionByName silently widen the table's column
+            // type table-wide on compose (a LONG column fed a DOUBLE
+            // slice flips every row to DOUBLE) — the same-name type
+            // flip mergeByKey's store-assignment guards exist to block
+            val priorTypes = prior.schema.fields
+              .map(f => f.name -> f.dataType).toMap
+            val sliceTypes = df.schema.fields
+              .map(f => f.name -> f.dataType).toMap
+            require(priorTypes == sliceTypes,
+              s"schema mismatch: table has ${prior.schema.simpleString}, " +
+                s"slice has ${df.schema.simpleString} (same names AND types " +
+                "required; evolve via mergeByKey)")
             // coalesce(…, false): a NULL partition value in the prior
             // table is unaddressable by a slice and always survives
             val replaced = org.apache.spark.sql.functions.coalesce(
@@ -435,20 +468,8 @@ object SnapshotTable {
       }
       // contiguous claim: exactly composedBase + 1
       val next = composedBase + 1
-      if (backend.claim(root, next, manifestTmp)) {
-        try {
-          backend.publish(root, staging, next)
-          backend.advancePointer(root, next)
-          Files.deleteIfExists(manifestTmp)
-          return next
-        } catch {
-          case e: Throwable =>
-            deleteTree(Paths.get(root, s"v=$next"))
-            backend.abortClaim(root, next)
-            cleanup()
-            throw e
-        }
-      }
+      if (backend.claim(root, next, manifestTmp))
+        return publishClaimed(root, staging, manifestTmp, next, () => cleanup())
       attempt += 1
       // head unmoved means an in-flight claim owns next: wait, don't
       // restage; a moved head recomposes on the next loop pass

@@ -106,6 +106,12 @@ object SnapshotSink {
         case e: SnapshotTable.SnapshotConflict =>
           attempt += 1
           if (attempt >= maxConflictRetries) throw e
+          // back off before recomposing: commitPartitions throws the
+          // conflict BEFORE any heavy work, so an in-flight
+          // overlapping claim (writer between claim and publish)
+          // would otherwise burn every retry in milliseconds and
+          // kill the streaming query where a short wait succeeds
+          Thread.sleep(math.min(1000L, 50L * attempt))
         // loop: recompose against the head that beat us
       }
     }

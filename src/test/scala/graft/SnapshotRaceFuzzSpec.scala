@@ -80,6 +80,19 @@ class SnapshotRaceFuzzSpec extends AnyFunSuite {
       SnapshotTable.commitPartitions(spark, root,
         Seq((Option.empty[Int], 0, 1)).toDF("p", "k", "value"), "p")
     }
+    // a slice whose same-name column TYPE differs is rejected loudly —
+    // a name-only check would let unionByName widen the table column
+    // table-wide on compose (review finding)
+    intercept[IllegalArgumentException] {
+      SnapshotTable.commitPartitions(spark, root,
+        Seq((0, 0, 1.5)).toDF("p", "k", "value"), "p",
+        readVersion = SnapshotTable.currentVersion(root))
+    }
+    // reserved DV-machinery names are rejected at this gate too
+    intercept[IllegalArgumentException] {
+      SnapshotTable.commitPartitions(spark, tmp(),
+        Seq((0, "x")).toDF("p", "__file"), "p")
+    }
     // a NULL-partition row in the PRIOR table survives any slice
     val root2 = tmp()
     SnapshotTable.commit(spark, root2,
@@ -90,6 +103,28 @@ class SnapshotRaceFuzzSpec extends AnyFunSuite {
     val kept = SnapshotTable.read(spark, root2)
       .filter(col("p").isNull).count()
     assert(kept === 1L, "null-partition row clobbered by a slice commit")
+  }
+
+  test("newline-bearing partition values stay one manifest token — overlap still detected") {
+    import spark.implicits._
+    val root = tmp()
+    // "a\nb" written raw would split into two bogus manifest lines and
+    // a same-partition re-writer would sail past the conflict check
+    SnapshotTable.commitPartitions(spark, root,
+      Seq(("a\nb", 0, 0), ("z", 0, 0)).toDF("p", "k", "value"), "p")
+    val v = SnapshotTable.currentVersion(root)
+    SnapshotTable.commitPartitions(spark, root,
+      Seq(("a\nb", 0, 1)).toDF("p", "k", "value"), "p", readVersion = v)
+    intercept[SnapshotTable.SnapshotConflict] {
+      SnapshotTable.commitPartitions(spark, root,
+        Seq(("a\nb", 0, 2)).toDF("p", "k", "value"), "p", readVersion = v)
+    }
+    // and the disjoint partition still rebases through
+    SnapshotTable.commitPartitions(spark, root,
+      Seq(("z", 0, 3)).toDF("p", "k", "value"), "p", readVersion = v)
+    val got = SnapshotTable.read(spark, root).orderBy("p")
+      .collect().map(r => (r.getString(0), r.getInt(2))).toSeq
+    assert(got === Seq(("a\nb", 1), ("z", 3)), s"escaped-token overlap broke: $got")
   }
 
   test("randomized concurrent writers: final + every version equals the serialized replay") {
