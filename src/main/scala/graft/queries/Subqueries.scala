@@ -212,6 +212,88 @@ object Subqueries extends QueryModule {
       ORDER BY c_custkey
     """))
 
+  /** The SQL-text PIVOT clause through Spark's own parser (the
+    * DataFrame .pivot() twins q_pivot/q_pivot_multi grade the API;
+    * this grades the SQL surface): order revenue per priority ×
+    * status, static value list with per-value aliases. The pivot
+    * aggregate follows the integer-cents contract — DECIMAL(38,0)
+    * sums inside the pivot, one exact-integer→DOUBLE cast outside —
+    * and the oracle is the equivalent conditional aggregation
+    * (DuckDB's own PIVOT syntax differs; the CASE form is the
+    * engine-neutral semantics both must match). Plan shape is the
+    * same partial+final hash aggregate as any groupBy — PIVOT is
+    * parse-time sugar, no extra shuffle.
+    */
+  val sqlPivot = QueryDef(
+    "q_sql_pivot",
+    (s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders_pv_v")
+      s.sql("""
+        SELECT o_orderpriority,
+               CAST(o_total AS DOUBLE) / 100.0 AS o_total,
+               CAST(f_total AS DOUBLE) / 100.0 AS f_total,
+               CAST(p_total AS DOUBLE) / 100.0 AS p_total
+        FROM (SELECT o_orderpriority, o_orderstatus,
+                     CAST(round(o_totalprice * 100) AS DECIMAL(38,0)) AS cents
+              FROM orders_pv_v)
+        PIVOT (sum(cents) FOR o_orderstatus
+               IN ('O' AS o_total, 'F' AS f_total, 'P' AS p_total))
+        ORDER BY o_orderpriority
+      """)
+    },
+    Some("""
+      SELECT o_orderpriority,
+             CAST(sum(CASE WHEN o_orderstatus = 'O'
+               THEN CAST(round(o_totalprice * 100) AS BIGINT) END) AS DOUBLE)
+               / 100.0 AS o_total,
+             CAST(sum(CASE WHEN o_orderstatus = 'F'
+               THEN CAST(round(o_totalprice * 100) AS BIGINT) END) AS DOUBLE)
+               / 100.0 AS f_total,
+             CAST(sum(CASE WHEN o_orderstatus = 'P'
+               THEN CAST(round(o_totalprice * 100) AS BIGINT) END) AS DOUBLE)
+               / 100.0 AS p_total
+      FROM orders
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority
+    """))
+
+  /** The SQL-text UNPIVOT clause (melt): a per-priority metrics row
+    * widened by aggregation, then unpivoted back to (metric, val)
+    * pairs — the report-reshaping surface. All three metrics are
+    * exact BIGINT counts so the unpivoted value column has one type.
+    * Oracle: the engine-neutral UNION ALL form. UNPIVOT is parse-time
+    * sugar over an Expand node — bounded input (|priorities| rows),
+    * no shuffle beyond the aggregate's.
+    */
+  val sqlUnpivot = QueryDef(
+    "q_sql_unpivot",
+    (s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders_upv_v")
+      s.sql("""
+        SELECT o_orderpriority, metric, val
+        FROM (SELECT o_orderpriority,
+                     count(*) AS n_orders,
+                     count(DISTINCT o_custkey) AS n_custs,
+                     count(DISTINCT o_orderdate) AS n_days
+              FROM orders_upv_v GROUP BY o_orderpriority)
+        UNPIVOT (val FOR metric IN (n_orders, n_custs, n_days))
+        ORDER BY o_orderpriority, metric
+      """)
+    },
+    Some("""
+      WITH m AS (
+        SELECT o_orderpriority,
+               count(*) AS n_orders,
+               count(DISTINCT o_custkey) AS n_custs,
+               count(DISTINCT o_orderdate) AS n_days
+        FROM orders GROUP BY o_orderpriority)
+      SELECT o_orderpriority, metric, val FROM (
+        SELECT o_orderpriority, 'n_orders' AS metric, n_orders AS val FROM m
+        UNION ALL SELECT o_orderpriority, 'n_custs', n_custs FROM m
+        UNION ALL SELECT o_orderpriority, 'n_days', n_days FROM m)
+      ORDER BY o_orderpriority, metric
+    """))
+
   def defs: Seq[QueryDef] = Seq(scalarSubquery, inSubquery, groupByAll,
-    recursiveCalendar, lateralJoin, existsSubquery)
+    recursiveCalendar, lateralJoin, existsSubquery, sqlPivot, sqlUnpivot)
 }
