@@ -352,6 +352,93 @@ object SnapshotTable {
     -1 // unreachable
   }
 
+  // ---- partition-sliced fast path: the file↔partition map ----------
+  //
+  // `_partmap` records, for a version written entirely through
+  // [[commitPartitions]], which single partition token each data file
+  // holds (newline-framed `escapeVal(file)\t<token>` lines; tokens are
+  // the already-escaped manifest tokens). With it, composing the next
+  // partition-sliced version is METADATA-SIZED for the untouched
+  // partitions: their files are hard-linked (same inode — no read, no
+  // write), and only the slice's rows are written. The map exists only
+  // while every data file is single-partition:
+  //  - born when commitPartitions CREATES the table (the slice is
+  //    written one partition value at a time);
+  //  - carried by every fast-path commit (linked files keep their
+  //    token, new files take the slice's) and by RESTORE (1:1 links);
+  //  - absent after any flat write (raw commit, mergeByKey, the
+  //    slow-path compose) or OPTIMIZE (files rewritten), and IGNORED
+  //    when the prior version carries a deletion vector — linking a
+  //    file without its DV would resurrect deleted rows — all of
+  //    which fall back to the always-correct full compose.
+  private def partmapFile(dir: Path) = dir.resolve("_partmap")
+  private val maxPartmapValues = 64
+
+  /** The prior version's file→token map, or None when absent or when
+    * it does not cover exactly the data files present (a torn or
+    * foreign layout must disable the fast path, never corrupt it).
+    */
+  private def readPartmap(dir: Path): Option[Map[String, String]] = {
+    if (!Files.exists(partmapFile(dir))) return None
+    val m = Files.readString(partmapFile(dir)).linesIterator
+      .filter(_.nonEmpty).map { l =>
+        val i = l.indexOf('\t')
+        unescapeVal(l.take(i)) -> l.drop(i + 1)
+      }.toMap
+    if (m.keySet == listDataFiles(dir).toSet) Some(m) else None
+  }
+
+  private def writePartmap(staging: Path, entries: Map[String, String]): Unit = {
+    Files.writeString(partmapFile(staging),
+      entries.toSeq.sorted.map { case (f, t) => s"${escapeVal(f)}\t$t" }
+        .mkString("\n"))
+    ()
+  }
+
+  private def listDataFiles(dir: Path): Vector[String] = {
+    val s = Files.list(dir)
+    try s.iterator().asScala.filter(p => Files.isRegularFile(p) && {
+      val n = p.getFileName.toString
+      !n.startsWith("_") && !n.startsWith(".")
+    }).map(_.getFileName.toString).toVector
+    finally s.close()
+  }
+
+  /** Write each partition value's slice rows as that value's own
+    * files: one write job per value into a value-private temp subdir
+    * (dot-prefixed — invisible to readers even if leaked), files then
+    * moved into the staging root. The subdir is what makes file→token
+    * attribution exact AND lets the jobs run CONCURRENTLY (Spark
+    * schedules parallel jobs from one session; an append-into-shared-
+    * dir design could do neither). Returns the partmap entries.
+    */
+  private def writeSlicePerValue(df: DataFrame, partitionCol: String,
+      vals: Seq[Any], staging: Path): Map[String, String] = {
+    import org.apache.spark.sql.functions.{col, lit}
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(8, math.max(1, vals.length)))
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val futs = vals.map { v =>
+        Future {
+          val sub = staging.resolve(s".slice-${java.util.UUID.randomUUID()}")
+          df.filter(col(partitionCol) <=> lit(v))
+            .write.mode("overwrite").parquet(sub.toString)
+          val tok = escapeVal(s"$partitionCol=$v")
+          val moved = listDataFiles(sub).map { f =>
+            Files.move(sub.resolve(f), staging.resolve(f))
+            f -> tok
+          }
+          deleteTree(sub)
+          moved
+        }
+      }
+      Await.result(Future.sequence(futs), Duration.Inf).flatten.toMap
+    } finally { pool.shutdown() }
+  }
+
   /** Partition-sliced read-modify-write commit — the SOUND concurrent
     * writer API for partitioned tables. `df` holds ONLY the new rows
     * of the partitions it rewrites (every distinct `partitionCol`
@@ -386,9 +473,16 @@ object SnapshotTable {
     * conservative trade documented on the class; recover by
     * [[abortClaim]]-ing the orphan after forensics).
     *
-    * Cost: one data-sized stage per (re)composition — a retry against
-    * a MOVED head pays a restage (that IS the rebase); a retry against
-    * an unmoved head (in-flight claim ahead) only waits.
+    * Cost: when the prior version carries a `_partmap` (tables written
+    * entirely through this API), composition is the FAST PATH —
+    * untouched partitions' files are hard-linked and only the slice's
+    * rows are written, so a commit against a 100 TB table costs the
+    * touched data plus |files| link syscalls. Otherwise (table born
+    * from a flat commit, a deletion vector present, or a
+    * pathologically wide slice) composition is one data-sized stage.
+    * Either way a retry against a MOVED head pays a recomposition
+    * (that IS the rebase); a retry against an unmoved head (in-flight
+    * claim ahead) only waits.
     */
   def commitPartitions(spark: SparkSession, root: String, df: DataFrame,
       partitionCol: String, readVersion: Int = -1,
@@ -432,33 +526,71 @@ object SnapshotTable {
       }
       if (base != composedBase) {
         cleanup()
-        val composed =
-          if (base == 0) df
-          else {
-            val prior = read(spark, root, base)
-            // names AND types must match exactly: a name-only check
-            // would let unionByName silently widen the table's column
-            // type table-wide on compose (a LONG column fed a DOUBLE
-            // slice flips every row to DOUBLE) — the same-name type
-            // flip mergeByKey's store-assignment guards exist to block
-            val priorTypes = prior.schema.fields
-              .map(f => f.name -> f.dataType).toMap
-            val sliceTypes = df.schema.fields
-              .map(f => f.name -> f.dataType).toMap
-            require(priorTypes == sliceTypes,
-              s"schema mismatch: table has ${prior.schema.simpleString}, " +
-                s"slice has ${df.schema.simpleString} (same names AND types " +
-                "required; evolve via mergeByKey)")
-            // coalesce(…, false): a NULL partition value in the prior
-            // table is unaddressable by a slice and always survives
-            val replaced = org.apache.spark.sql.functions.coalesce(
-              org.apache.spark.sql.functions.col(partitionCol)
-                .isin(vals: _*), org.apache.spark.sql.functions.lit(false))
-            prior.filter(!replaced).unionByName(df.select(prior.columns.map(
-              org.apache.spark.sql.functions.col): _*))
-          }
         staging = Paths.get(root, "_staging", java.util.UUID.randomUUID().toString)
-        composed.write.mode("overwrite").parquet(staging.toString)
+        if (base == 0) {
+          // CREATE: write one partition value at a time so the version
+          // is born with a `_partmap` and every later slice commit can
+          // take the file-link fast path (capped — a pathological
+          // first slice with hundreds of values stays a flat write)
+          Files.createDirectories(staging)
+          if (vals.length <= maxPartmapValues)
+            writePartmap(staging,
+              writeSlicePerValue(df, partitionCol, vals, staging))
+          else df.write.mode("overwrite").parquet(staging.toString)
+        } else {
+          val prior = read(spark, root, base)
+          // names AND types must match exactly: a name-only check
+          // would let unionByName silently widen the table's column
+          // type table-wide on compose (a LONG column fed a DOUBLE
+          // slice flips every row to DOUBLE) — the same-name type
+          // flip mergeByKey's store-assignment guards exist to block
+          val priorTypes = prior.schema.fields
+            .map(f => f.name -> f.dataType).toMap
+          val sliceTypes = df.schema.fields
+            .map(f => f.name -> f.dataType).toMap
+          require(priorTypes == sliceTypes,
+            s"schema mismatch: table has ${prior.schema.simpleString}, " +
+              s"slice has ${df.schema.simpleString} (same names AND types " +
+              "required; evolve via mergeByKey)")
+          val aligned = df.select(prior.columns.map(
+            org.apache.spark.sql.functions.col): _*)
+          val priorDir = Paths.get(root, s"v=$base")
+          // the map is only usable when it was built on the SAME
+          // partition column: tokens for another column would never
+          // match `mine`, every file would be "kept", and the slice's
+          // rows would duplicate instead of replace. A column switch
+          // (legal, if odd) takes the slow compose, which filters on
+          // values and stays correct.
+          val priorMap = readPartmap(priorDir)
+            .filter(_ => !Files.exists(dvDir(priorDir)))
+            .filter(_.values.forall(_.startsWith(
+              escapeVal(partitionCol) + "=")))
+          priorMap match {
+            case Some(pm) if vals.length <= maxPartmapValues =>
+              // FAST PATH: untouched partitions' files are hard-linked
+              // (metadata-only — no read, no write of their bytes);
+              // only the slice's rows are written. Commit cost is
+              // ∝ touched data + |files| link syscalls, not table size
+              // — the file-granularity economics the real formats get
+              // from their manifests.
+              Files.createDirectories(staging)
+              val keep = pm.filter { case (_, tok) => !mine.contains(tok) }
+              keep.keys.foreach(f =>
+                Files.createLink(staging.resolve(f), priorDir.resolve(f)))
+              writePartmap(staging,
+                keep ++ writeSlicePerValue(aligned, partitionCol, vals, staging))
+            case _ =>
+              // SLOW PATH (no partmap / DV present / too many values):
+              // full compose stays correct, flat files, no partmap.
+              // coalesce(…, false): a NULL partition value in the
+              // prior table is unaddressable by a slice and survives
+              val replaced = org.apache.spark.sql.functions.coalesce(
+                org.apache.spark.sql.functions.col(partitionCol)
+                  .isin(vals: _*), org.apache.spark.sql.functions.lit(false))
+              prior.filter(!replaced).unionByName(aligned)
+                .write.mode("overwrite").parquet(staging.toString)
+          }
+        }
         try validateConstraints(spark, root, staging)
         catch { case e: Throwable => cleanup(); throw e }
         manifestTmp = Paths.get(root, "_staging",

@@ -1,0 +1,133 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import graft.sources.SnapshotTable
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import scala.jdk.CollectionConverters._
+
+/** The commitPartitions file-link fast path (`_partmap` sidecar):
+  * tables written entirely through commitPartitions compose the next
+  * partition-sliced version by HARD-LINKING untouched partitions'
+  * files and writing only the slice — commit cost ∝ touched data, not
+  * table size. These tests pin (1) the links are real (same inode),
+  * (2) every fallback (deletion vector, flat-write ancestry, OPTIMIZE)
+  * stays correct, and (3) RESTORE carries the map.
+  */
+class SnapshotPartmapSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft-pm-").toString
+
+  private def seed(root: String) = {
+    import spark.implicits._
+    SnapshotTable.commitPartitions(spark,
+      root, (0 until 3).flatMap(p => (0 until 4).map(k => (p, k, p * 10 + k)))
+        .toDF("p", "k", "value"), "p")
+  }
+
+  private def dataFiles(root: String, v: Int): Map[String, Object] = {
+    val dir = Paths.get(root, s"v=$v")
+    val s = Files.list(dir)
+    try s.iterator().asScala.filter(p => Files.isRegularFile(p) && {
+      val n = p.getFileName.toString
+      !n.startsWith("_") && !n.startsWith(".")
+    }).map(p => p.getFileName.toString ->
+      Files.getAttribute(p, "unix:ino")).toMap
+    finally s.close()
+  }
+
+  test("slice commits hard-link untouched partitions' files (same inode)") {
+    import spark.implicits._
+    val root = tmp()
+    seed(root)
+    assert(Files.exists(Paths.get(root, "v=1", "_partmap")),
+      "create through commitPartitions must be born with a partmap")
+    val v1Files = dataFiles(root, 1)
+    SnapshotTable.commitPartitions(spark, root,
+      Seq((0, 0, 777)).toDF("p", "k", "value"), "p",
+      readVersion = SnapshotTable.currentVersion(root))
+    assert(Files.exists(Paths.get(root, "v=2", "_partmap")))
+    val v2Files = dataFiles(root, 2)
+    // every carried file name is the SAME inode — linked, not copied
+    val carried = v2Files.keySet.intersect(v1Files.keySet)
+    assert(carried.nonEmpty, "untouched partitions must carry files forward")
+    carried.foreach(f => assert(v2Files(f) === v1Files(f),
+      s"$f was rewritten, not hard-linked"))
+    // and the content is the overlay
+    val got = SnapshotTable.read(spark, root).orderBy("p", "k")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).toSeq
+    val want = Seq((0, 0, 777)) ++
+      (1 until 3).flatMap(p => (0 until 4).map(k => (p, k, p * 10 + k)))
+    assert(got === want.sorted, s"overlay content: $got")
+  }
+
+  test("a deletion vector disables the fast path without resurrecting deleted rows") {
+    import spark.implicits._
+    val root = tmp()
+    seed(root)
+    SnapshotTable.deleteWhere(spark, root, "p = 1 AND k = 0") // v2, DV
+    // slice-commit p=2 on top of the DV version → must fall back to
+    // the full compose (linking v2's files without the DV would bring
+    // (1,0) back from the dead)
+    SnapshotTable.commitPartitions(spark, root,
+      Seq((2, 0, 555)).toDF("p", "k", "value"), "p",
+      readVersion = SnapshotTable.currentVersion(root))
+    val got = SnapshotTable.read(spark, root)
+      .filter(col("p") === 1).orderBy("k")
+      .collect().map(_.getInt(1)).toSeq
+    assert(got === Seq(1, 2, 3), s"deleted row resurrected: $got")
+    assert(SnapshotTable.read(spark, root)
+      .filter(col("p") === 2 && col("k") === 0)
+      .collect().head.getInt(2) === 555)
+  }
+
+  test("flat-write ancestry and OPTIMIZE fall back correctly; RESTORE carries the map") {
+    import spark.implicits._
+    val root = tmp()
+    // table born from a raw flat commit: no partmap, slow path forever
+    SnapshotTable.commit(spark, root,
+      Seq((0, 0, 1), (1, 0, 2)).toDF("p", "k", "value"))
+    assert(!Files.exists(Paths.get(root, "v=1", "_partmap")))
+    SnapshotTable.commitPartitions(spark, root,
+      Seq((0, 0, 9)).toDF("p", "k", "value"), "p",
+      readVersion = SnapshotTable.currentVersion(root))
+    val got = SnapshotTable.read(spark, root).orderBy("p")
+      .collect().map(r => (r.getInt(0), r.getInt(2))).toSeq
+    assert(got === Seq((0, 9), (1, 2)))
+
+    // partmap-born table: OPTIMIZE rewrites files → map gone → slow
+    // path → still correct
+    val root2 = tmp()
+    seed(root2)
+    SnapshotTable.compactFiles(spark, root2)
+    SnapshotTable.commitPartitions(spark, root2,
+      Seq((1, 0, 888)).toDF("p", "k", "value"), "p",
+      readVersion = SnapshotTable.currentVersion(root2))
+    assert(SnapshotTable.read(spark, root2).count() ===
+      4 + 4 + 1, "compact-then-slice row count")
+    assert(SnapshotTable.read(spark, root2)
+      .filter(col("p") === 1).count() === 1)
+
+    // RESTORE hard-links 1:1 → the restored version keeps the map and
+    // the NEXT slice commit fast-paths off it
+    val root3 = tmp()
+    seed(root3)
+    SnapshotTable.commitPartitions(spark, root3,
+      Seq((0, 0, 5)).toDF("p", "k", "value"), "p",
+      readVersion = SnapshotTable.currentVersion(root3))
+    SnapshotTable.restore(spark, root3, 1) // v3 = v1 again
+    assert(Files.exists(Paths.get(root3, "v=3", "_partmap")),
+      "restore must carry the partmap")
+    SnapshotTable.commitPartitions(spark, root3,
+      Seq((2, 0, 4)).toDF("p", "k", "value"), "p",
+      readVersion = SnapshotTable.currentVersion(root3))
+    val v4Files = dataFiles(root3, 4)
+    val v3Files = dataFiles(root3, 3)
+    val carried = v4Files.keySet.intersect(v3Files.keySet)
+    assert(carried.nonEmpty)
+    carried.foreach(f => assert(v4Files(f) === v3Files(f),
+      "post-restore slice must hard-link, not rewrite"))
+  }
+}
