@@ -439,6 +439,34 @@ object SnapshotTable {
     } finally { pool.shutdown() }
   }
 
+  /** Carry the per-file pruning sidecars (`_stats.json`, `_sets.json`)
+    * across a fast-path compose: kept (hard-linked) files keep their
+    * lines verbatim — both manifests describe immutable bytes — and
+    * the slice's new files get freshly computed lines over JUST their
+    * own bytes, so manifest data skipping keeps working on partmap
+    * tables without ever rescanning the untouched partitions. New
+    * files' set lines use the default cap (the original cap is not
+    * recorded; a differing cap only shifts which files carry the
+    * OVERFLOW sentinel, which pruning treats conservatively).
+    */
+  private def carrySidecars(spark: SparkSession, priorDir: Path,
+      staging: Path, keptFiles: Set[String], newFiles: Set[String]): Unit = {
+    val newPaths = newFiles.toSeq.sorted.map(f => staging.resolve(f).toString)
+    def carry(sidecar: Path => Path, fresh: Seq[String] => String): Unit = {
+      if (!Files.exists(sidecar(priorDir))) return
+      val all = Files.readString(sidecar(priorDir)).linesIterator
+        .filter(_.nonEmpty).toSeq
+      val kept = all.filter(l => keptFiles.contains(l.takeWhile(_ != '\t')))
+      val cols = all.map(_.split("\t", 3)(1)).distinct
+      val body = if (newPaths.isEmpty) "" else fresh(cols)
+      Files.writeString(sidecar(staging),
+        (kept ++ body.linesIterator.filter(_.nonEmpty)).mkString("\n") + "\n")
+      ()
+    }
+    carry(statsFile, cols => statsBody(spark, newPaths, cols))
+    carry(setsFile, cols => setsBody(spark, newPaths, cols, 1024))
+  }
+
   /** Partition-sliced read-modify-write commit — the SOUND concurrent
     * writer API for partitioned tables. `df` holds ONLY the new rows
     * of the partitions it rewrites (every distinct `partitionCol`
@@ -486,7 +514,8 @@ object SnapshotTable {
     */
   def commitPartitions(spark: SparkSession, root: String, df: DataFrame,
       partitionCol: String, readVersion: Int = -1,
-      maxRetries: Int = 10): Int = {
+      maxRetries: Int = 10, statsCols: Seq[String] = Nil,
+      setCols: Seq[String] = Nil, setCap: Int = 1024): Int = {
     Files.createDirectories(logDir(root))
     requireNoReservedColumns(df)
     require(df.columns.contains(partitionCol),
@@ -577,8 +606,11 @@ object SnapshotTable {
               val keep = pm.filter { case (_, tok) => !mine.contains(tok) }
               keep.keys.foreach(f =>
                 Files.createLink(staging.resolve(f), priorDir.resolve(f)))
-              writePartmap(staging,
-                keep ++ writeSlicePerValue(aligned, partitionCol, vals, staging))
+              val fresh = writeSlicePerValue(aligned, partitionCol, vals, staging)
+              writePartmap(staging, keep ++ fresh)
+              // pruning manifests survive the fast path too: kept
+              // files' lines carry verbatim, new files are scanned
+              carrySidecars(spark, priorDir, staging, keep.keySet, fresh.keySet)
             case _ =>
               // SLOW PATH (no partmap / DV present / too many values):
               // full compose stays correct, flat files, no partmap.
@@ -591,6 +623,14 @@ object SnapshotTable {
                 .write.mode("overwrite").parquet(staging.toString)
           }
         }
+        // explicit sidecar requests (same contract as commit()): any
+        // path that did not already produce them scans the staging —
+        // on the fast path that only happens when the PRIOR version
+        // had none to carry (a stats upgrade is a data-sized event)
+        if (statsCols.nonEmpty && !Files.exists(statsFile(staging)))
+          writeStats(spark, staging, statsCols)
+        if (setCols.nonEmpty && !Files.exists(setsFile(staging)))
+          writeSets(spark, staging, setCols, setCap)
         try validateConstraints(spark, root, staging)
         catch { case e: Throwable => cleanup(); throw e }
         manifestTmp = Paths.get(root, "_staging",
@@ -1081,10 +1121,21 @@ object SnapshotTable {
     * the directory is renamed at publish.
     */
   private def writeStats(spark: SparkSession, staged: Path, cols: Seq[String]): Unit = {
+    Files.writeString(statsFile(staged),
+      statsBody(spark, Seq(staged.toString), cols))
+    ()
+  }
+
+  /** The stats manifest lines for exactly `srcs` (a whole staged dir
+    * or an explicit file subset — the fast path computes stats for
+    * its NEW files only and carries the linked files' lines).
+    */
+  private def statsBody(spark: SparkSession, srcs: Seq[String],
+      cols: Seq[String]): String = {
     import org.apache.spark.sql.functions.{col => c, input_file_name, max => mx, min => mn}
     val aggs = cols.flatMap(n => Seq(
       mn(c(n)).cast("string").as(s"min:$n"), mx(c(n)).cast("string").as(s"max:$n")))
-    val rows = spark.read.parquet(staged.toString)
+    val rows = spark.read.parquet(srcs: _*)
       .groupBy(input_file_name().as("file"))
       .agg(aggs.head, aggs.tail: _*)
       .collect()
@@ -1098,7 +1149,7 @@ object SnapshotTable {
         sb.append(s"$file\t$n\t$lo\t$hi\n")
       }
     }
-    Files.writeString(statsFile(staged), sb.toString)
+    sb.toString
   }
 
   // ---- value-set skipping (point-lookup pruning) -------------------
@@ -1156,8 +1207,18 @@ object SnapshotTable {
 
   private def writeSets(spark: SparkSession, staged: Path, cols: Seq[String],
       cap: Int): Unit = {
+    Files.writeString(setsFile(staged),
+      setsBody(spark, Seq(staged.toString), cols, cap))
+    ()
+  }
+
+  /** The value-set manifest lines for exactly `srcs` (see
+    * [[statsBody]] for why the source set is explicit).
+    */
+  private def setsBody(spark: SparkSession, srcs: Seq[String],
+      cols: Seq[String], cap: Int): String = {
     import org.apache.spark.sql.functions.{col => c, countDistinct, input_file_name}
-    val df = spark.read.parquet(staged.toString)
+    val df = spark.read.parquet(srcs: _*)
     val sb = new StringBuilder
     cols.foreach { n =>
       // two passes, both small-by-construction: distinct counts per
@@ -1185,7 +1246,7 @@ object SnapshotTable {
         sb.append(s"$file\t$n\t$payload\n")
       }
     }
-    Files.writeString(setsFile(staged), sb.toString)
+    sb.toString
   }
 
   /** Files of version `v` that can hold rows with `column = value`

@@ -83,6 +83,53 @@ class SnapshotPartmapSpec extends AnyFunSuite {
       .collect().head.getInt(2) === 555)
   }
 
+  test("pruning sidecars carry across the fast path: kept lines verbatim, new files scanned") {
+    import spark.implicits._
+    val root = tmp()
+    SnapshotTable.commitPartitions(spark, root,
+      (0 until 3).flatMap(p => (0 until 4).map(k => (p, k, p * 10 + k)))
+        .toDF("p", "k", "value"), "p",
+      statsCols = Seq("value"), setCols = Seq("p"))
+    assert(Files.exists(Paths.get(root, "v=1", "_stats.json")))
+    SnapshotTable.commitPartitions(spark, root,
+      Seq((0, 0, 999)).toDF("p", "k", "value"), "p",
+      readVersion = SnapshotTable.currentVersion(root))
+    // the fast-path version still has both manifests…
+    assert(Files.exists(Paths.get(root, "v=2", "_stats.json")),
+      "stats manifest must carry across the fast path")
+    assert(Files.exists(Paths.get(root, "v=2", "_sets.json")),
+      "sets manifest must carry across the fast path")
+    // …and they PRUNE: an equality probe on p=1 keeps only that
+    // partition's files (every file is single-partition here)
+    val v1Only = SnapshotTable.pruneFilesEq(spark, root, "p", "1")
+    val allFiles = dataFiles(root, 2).size
+    assert(v1Only.nonEmpty && v1Only.size < allFiles,
+      s"sets pruning inert: ${v1Only.size} of $allFiles kept")
+    // the new slice file's stats are fresh: a range probe for the new
+    // value 999 keeps a file, and the pruned READ returns the row
+    val hit = SnapshotTable.readPruned(spark, root, "value", "900", "1000")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).toSeq
+    assert(hit === Seq((0, 0, 999)), s"stats-pruned read: $hit")
+  }
+
+  test("vacuum of the linked-from version leaves the fast-path version intact") {
+    import spark.implicits._
+    val root = tmp()
+    seed(root)
+    SnapshotTable.commitPartitions(spark, root,
+      Seq((0, 0, 777)).toDF("p", "k", "value"), "p",
+      readVersion = SnapshotTable.currentVersion(root))
+    // v2's untouched-partition files are hard links into v1; dropping
+    // v1 unlinks ONE name, the inode survives under v2's name
+    val dropped = SnapshotTable.vacuum(root, keepLast = 1)
+    assert(dropped.contains(1), s"expected v1 vacuumed, got $dropped")
+    val got = SnapshotTable.read(spark, root).orderBy("p", "k")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).toSeq
+    val want = (Seq((0, 0, 777)) ++
+      (1 until 3).flatMap(p => (0 until 4).map(k => (p, k, p * 10 + k)))).sorted
+    assert(got === want, s"vacuum broke linked data: $got")
+  }
+
   test("flat-write ancestry and OPTIMIZE fall back correctly; RESTORE carries the map") {
     import spark.implicits._
     val root = tmp()
