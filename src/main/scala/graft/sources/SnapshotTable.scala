@@ -374,26 +374,46 @@ object SnapshotTable {
   private def partmapFile(dir: Path) = dir.resolve("_partmap")
   private val maxPartmapValues = 64
 
-  /** The prior version's file→token map, or None when absent or when
-    * it does not cover exactly the data files present (a torn or
-    * foreign layout must disable the fast path, never corrupt it).
+  /** The prior version's file→token map, or None when absent, when it
+    * was built on a different partition column (the header line
+    * records the exact column — token prefixes are ambiguous when a
+    * column name contains '='), or when it does not cover exactly the
+    * data files present (a torn or foreign layout must disable the
+    * fast path, never corrupt it).
     */
-  private def readPartmap(dir: Path): Option[Map[String, String]] = {
+  private def readPartmap(dir: Path,
+      partitionCol: String): Option[Map[String, String]] = {
     if (!Files.exists(partmapFile(dir))) return None
-    val m = Files.readString(partmapFile(dir)).linesIterator
-      .filter(_.nonEmpty).map { l =>
-        val i = l.indexOf('\t')
-        unescapeVal(l.take(i)) -> l.drop(i + 1)
-      }.toMap
+    val lines = Files.readString(partmapFile(dir)).linesIterator
+      .filter(_.nonEmpty).toSeq
+    val colOk = lines.headOption.exists(_ ==
+      s"#col\t${escapeVal(partitionCol)}")
+    if (!colOk) return None
+    val m = lines.tail.map { l =>
+      val i = l.indexOf('\t')
+      unescapeVal(l.take(i)) -> l.drop(i + 1)
+    }.toMap
     if (m.keySet == listDataFiles(dir).toSet) Some(m) else None
   }
 
-  private def writePartmap(staging: Path, entries: Map[String, String]): Unit = {
+  private def writePartmap(staging: Path, partitionCol: String,
+      entries: Map[String, String]): Unit = {
     Files.writeString(partmapFile(staging),
-      entries.toSeq.sorted.map { case (f, t) => s"${escapeVal(f)}\t$t" }
+      (s"#col\t${escapeVal(partitionCol)}" +:
+        entries.toSeq.sorted.map { case (f, t) => s"${escapeVal(f)}\t$t" })
         .mkString("\n"))
     ()
   }
+
+  /** Does an existing sidecar manifest carry lines for every requested
+    * column? Absent file or any missing column → no (recompute).
+    */
+  private def sidecarCovers(sidecar: Path, cols: Seq[String]): Boolean =
+    Files.exists(sidecar) && {
+      val present = Files.readString(sidecar).linesIterator
+        .filter(_.nonEmpty).map(_.split("\t", 3)(1)).toSet
+      cols.forall(present.contains)
+    }
 
   private def listDataFiles(dir: Path): Vector[String] = {
     val s = Files.list(dir)
@@ -417,6 +437,11 @@ object SnapshotTable {
     import org.apache.spark.sql.functions.{col, lit}
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
+    // materialize the slice ONCE: each per-value job filters the
+    // checkpointed blocks instead of re-running the slice's whole
+    // lineage (an expensive upstream query would otherwise execute
+    // up to |vals| times)
+    val src = if (vals.length > 1) df.localCheckpoint(false) else df
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
       math.min(8, math.max(1, vals.length)))
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
@@ -424,7 +449,7 @@ object SnapshotTable {
       val futs = vals.map { v =>
         Future {
           val sub = staging.resolve(s".slice-${java.util.UUID.randomUUID()}")
-          df.filter(col(partitionCol) <=> lit(v))
+          src.filter(col(partitionCol) <=> lit(v))
             .write.mode("overwrite").parquet(sub.toString)
           val tok = escapeVal(s"$partitionCol=$v")
           val moved = listDataFiles(sub).map { f =>
@@ -436,6 +461,11 @@ object SnapshotTable {
         }
       }
       Await.result(Future.sequence(futs), Duration.Inf).flatten.toMap
+    } catch {
+      // fail fast AND hard: don't let the surviving per-value writes
+      // keep streaming data into the doomed staging dir behind the
+      // caller's cleanup
+      case e: Throwable => pool.shutdownNow(); throw e
     } finally { pool.shutdown() }
   }
 
@@ -445,12 +475,13 @@ object SnapshotTable {
     * the slice's new files get freshly computed lines over JUST their
     * own bytes, so manifest data skipping keeps working on partmap
     * tables without ever rescanning the untouched partitions. New
-    * files' set lines use the default cap (the original cap is not
-    * recorded; a differing cap only shifts which files carry the
+    * files' set lines use the CALLER's cap (prior versions' caps are
+    * not recorded; a cap difference only shifts which files carry the
     * OVERFLOW sentinel, which pruning treats conservatively).
     */
   private def carrySidecars(spark: SparkSession, priorDir: Path,
-      staging: Path, keptFiles: Set[String], newFiles: Set[String]): Unit = {
+      staging: Path, keptFiles: Set[String], newFiles: Set[String],
+      setCap: Int): Unit = {
     val newPaths = newFiles.toSeq.sorted.map(f => staging.resolve(f).toString)
     def carry(sidecar: Path => Path, fresh: Seq[String] => String): Unit = {
       if (!Files.exists(sidecar(priorDir))) return
@@ -464,7 +495,7 @@ object SnapshotTable {
       ()
     }
     carry(statsFile, cols => statsBody(spark, newPaths, cols))
-    carry(setsFile, cols => setsBody(spark, newPaths, cols, 1024))
+    carry(setsFile, cols => setsBody(spark, newPaths, cols, setCap))
   }
 
   /** Partition-sliced read-modify-write commit — the SOUND concurrent
@@ -526,10 +557,32 @@ object SnapshotTable {
     require(vals.nonEmpty, "partition-sliced commit carries no rows")
     require(!vals.contains(null),
       s"null $partitionCol values cannot address a partition")
+    // Partition tokens are built from value.toString, which is only
+    // VALUE-BASED for these types. A BinaryType value would tokenize
+    // as its identity hash (different every run → the same partition
+    // gets two tokens → kept-files filter misses → duplicated rows),
+    // and java.sql.Timestamp/Date render through the JVM default
+    // timezone (unstable across writers). Unsafe types: no tokens —
+    // the conflict manifest degrades to the conservative full-table
+    // `*` and composition takes the value-correct slow path.
+    val tokenSafe = df.schema(partitionCol).dataType match {
+      case org.apache.spark.sql.types.StringType |
+           org.apache.spark.sql.types.BooleanType |
+           org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.FloatType |
+           org.apache.spark.sql.types.DoubleType => true
+      case _: org.apache.spark.sql.types.DecimalType => true
+      case _ => false
+    }
     // whole-token escape, same framing rule as commit(): a value
     // carrying a newline must not split the manifest into bogus
     // entries that defeat a concurrent writer's overlap check
-    val mine: Set[String] = vals.map(v => escapeVal(s"$partitionCol=$v")).toSet
+    val mine: Set[String] =
+      if (tokenSafe) vals.map(v => escapeVal(s"$partitionCol=$v")).toSet
+      else Set("*")
     var attempt = 0
     var composedBase = -1 // version the current staging was composed against
     var staging: Path = null
@@ -556,14 +609,16 @@ object SnapshotTable {
       if (base != composedBase) {
         cleanup()
         staging = Paths.get(root, "_staging", java.util.UUID.randomUUID().toString)
+        try {
         if (base == 0) {
           // CREATE: write one partition value at a time so the version
           // is born with a `_partmap` and every later slice commit can
           // take the file-link fast path (capped — a pathological
-          // first slice with hundreds of values stays a flat write)
+          // first slice with hundreds of values, or a token-unsafe
+          // partition type, stays a flat write)
           Files.createDirectories(staging)
-          if (vals.length <= maxPartmapValues)
-            writePartmap(staging,
+          if (tokenSafe && vals.length <= maxPartmapValues)
+            writePartmap(staging, partitionCol,
               writeSlicePerValue(df, partitionCol, vals, staging))
           else df.write.mode("overwrite").parquet(staging.toString)
         } else {
@@ -585,17 +640,17 @@ object SnapshotTable {
             org.apache.spark.sql.functions.col): _*)
           val priorDir = Paths.get(root, s"v=$base")
           // the map is only usable when it was built on the SAME
-          // partition column: tokens for another column would never
+          // partition column (its header records the exact column —
+          // a token-prefix test would be fooled by a column name
+          // containing '='): tokens for another column would never
           // match `mine`, every file would be "kept", and the slice's
           // rows would duplicate instead of replace. A column switch
           // (legal, if odd) takes the slow compose, which filters on
           // values and stays correct.
-          val priorMap = readPartmap(priorDir)
+          val priorMap = readPartmap(priorDir, partitionCol)
             .filter(_ => !Files.exists(dvDir(priorDir)))
-            .filter(_.values.forall(_.startsWith(
-              escapeVal(partitionCol) + "=")))
           priorMap match {
-            case Some(pm) if vals.length <= maxPartmapValues =>
+            case Some(pm) if tokenSafe && vals.length <= maxPartmapValues =>
               // FAST PATH: untouched partitions' files are hard-linked
               // (metadata-only — no read, no write of their bytes);
               // only the slice's rows are written. Commit cost is
@@ -607,13 +662,15 @@ object SnapshotTable {
               keep.keys.foreach(f =>
                 Files.createLink(staging.resolve(f), priorDir.resolve(f)))
               val fresh = writeSlicePerValue(aligned, partitionCol, vals, staging)
-              writePartmap(staging, keep ++ fresh)
+              writePartmap(staging, partitionCol, keep ++ fresh)
               // pruning manifests survive the fast path too: kept
               // files' lines carry verbatim, new files are scanned
-              carrySidecars(spark, priorDir, staging, keep.keySet, fresh.keySet)
+              carrySidecars(spark, priorDir, staging, keep.keySet,
+                fresh.keySet, setCap)
             case _ =>
-              // SLOW PATH (no partmap / DV present / too many values):
-              // full compose stays correct, flat files, no partmap.
+              // SLOW PATH (no partmap / DV present / token-unsafe
+              // type / too many values): full compose stays correct,
+              // flat files, no partmap.
               // coalesce(…, false): a NULL partition value in the
               // prior table is unaddressable by a slice and survives
               val replaced = org.apache.spark.sql.functions.coalesce(
@@ -623,20 +680,25 @@ object SnapshotTable {
                 .write.mode("overwrite").parquet(staging.toString)
           }
         }
-        // explicit sidecar requests (same contract as commit()): any
-        // path that did not already produce them scans the staging —
-        // on the fast path that only happens when the PRIOR version
-        // had none to carry (a stats upgrade is a data-sized event)
-        if (statsCols.nonEmpty && !Files.exists(statsFile(staging)))
+        // explicit sidecar requests (same contract as commit()). A
+        // carried manifest that does not cover the REQUESTED columns
+        // is recomputed over the whole staging (a pruning-column
+        // upgrade is a data-sized event, never a silent drop).
+        if (statsCols.nonEmpty && !sidecarCovers(statsFile(staging), statsCols))
           writeStats(spark, staging, statsCols)
-        if (setCols.nonEmpty && !Files.exists(setsFile(staging)))
+        if (setCols.nonEmpty && !sidecarCovers(setsFile(staging), setCols))
           writeSets(spark, staging, setCols, setCap)
-        try validateConstraints(spark, root, staging)
-        catch { case e: Throwable => cleanup(); throw e }
+        validateConstraints(spark, root, staging)
         manifestTmp = Paths.get(root, "_staging",
           staging.getFileName.toString + ".manifest")
         Files.writeString(manifestTmp, mine.toSeq.sorted.mkString("\n"))
         composedBase = base
+        } catch {
+          // any staging-build failure (a per-value write, a sidecar
+          // scan, a constraint violation) must not leak the data-sized
+          // _staging directory
+          case e: Throwable => cleanup(); throw e
+        }
       }
       // contiguous claim: exactly composedBase + 1
       val next = composedBase + 1
@@ -760,16 +822,8 @@ object SnapshotTable {
     // from staging), then the metadata-only data-file links
     prev.unionAll(newDv).write.mode("overwrite")
       .parquet(dvDir(staging).toString)
-    val files = {
-      val s = Files.list(srcDir)
-      try s.iterator().asScala
-        .filter(p => Files.isRegularFile(p) && {
-          val n = p.getFileName.toString
-          !n.startsWith("_") && !n.startsWith(".")
-        }).toVector
-      finally s.close()
-    }
-    files.foreach(p => Files.createLink(staging.resolve(p.getFileName), p))
+    listDataFiles(srcDir).foreach(n =>
+      Files.createLink(staging.resolve(n), srcDir.resolve(n)))
     // the stats manifest stays valid (same immutable files; deleted
     // rows only widen the ranges, which is conservative for pruning)
     if (Files.exists(statsFile(srcDir)))
@@ -976,14 +1030,7 @@ object SnapshotTable {
       val dir = Paths.get(root, s"v=$v")
       if (!Files.exists(dir)) None // vacuumed
       else {
-        val files = {
-          val s = Files.list(dir)
-          try s.iterator().asScala.count(p => Files.isRegularFile(p) && {
-            val n = p.getFileName.toString
-            !n.startsWith("_") && !n.startsWith(".")
-          })
-          finally s.close()
-        }
+        val files = listDataFiles(dir).size
         val parts = try touched(root, v).toSeq.sorted.mkString(",")
                     catch { case _: Exception => "*" }
         Some((v, Files.getLastModifiedTime(dir).toMillis, parts, files,
@@ -1018,15 +1065,7 @@ object SnapshotTable {
     val cur = currentVersion(root)
     require(cur > 0, s"no committed version at $root")
     val dir = Paths.get(root, s"v=$cur")
-    val bytes = {
-      val s = Files.list(dir)
-      try s.iterator().asScala
-        .filter(p => Files.isRegularFile(p) && {
-          val n = p.getFileName.toString
-          !n.startsWith("_") && !n.startsWith(".")
-        }).map(Files.size).sum
-      finally s.close()
-    }
+    val bytes = listDataFiles(dir).map(n => Files.size(dir.resolve(n))).sum
     val nOut = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
     val live = read(spark, root, cur)
     val packed = if (rebalance) live.repartition(nOut) else live.coalesce(nOut)

@@ -112,6 +112,69 @@ class SnapshotPartmapSpec extends AnyFunSuite {
     assert(hit === Seq((0, 0, 999)), s"stats-pruned read: $hit")
   }
 
+  test("token-unsafe partition types (binary) take the slow path and replace, not duplicate") {
+    import spark.implicits._
+    val root = tmp()
+    val b1 = Array[Byte](1, 2); val b2 = Array[Byte](3, 4)
+    SnapshotTable.commitPartitions(spark, root,
+      Seq((b1, 0, 1), (b2, 0, 2)).toDF("p", "k", "value"), "p")
+    // binary toString is an identity hash — no value-based token, so
+    // no partmap may be born (a second run would mint a new token for
+    // the same partition and duplicate its rows)
+    assert(!Files.exists(Paths.get(root, "v=1", "_partmap")),
+      "binary partition column must not produce a partmap")
+    SnapshotTable.commitPartitions(spark, root,
+      Seq((b1, 0, 99)).toDF("p", "k", "value"), "p",
+      readVersion = SnapshotTable.currentVersion(root))
+    val got = SnapshotTable.read(spark, root).orderBy("value")
+      .collect().map(_.getInt(2)).toSeq
+    assert(got === Seq(2, 99), s"binary re-statement duplicated rows: $got")
+  }
+
+  test("a column name containing '=' cannot fool the same-column guard") {
+    import spark.implicits._
+    val root = tmp()
+    // partmap built on column "a=b"; a later slice on column "a"
+    // must NOT fast-path off it (prefix 'a=' matches 'a=b=…' tokens)
+    SnapshotTable.commitPartitions(spark, root,
+      Seq(("x", "p1", 1), ("y", "p2", 2)).toDF("a", "a=b", "value"), "a=b")
+    assert(Files.exists(Paths.get(root, "v=1", "_partmap")))
+    SnapshotTable.commitPartitions(spark, root,
+      Seq(("x", "p1", 99)).toDF("a", "a=b", "value"), "a",
+      readVersion = SnapshotTable.currentVersion(root))
+    val got = SnapshotTable.read(spark, root).orderBy("value")
+      .collect().map(_.getInt(2)).toSeq
+    assert(got === Seq(2, 99), s"column-switch slice duplicated rows: $got")
+  }
+
+  test("explicit sidecar requests on the fast path upgrade coverage and honor setCap") {
+    import spark.implicits._
+    val root = tmp()
+    // created with value-stats and a cap so tight every file overflows
+    SnapshotTable.commitPartitions(spark, root,
+      (0 until 3).flatMap(p => (0 until 4).map(k => (p, k, p * 10 + k)))
+        .toDF("p", "k", "value"), "p",
+      statsCols = Seq("value"), setCols = Seq("k"), setCap = 2)
+    val v1Sets = Files.readString(Paths.get(root, "v=1", "_sets.json"))
+    assert(v1Sets.contains("\\0OVERFLOW"), "cap=2 must overflow 4-distinct files")
+    // fast-path slice with a bigger cap and an UPGRADED stats column:
+    // the carried stats (value) don't cover k → recomputed; the new
+    // file's set line uses the caller's cap (values, not OVERFLOW)
+    SnapshotTable.commitPartitions(spark, root,
+      Seq((0, 0, 999)).toDF("p", "k", "value"), "p",
+      readVersion = SnapshotTable.currentVersion(root),
+      statsCols = Seq("k"), setCols = Seq("k"), setCap = 100)
+    val hit = SnapshotTable.readPruned(spark, root, "k", "0", "0")
+      .collect().map(r => (r.getInt(0), r.getInt(2))).toSet
+    assert(hit === Set((0, 999), (1, 10), (2, 20)),
+      s"upgraded k-stats pruned read: $hit")
+    val v2Sets = Files.readString(Paths.get(root, "v=2", "_sets.json"))
+    val freshLines = v2Sets.linesIterator.filter(_.nonEmpty).toSeq
+      .filterNot(l => v1Sets.contains(l.takeWhile(_ != '\t')))
+    assert(freshLines.nonEmpty && freshLines.forall(!_.contains("\\0OVERFLOW")),
+      s"fresh set lines must honor the caller's cap: $freshLines")
+  }
+
   test("vacuum of the linked-from version leaves the fast-path version intact") {
     import spark.implicits._
     val root = tmp()
