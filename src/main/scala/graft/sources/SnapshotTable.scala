@@ -442,32 +442,77 @@ object SnapshotTable {
     // lineage (an expensive upstream query would otherwise execute
     // up to |vals| times)
     val src = if (vals.length > 1) df.localCheckpoint(false) else df
+    val sc = df.sparkSession.sparkContext
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
       math.min(8, math.max(1, vals.length)))
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
-    try {
-      val futs = vals.map { v =>
-        Future {
+    // Failure protocol: fail fast, but never hand the caller's
+    // cleanup() a staging dir that sibling writes are still streaming
+    // into (deleteTree racing live writers throws
+    // DirectoryNotEmptyException, masking the real failure, or leaks
+    // a half-deleted data-sized _staging). On the first error we
+    // (a) flip `aborted` so queued-not-yet-started slices become
+    // no-ops, (b) cancel the job group so RUNNING slice jobs die
+    // (pool.shutdownNow only interrupts pool threads — the Spark jobs
+    // they submitted would keep writing), then (c) await EVERY
+    // future's completion before rethrowing, so by the time the
+    // caller sees the exception nothing is writing into staging.
+    val groupId = s"graft-slice-${java.util.UUID.randomUUID()}"
+    @volatile var aborted = false
+    val futs = vals.map { v =>
+      Future {
+        if (aborted) throw new IllegalStateException("sibling slice failed")
+        sc.setJobGroup(groupId, s"slice $partitionCol=$v",
+          interruptOnCancel = true)
+        try {
           val sub = staging.resolve(s".slice-${java.util.UUID.randomUUID()}")
           src.filter(col(partitionCol) <=> lit(v))
             .write.mode("overwrite").parquet(sub.toString)
-          val tok = escapeVal(s"$partitionCol=$v")
+          val tok = escapeVal(s"$partitionCol=${tokenRender(v)}")
           val moved = listDataFiles(sub).map { f =>
             Files.move(sub.resolve(f), staging.resolve(f))
             f -> tok
           }
           deleteTree(sub)
           moved
-        }
+        } finally sc.clearJobGroup()
       }
-      Await.result(Future.sequence(futs), Duration.Inf).flatten.toMap
-    } catch {
-      // fail fast AND hard: don't let the surviving per-value writes
-      // keep streaming data into the doomed staging dir behind the
-      // caller's cleanup
-      case e: Throwable => pool.shutdownNow(); throw e
-    } finally { pool.shutdown() }
+    }
+    try Await.result(Future.sequence(futs), Duration.Inf).flatten.toMap
+    catch {
+      case e: Throwable =>
+        aborted = true
+        sc.cancelJobGroup(groupId)
+        futs.foreach { f =>
+          try { Await.ready(f, Duration.Inf); () }
+          catch { case _: Throwable => () }
+        }
+        throw e
+    } finally {
+      pool.shutdown()
+      // only the checkpoint WE minted: when vals has one element src
+      // IS df, and df's own blocks may be a caller-owned checkpoint
+      // (the streaming sink re-reads its slice across OCC retries)
+      if (src ne df) freeLocalCheckpoint(src)
+    }
   }
+
+  /** Release the executor-storage blocks behind a `localCheckpoint`ed
+    * DataFrame. `Dataset.unpersist` only uncaches `cache()`d plans;
+    * checkpoint blocks belong to the underlying RDD inside the
+    * returned plan's LogicalRDD leaf and otherwise live until the
+    * ContextCleaner GCs the RDD — on a long-running stream that
+    * checkpoints per micro-batch they accumulate and pressure
+    * executor storage memory. Safe on any DataFrame: non-LogicalRDD
+    * plans are untouched, and unpersisting a never-materialized lazy
+    * checkpoint is a no-op.
+    */
+  private[graft] def freeLocalCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false); ()
+      case _ => ()
+    }
 
   /** Carry the per-file pruning sidecars (`_stats.json`, `_sets.json`)
     * across a fast-path compose: kept (hard-linked) files keep their
@@ -581,7 +626,7 @@ object SnapshotTable {
     // carrying a newline must not split the manifest into bogus
     // entries that defeat a concurrent writer's overlap check
     val mine: Set[String] =
-      if (tokenSafe) vals.map(v => escapeVal(s"$partitionCol=$v")).toSet
+      if (tokenSafe) vals.map(v => escapeVal(s"$partitionCol=${tokenRender(v)}")).toSet
       else Set("*")
     var attempt = 0
     var composedBase = -1 // version the current staging was composed against
@@ -1218,7 +1263,34 @@ object SnapshotTable {
   // an optimization, never a correctness filter. Escaping makes the
   // framing injective; the `\0N` / `\0OVERFLOW` sentinels stay
   // unambiguous because a real leading backslash escapes to `\\`.
-  private def escapeVal(s: String): String = s.flatMap {
+  /** Render a partition VALUE as its token text. Float/Double go
+    * through their IEEE-754 bit pattern (hex) instead of toString:
+    * JDK 19 changed Double.toString to shortest-representation, so a
+    * toString token minted on JDK<=18 would not equal the token the
+    * same logical value mints on JDK>=19 — the kept-files filter
+    * would then keep the old file AND write the new slice,
+    * duplicating that partition's rows on the fast path (the exact
+    * failure mode BinaryType is excluded for). Bits are value-based
+    * and JVM-version-stable. NaN canonicalizes via floatToIntBits /
+    * doubleToLongBits (all NaN payloads are one partition under
+    * Spark's <=>), and -0.0 canonicalizes to 0.0 (Spark normalizes
+    * signed zero in comparisons, so both zeros are one partition).
+    * Tables partitioned on float/double BEFORE this change carry
+    * toString tokens; rewrite them (one full commit) before slicing
+    * them again — mixed-format tokens for one column never match, so
+    * the fast path would duplicate rows.
+    */
+  private def tokenRender(v: Any): String = v match {
+    case f: java.lang.Float =>
+      val c = if (f.floatValue() == 0.0f) 0.0f else f.floatValue()
+      "f" + Integer.toHexString(java.lang.Float.floatToIntBits(c))
+    case d: java.lang.Double =>
+      val c = if (d.doubleValue() == 0.0d) 0.0d else d.doubleValue()
+      "d" + java.lang.Long.toHexString(java.lang.Double.doubleToLongBits(c))
+    case other => other.toString
+  }
+
+  private[sources] def escapeVal(s: String): String = s.flatMap {
     case '\\'      => "\\\\"
     case '\t'      => "\\t"
     case '\n'      => "\\n"
@@ -1744,8 +1816,18 @@ object SnapshotTransaction {
       val staging = Paths.get(w.root, "_staging",
         java.util.UUID.randomUUID().toString)
       w.df.write.mode("overwrite").parquet(staging.toString)
+      // escapeVal: SAME framing rule as single-table commit() — the
+      // overlap check compares this set against claims written by
+      // commit()/commitPartitions(), which escape; an unescaped token
+      // here would never string-match an escaped claim for the same
+      // partition (silent lost-update), and a newline-bearing token
+      // would split this manifest into bogus entries. (Markers
+      // written before escaping existed carry raw tokens; those only
+      // under-match for values containing \ \t \n \r \x01, which no
+      // pre-existing table of ours has — new tables are born escaped.)
       val mine: Set[String] =
-        if (w.partitions.isEmpty) Set("*") else w.partitions.toSet
+        if (w.partitions.isEmpty) Set("*")
+        else w.partitions.map(escapeVal).toSet
       val manifestTmp = Paths.get(w.root, "_staging",
         staging.getFileName.toString + ".manifest")
       Files.writeString(manifestTmp, mine.toSeq.sorted.mkString("\n"))

@@ -49,21 +49,27 @@ object SnapshotSink {
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
       .localCheckpoint()
-    var attempt = 0
-    var done = false
-    while (!done) {
-      // one merge semantics for batch and streaming: the table op
-      // does keyed replace-or-insert as a read-modify-write commit
-      try {
-        SnapshotTable.mergeByKey(spark, root, latest, Seq(keyCol))
-        done = true
-      } catch {
-        case e: SnapshotTable.SnapshotConflict =>
-          attempt += 1
-          if (attempt >= maxConflictRetries) throw e
-        // loop: mergeByKey re-reads the new head and re-merges
+    // free the checkpoint blocks once the batch lands (or aborts):
+    // per-batch checkpoints otherwise accumulate in executor storage
+    // until the RDD is GC'd — on a long-running stream that is an
+    // unbounded storage-memory leak
+    try {
+      var attempt = 0
+      var done = false
+      while (!done) {
+        // one merge semantics for batch and streaming: the table op
+        // does keyed replace-or-insert as a read-modify-write commit
+        try {
+          SnapshotTable.mergeByKey(spark, root, latest, Seq(keyCol))
+          done = true
+        } catch {
+          case e: SnapshotTable.SnapshotConflict =>
+            attempt += 1
+            if (attempt >= maxConflictRetries) throw e
+          // loop: mergeByKey re-reads the new head and re-merges
+        }
       }
-    }
+    } finally SnapshotTable.freeLocalCheckpoint(latest)
   }
 
   /** Streaming DYNAMIC PARTITION OVERWRITE sink — the transactional
@@ -94,26 +100,31 @@ object SnapshotSink {
     // localCheckpoint once: OCC retries must never re-read the
     // (ephemeral) micro-batch source
     val slice = batch.localCheckpoint()
-    var attempt = 0
-    var done = false
-    while (!done) {
-      val v = SnapshotTable.currentVersion(root)
-      try {
-        SnapshotTable.commitPartitions(spark, root, slice, partitionCol,
-          readVersion = if (v == 0) -1 else v)
-        done = true
-      } catch {
-        case e: SnapshotTable.SnapshotConflict =>
-          attempt += 1
-          if (attempt >= maxConflictRetries) throw e
-          // back off before recomposing: commitPartitions throws the
-          // conflict BEFORE any heavy work, so an in-flight
-          // overlapping claim (writer between claim and publish)
-          // would otherwise burn every retry in milliseconds and
-          // kill the streaming query where a short wait succeeds
-          Thread.sleep(math.min(1000L, 50L * attempt))
-        // loop: recompose against the head that beat us
+    // unpersist in finally: same unbounded per-batch storage leak as
+    // upsertBatch — blocks must be freed when the batch lands, not
+    // when the ContextCleaner eventually GCs the RDD
+    try {
+      var attempt = 0
+      var done = false
+      while (!done) {
+        val v = SnapshotTable.currentVersion(root)
+        try {
+          SnapshotTable.commitPartitions(spark, root, slice, partitionCol,
+            readVersion = if (v == 0) -1 else v)
+          done = true
+        } catch {
+          case e: SnapshotTable.SnapshotConflict =>
+            attempt += 1
+            if (attempt >= maxConflictRetries) throw e
+            // back off before recomposing: commitPartitions throws the
+            // conflict BEFORE any heavy work, so an in-flight
+            // overlapping claim (writer between claim and publish)
+            // would otherwise burn every retry in milliseconds and
+            // kill the streaming query where a short wait succeeds
+            Thread.sleep(math.min(1000L, 50L * attempt))
+          // loop: recompose against the head that beat us
+        }
       }
-    }
+    } finally SnapshotTable.freeLocalCheckpoint(slice)
   }
 }

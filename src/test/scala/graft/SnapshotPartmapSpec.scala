@@ -240,4 +240,35 @@ class SnapshotPartmapSpec extends AnyFunSuite {
     carried.foreach(f => assert(v4Files(f) === v3Files(f),
       "post-restore slice must hard-link, not rewrite"))
   }
+
+  test("float/double partition tokens are bit-pattern hex, fast path intact") {
+    // Regression (r11): toString tokens for Float/Double are only
+    // stable within one JDK major (JDK 19 changed Double.toString to
+    // shortest-representation); a table written on one JDK and
+    // re-sliced on another would mint a different token for the same
+    // value — the kept-files filter then keeps the old file AND
+    // writes the new slice, duplicating the partition. Tokens now
+    // derive from the IEEE-754 bit pattern.
+    import spark.implicits._
+    val root = tmp()
+    SnapshotTable.commitPartitions(spark, root,
+      Seq((1.5, 1), (2.5, 2)).toDF("p", "k"), "p")
+    val pm = Files.readString(Paths.get(root, "v=1", "_partmap"))
+    // doubleToLongBits(1.5) = 0x3FF8000000000000
+    assert(pm.contains("p=d3ff8000000000000"),
+      s"double token must be bits-hex, got: $pm")
+    assert(!pm.contains("p=1.5"),
+      s"JDK-dependent toString token leaked into partmap: $pm")
+    // re-slicing one value replaces it (no duplicate rows), links the rest
+    val v1Files = dataFiles(root, 1)
+    SnapshotTable.commitPartitions(spark, root,
+      Seq((1.5, 99)).toDF("p", "k"), "p", readVersion = 1)
+    val got = SnapshotTable.read(spark, root).orderBy("p").collect()
+      .map(r => (r.getDouble(0), r.getInt(1))).toSeq
+    assert(got === Seq((1.5, 99), (2.5, 2)))
+    val v2Files = dataFiles(root, 2)
+    val carried = v2Files.keySet.intersect(v1Files.keySet)
+    assert(carried.nonEmpty, "untouched double partition must hard-link")
+    carried.foreach(f => assert(v2Files(f) === v1Files(f)))
+  }
 }

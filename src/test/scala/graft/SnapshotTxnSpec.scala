@@ -111,4 +111,34 @@ class SnapshotTxnSpec extends AnyFunSuite {
     // recovery is idempotent
     assert(SnapshotTransaction.recover(txn) === ((0, 0)))
   }
+
+  test("txn partition claims escape framing chars: newline token still conflicts") {
+    // Regression (r11): commitAll wrote RAW partition tokens while
+    // commit()/commitPartitions escape theirs — a token carrying a
+    // newline split the txn manifest into bogus entries and never
+    // string-matched the escaped probe, silently missing the overlap
+    // (lost update). Both directions of the check must see it.
+    val (a, b, txn) = fresh("graft-txn-esc")
+    SnapshotTransaction.commitAll(spark, txn,
+      Seq(TableWrite(a, nation), TableWrite(b, region)))
+    val evil = "p=x\ny\tz\\w" // newline + tab + backslash in one token
+    SnapshotTransaction.commitAll(spark, txn, Seq(
+      TableWrite(a, nation.limit(3), partitions = Seq(evil), readVersion = 1)))
+    // single-table writer based on v1 touching the SAME partition: conflict
+    intercept[SnapshotTable.SnapshotConflict] {
+      SnapshotTable.commit(spark, a, nation.limit(1),
+        partitions = Seq(evil), readVersion = 1)
+    }
+    // a DISJOINT framing-char token based on the same stale version: lands
+    SnapshotTable.commit(spark, a, nation.limit(1),
+      partitions = Seq("p=other\nz"), readVersion = 1)
+    assert(SnapshotTable.currentVersion(a) === 3)
+    // and the reverse direction: a txn based on v2 must see the
+    // single-table v3 claim for its own newline token
+    intercept[SnapshotTable.SnapshotConflict] {
+      SnapshotTransaction.commitAll(spark, txn, Seq(
+        TableWrite(a, nation.limit(2),
+          partitions = Seq("p=other\nz"), readVersion = 2)))
+    }
+  }
 }
