@@ -277,6 +277,292 @@ class SnapshotFuzzSpec extends AnyFunSuite {
     }
   }
 
+  /** VERDICT r10 item 1: the commitPartitions FILE-LINK FAST PATH
+    * interleaved with the rest of the snapshot feature matrix —
+    * deletion-vector deletes, keyed merges (with schema evolution),
+    * restore, compactFiles, compactLog, CHECK constraints, and vacuum
+    * — in one randomized scenario stream against the in-memory model.
+    * The r10b lost-update bug was exactly a composition hole
+    * (fast path × concurrent claim); each singleton interaction has a
+    * pinned spec (SnapshotPartmapSpec), but only a generator explores
+    * SEQUENCES like slice → delete → slice (DV must kill the map,
+    * slow compose must not resurrect deleted rows) → restore (map
+    * returns) → slice (fast path again, linking files minted three
+    * eras ago).
+    *
+    * Invariants checked per scenario:
+    *   - every non-vacuumed version time-travels to the model
+    *     (content + layout), vacuumed versions refuse loudly;
+    *   - `_partmap` exists exactly when the model says the fast path
+    *     is live (born sliced, killed by DV/merge/compact/flat,
+    *     resurrected by restore-to-mapped-version);
+    *   - partmap INTEGRITY: reading only the files mapped to a
+    *     partition's token yields exactly that partition's model rows
+    *     (file→token attribution — the thing that, if wrong, silently
+    *     duplicates or drops a partition at the next slice);
+    *   - constraint-violating slices abort atomically;
+    *   - `_staging` is empty at scenario end (no leaked data-sized
+    *     temp dirs from any abort path);
+    *   - CDC (changesByKey) between random alive version pairs
+    *     matches the model feed.
+    */
+  test("60 randomized slice/DV/merge/restore/compact/vacuum scenarios match the model") {
+    import java.nio.file.{Files, Paths}
+    val seed = 20260815L
+    for (scenario <- 0 until 60) {
+      val rnd = new scala.util.Random(seed + scenario)
+      val root = tmp()
+
+      // partition column type — all four token-safe families,
+      // including Double (bit-pattern tokens, r11)
+      val pType: DataType =
+        Seq(IntegerType, LongType, StringType, DoubleType)(rnd.nextInt(4))
+      def pVal(i: Int): Any = pType match {
+        case StringType => s"p$i"
+        case DoubleType => i + 0.25
+        case LongType   => i.toLong * 1000L
+        case _          => i
+      }
+      val pUniverse: IndexedSeq[Any] = (0 until 6).map(pVal)
+      def pLit(v: Any): String = v match {
+        case s: String => s"'$s'"
+        case x => x.toString
+      }
+      def tokenStr(p: Any): String = "p=" + (p match {
+        case d: java.lang.Double =>
+          "d" + java.lang.Long.toHexString(java.lang.Double.doubleToLongBits(d))
+        case x => x.toString
+      })
+      val colType: Map[String, DataType] =
+        Map("p" -> pType, "k" -> IntegerType, "v" -> LongType, "e" -> LongType)
+
+      // ---- model state --------------------------------------------
+      var layout: Seq[String] = Seq("p", "k", "v")
+      var rows: Map[(Any, Int), Map[String, Any]] = Map.empty
+      var pmLive = false
+      var history = Map.empty[Int, (Seq[String], Map[(Any, Int), Map[String, Any]], Boolean)]
+      var alive = Set.empty[Int]
+
+      def snap(): Unit = {
+        val cv = SnapshotTable.currentVersion(root)
+        history += cv -> ((layout, rows, pmLive))
+        alive += cv
+      }
+      def mkDf(cols: Seq[String], rs: Seq[Map[String, Any]]): DataFrame =
+        buildDf(cols.map(n => n -> colType(n)), rs.map(m => cols.map(m(_))))
+      def genRow(p: Any, k: Int): Map[String, Any] = {
+        val base = Map[String, Any]("p" -> p, "k" -> k,
+          "v" -> rnd.nextInt(100).toLong)
+        if (layout.contains("e")) base + ("e" -> rnd.nextInt(100).toLong)
+        else base
+      }
+
+      def sliceOp(): Unit = {
+        val before = SnapshotTable.currentVersion(root)
+        val parts = rnd.shuffle(pUniverse).take(1 + rnd.nextInt(3))
+        val newRows: Map[(Any, Int), Map[String, Any]] = parts.flatMap { p =>
+          rnd.shuffle((0 until 5).toList).take(1 + rnd.nextInt(3))
+            .map(k => (p, k) -> genRow(p, k))
+        }.toMap
+        SnapshotTable.commitPartitions(spark, root,
+          mkDf(layout, newRows.values.toSeq), "p",
+          readVersion = if (before == 0) -1 else before)
+        rows = rows.filterNot { case ((p, _), _) => parts.contains(p) } ++ newRows
+        if (before == 0) pmLive = true // born sliced; else fast/slow keeps flag
+        snap()
+      }
+
+      def deleteOp(): Unit = {
+        if (SnapshotTable.currentVersion(root) >= 1) {
+          val (pred, fn): (String, Map[String, Any] => Boolean) =
+            rnd.nextInt(3) match {
+              case 0 =>
+                val k = rnd.nextInt(5); (s"k = $k", r => r("k") == k)
+              case 1 =>
+                ("v % 2 = 0", r => r("v").asInstanceOf[Long] % 2 == 0)
+              case _ =>
+                val p = pUniverse(rnd.nextInt(pUniverse.length))
+                (s"p = ${pLit(p)}", r => r("p") == p)
+            }
+          SnapshotTable.deleteWhere(spark, root, pred)
+          rows = rows.filterNot { case (_, r) => fn(r) }
+          pmLive = false // deleteWhere links data files but not the map
+          snap()
+        }
+      }
+
+      def mergeOp(withEvo: Boolean): Unit = {
+        val includeE = (withEvo || layout.contains("e"))
+        val srcCols = if (includeE) Seq("p", "k", "v", "e") else Seq("p", "k", "v")
+        val keys = rnd.shuffle(for { p <- pUniverse; k <- 0 until 5 } yield (p, k))
+          .take(1 + rnd.nextInt(4))
+        val srcRows: Map[(Any, Int), Map[String, Any]] = keys.map { case (p, k) =>
+          val m = Map[String, Any]("p" -> p, "k" -> k,
+            "v" -> rnd.nextInt(100).toLong) ++
+            (if (includeE) Map[String, Any]("e" -> rnd.nextInt(100).toLong)
+             else Map.empty[String, Any])
+          (p, k) -> m
+        }.toMap
+        SnapshotTable.mergeByKey(spark, root,
+          mkDf(srcCols, srcRows.values.toSeq), Seq("p", "k"))
+        if (includeE && !layout.contains("e")) layout = layout :+ "e"
+        rows = rows.map { case (key, old) =>
+          key -> (srcRows.get(key) match {
+            case Some(src) =>
+              layout.map(n => n -> src.getOrElse(n, old.getOrElse(n, null))).toMap
+            case None => layout.map(n => n -> old.getOrElse(n, null)).toMap
+          })
+        } ++ srcRows.view.filterKeys(k => !rows.contains(k)).map {
+          case (key, src) =>
+            key -> layout.map(n => n -> src.getOrElse(n, null)).toMap
+        }.toMap
+        pmLive = false // flat commit: map gone, slow path until restore
+        snap()
+      }
+
+      def restoreOp(): Unit = {
+        val cands = alive.toSeq.sorted
+        if (cands.nonEmpty) {
+          val target = cands(rnd.nextInt(cands.length))
+          SnapshotTable.restore(spark, root, target)
+          val (l, m, pm) = history(target)
+          layout = l; rows = m; pmLive = pm // restore hard-links _partmap too
+          snap()
+        }
+      }
+
+      def compactOp(): Unit = {
+        if (SnapshotTable.currentVersion(root) >= 1) {
+          SnapshotTable.compactFiles(spark, root)
+          pmLive = false // rewrite drops file→token attribution
+          snap()
+        }
+      }
+
+      def constraintRejectOp(): Unit = {
+        if (SnapshotTable.currentVersion(root) >= 1) {
+          SnapshotTable.addConstraint(root, "fuzz_nonneg", "v >= 0")
+          try {
+            val before = SnapshotTable.currentVersion(root)
+            val contentBefore = SnapshotTable.read(spark, root).collect().toSet
+            val p = pUniverse(rnd.nextInt(pUniverse.length))
+            val bad = genRow(p, 0) + ("v" -> (-1L))
+            intercept[SnapshotTable.ConstraintViolation] {
+              SnapshotTable.commitPartitions(spark, root,
+                mkDf(layout, Seq(bad)), "p", readVersion = before)
+            }
+            assert(SnapshotTable.currentVersion(root) === before,
+              s"scenario $scenario: rejected slice moved the head")
+            assert(SnapshotTable.read(spark, root).collect().toSet === contentBefore,
+              s"scenario $scenario: rejected slice changed content")
+          } finally SnapshotTable.dropConstraint(root, "fuzz_nonneg")
+        }
+      }
+
+      def vacuumOp(): Unit = {
+        if (SnapshotTable.currentVersion(root) >= 1) {
+          val dropped = SnapshotTable.vacuum(root, 1 + rnd.nextInt(2))
+          alive --= dropped
+        }
+      }
+
+      // ---- run: always born sliced (partmap table) -----------------
+      sliceOp()
+      val nOps = 4 + rnd.nextInt(3)
+      for (_ <- 0 until nOps) rnd.nextInt(12) match {
+        case 0 | 1 | 2 | 3 => sliceOp()
+        case 4 | 5         => deleteOp()
+        case 6             => mergeOp(withEvo = rnd.nextBoolean())
+        case 7             => restoreOp()
+        case 8             => compactOp()
+        case 9             => constraintRejectOp()
+        case 10            => SnapshotTable.compactLog(root); ()
+        case _             => vacuumOp()
+      }
+
+      // ---- verify: every alive version time-travels to the model ---
+      def rowSet(df: DataFrame, l: Seq[String]): Set[Map[String, Any]] =
+        df.collect().map { r =>
+          l.map { n =>
+            n -> (if (r.isNullAt(r.fieldIndex(n))) null else r.get(r.fieldIndex(n)))
+          }.toMap
+        }.toSet
+      for (v <- alive.toSeq.sorted) {
+        val (l, m, pm) = history(v)
+        val df = SnapshotTable.read(spark, root, v)
+        assert(df.schema.map(_.name) === l,
+          s"scenario $scenario v$v layout drifted")
+        assert(rowSet(df, l) === m.values.toSet,
+          s"scenario $scenario (seed ${seed + scenario}) v$v content mismatch")
+        val pmFile = Paths.get(root, s"v=$v", "_partmap")
+        assert(Files.exists(pmFile) === pm,
+          s"scenario $scenario v$v partmap presence: expected $pm")
+        if (pm) {
+          // partmap integrity: token t's files hold exactly partition
+          // t's model rows (and nothing else)
+          val entries = Files.readString(pmFile).linesIterator
+            .filter(ln => ln.nonEmpty && !ln.startsWith("#col"))
+            .map { ln => val i = ln.indexOf('\t'); (ln.take(i), ln.drop(i + 1)) }
+            .toSeq
+          val byTok = entries.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+          val modelToks = m.values.groupBy(r => tokenStr(r("p")))
+          assert(byTok.keySet === modelToks.keySet,
+            s"scenario $scenario v$v partmap tokens ${byTok.keySet} != model ${modelToks.keySet}")
+          for ((tok, files) <- byTok) {
+            val got = rowSet(spark.read.parquet(
+              files.map(f => Paths.get(root, s"v=$v", f).toString): _*), l)
+            assert(got === modelToks(tok).toSet,
+              s"scenario $scenario v$v token $tok attribution mismatch")
+          }
+        }
+      }
+      // vacuumed versions refuse loudly
+      for (v <- history.keys if !alive(v))
+        intercept[IllegalArgumentException] {
+          SnapshotTable.read(spark, root, v)
+        }
+      // no abort path leaked a staging dir
+      val stagingDir = Paths.get(root, "_staging")
+      if (Files.exists(stagingDir)) {
+        val s = Files.list(stagingDir)
+        val leftovers = try {
+          val it = s.iterator(); val b = Seq.newBuilder[String]
+          while (it.hasNext) b += it.next().getFileName.toString
+          b.result()
+        } finally s.close()
+        assert(leftovers.isEmpty,
+          s"scenario $scenario leaked staging entries: $leftovers")
+      }
+
+      // ---- CDC between random alive version pairs ------------------
+      val vs = alive.toSeq.sorted
+      val pairs = Seq.fill(2)((vs(rnd.nextInt(vs.length)), vs(rnd.nextInt(vs.length))))
+        .collect { case (a, b) if a < b => (a, b) }.distinct
+      for ((v1, v2) <- pairs) {
+        val (l1, m1, _) = history(v1)
+        val (l2, m2, _) = history(v2)
+        val ul = l1 ++ l2.filterNot(l1.contains)
+        def pad(r: Map[String, Any]): Map[String, Any] =
+          ul.map(n => n -> r.getOrElse(n, null)).toMap
+        val k1 = m1.keySet; val k2 = m2.keySet
+        val expected: Set[(Map[String, Any], String)] =
+          (k2 -- k1).map(k => (pad(m2(k)), "insert")) ++
+            (k1 -- k2).map(k => (pad(m1(k)), "delete")) ++
+            (k1 & k2).filter(k => pad(m1(k)) != pad(m2(k)))
+              .flatMap(k => Seq((pad(m1(k)), "update_preimage"),
+                (pad(m2(k)), "update_postimage")))
+        val got = SnapshotTable.changesByKey(spark, root, v1, v2, Seq("p", "k"))
+          .collect().map { r =>
+            (ul.map { n =>
+              n -> (if (r.isNullAt(r.fieldIndex(n))) null else r.get(r.fieldIndex(n)))
+            }.toMap, r.getString(r.fieldIndex("_change_type")))
+          }.toSet
+        assert(got === expected,
+          s"scenario $scenario (seed ${seed + scenario}) cdc $v1->$v2 mismatch")
+      }
+    }
+  }
+
   test("randomized lossy casts always fail loudly and leave the table untouched") {
     val rnd = new scala.util.Random(99L)
     for (_ <- 0 until 10) {
