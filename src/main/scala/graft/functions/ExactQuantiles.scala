@@ -1,0 +1,128 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Exact per-group quantiles WITHOUT value buffering — the scale-safe
+  * replacement for Spark's `percentile` / `percentile_disc`
+  * aggregates, which hold every group value in one executor-heap
+  * ObjectHashAggregate buffer (a corpus-fraction group OOMs the
+  * executor; PlanAuditSpec's named scale-killer).
+  *
+  * Method (the q_percentile_window trick, generalized — VERDICT r10
+  * item 3): a map-side-combinable count aggregate first reduces the
+  * input to (group, value, count) rows — distinct values ≪ rows on
+  * any real corpus, and the distinct set SATURATES as data grows
+  * (integer cents/µs/days domains) while row counts don't. A
+  * distributed running sum ([[PrefixSum]] — never a single-partition
+  * window) assigns each distinct value its rank interval
+  * [cum−c+1, cum]; a value survives to the final tiny aggregate iff
+  * its interval contains a boundary rank of some requested quantile.
+  * Nothing data-proportional is ever held per task:
+  * the heaviest intermediate is the |distinct| row table, partitioned
+  * like any aggregate.
+  *
+  * Semantics (both verified against the DuckDB oracle family):
+  *  - [[cont]]: interpolated percentile (Spark `percentile` ≡
+  *    Postgres `percentile_cont` ≡ DuckDB `quantile_cont`): rank
+  *    r = 1 + p·(n−1) in double (the same formula both engines use),
+  *    result = v_floor(r) + (r−⌊r⌋)·(v_ceil(r) − v_floor(r)).
+  *  - [[disc]]: discrete percentile (Postgres `percentile_disc` ≡
+  *    DuckDB `quantile_disc`): the value at rank max(1, ⌈p·n⌉). The
+  *    rank product runs in DECIMAL so a p like 0.9 (not
+  *    double-representable) cannot ulp-push ⌈p·n⌉ past an exact
+  *    integer boundary — the discrete jump makes that a WRONG VALUE,
+  *    not a rounding blur.
+  *
+  * Construction is eager (PrefixSum checkpoints and collects its
+  * metadata-sized partials when the plan is built) — the same
+  * contract as q_weighted_median / q_ks_test.
+  */
+object ExactQuantiles {
+
+  /** Interpolated percentiles, wide output: one row per group with a
+    * double column per requested (p, name). Empty `groupCols` = one
+    * global row.
+    */
+  def cont(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      ps: Seq[(Double, String)]): DataFrame = {
+    val pArr = typedLit(ps.map(_._1))
+    val cum = rankedValues(df, groupCols, valueCol)
+    def r(p: Column): Column = lit(1) + p * (col("__eq_n") - 1)
+    def hits(rr: Column): Column =
+      (floor(rr) >= col("__eq_lo") && floor(rr) <= col("__eq_cum")) ||
+        (ceil(rr) >= col("__eq_lo") && ceil(rr) <= col("__eq_cum"))
+    val kept = cum
+      // only boundary rows explode: |groups|·|ps|·≤2 rows survive
+      .filter(exists(pArr, p => hits(r(p))))
+      .select(groupCols.map(col) ++ Seq(col(valueCol), col("__eq_lo"),
+        col("__eq_cum"), col("__eq_n"), explode(pArr).as("__eq_p")): _*)
+      .withColumn("__eq_r", r(col("__eq_p")))
+      .filter(hits(col("__eq_r")))
+    val byP = kept
+      .groupBy(groupCols.map(col) :+ col("__eq_p"): _*)
+      .agg(
+        min(when(floor(col("__eq_r")).between(col("__eq_lo"), col("__eq_cum")),
+          col(valueCol))).as("__eq_vlo"),
+        max(when(ceil(col("__eq_r")).between(col("__eq_lo"), col("__eq_cum")),
+          col(valueCol))).as("__eq_vhi"),
+        max(col("__eq_r")).as("__eq_rr"))
+      .withColumn("__eq_q",
+        col("__eq_vlo").cast("double") +
+          (col("__eq_rr") - floor(col("__eq_rr"))) *
+            (col("__eq_vhi").cast("double") - col("__eq_vlo").cast("double")))
+    widen(byP, groupCols, ps)
+  }
+
+  /** Discrete percentiles (value at rank max(1, ⌈p·n⌉)), wide output;
+    * result columns keep the value column's own type.
+    */
+  def disc(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      ps: Seq[(Double, String)]): DataFrame = {
+    // exact decimal p: ⌈p·n⌉ must not jump a value boundary because
+    // 0.9·n landed 2⁻⁵² above the integer it mathematically is
+    val pArr = array(ps.map { case (p, _) =>
+      struct(lit(p).as("p"),
+        lit(new java.math.BigDecimal(p.toString))
+          .cast(DecimalType(12, 6)).as("pd"))
+    }: _*)
+    val cum = rankedValues(df, groupCols, valueCol)
+    def rOf(pd: Column): Column =
+      greatest(ceil(pd * col("__eq_n")).cast("long"), lit(1L))
+    val byP = cum
+      .filter(exists(pArr, s =>
+        rOf(s.getField("pd")).between(col("__eq_lo"), col("__eq_cum"))))
+      .select(groupCols.map(col) ++ Seq(col(valueCol), col("__eq_lo"),
+        col("__eq_cum"), col("__eq_n"), explode(pArr).as("__eq_ps")): _*)
+      .withColumn("__eq_p", col("__eq_ps.p"))
+      .withColumn("__eq_r", rOf(col("__eq_ps.pd")))
+      .filter(col("__eq_r").between(col("__eq_lo"), col("__eq_cum")))
+      .groupBy(groupCols.map(col) :+ col("__eq_p"): _*)
+      .agg(min(col(valueCol)).as("__eq_q")) // exactly one row qualifies
+    widen(byP, groupCols, ps)
+  }
+
+  /** (group, value, count) pre-aggregation + PrefixSum rank intervals:
+    * value at cumulative count `cum` with multiplicity `c` occupies
+    * ranks [lo, cum] = [cum−c+1, cum]; `n` is the group row count.
+    */
+  private def rankedValues(df: DataFrame, groupCols: Seq[String],
+      valueCol: String): DataFrame =
+    PrefixSum.attach(
+      df.groupBy((groupCols :+ valueCol).map(col): _*)
+        .agg(count(lit(1)).as("__eq_c")),
+      groupCols, Seq(col(valueCol)),
+      sums = Seq("__eq_c" -> "__eq_cum"),
+      totals = Seq("__eq_c" -> "__eq_n"))
+      .withColumn("__eq_lo", col("__eq_cum") - col("__eq_c") + 1)
+
+  private def widen(byP: DataFrame, groupCols: Seq[String],
+      ps: Seq[(Double, String)]): DataFrame = {
+    val aggs = ps.map { case (p, name) =>
+      max(when(col("__eq_p") === lit(p), col("__eq_q"))).as(name)
+    }
+    if (groupCols.isEmpty) byP.agg(aggs.head, aggs.tail: _*)
+    else byP.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+}

@@ -325,21 +325,31 @@ object Aggregations extends QueryModule {
       ORDER BY l_returnflag
     """))
 
-  /** Exact interpolated percentiles (Spark `percentile` ≡ DuckDB
-    * `quantile_cont`). The approx sketch variant is
-    * q_approx_count_distinct's territory; exact percentile is the
-    * oracle-able form.
+  /** Exact interpolated percentiles (≡ DuckDB `quantile_cont`),
+    * computed by [[graft.functions.ExactQuantiles]] — the
+    * (group, value, count) pre-aggregation + distributed rank-window
+    * path, NOT Spark's value-buffering `percentile` aggregate (which
+    * holds every group value in one ObjectHashAggregate buffer; a
+    * corpus-fraction group OOMs the executor). Exact semantics, same
+    * oracle; nothing data-proportional held per task. Was an
+    * "exact-anchor" allowlist entry through r10; rewritten r11
+    * (VERDICT item 3) with the q_percentile_window machinery.
     */
   val percentileQ = QueryDef(
     "q_percentile",
-    (s, d) =>
-      Tables.lineitem(s, d)
-        .groupBy(col("l_returnflag"))
-        .agg(
-          round(expr("percentile(l_quantity, 0.25)"), 4).as("qty_p25"),
-          round(expr("percentile(l_quantity, 0.5)"), 4).as("qty_median"),
-          round(expr("percentile(l_extendedprice, 0.9)"), 4).as("price_p90"))
-        .orderBy(col("l_returnflag")),
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+      val qty = graft.functions.ExactQuantiles.cont(li, Seq("l_returnflag"),
+        "l_quantity", Seq(0.25 -> "qty_p25_raw", 0.5 -> "qty_median_raw"))
+      val price = graft.functions.ExactQuantiles.cont(li, Seq("l_returnflag"),
+        "l_extendedprice", Seq(0.9 -> "price_p90_raw"))
+      qty.join(price, Seq("l_returnflag"))
+        .select(col("l_returnflag"),
+          round(col("qty_p25_raw"), 4).as("qty_p25"),
+          round(col("qty_median_raw"), 4).as("qty_median"),
+          round(col("price_p90_raw"), 4).as("price_p90"))
+        .orderBy(col("l_returnflag"))
+    },
     Some("""
       SELECT l_returnflag,
              round(quantile_cont(l_quantity, 0.25), 4) AS qty_p25,
@@ -491,18 +501,24 @@ object Aggregations extends QueryModule {
     * distribution reaches p (Postgres percentile_disc convention —
     * verified identical to DuckDB's quantile_disc). Deterministic by
     * construction: the result is a value at a rank position, so
-    * duplicate values cannot flip it.
+    * duplicate values cannot flip it. Computed by
+    * [[graft.functions.ExactQuantiles.disc]] (rank = max(1, ⌈p·n⌉) in
+    * exact decimal), not the value-buffering percentile_disc
+    * aggregate — same rewrite as q_percentile (r11).
     */
   val percentileDiscQ = QueryDef(
     "q_percentile_disc",
-    (s, d) =>
-      Tables.lineitem(s, d)
-        .groupBy(col("l_returnflag"))
-        .agg(
-          expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY l_quantity)").as("qty_p25"),
-          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity)").as("qty_median"),
-          expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY l_extendedprice)").as("price_p90"))
-        .orderBy(col("l_returnflag")),
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+      val qty = graft.functions.ExactQuantiles.disc(li, Seq("l_returnflag"),
+        "l_quantity", Seq(0.25 -> "qty_p25", 0.5 -> "qty_median"))
+      val price = graft.functions.ExactQuantiles.disc(li, Seq("l_returnflag"),
+        "l_extendedprice", Seq(0.9 -> "price_p90"))
+      qty.join(price, Seq("l_returnflag"))
+        .select(col("l_returnflag"), col("qty_p25"), col("qty_median"),
+          col("price_p90"))
+        .orderBy(col("l_returnflag"))
+    },
     Some("""
       SELECT l_returnflag,
              quantile_disc(l_quantity, 0.25) AS qty_p25,
@@ -900,26 +916,31 @@ object Aggregations extends QueryModule {
   /** Median absolute deviation per group — the robust dispersion
     * measure outlier pipelines prefer over stddev (one wild value
     * moves stddev arbitrarily; MAD needs 50% contamination). Two
-    * exact-percentile passes: the per-group median broadcast back
-    * onto the rows (tiny build side), then the median of absolute
-    * deviations. Exact percentile sorts within each group at scale —
-    * the approx-sketch swap is the same one q_percentile documents.
-    * The deviation |x−med| is computed from full-precision inputs;
-    * only the displayed columns round (q_text_quality rule).
+    * exact-percentile passes, BOTH through
+    * [[graft.functions.ExactQuantiles]] (r11 — no value-buffering
+    * aggregate anywhere in the plan): the per-group median broadcast
+    * back onto the rows (tiny build side), then the median of
+    * absolute deviations over the deviation value domain. The
+    * deviation |x−med| is computed from full-precision inputs; only
+    * the displayed columns round (q_text_quality rule).
     */
   val madQ = QueryDef(
     "q_mad",
     (s, d) => {
-      val med = Tables.lineitem(s, d)
-        .groupBy(col("l_returnflag").as("m_flag"))
-        .agg(expr("percentile(l_extendedprice, 0.5)").as("med"))
-      Tables.lineitem(s, d)
+      val li = Tables.lineitem(s, d)
+      val med = graft.functions.ExactQuantiles.cont(li, Seq("l_returnflag"),
+        "l_extendedprice", Seq(0.5 -> "med"))
+        .withColumnRenamed("l_returnflag", "m_flag")
+      val dev = li
         .join(broadcast(med), col("l_returnflag") === col("m_flag"))
-        .groupBy(col("l_returnflag"))
-        .agg(
-          round(max(col("med")), 4).as("median_price"),
-          round(expr("percentile(abs(l_extendedprice - med), 0.5)"), 4)
-            .as("mad_price"))
+        .select(col("l_returnflag"),
+          abs(col("l_extendedprice") - col("med")).as("adev"))
+      graft.functions.ExactQuantiles.cont(dev, Seq("l_returnflag"),
+          "adev", Seq(0.5 -> "mad_raw"))
+        .join(broadcast(med), col("l_returnflag") === col("m_flag"))
+        .select(col("l_returnflag"),
+          round(col("med"), 4).as("median_price"),
+          round(col("mad_raw"), 4).as("mad_price"))
         .orderBy(col("l_returnflag"))
     },
     Some("""

@@ -522,7 +522,7 @@ object Lifecycle extends QueryModule {
     (s, d) => {
       val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
       val running = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      Tables.events(s, d)
+      val sess = Tables.events(s, d)
         .withColumn("us", unix_micros(col("ts")))
         .withColumn("prev_us", lag(col("us"), 1).over(byUser))
         .withColumn("new_sess",
@@ -532,12 +532,26 @@ object Lifecycle extends QueryModule {
         .groupBy(col("user_id"), col("session_id"))
         .agg(count(lit(1)).as("n_events"),
           (max(col("us")) - min(col("us"))).as("duration_us"))
+        // checkpoint (lazy): the session table feeds both the count/
+        // mean aggregate and the percentile pipeline below — the
+        // window-heavy sessionize must not run twice
+        .localCheckpoint(false)
+      // global duration percentiles via ExactQuantiles (r11): exact
+      // integer µs durations pre-aggregate to their distinct-value
+      // domain; nothing buffers per task (was the value-buffering
+      // percentile() over every session row)
+      val pct = graft.functions.ExactQuantiles.cont(sess, Nil,
+        "duration_us", Seq(0.5 -> "p50_raw", 0.9 -> "p90_raw", 0.99 -> "p99_raw"))
+      sess
         .agg(count(lit(1)).as("n_sessions"),
-          round(expr("percentile(duration_us, 0.5)"), 4).as("p50_duration_us"),
-          round(expr("percentile(duration_us, 0.9)"), 4).as("p90_duration_us"),
-          round(expr("percentile(duration_us, 0.99)"), 4).as("p99_duration_us"),
           (sum(col("n_events")).cast("double") / count(lit(1)))
             .cast("float").as("avg_events_per_session"))
+        .crossJoin(broadcast(pct)) // 1-row scalar-agg BNL (tf_idf pattern)
+        .select(col("n_sessions"),
+          round(col("p50_raw"), 4).as("p50_duration_us"),
+          round(col("p90_raw"), 4).as("p90_duration_us"),
+          round(col("p99_raw"), 4).as("p99_duration_us"),
+          col("avg_events_per_session"))
     },
     Some("""
       WITH sess AS (
@@ -754,14 +768,29 @@ object Lifecycle extends QueryModule {
         .filter(col("us") >= col("s_us"))
         .groupBy(col("user_id"))
         .agg((min(col("us")) - min(col("s_us"))).as("lag_us"))
-      perUser.join(lagged.select(col("user_id").as("u2"), col("lag_us")),
+      // lazy checkpoint: the joined cohort feeds both the rate
+      // aggregate and the percentile pipeline (built once, not twice)
+      val cohort = perUser.join(
+          lagged.select(col("user_id").as("u2"), col("lag_us")),
           col("user_id") === col("u2"), "left")
+        .localCheckpoint(false)
+      // lag percentiles via ExactQuantiles (r11): exact integer µs
+      // lags over the CONVERTED cohort (percentile() ignored nulls;
+      // the explicit filter is the same population), pre-aggregated
+      // to the distinct-lag domain — no per-task value buffering
+      val pct = graft.functions.ExactQuantiles.cont(
+        cohort.filter(col("lag_us").isNotNull), Nil, "lag_us",
+        Seq(0.5 -> "p50_raw", 0.9 -> "p90_raw"))
+      cohort
         .agg(count(lit(1)).as("n_signup_users"),
           sum(when(col("lag_us").isNotNull, 1).otherwise(0)).as("n_converted"),
           (sum(when(col("lag_us").isNotNull, 1).otherwise(0)).cast("double")
-            / count(lit(1))).cast("float").as("conversion_rate"),
-          round(expr("percentile(lag_us, 0.5)"), 4).as("p50_lag_us"),
-          round(expr("percentile(lag_us, 0.9)"), 4).as("p90_lag_us"))
+            / count(lit(1))).cast("float").as("conversion_rate"))
+        .crossJoin(broadcast(pct)) // 1-row scalar-agg BNL (tf_idf pattern)
+        .select(col("n_signup_users"), col("n_converted"),
+          col("conversion_rate"),
+          round(col("p50_raw"), 4).as("p50_lag_us"),
+          round(col("p90_raw"), 4).as("p90_lag_us"))
     },
     Some("""
       WITH per_user AS (
@@ -793,18 +822,29 @@ object Lifecycle extends QueryModule {
     */
   val shipLag = QueryDef(
     "q_ship_lag",
-    (s, d) =>
-      Tables.lineitem(s, d).select(col("l_orderkey"), col("l_shipdate"))
+    (s, d) => {
+      // lag percentiles via ExactQuantiles (r11): the lag_days value
+      // domain is tiny integers (0..~120 days) — the
+      // (group, value, count) pre-aggregation reduces the percentile
+      // input to |priorities|×|days| rows no matter the fact size
+      val src = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_shipdate"))
         .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_orderdate"),
           col("o_orderpriority")), col("l_orderkey") === col("o_orderkey"))
         .select(col("o_orderpriority"),
           datediff(col("l_shipdate"), col("o_orderdate")).cast("long").as("lag_days"))
-        .groupBy(col("o_orderpriority"))
+      val pct = graft.functions.ExactQuantiles.cont(src,
+        Seq("o_orderpriority"), "lag_days",
+        Seq(0.5 -> "p50_raw", 0.9 -> "p90_raw"))
+      src.groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n_lineitems"),
-          round(expr("percentile(lag_days, 0.5)"), 4).as("p50_lag_days"),
-          round(expr("percentile(lag_days, 0.9)"), 4).as("p90_lag_days"),
           max(col("lag_days")).as("max_lag_days"))
-        .orderBy(col("o_orderpriority")),
+        .join(pct, Seq("o_orderpriority"))
+        .select(col("o_orderpriority"), col("n_lineitems"),
+          round(col("p50_raw"), 4).as("p50_lag_days"),
+          round(col("p90_raw"), 4).as("p90_lag_days"),
+          col("max_lag_days"))
+        .orderBy(col("o_orderpriority"))
+    },
     Some("""
       SELECT o_orderpriority, count(*) AS n_lineitems,
              round(quantile_cont(lag_days, 0.5), 4) AS p50_lag_days,

@@ -179,6 +179,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_kmeans_update", // same 5-row centroid broadcast (kmeans_assign step)
     "q_knn_classify", // 50-row broadcast probe set (cosine_topk pattern)
     "q_unigram_logprob", // lazy 1-row corpus-total cross join (tf_idf pattern)
+    "q_session_stats", // 1-row global-percentile cross join (ExactQuantiles, r11)
+    "q_conversion_lag", // 1-row global-percentile cross join (ExactQuantiles, r11)
     "q_global_customers", // 1-row avg-balance threshold cross join (tf_idf pattern)
     "q_important_parts", // 1-row corpus-total threshold cross join (tf_idf pattern)
     "q_drift_psi", // 1-row split-totals cross join (tf_idf pattern)
@@ -285,15 +287,14 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_band_by_quantile" -> "bounded", // approx_percentile only: t-digest buffer fixed by accuracy
     "q_percentile_approx_scale" -> "exact-anchor", // sketch + its exact comparison column (grading artifact)
     "q_approx_percentile" -> "exact-anchor", // sketch + its exact comparison column (grading artifact)
-    "q_percentile" -> "exact-anchor",
-    "q_percentile_disc" -> "exact-anchor",
-    "q_percentile_multi" -> "exact-anchor", // scale twin: q_percentile_approx_scale
+    "q_percentile_multi" -> "exact-anchor", // scale twin: q_percentile_window IS this query on ExactQuantiles' method
     "q_winsorize" -> "exact-anchor", // exact p05/p95 clip bounds
-    "q_mad" -> "exact-anchor", // exact median-of-deviations
-    "q_funnel" -> "exact-anchor", // global exact median conversion lag
-    "q_session_stats" -> "exact-anchor", // global exact session-duration percentiles
-    "q_conversion_lag" -> "exact-anchor",
-    "q_ship_lag" -> "exact-anchor")
+    "q_funnel" -> "exact-anchor") // global exact median conversion lag
+  // r11: q_percentile, q_percentile_disc, q_mad, q_session_stats,
+  // q_conversion_lag, q_ship_lag LEFT this list — rewritten on
+  // functions.ExactQuantiles ((group, value, count) pre-aggregation +
+  // PrefixSum rank intervals; VERDICT r10 item 3), so their plans no
+  // longer contain any value-buffering aggregate.
 
   test("value-buffering aggregates only where bounded or twin-anchored") {
     val offenders = SparkEntry.all.flatMap { q =>
