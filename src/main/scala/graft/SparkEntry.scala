@@ -26,6 +26,7 @@ object SparkEntry {
     q.Supply,
     q.Lifecycle,
     q.Graphs,
+    q.SqlText,
   )
 
   def all: Seq[QueryDef] = {

@@ -1,0 +1,367 @@
+package graft.queries
+
+import graft.{QueryDef, QueryModule, Tables}
+
+/** SQL-TEXT twins of the flagship query shapes (VERDICT r10 item 4):
+  * every query here goes through `spark.sql(text)` — Spark's parser /
+  * analyzer path — where the DataFrame suite exercises the DSL. The
+  * shapes mirror graded DSL queries (star join, rollup, window rank,
+  * set ops, EXISTS, sessionize, CTE reuse, inline VALUES, pagination)
+  * but are written as fresh SQL, each with its own DuckDB oracle.
+  * Money follows the integer-cents contract everywhere: Spark
+  * accumulates DECIMAL(38,0) cents (a BIGINT window/group sum would
+  * wrap where DuckDB's HUGEINT stays exact), both engines cast the
+  * exact integer to DOUBLE before the /100.0.
+  *
+  * Plan shapes are the SAME physical plans as the DSL twins (the
+  * parser is sugar): the star join broadcasts dims, the rollup is one
+  * Expand + hash aggregate, sessionize is the lag/cumsum rewrite —
+  * PlanAuditSpec's audits run over these rows like any other.
+  */
+object SqlText extends QueryModule {
+
+  /** Spark-side exact-cents sum fragment (text twin of centsSum). */
+  private def cents(x: String): String =
+    s"CAST(sum(CAST(round(($x) * 100) AS DECIMAL(38,0))) AS DOUBLE) / 100.0"
+
+  private def reg(s: org.apache.spark.sql.SparkSession, d: String,
+      names: String*): Unit =
+    names.foreach {
+      case "lineitem" => Tables.lineitem(s, d).createOrReplaceTempView("lineitem_sqt")
+      case "orders"   => Tables.orders(s, d).createOrReplaceTempView("orders_sqt")
+      case "customer" => Tables.customer(s, d).createOrReplaceTempView("customer_sqt")
+      case "nation"   => Tables.nation(s, d).createOrReplaceTempView("nation_sqt")
+      case "region"   => Tables.region(s, d).createOrReplaceTempView("region_sqt")
+      case "events"   => Tables.events(s, d).createOrReplaceTempView("events_sqt")
+      case other => throw new IllegalArgumentException(other)
+    }
+
+  /** Five-table star join in SQL text: fact → orders → customer →
+    * nation → region with a selective region filter. Same physical
+    * shape as q_join_star (dims broadcast, one fact shuffle).
+    */
+  val sqlStarJoin = QueryDef(
+    "q_sql_star_join",
+    (s, d) => {
+      reg(s, d, "lineitem", "orders", "customer", "nation", "region")
+      s.sql(s"""
+        SELECT r_name AS region, o_orderpriority,
+               count(*) AS n_items,
+               ${cents("l_extendedprice * (1 - l_discount)")} AS revenue
+        FROM lineitem_sqt
+        JOIN orders_sqt   ON l_orderkey = o_orderkey
+        JOIN customer_sqt ON o_custkey = c_custkey
+        JOIN nation_sqt   ON c_nationkey = n_nationkey
+        JOIN region_sqt   ON n_regionkey = r_regionkey
+        WHERE r_name IN ('AMERICA', 'AFRICA') AND o_orderstatus = 'F'
+        GROUP BY r_name, o_orderpriority
+        ORDER BY region, o_orderpriority
+      """)
+    },
+    Some("""
+      SELECT r_name AS region, o_orderpriority,
+             count(*) AS n_items,
+             sum(CAST(round((l_extendedprice * (1 - l_discount)) * 100) AS BIGINT))
+               / 100.0 AS revenue
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation   ON c_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+      WHERE r_name IN ('AMERICA', 'AFRICA') AND o_orderstatus = 'F'
+      GROUP BY r_name, o_orderpriority
+      ORDER BY region, o_orderpriority
+    """))
+
+  /** GROUP BY ROLLUP in SQL text with GROUPING() disambiguation (a
+    * NULL group value vs a rollup subtotal are different things).
+    */
+  val sqlRollup = QueryDef(
+    "q_sql_rollup",
+    (s, d) => {
+      reg(s, d, "lineitem")
+      s.sql(s"""
+        SELECT coalesce(l_returnflag, 'ALL') AS flag,
+               coalesce(l_linestatus, 'ALL') AS status,
+               CAST(grouping(l_returnflag) + grouping(l_linestatus) AS BIGINT)
+                 AS subtotal_level,
+               count(*) AS n_items,
+               ${cents("l_extendedprice")} AS revenue
+        FROM lineitem_sqt
+        GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        ORDER BY flag, status
+      """)
+    },
+    Some("""
+      SELECT coalesce(l_returnflag, 'ALL') AS flag,
+             coalesce(l_linestatus, 'ALL') AS status,
+             CAST(grouping(l_returnflag) + grouping(l_linestatus) AS BIGINT)
+               AS subtotal_level,
+             count(*) AS n_items,
+             sum(CAST(round((l_extendedprice) * 100) AS BIGINT)) / 100.0 AS revenue
+      FROM lineitem
+      GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      ORDER BY flag, status
+    """))
+
+  /** Ranking functions through a named WINDOW in SQL text, with the
+    * standard subquery-filter idiom for top-k per group (rank ≤ 3
+    * keeps ties; ntile graded alongside).
+    */
+  val sqlWindowRank = QueryDef(
+    "q_sql_window_rank",
+    (s, d) => {
+      reg(s, d, "orders")
+      s.sql("""
+        SELECT o_orderpriority, o_orderkey, o_totalprice, rnk, drnk, quartile
+        FROM (
+          SELECT o_orderpriority, o_orderkey, o_totalprice,
+                 CAST(rank() OVER w AS BIGINT) AS rnk,
+                 CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+                 CAST(ntile(4) OVER w AS BIGINT) AS quartile
+          FROM orders_sqt
+          WINDOW w AS (PARTITION BY o_orderpriority
+                       ORDER BY o_totalprice DESC, o_orderkey))
+        WHERE rnk <= 3
+        ORDER BY o_orderpriority, rnk, o_orderkey
+      """)
+    },
+    Some("""
+      SELECT o_orderpriority, o_orderkey, o_totalprice, rnk, drnk, quartile
+      FROM (
+        SELECT o_orderpriority, o_orderkey, o_totalprice,
+               rank() OVER w AS rnk,
+               dense_rank() OVER w AS drnk,
+               ntile(4) OVER w AS quartile
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderpriority
+                     ORDER BY o_totalprice DESC, o_orderkey))
+      WHERE rnk <= 3
+      ORDER BY o_orderpriority, rnk, o_orderkey
+    """))
+
+  /** Chained set operations in SQL text (INTERSECT inside parens, then
+    * EXCEPT): urgent∩high buyers minus customers with a P order.
+    */
+  val sqlSetOps = QueryDef(
+    "q_sql_setops",
+    (s, d) => {
+      reg(s, d, "orders")
+      s.sql("""
+        (SELECT o_custkey AS custkey FROM orders_sqt
+         WHERE o_orderpriority = '1-URGENT'
+         INTERSECT
+         SELECT o_custkey FROM orders_sqt
+         WHERE o_orderpriority = '2-HIGH')
+        EXCEPT
+        SELECT o_custkey FROM orders_sqt WHERE o_orderstatus = 'P'
+        ORDER BY custkey
+      """)
+    },
+    Some("""
+      (SELECT o_custkey AS custkey FROM orders
+       WHERE o_orderpriority = '1-URGENT'
+       INTERSECT
+       SELECT o_custkey FROM orders
+       WHERE o_orderpriority = '2-HIGH')
+      EXCEPT
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+      ORDER BY custkey
+    """))
+
+  /** Correlated EXISTS + NOT EXISTS in SQL text (plans as semi/anti
+    * joins — the same physical shape PlanAuditSpec pins for the DSL
+    * semi/anti rows).
+    */
+  val sqlExists = QueryDef(
+    "q_sql_exists",
+    (s, d) => {
+      reg(s, d, "orders", "customer")
+      s.sql("""
+        SELECT c_custkey, c_name
+        FROM customer_sqt c
+        WHERE EXISTS (SELECT 1 FROM orders_sqt o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+          AND NOT EXISTS (SELECT 1 FROM orders_sqt o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderstatus = 'P')
+        ORDER BY c_custkey
+      """)
+    },
+    Some("""
+      SELECT c_custkey, c_name
+      FROM customer c
+      WHERE EXISTS (SELECT 1 FROM orders o
+                    WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderpriority = '1-URGENT')
+        AND NOT EXISTS (SELECT 1 FROM orders o
+                        WHERE o.o_custkey = c.c_custkey
+                          AND o.o_orderstatus = 'P')
+      ORDER BY c_custkey
+    """))
+
+  /** The 30-minute-gap sessionize rewrite in pure SQL text (lag →
+    * new-session flag → running sum), grading the parser on the
+    * WINDOW-in-CTE chain every event pipeline writes. Same lag/cumsum
+    * rewrite and same single user_id shuffle as q_sessionize_lag.
+    */
+  val sqlSessionize = QueryDef(
+    "q_sql_sessionize",
+    (s, d) => {
+      reg(s, d, "events")
+      s.sql("""
+        WITH stamped AS (
+          SELECT user_id, event_id, unix_micros(ts) AS us
+          FROM events_sqt),
+        flagged AS (
+          SELECT user_id, event_id, us,
+                 CASE WHEN lag(us) OVER w IS NULL
+                           OR us - lag(us) OVER w >= 1800000000
+                      THEN 1 ELSE 0 END AS new_sess
+          FROM stamped
+          WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        sess AS (
+          SELECT user_id, us,
+                 CAST(sum(new_sess) OVER (PARTITION BY user_id
+                   ORDER BY us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS session_id
+          FROM flagged)
+        SELECT user_id, session_id, count(*) AS n_events,
+               max(us) - min(us) AS duration_us
+        FROM sess
+        GROUP BY user_id, session_id
+        ORDER BY user_id, session_id
+      """)
+    },
+    Some("""
+      WITH stamped AS (
+        SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        FROM events),
+      flagged AS (
+        SELECT user_id, event_id, us,
+               CASE WHEN lag(us) OVER w IS NULL
+                         OR us - lag(us) OVER w >= 1800000000
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM stamped
+        WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+      sess AS (
+        SELECT user_id, us,
+               CAST(sum(new_sess) OVER (PARTITION BY user_id
+                 ORDER BY us, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS session_id
+        FROM flagged)
+      SELECT user_id, session_id, count(*) AS n_events,
+             max(us) - min(us) AS duration_us
+      FROM sess
+      GROUP BY user_id, session_id
+      ORDER BY user_id, session_id
+    """))
+
+  /** A CTE consumed by TWO downstream references (the rank and the
+    * share-of-total both read nat_rev) — the parser/analyzer CTE
+    * dedup surface. Rank runs on |nations| ≤ 25 rows (bounded global
+    * window, allowlisted); the 1-row total cross-joins back
+    * (tf_idf-pattern BNL).
+    */
+  val sqlCte = QueryDef(
+    "q_sql_cte",
+    (s, d) => {
+      reg(s, d, "orders", "customer", "nation")
+      s.sql("""
+        WITH nat_rev AS (
+          SELECT n_name,
+                 sum(CAST(round(o_totalprice * 100) AS DECIMAL(38,0))) AS rev_cents
+          FROM orders_sqt
+          JOIN customer_sqt ON o_custkey = c_custkey
+          JOIN nation_sqt   ON c_nationkey = n_nationkey
+          GROUP BY n_name),
+        tot AS (SELECT sum(rev_cents) AS total_cents FROM nat_rev)
+        SELECT n_name,
+               CAST(rev_cents AS DOUBLE) / 100.0 AS revenue,
+               CAST(rank() OVER (ORDER BY rev_cents DESC, n_name) AS BIGINT) AS rnk,
+               CAST(CAST(rev_cents AS DOUBLE) / CAST(total_cents AS DOUBLE)
+                 AS FLOAT) AS share
+        FROM nat_rev CROSS JOIN tot
+        ORDER BY rnk, n_name
+      """)
+    },
+    Some("""
+      WITH nat_rev AS (
+        SELECT n_name,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev_cents
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        GROUP BY n_name),
+      tot AS (SELECT sum(rev_cents) AS total_cents FROM nat_rev)
+      SELECT n_name,
+             CAST(rev_cents AS DOUBLE) / 100.0 AS revenue,
+             rank() OVER (ORDER BY rev_cents DESC, n_name) AS rnk,
+             CAST(CAST(rev_cents AS DOUBLE) / CAST(total_cents AS DOUBLE)
+               AS FLOAT) AS share
+      FROM nat_rev CROSS JOIN tot
+      ORDER BY rnk, n_name
+    """))
+
+  /** Inline VALUES as a join relation in SQL text: a literal
+    * priority→tier mapping joined onto the fact (the hand-written
+    * enum-dim idiom). Broadcasts trivially.
+    */
+  val sqlValues = QueryDef(
+    "q_sql_values",
+    (s, d) => {
+      reg(s, d, "orders")
+      s.sql(s"""
+        SELECT tier, count(*) AS n_orders,
+               ${cents("o_totalprice")} AS tier_revenue
+        FROM orders_sqt
+        JOIN (VALUES ('1-URGENT', 'hot'), ('2-HIGH', 'hot'),
+                     ('3-MEDIUM', 'warm'), ('4-NOT SPECIFIED', 'cold'),
+                     ('5-LOW', 'cold')) AS t(pri, tier)
+          ON o_orderpriority = pri
+        GROUP BY tier
+        ORDER BY tier
+      """)
+    },
+    Some("""
+      SELECT tier, count(*) AS n_orders,
+             sum(CAST(round((o_totalprice) * 100) AS BIGINT)) / 100.0
+               AS tier_revenue
+      FROM orders
+      JOIN (VALUES ('1-URGENT', 'hot'), ('2-HIGH', 'hot'),
+                   ('3-MEDIUM', 'warm'), ('4-NOT SPECIFIED', 'cold'),
+                   ('5-LOW', 'cold')) t(pri, tier)
+        ON o_orderpriority = pri
+      GROUP BY tier
+      ORDER BY tier
+    """))
+
+  /** LIMIT/OFFSET pagination in SQL text over a total order (price
+    * desc, orderkey tiebreak) — page 3 of 20. Plans as a global
+    * TakeOrdered, not a full sort.
+    */
+  val sqlLimitOffset = QueryDef(
+    "q_sql_limit_offset",
+    (s, d) => {
+      reg(s, d, "orders")
+      s.sql("""
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders_sqt
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 20 OFFSET 40
+      """)
+    },
+    Some("""
+      SELECT o_orderkey, o_custkey, o_totalprice
+      FROM orders
+      ORDER BY o_totalprice DESC, o_orderkey
+      LIMIT 20 OFFSET 40
+    """))
+
+  def defs: Seq[QueryDef] = Seq(
+    sqlStarJoin, sqlRollup, sqlWindowRank, sqlSetOps, sqlExists,
+    sqlSessionize, sqlCte, sqlValues, sqlLimitOffset)
+}

@@ -33,6 +33,7 @@ object GenInventory {
     "Supply"       -> "TPC-H composites (supply-chain shapes)",
     "Lifecycle"    -> "§2.4 exact-stat panel / §2.9 lifecycle analytics",
     "Graphs"       -> "§2.10 graph analytics (CC/PageRank/paths)",
+    "SqlText"      -> "§3 SQL surface (SQL-text twins of flagship shapes)",
   )
 
   def table(): String = {

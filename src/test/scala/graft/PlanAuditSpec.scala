@@ -181,6 +181,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_unigram_logprob", // lazy 1-row corpus-total cross join (tf_idf pattern)
     "q_session_stats", // 1-row global-percentile cross join (ExactQuantiles, r11)
     "q_conversion_lag", // 1-row global-percentile cross join (ExactQuantiles, r11)
+    "q_sql_cte", // 1-row total cross join in SQL text (tf_idf pattern)
     "q_global_customers", // 1-row avg-balance threshold cross join (tf_idf pattern)
     "q_important_parts", // 1-row corpus-total threshold cross join (tf_idf pattern)
     "q_drift_psi", // 1-row split-totals cross join (tf_idf pattern)
@@ -231,7 +232,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_activity_heatmap",  // 168 weekday×hour rows
     "q_cusum",             // day series (calendar-bounded)
     "q_mutual_info",       // ≤15 contingency cells
-    "q_cramers_v")         // ≤6 contingency cells
+    "q_cramers_v",         // ≤6 contingency cells
+    "q_sql_cte")           // ≤25 nation rows (rank over the nat_rev CTE)
 
   test("single-partition Window only over bounded-cardinality inputs") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
