@@ -250,7 +250,10 @@ object Dedup extends QueryModule {
     * eager unpersist here, which would break queries still holding
     * the old DataFrames mid-flight. See Graft.clearCaches.
     */
-  private[graft] def clearCaches(): Unit = { sigCache.clear(); pairsCache.clear() }
+  private[graft] def clearCaches(): Unit = {
+    sigCache.clear(); pairsCache.clear()
+    docCountCache.clear(); adaptiveFpCache.clear()
+  }
 
   /** Force the one-time shared artifacts (LSH signatures + verified
     * pairs, both eager checkpoints) so a bench harness can charge the
@@ -265,7 +268,9 @@ object Dedup extends QueryModule {
     // inside its timed region (measured: q_dedup_cluster +51 s at 26×
     // bench scale because it sorts alphabetically before
     // q_dedup_minhash; the r7 warm() built only the plan)
-    verifiedPairs(s, d).count(); ()
+    verifiedPairs(s, d).count()
+    adaptiveFp(s, d).count() // adaptive-simhash width scalar + fp artifact
+    ()
   }
 
   val dedupMinhash = QueryDef(
@@ -688,26 +693,51 @@ object Dedup extends QueryModule {
   private[graft] def adaptiveBandBits(n: Long): Int =
     (9 to 31).find(k => n <= (1L << (k + 1))).getOrElse(32)
 
-  val dedupSimhashAdaptive = QueryDef(
-    "q_dedup_simhash_adaptive",
-    (s, d) => {
-      val docs = Tables.documents(s, d)
-      val n = docs.count()
-      val w = adaptiveBandBits(n)
-      val tok = docs
+  /** Memoized per-(session, dataset) corpus size — the one scalar the
+    * adaptive banding needs at plan-build time. Warmed by [[warm]] so
+    * a warmed session constructs q_dedup_simhash_adaptive with ZERO
+    * Spark jobs (VERDICT r10 item 5; WarmAllSpec pins it); on a cold
+    * session the first construction pays one count, as before.
+    */
+  private val docCountCache = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, String), java.lang.Long]()
+
+  private def docCount(s: org.apache.spark.sql.SparkSession, d: String): Long =
+    docCountCache.computeIfAbsent((s, d), _ => Tables.documents(s, d).count())
+
+  /** Memoized adaptive-width fingerprint table (doc_id, band0..3) —
+    * the per-dataset artifact q_dedup_simhash_adaptive reads. The
+    * memo makes a WARMED session's query construction action-free:
+    * un-memoized, the lazy localCheckpoint's `toRdd` under AQE
+    * launches a stage at every plan build (WarmAllSpec pins zero).
+    */
+  private val adaptiveFpCache = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, String), org.apache.spark.sql.DataFrame]()
+
+  private def adaptiveFp(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    adaptiveFpCache.computeIfAbsent((s, d), _ => {
+      val w = adaptiveBandBits(docCount(s, d))
+      val tok = Tables.documents(s, d)
         .select(col("doc_id"), explode(TF.tokens(col("text"))).as("token"))
         .select(col("doc_id"), md5(col("token")).as("h"))
       val digits = (0 until w).map(p =>
         (instr(lit(simhashHex), substr(col("h"), lit(p + 1), lit(1))) - 1).as(s"d$p"))
       val sums = for { p <- 0 until w; j <- 0 until 4 } yield
         sum(shiftright(col(s"d$p"), j).bitwiseAND(lit(1)) * 2 - 1).as(s"s${p}_$j")
-      val fp = tok.select(col("doc_id") +: digits: _*)
+      tok.select(col("doc_id") +: digits: _*)
         .groupBy(col("doc_id")).agg(sums.head, sums.tail: _*)
         .select(col("doc_id") +: (0 until 4).map(j =>
           (0 until w).map(p =>
             when(col(s"s${p}_$j") > 0, lit(1L << p)).otherwise(lit(0L)))
             .reduce(_ + _).as(s"band$j")): _*)
         .localCheckpoint(false)
+    })
+
+  val dedupSimhashAdaptive = QueryDef(
+    "q_dedup_simhash_adaptive",
+    (s, d) => {
+      val fp = adaptiveFp(s, d)
       def bands(idCol: String, pre: String) = fp
         .select(col("doc_id").as(idCol) +:
           (0 until 4).map(j => col(s"band$j").as(s"$pre$j")) :+

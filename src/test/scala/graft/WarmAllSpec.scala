@@ -25,7 +25,10 @@ class WarmAllSpec extends AnyFunSuite {
     }
     spark.sparkContext.addSparkListener(l)
     try {
-      for (name <- Seq("q_dedup_minhash", "q_dedup_events")) {
+      // q_dedup_simhash_adaptive: the banding width's corpus count is
+      // a warmed scalar since r11 (was a plan-build count() job)
+      for (name <- Seq("q_dedup_minhash", "q_dedup_events",
+          "q_dedup_simhash_adaptive")) {
         SparkEntry.queries(name)(spark, TestSpark.sf0001)
           .queryExecution.optimizedPlan // analysis + optimization, no action
       }
