@@ -167,6 +167,23 @@ object Lifecycle extends QueryModule {
     * partition window on the tiny transition matrix. One shuffle on
     * user_id for the lag; the matrix is |event_types|² rows.
     */
+  private val markovSql = """
+      WITH seq AS (
+        SELECT user_id, event_type,
+               lag(event_type, 1) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id) AS from_event
+        FROM events),
+      m AS (
+        SELECT from_event, event_type AS to_event, count(*) AS n_transitions
+        FROM seq WHERE from_event IS NOT NULL
+        GROUP BY 1, 2)
+      SELECT from_event, to_event, n_transitions,
+             CAST(n_transitions / CAST(sum(n_transitions)
+               OVER (PARTITION BY from_event) AS BIGINT) AS FLOAT) AS p_transition
+      FROM m
+      ORDER BY from_event, to_event
+    """
+
   val markovTransitions = QueryDef(
     "q_markov_transitions",
     (s, d) => {
@@ -183,22 +200,52 @@ object Lifecycle extends QueryModule {
             .cast("float"))
         .orderBy(col("from_event"), col("to_event"))
     },
-    Some("""
-      WITH seq AS (
-        SELECT user_id, event_type,
-               lag(event_type, 1) OVER (PARTITION BY user_id
-                 ORDER BY ts, event_id) AS from_event
-        FROM events),
-      m AS (
-        SELECT from_event, event_type AS to_event, count(*) AS n_transitions
-        FROM seq WHERE from_event IS NOT NULL
-        GROUP BY 1, 2)
-      SELECT from_event, to_event, n_transitions,
-             CAST(n_transitions / CAST(sum(n_transitions)
-               OVER (PARTITION BY from_event) AS BIGINT) AS FLOAT) AS p_transition
-      FROM m
-      ORDER BY from_event, to_event
-    """))
+    Some(markovSql))
+
+
+  /** TWO-LEVEL Markov transitions — q_markov_transitions' giant-key
+    * twin (same lever as q_sessionize_2level): the per-user lag
+    * serializes a mega-user through ONE task; here level 1 lags
+    * within (user, day) buckets (partition count × |days|, no task
+    * exceeds a user-day) and level 2 adds the bucket-BOUNDARY pairs —
+    * last event of a user's bucket → first event of their next
+    * bucket, computed on the buckets-sized aggregate. Within-bucket
+    * pairs + boundary pairs = exactly every consecutive pair, so the
+    * transition matrix is identical. GRADED AGAINST THE IDENTICAL
+    * ORACLE as the plain form — the hash match is the equivalence
+    * proof. Measured on the 9.5M-row hot key (BASELINE r11).
+    */
+  val markovTransitions2Level = QueryDef(
+    "q_markov_transitions_2level",
+    (s, d) => {
+      val wB = Window.partitionBy(col("user_id"), col("day"))
+        .orderBy(col("ts"), col("event_id"))
+      val pre = Tables.events(s, d).withColumn("day", to_date(col("ts")))
+      val within = pre
+        .withColumn("from_event", lag(col("event_type"), 1).over(wB))
+        .filter(col("from_event").isNotNull)
+        .groupBy(col("from_event"), col("event_type").as("to_event"))
+        .agg(count(lit(1)).as("n"))
+      val wU = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      val boundary = pre
+        .groupBy(col("user_id"), col("day"))
+        .agg(
+          min_by(col("event_type"), struct(col("ts"), col("event_id"))).as("first_ev"),
+          max_by(col("event_type"), struct(col("ts"), col("event_id"))).as("last_ev"))
+        .withColumn("prev_last", lag(col("last_ev"), 1).over(wU))
+        .filter(col("prev_last").isNotNull)
+        .groupBy(col("prev_last").as("from_event"), col("first_ev").as("to_event"))
+        .agg(count(lit(1)).as("n"))
+      val wFrom = Window.partitionBy(col("from_event"))
+      within.unionByName(boundary)
+        .groupBy(col("from_event"), col("to_event"))
+        .agg(sum(col("n")).as("n_transitions"))
+        .withColumn("p_transition",
+          (col("n_transitions") / sum(col("n_transitions")).over(wFrom))
+            .cast("float"))
+        .orderBy(col("from_event"), col("to_event"))
+    },
+    Some(markovSql))
 
   /** Two-proportion A/B test: deterministic arm assignment by
     * user_id parity (engine-stable, unlike hash-based bucketing),
@@ -667,6 +714,43 @@ object Lifecycle extends QueryModule {
       ORDER BY pagerank DESC, nationkey
     """))
 
+  private val eventPathsSql =
+    """
+      WITH seq AS (
+        SELECT user_id, event_type,
+               row_number() OVER (PARTITION BY user_id, session_id
+                 ORDER BY us, event_id) AS rn,
+               session_id
+        FROM (
+          SELECT user_id, event_id, event_type, us,
+                 CAST(sum(CASE WHEN prev_us IS NULL OR us - prev_us >= 1800000000
+                          THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY us, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS session_id
+          FROM (
+            SELECT user_id, event_id, event_type,
+                   epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+                   lag(epoch_us(CAST(ts AS TIMESTAMP)), 1)
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+            FROM events))),
+      paths AS (
+        SELECT concat_ws('>',
+                 max(CASE WHEN rn = 1 THEN event_type END),
+                 max(CASE WHEN rn = 2 THEN event_type END),
+                 max(CASE WHEN rn = 3 THEN event_type END)) AS path
+        FROM seq WHERE rn <= 3
+        GROUP BY user_id, session_id),
+      counted AS (
+        SELECT path, count(*) AS n_sessions FROM paths GROUP BY path)
+      SELECT path, n_sessions,
+             CAST(n_sessions / CAST(sum(n_sessions) OVER () AS BIGINT) AS FLOAT)
+               AS share
+      FROM counted
+      ORDER BY n_sessions DESC, path
+      LIMIT 15
+    """
+
   /** Top session-opening paths: the first three event types of each
     * 30-min-gap session, joined with '>', counted across sessions —
     * the "how do journeys start" panel next to q_markov_transitions'
@@ -706,41 +790,75 @@ object Lifecycle extends QueryModule {
         .orderBy(col("n_sessions").desc, col("path"))
         .limit(15)
     },
-    Some("""
-      WITH seq AS (
-        SELECT user_id, event_type,
-               row_number() OVER (PARTITION BY user_id, session_id
-                 ORDER BY us, event_id) AS rn,
-               session_id
-        FROM (
-          SELECT user_id, event_id, event_type, us,
-                 CAST(sum(CASE WHEN prev_us IS NULL OR us - prev_us >= 1800000000
-                          THEN 1 ELSE 0 END)
-                   OVER (PARTITION BY user_id ORDER BY us, event_id
-                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-                   AS session_id
-          FROM (
-            SELECT user_id, event_id, event_type,
-                   epoch_us(CAST(ts AS TIMESTAMP)) AS us,
-                   lag(epoch_us(CAST(ts AS TIMESTAMP)), 1)
-                     OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
-            FROM events))),
-      paths AS (
-        SELECT concat_ws('>',
-                 max(CASE WHEN rn = 1 THEN event_type END),
-                 max(CASE WHEN rn = 2 THEN event_type END),
-                 max(CASE WHEN rn = 3 THEN event_type END)) AS path
-        FROM seq WHERE rn <= 3
-        GROUP BY user_id, session_id),
-      counted AS (
-        SELECT path, count(*) AS n_sessions FROM paths GROUP BY path)
-      SELECT path, n_sessions,
-             CAST(n_sessions / CAST(sum(n_sessions) OVER () AS BIGINT) AS FLOAT)
-               AS share
-      FROM counted
-      ORDER BY n_sessions DESC, path
-      LIMIT 15
-    """))
+    Some(eventPathsSql))
+
+  /** TWO-LEVEL session-opening paths — q_event_paths' giant-key twin.
+    * Level 1 sessionizes within (user, day) buckets and keeps each
+    * PROVISIONAL session's first ≤3 events (a merged session's rows
+    * are the time-ordered concatenation of its provisionals', so its
+    * first 3 are always inside the union of each provisional's first
+    * 3 — an exact candidate superset). Level 2 merges provisional
+    * sessions on the buckets-sized span table (the q_sessionize_2level
+    * gap-merge), then re-ranks ONLY the ≤3-per-provisional candidates
+    * inside each merged session. No task ever sorts more than a
+    * user-day; the re-rank window touches ≤3×|provisionals| rows.
+    * GRADED AGAINST THE IDENTICAL ORACLE as q_event_paths — hash
+    * match = equivalence. Measured on the 9.5M-row hot key
+    * (BASELINE r11).
+    */
+  val eventPaths2Level = QueryDef(
+    "q_event_paths_2level",
+    (s, d) => {
+      val wB = Window.partitionBy(col("user_id"), col("day"))
+        .orderBy(col("ts"), col("event_id"))
+      val runB = wB.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val pre = Tables.events(s, d)
+        .withColumn("day", to_date(col("ts")))
+        .withColumn("us", unix_micros(col("ts")))
+        .withColumn("prev_us", lag(col("us"), 1).over(wB))
+        .withColumn("new_sess",
+          when(col("prev_us").isNull || col("us") - col("prev_us") >= 1800000000L, 1L)
+            .otherwise(0L))
+        .withColumn("bucket_sess", sum(col("new_sess")).over(runB))
+        .withColumn("rn_b", row_number().over(
+          Window.partitionBy(col("user_id"), col("day"), col("bucket_sess"))
+            .orderBy(col("ts"), col("event_id"))))
+      val cand = pre.filter(col("rn_b") <= 3)
+        .select(col("user_id"), col("day"), col("bucket_sess"),
+          col("us"), col("event_id"), col("event_type"))
+      val wU = Window.partitionBy(col("user_id")).orderBy(col("start_us"))
+      val runU = wU.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val merged = pre
+        .groupBy(col("user_id"), col("day"), col("bucket_sess"))
+        .agg(min(col("us")).as("start_us"), max(col("us")).as("end_us"))
+        .withColumn("prev_end", lag(col("end_us"), 1).over(wU))
+        .withColumn("new_grp",
+          when(col("prev_end").isNull
+            || col("start_us") - col("prev_end") >= 1800000000L, 1L).otherwise(0L))
+        .withColumn("session_id", sum(col("new_grp")).over(runU))
+        .select(col("user_id").as("mu"), col("day").as("mday"),
+          col("bucket_sess").as("mbs"), col("session_id"))
+      val wS = Window.partitionBy(col("user_id"), col("session_id"))
+        .orderBy(col("us"), col("event_id"))
+      cand
+        .join(merged, col("user_id") === col("mu")
+          && col("day") === col("mday") && col("bucket_sess") === col("mbs"))
+        .withColumn("rn", row_number().over(wS))
+        .filter(col("rn") <= 3)
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(
+          max(when(col("rn") === 1, col("event_type"))).as("e1"),
+          max(when(col("rn") === 2, col("event_type"))).as("e2"),
+          max(when(col("rn") === 3, col("event_type"))).as("e3"))
+        .groupBy(concat_ws(">", col("e1"), col("e2"), col("e3")).as("path"))
+        .agg(count(lit(1)).as("n_sessions"))
+        .withColumn("share",
+          (col("n_sessions") / sum(col("n_sessions")).over(Window.partitionBy()))
+            .cast("float"))
+        .orderBy(col("n_sessions").desc, col("path"))
+        .limit(15)
+    },
+    Some(eventPathsSql))
 
   /** Signup→purchase conversion latency: per user the first signup
     * and the first purchase at-or-after it (exact microseconds),
@@ -1581,6 +1699,7 @@ object Lifecycle extends QueryModule {
 
   def defs: Seq[QueryDef] = Seq(
     survivalCurve, churnRate, seasonalIndex, markovTransitions,
+    markovTransitions2Level, eventPaths2Level,
     abTest, benford, paretoCutoff, packSequences,
     concurrentSessions, gini, sessionStats, pagerank, eventPaths,
     conversionLag, shipLag, growthAccounting, anomalyIqr, activityHeatmap,

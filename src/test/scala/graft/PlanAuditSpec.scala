@@ -227,6 +227,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_seasonal_index",    // 7 weekday rows
     "q_benford",           // 9 digit rows
     "q_event_paths",       // ≤|event_type|³ distinct 3-step paths
+    "q_event_paths_2level", // same bounded path table (2level twin)
     "q_growth_accounting", // month series (calendar-bounded)
     "q_anomaly_iqr",       // day series (calendar-bounded)
     "q_activity_heatmap",  // 168 weekday×hour rows
