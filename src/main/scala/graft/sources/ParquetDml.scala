@@ -89,14 +89,16 @@ object ParquetDml {
       // also guards against reading the directory we are overwriting),
       // then drop now-empty partition directories explicitly.
       val keptM = kept.localCheckpoint()
-      val surviving = keptM.select(partitionCol).distinct().collect()
-        .map(_.get(0)).toSet
-      if (surviving.nonEmpty) dynamicOverwrite(keptM, path, partitionCol)
-      val fs = new org.apache.hadoop.fs.Path(path)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      affected.filterNot(surviving).foreach { v =>
-        fs.delete(new org.apache.hadoop.fs.Path(path, partitionDirName(partitionCol, v)), true)
-      }
+      try {
+        val surviving = keptM.select(partitionCol).distinct().collect()
+          .map(_.get(0)).toSet
+        if (surviving.nonEmpty) dynamicOverwrite(keptM, path, partitionCol)
+        val fs = new org.apache.hadoop.fs.Path(path)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        affected.filterNot(surviving).foreach { v =>
+          fs.delete(new org.apache.hadoop.fs.Path(path, partitionDirName(partitionCol, v)), true)
+        }
+      } finally SnapshotTable.freeLocalCheckpoint(keptM)
     }
   }
 
@@ -127,8 +129,13 @@ object ParquetDml {
           case None    => col(c)
         }
       }: _*)
-      // materialize before overwriting the path being read (see delete)
-      dynamicOverwrite(rewritten.localCheckpoint(), path, partitionCol)
+      // materialize before overwriting the path being read (see delete);
+      // free the checkpoint blocks after — a foreachBatch caller runs
+      // this per micro-batch, and unfreed blocks accumulate in
+      // executor storage until the RDD is GC'd
+      val rewrittenM = rewritten.localCheckpoint()
+      try dynamicOverwrite(rewrittenM, path, partitionCol)
+      finally SnapshotTable.freeLocalCheckpoint(rewrittenM)
     }
   }
 
@@ -175,7 +182,9 @@ object ParquetDml {
       val merged = survivors.select(t.columns.map(col).toSeq: _*)
         .unionByName(source.select(t.columns.map(col).toSeq: _*))
       // materialize before overwriting the path being read (see delete)
-      dynamicOverwrite(merged.localCheckpoint(), path, partitionCol)
+      val mergedM = merged.localCheckpoint()
+      try dynamicOverwrite(mergedM, path, partitionCol)
+      finally SnapshotTable.freeLocalCheckpoint(mergedM)
     }
   }
 }
