@@ -103,19 +103,47 @@ object ExactQuantiles {
     widen(byP, groupCols, ps)
   }
 
-  /** (group, value, count) pre-aggregation + PrefixSum rank intervals:
-    * value at cumulative count `cum` with multiplicity `c` occupies
-    * ranks [lo, cum] = [cum−c+1, cum]; `n` is the group row count.
+  /** (group, value, count) pre-aggregation + rank intervals: value at
+    * cumulative count `cum` with multiplicity `c` occupies ranks
+    * [lo, cum] = [cum−c+1, cum]; `n` is the group row count.
+    *
+    * Cumulation strategy: GROUPED quantiles use a plain
+    * `Window.partitionBy(groups)` over the distinct-value table —
+    * lazy (no job at plan build) and cheap, and scale-sound because
+    * the window input is |distinct values per group|, which SATURATES
+    * as data grows (the q_percentile_window argument: integer
+    * cents/µs/days domains repeat long before row counts stop
+    * growing), so a partition never approaches the raw group size.
+    * GLOBAL quantiles (no groups) would plan that as ONE partition
+    * over a domain with no saturation guarantee — they go through
+    * [[PrefixSum]]'s distributed cumsum instead (eager construction,
+    * the q_weighted_median contract). Measured at sf0.1: the plain
+    * window is ~2× cheaper per call than the PrefixSum machinery
+    * (whose range-shuffle + eager checkpoint + offset collect are
+    * overhead when |groups| is small).
     */
   private def rankedValues(df: DataFrame, groupCols: Seq[String],
-      valueCol: String): DataFrame =
-    PrefixSum.attach(
-      df.groupBy((groupCols :+ valueCol).map(col): _*)
-        .agg(count(lit(1)).as("__eq_c")),
-      groupCols, Seq(col(valueCol)),
-      sums = Seq("__eq_c" -> "__eq_cum"),
-      totals = Seq("__eq_c" -> "__eq_n"))
-      .withColumn("__eq_lo", col("__eq_cum") - col("__eq_c") + 1)
+      valueCol: String): DataFrame = {
+    val agg = df.groupBy((groupCols :+ valueCol).map(col): _*)
+      .agg(count(lit(1)).as("__eq_c"))
+    val cum =
+      if (groupCols.nonEmpty) {
+        val wRank = org.apache.spark.sql.expressions.Window
+          .partitionBy(groupCols.map(col): _*).orderBy(col(valueCol))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)
+        val wAll = org.apache.spark.sql.expressions.Window
+          .partitionBy(groupCols.map(col): _*)
+        agg
+          .withColumn("__eq_cum", sum(col("__eq_c")).over(wRank))
+          .withColumn("__eq_n", sum(col("__eq_c")).over(wAll))
+      } else {
+        PrefixSum.attach(agg, Nil, Seq(col(valueCol)),
+          sums = Seq("__eq_c" -> "__eq_cum"),
+          totals = Seq("__eq_c" -> "__eq_n"))
+      }
+    cum.withColumn("__eq_lo", col("__eq_cum") - col("__eq_c") + 1)
+  }
 
   private def widen(byP: DataFrame, groupCols: Seq[String],
       ps: Seq[(Double, String)]): DataFrame = {
