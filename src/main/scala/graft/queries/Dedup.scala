@@ -95,12 +95,27 @@ object Dedup extends QueryModule {
     * many downstream consumers.
     */
   private def shingleTable(s: org.apache.spark.sql.SparkSession,
-      d: String): org.apache.spark.sql.DataFrame = {
-    graft.functions.expressions.WordNgrams.register(s)
-    Tables.documents(s, d)
+      d: String): org.apache.spark.sql.DataFrame =
+    shinglesOf(Tables.documents(s, d))
+
+  /** The shingle projection over any (doc_id, text) input — factored
+    * so the streaming ingest sink can shingle a micro-batch.
+    */
+  private[graft] def shinglesOf(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    graft.functions.expressions.WordNgrams.register(docs.sparkSession)
+    docs
       .select(col("doc_id"), TF.tokens(col("text")).as("toks"))
       .select(col("doc_id"), TF.shinglesFast(col("toks"), 3).as("shingles"))
   }
+
+  /** Band signatures over any (doc_id, text) input — the batch-side
+    * banding the streaming ingest sink runs per micro-batch (same
+    * 8×32-bit minhash family as the memoized corpus artifact).
+    */
+  private[graft] def bandDocs(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    bandSignaturesOf(shinglesOf(docs))
 
   /** The 8-rows-per-doc band-signature table (doc_id, band, sig),
     * lazily localCheckpointed. All 8 band signatures come from one
