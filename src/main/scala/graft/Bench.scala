@@ -117,10 +117,22 @@ object Bench {
     // way per-query min-of-2 already made sum_sec: a stall inflates
     // one pass, the other still measures calm throughput. Per-query
     // numbers stay the min across passes.
-    def onePass(): (Map[String, Double], Double) = {
+    // Submission order is deterministically PERMUTED per pass (seeded
+    // by pass index — no wall-clock dependence, so runs are
+    // reproducible): with a fixed alphabetical order, a host stall
+    // spanning a window of the suite inflates the SAME queries in
+    // every pass and min-of-2 cannot strip it — BENCH_r11's headline
+    // read 3× the same-code calm anchor because twelve adjacent q_m*
+    // queries hit a stall in both passes (r11 verdict item 2).
+    // Different per-pass orders present different co-scheduling, so a
+    // stall lands on different queries each pass and the per-query
+    // min recovers the calm number.
+    def onePass(passIdx: Int): (Map[String, Double], Double) = {
+      val rng = new scala.util.Random(passIdx.toLong)
+      val order = rng.shuffle(selected.toSeq.sortBy(_._1))
       val pool = Executors.newFixedThreadPool(conc)
       val t0 = System.nanoTime()
-      val futures = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val futures = order.map { case (name, fn) =>
         name -> pool.submit(new Callable[Double] {
           override def call(): Double = {
             try { // plan construction re-executed each pass (it is
@@ -143,7 +155,7 @@ object Bench {
       pool.awaitTermination(60, TimeUnit.SECONDS)
       (res, passWall)
     }
-    val passes = (1 to repeat).map(_ => onePass())
+    val passes = (1 to repeat).map(i => onePass(i))
     val wall = passes.map(_._2).min
     val wallAll = passes.map(_._2).sum
     // per-query min across passes; a query that failed in EVERY pass
