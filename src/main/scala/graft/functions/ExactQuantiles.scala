@@ -121,42 +121,76 @@ object ExactQuantiles {
     * cumulative count `cum` with multiplicity `c` occupies ranks
     * [lo, cum] = [cum−c+1, cum]; `n` is the group row count.
     *
-    * Cumulation strategy: GROUPED quantiles use a plain
-    * `Window.partitionBy(groups)` over the distinct-value table —
-    * lazy (no job at plan build) and cheap, and scale-sound because
-    * the window input is |distinct values per group|, which SATURATES
-    * as data grows (the q_percentile_window argument: integer
-    * cents/µs/days domains repeat long before row counts stop
-    * growing), so a partition never approaches the raw group size.
-    * GLOBAL quantiles (no groups) would plan that as ONE partition
-    * over a domain with no saturation guarantee — they go through
-    * [[PrefixSum]]'s distributed cumsum instead (eager construction,
-    * the q_weighted_median contract). Measured at sf0.1: the plain
-    * window is ~2× cheaper per call than the PrefixSum machinery
-    * (whose range-shuffle + eager checkpoint + offset collect are
-    * overhead when |groups| is small).
+    * Cumulation strategy (r12 saturation guard, finished r13):
+    *  - GLOBAL quantiles (no groups) always go through [[PrefixSum]]'s
+    *    distributed cumsum — a group-less window is ONE partition over
+    *    a domain with no saturation guarantee.
+    *  - GROUPED quantiles first materialize the distinct-value table
+    *    once (`localCheckpoint` — the routing stat and the cumulation
+    *    both read it, so the input is scanned exactly once), then pick:
+    *      - |distinct values| of the LARGEST group ≤ `maxWindowDistinct`
+    *        → plain `Window.partitionBy(groups)`: the window input
+    *        saturates (integer cents/µs/days domains repeat long before
+    *        row counts stop growing) and a partition never approaches
+    *        the raw group size. Measured at sf0.1 this is ~2× cheaper
+    *        per call than the PrefixSum machinery when |groups| is
+    *        small. Both per-group sums share one WindowExec (same
+    *        partition+order spec, different frames).
+    *      - above the guard (a genuinely continuous domain — q_mad's
+    *        ~99%-unique double deviations at corpus scale) → the
+    *        grouped [[PrefixSum]] cumsum: distinct-per-group tracks the
+    *        group size, so the window partition WOULD be the
+    *        single-task serialization this operator exists to kill.
+    *    The two routes are rank-identical (counts are exact longs), so
+    *    the switch is invisible to results — pinned both ways in
+    *    ExactQuantilesSpec.
+    * Construction is eager either way (checkpoint / PrefixSum collect
+    * run when the query function is invoked — the q_weighted_median
+    * contract).
     */
   private def rankedValues(df: DataFrame, groupCols: Seq[String],
-      valueCol: String): DataFrame = {
-    val agg = df.groupBy((groupCols :+ valueCol).map(col): _*)
+      valueCol: String, maxWindowDistinct: Long): DataFrame = {
+    val distinctTable = df.groupBy((groupCols :+ valueCol).map(col): _*)
       .agg(count(lit(1)).as("__eq_c"))
     val cum =
-      if (groupCols.nonEmpty) {
-        val wRank = org.apache.spark.sql.expressions.Window
-          .partitionBy(groupCols.map(col): _*).orderBy(col(valueCol))
-          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-            org.apache.spark.sql.expressions.Window.currentRow)
-        val wAll = org.apache.spark.sql.expressions.Window
-          .partitionBy(groupCols.map(col): _*)
-        agg
-          .withColumn("__eq_cum", sum(col("__eq_c")).over(wRank))
-          .withColumn("__eq_n", sum(col("__eq_c")).over(wAll))
-      } else {
-        PrefixSum.attach(agg, Nil, Seq(col(valueCol)),
+      if (groupCols.isEmpty) {
+        PrefixSum.attach(distinctTable, Nil, Seq(col(valueCol)),
           sums = Seq("__eq_c" -> "__eq_cum"),
           totals = Seq("__eq_c" -> "__eq_n"))
+      } else {
+        val agg = distinctTable.localCheckpoint()
+        if (windowSafe(agg, groupCols, maxWindowDistinct)) {
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(groupCols.map(col): _*).orderBy(col(valueCol))
+          val W = org.apache.spark.sql.expressions.Window
+          agg
+            .withColumn("__eq_cum", sum(col("__eq_c")).over(
+              w.rowsBetween(W.unboundedPreceding, W.currentRow)))
+            .withColumn("__eq_n", sum(col("__eq_c")).over(
+              w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)))
+        } else {
+          PrefixSum.attach(agg, groupCols, Seq(col(valueCol)),
+            sums = Seq("__eq_c" -> "__eq_cum"),
+            totals = Seq("__eq_c" -> "__eq_n"))
+        }
       }
     cum.withColumn("__eq_lo", col("__eq_cum") - col("__eq_c") + 1)
+  }
+
+  /** Routing stat for the saturation guard: max distinct-value count
+    * over all groups, computed on the (group, value, count) table —
+    * one cheap agg over |distinct| rows, never the raw input. True
+    * (window-safe) when every group's distinct count fits the guard;
+    * an empty input routes to the window trivially.
+    */
+  private[graft] def windowSafe(distinctTable: DataFrame,
+      groupCols: Seq[String], maxWindowDistinct: Long): Boolean = {
+    val r = distinctTable
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("__eq_d"))
+      .agg(max(col("__eq_d")))
+      .head()
+    r.isNullAt(0) || r.getLong(0) <= maxWindowDistinct
   }
 
   private def widen(byP: DataFrame, groupCols: Seq[String],

@@ -91,6 +91,66 @@ class ExactQuantilesSpec extends AnyFunSuite {
     }
   }
 
+  test("saturation guard: continuous ~unique values route to PrefixSum, " +
+      "saturating integer-cents domain routes to the partitioned window") {
+    val rnd = new scala.util.Random(1313L)
+    import spark.implicits._
+    // q_mad shape: ~99%-unique continuous doubles per group — distinct
+    // count tracks the group size, the window partition WOULD serialize
+    val contDf = (0 until 600)
+      .map(i => (s"g${i % 3}", rnd.nextDouble() * 1e6)).toDF("g", "dv")
+    // integer-cents shape: 25-value saturating domain
+    val centsDf = (0 until 600)
+      .map(_ => (s"g${rnd.nextInt(3)}", rnd.nextInt(25) / 100.0)).toDF("g", "dv")
+    // guard sits between the two domains' per-group distinct counts
+    val guard = 50L
+    val viaPrefix = ExactQuantiles.cont(contDf, Seq("g"), "dv",
+      Seq(0.5 -> "m"), maxWindowDistinct = guard)
+    val viaWindow = ExactQuantiles.cont(centsDf, Seq("g"), "dv",
+      Seq(0.5 -> "m"), maxWindowDistinct = guard)
+    // PrefixSum's offset broadcast-join helper column is the route marker
+    assert(viaPrefix.queryExecution.executedPlan.toString.contains("__ps_off_"),
+      "continuous domain above the guard must take the PrefixSum cumsum")
+    assert(!viaWindow.queryExecution.executedPlan.toString.contains("__ps_off_"),
+      "saturating domain under the guard must take the plain window")
+    // and the routing stat itself, on hand-built distinct tables
+    val contDistinct = contDf.groupBy(col("g"), col("dv"))
+      .agg(count(lit(1)).as("__eq_c"))
+    assert(!ExactQuantiles.windowSafe(contDistinct, Seq("g"), guard))
+    assert(ExactQuantiles.windowSafe(contDistinct, Seq("g"), Long.MaxValue))
+    val centsDistinct = centsDf.groupBy(col("g"), col("dv"))
+      .agg(count(lit(1)).as("__eq_c"))
+    assert(ExactQuantiles.windowSafe(centsDistinct, Seq("g"), guard))
+    assert(ExactQuantiles.windowSafe(centsDistinct, Seq("g"), 0L) === false)
+  }
+
+  test("both cumulation routes produce bit-identical results") {
+    val rnd = new scala.util.Random(2025L)
+    val df = randomDf(rnd, 400).localCheckpoint()
+    for (valueCol <- Seq("lv", "dv")) {
+      // forced window vs forced PrefixSum: rank arithmetic is exact
+      // longs on both routes, so even double interpolation must match
+      // bit-for-bit
+      val w = ExactQuantiles.cont(df, Seq("g"), valueCol,
+          ps.map(p => p -> s"q$p"), maxWindowDistinct = Long.MaxValue)
+        .orderBy("g").collect()
+      val p = ExactQuantiles.cont(df, Seq("g"), valueCol,
+          ps.map(p => p -> s"q$p"), maxWindowDistinct = 0L)
+        .orderBy("g").collect()
+      assert(w.length === p.length)
+      w.zip(p).foreach { case (a, b) =>
+        assert(a === b, s"$valueCol: window route $a != prefix route $b")
+      }
+      val dw = ExactQuantiles.disc(df, Seq("g"), "lv",
+          Seq(0.3 -> "a", 0.9 -> "b"), maxWindowDistinct = Long.MaxValue)
+        .orderBy("g").collect()
+      val dp = ExactQuantiles.disc(df, Seq("g"), "lv",
+          Seq(0.3 -> "a", 0.9 -> "b"), maxWindowDistinct = 0L)
+        .orderBy("g").collect()
+      dw.zip(dp).foreach { case (a, b) => assert(a === b) }
+    }
+  }
+
   test("no value-buffering aggregate and no single-partition window in the plan") {
     val rnd = new scala.util.Random(5L)
     val df = randomDf(rnd, 200).localCheckpoint()
