@@ -2,9 +2,8 @@ package graft.streaming
 
 import graft.functions.{TextFunctions => TF}
 import graft.queries.Dedup
-import graft.sources.SnapshotTable
+import graft.sources.{BandHistory, SnapshotTable}
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Streaming INCREMENTAL NEAR-DUP ingest — the foreachBatch
@@ -18,14 +17,17 @@ import org.apache.spark.sql.functions._
   * Per micro-batch of (doc_id, text):
   *   1. band the batch (shingle → md5 → 8×32-bit min signatures) —
   *      per-doc work on batch rows only;
-  *   2. bucket-join batch bands against the PERSISTED history band
-  *      table (earlier batch_ids only; history-side bucket cap ≤ 10
-  *      bounds the join's worst partition), Jaccard-verify candidates
-  *      by re-shingling ONLY candidate docs (batch side from the
-  *      in-memory slice, history side fetched from the docs table);
-  *   3. commit docs, bands, and found pairs as this batch_id's
-  *      partitions of three snapshot tables (`<root>/docs`,
-  *      `<root>/bands`, `<root>/pairs`).
+  *   2. probe the PERSISTED history band table ([[BandHistory]]:
+  *      broadcast anti-join against the saturated-bucket set, then a
+  *      bucket-pruned file read of earlier batches only — each
+  *      surviving bucket holds ≤ 10 history rows, so candidates are
+  *      capped without any history-wide counting), Jaccard-verify
+  *      candidates by re-shingling ONLY candidate docs (batch side
+  *      from the in-memory slice, history side fetched from the docs
+  *      table);
+  *   3. commit docs, bands (+ any newly saturated buckets), and found
+  *      pairs as this batch_id's partitions of the snapshot tables
+  *      (`<root>/docs`, `<root>/bands`, `<root>/sat`, `<root>/pairs`).
   *
   * Exactly-once table contents from an at-least-once source: a
   * replayed batch re-bands the same rows, rediscovers the same pairs
@@ -36,10 +38,11 @@ import org.apache.spark.sql.functions._
   * so a crash between them heals on redelivery.
   *
   * At 100 TB: history bands/docs are append-only partitioned tables;
-  * the only per-batch terms that touch history are the bucket-cap
-  * count (8 tiny rows per history doc — pre-materialized with the
-  * table in production) and the candidate-doc fetch (candidate-sized).
-  * The band join shuffles batch rows into history's bucket layout.
+  * the only per-batch terms that touch history are the bucket-pruned
+  * band probe (opens only the hash buckets the batch hits; ≤ cap rows
+  * per non-saturated bucket) and the candidate-doc fetch
+  * (candidate-sized). Nothing shuffles, windows, or fully scans
+  * history per batch — [[BandHistory]]'s contract.
   */
 object NearDupSink {
 
@@ -59,24 +62,17 @@ object NearDupSink {
       .localCheckpoint()
     try {
       val bands = Dedup.bandDocs(slice.select(col("doc_id"), col("text")))
-        .withColumn("batch_id", lit(batchId))
         .localCheckpoint()
       try {
         val pairs: Option[DataFrame] =
           if (SnapshotTable.currentVersion(bandsRoot(root)) == 0) None
           else {
-            val hist = SnapshotTable.read(spark, bandsRoot(root))
-              .filter(col("batch_id") < batchId) // replay: never self-pair
-            val wB = Window.partitionBy(col("band"), col("sig"))
-            val histOk = hist
-              .withColumn("__n", count(lit(1)).over(wB))
-              .filter(col("__n") <= 10).drop("__n")
-            val cand = bands.as("b")
-              .join(histOk.as("h"),
-                col("b.band") === col("h.band") && col("b.sig") === col("h.sig"))
-              .select(col("b.doc_id").as("batch_doc"),
-                col("h.doc_id").as("hist_doc"))
-              .distinct()
+            // capped candidates via the production history band table:
+            // broadcast anti-join against the saturated-bucket set,
+            // then a bucket-pruned file read of batches < this one
+            // (replay: never self-pair) — no history-wide window
+            val cand = BandHistory
+              .candidates(spark, root, bands, beforeBatchId = batchId)
               .localCheckpoint(false)
             val histDocs = SnapshotTable.read(spark, docsRoot(root))
               .filter(col("batch_id") < batchId)
@@ -97,7 +93,7 @@ object NearDupSink {
           }
         try {
           commitSlice(root, docsRoot(root), slice, maxConflictRetries)
-          commitSlice(root, bandsRoot(root), bands, maxConflictRetries)
+          BandHistory.append(spark, root, bands, batchId, maxConflictRetries)
           pairs.foreach(p => commitSlice(root, pairsRoot(root), p, maxConflictRetries))
         } finally pairs.foreach(SnapshotTable.freeLocalCheckpoint)
       } finally SnapshotTable.freeLocalCheckpoint(bands)

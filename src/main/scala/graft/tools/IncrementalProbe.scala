@@ -13,13 +13,14 @@ import org.apache.spark.sql.functions.{col, max}
   * Per directory: history = all docs below (maxId − batchDocs + 1),
   * batch = the top `batchDocs` ids — so the BATCH SIZE IS FIXED while
   * the history grows with the corpus (sf0.01: 400-doc history;
-  * sf1 10×: 4 900). Untimed warm-up materializes the history band
-  * artifact (the persisted, append-only table a production pipeline
-  * owns). The timed region is one full ingest: band the batch slice
-  * FRESH from text (warmedBatchBands = false — tokenize/md5 over
-  * batch rows only), bucket-join against history bands, and
-  * Jaccard-verify candidates (tokenizing only candidate docs). Three
-  * iterations, min reported. Prints one JSON line per directory.
+  * sf1 10×: 4 900). Untimed warm-up ingests the history into the
+  * persisted BandHistory table (the append-only, hash-bucketed table
+  * a production pipeline owns). The timed region is one full probe:
+  * band the batch slice FRESH from text (tokenize/md5 over batch rows
+  * only), anti-join the saturated-bucket set, bucket-pruned-read +
+  * join history bands, and Jaccard-verify candidates (tokenizing only
+  * candidate docs). Three iterations, min reported. Prints one JSON
+  * line per directory.
   */
 object IncrementalProbe {
   def main(args: Array[String]): Unit = {
@@ -41,8 +42,7 @@ object IncrementalProbe {
       Dedup.warmIncrementalHistory(spark, d, split)
       val secs = (0 until 3).map { _ =>
         val t0 = System.nanoTime()
-        val n = Dedup.minhashIncrementalPairs(spark, d, split,
-          warmedBatchBands = false).count()
+        val n = Dedup.minhashIncrementalPairs(spark, d, split).count()
         (n, (System.nanoTime() - t0) / 1e9)
       }
       val pairs = secs.head._1

@@ -94,6 +94,18 @@ class StreamingNearDupSpec extends AnyFunSuite {
     val after = Seq(NearDupSink.docsRoot(root), bandsRoot,
       NearDupSink.pairsRoot(root)).map(snapshot)
     assert(before === after, "replay must converge to identical contents")
+
+    // r13: the per-batch probe must never scan full history — no
+    // history-wide window in the plan (the old bucket-cap count), and
+    // the file read is bucket-pruned (BandHistorySpec pins the
+    // strict-subset property on a wide layout)
+    val probePlan = graft.sources.BandHistory
+      .candidates(spark, root,
+        graft.queries.Dedup.bandDocs(Seq((99L, textA)).toDF("doc_id", "text")),
+        beforeBatchId = 2L)
+      .queryExecution.executedPlan.toString
+    assert(!probePlan.contains("Window"),
+      "per-batch probe must not plan a history-wide window")
   }
 
   test("a batch with no history pairs commits docs+bands and no pairs table rows") {
