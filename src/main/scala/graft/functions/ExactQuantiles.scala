@@ -127,7 +127,9 @@ object ExactQuantiles {
     *    a domain with no saturation guarantee.
     *  - GROUPED quantiles first materialize the distinct-value table
     *    once (`localCheckpoint` — the routing stat and the cumulation
-    *    both read it, so the input is scanned exactly once), then pick:
+    *    both read it, so the RAW input is scanned exactly once; at
+    *    100 TB the raw scan dominates, and a saturating domain's
+    *    distinct table is tiny), then pick:
     *      - |distinct values| of the LARGEST group ≤ `maxWindowDistinct`
     *        → plain `Window.partitionBy(groups)`: the window input
     *        saturates (integer cents/µs/days domains repeat long before
@@ -179,12 +181,18 @@ object ExactQuantiles {
 
   /** Routing stat for the saturation guard: max distinct-value count
     * over all groups, computed on the (group, value, count) table —
-    * one cheap agg over |distinct| rows, never the raw input. True
-    * (window-safe) when every group's distinct count fits the guard;
-    * an empty input routes to the window trivially.
+    * never the raw input (a second raw scan is exactly the 100 TB
+    * cost to avoid). Two tiers: the TOTAL distinct count (a
+    * shuffle-free job over the already-checkpointed table) upper-
+    * bounds every group's count, so when it fits the guard the
+    * per-group shuffle is skipped entirely — the common case for
+    * saturating domains. Only a total above the guard pays the
+    * per-group max. True (window-safe) when every group's distinct
+    * count fits; an empty input routes to the window trivially.
     */
   private[graft] def windowSafe(distinctTable: DataFrame,
       groupCols: Seq[String], maxWindowDistinct: Long): Boolean = {
+    if (distinctTable.count() <= maxWindowDistinct) return true
     val r = distinctTable
       .groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("__eq_d"))
