@@ -100,5 +100,6 @@ object Graft {
     Tables.clearCache()
     queries.Dedup.clearCaches()
     queries.Graphs.clearCache()
+    functions.SkewRouter.clearCache()
   }
 }

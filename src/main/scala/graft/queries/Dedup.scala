@@ -218,7 +218,7 @@ object Dedup extends QueryModule {
         FROM sh, unnest(shingles) AS u(shingle), generate_series(0, 7) AS g(band)
         GROUP BY doc_id, band)"""
 
-  private val minhashVerifiedCte = s"""$minhashSigCte,
+  private[queries] val minhashVerifiedCte = s"""$minhashSigCte,
       ok AS (
         SELECT band, sig FROM sig
         GROUP BY band, sig HAVING count(*) BETWEEN 2 AND 10),

@@ -90,28 +90,34 @@ object EventsTime extends QueryModule {
       ORDER BY user_id, session_id
     """
 
+  /** The plain one-shuffle session table over any events slice —
+    * shared by q_sessionize and the router's uniform-key route.
+    */
+  private[graft] def sessionsPlain(
+      ev: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val running = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull
+          || unix_micros(col("ts")) - col("prev_us") >= 1800000000L, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("new_sess")).over(running))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("events_in_session"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_last"),
+        round(sum(col("value")), 2).as("session_value"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
   /** Gap-based sessionization, portable rewrite: lag → gap≥30min flag
     * → running-sum session id. One shuffle on user_id; linear at any
     * scale (the flagship streaming-analytics pattern).
     */
   val sessionize = QueryDef(
     "q_sessionize",
-    (s, d) => {
-      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-      val running = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      Tables.events(s, d)
-        .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
-        .withColumn("new_sess",
-          when(col("prev_us").isNull
-            || unix_micros(col("ts")) - col("prev_us") >= 1800000000L, 1L).otherwise(0L))
-        .withColumn("session_id", sum(col("new_sess")).over(running))
-        .groupBy(col("user_id"), col("session_id"))
-        .agg(count(lit(1)).as("events_in_session"),
-          min(col("ts")).as("session_start"),
-          max(col("ts")).as("session_last"),
-          round(sum(col("value")), 2).as("session_value"))
-        .orderBy(col("user_id"), col("session_id"))
-    },
+    (s, d) => sessionsPlain(Tables.events(s, d)),
     Some(sessionizeSql))
 
   /** TWO-LEVEL sessionization — the skew lever SCALING.md prescribes
@@ -130,13 +136,15 @@ object EventsTime extends QueryModule {
     * IDENTICAL ORACLE as q_sessionize — the hash match IS the
     * equivalence proof.
     */
-  val sessionize2Level = QueryDef(
-    "q_sessionize_2level",
-    (s, d) => {
+  /** The two-level session table over any events slice — shared by
+    * q_sessionize_2level and the router's giant-key route.
+    */
+  private[graft] def sessions2Level(
+      ev: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
       val byBucket = Window.partitionBy(col("user_id"), col("day"))
         .orderBy(col("ts"), col("event_id"))
       val runB = byBucket.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val pre = Tables.events(s, d)
+      val pre = ev
         .withColumn("day", to_date(col("ts")))
         .withColumn("us", unix_micros(col("ts")))
         .withColumn("prev_us", lag(col("us"), 1).over(byBucket))
@@ -163,6 +171,31 @@ object EventsTime extends QueryModule {
           max(col("p_last")).as("session_last"),
           round(sum(col("p_value")), 2).as("session_value"))
         .orderBy(col("user_id"), col("session_id"))
+  }
+
+  val sessionize2Level = QueryDef(
+    "q_sessionize_2level",
+    (s, d) => sessions2Level(Tables.events(s, d)),
+    Some(sessionizeSql))
+
+  /** ENGINE-CHOSEN sessionization (r13): [[graft.functions
+    * .SkewRouter]] decides plain-vs-2level from the memoized hot-key
+    * statistic — uniform keys take the one-shuffle plain window,
+    * a giant key (≥ ~4M rows under one user) takes the two-level
+    * rewrite whose window partitions are bounded by user-days. Both
+    * routes compute the SAME session table (each is hash-graded
+    * against this very oracle), so routing is invisible to results.
+    * SkewRouterSpec pins the crossover choice on a synthetic skew
+    * corpus and plain/auto result equality.
+    */
+  val sessionizeAuto = QueryDef(
+    "q_sessionize_auto",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      if (graft.functions.SkewRouter.plainWindowSafe(
+          ev, Seq("user_id"), tag = s"$d#events.user_id"))
+        sessionsPlain(ev)
+      else sessions2Level(ev)
     },
     Some(sessionizeSql))
 
@@ -821,7 +854,8 @@ object EventsTime extends QueryModule {
     """))
 
   def defs: Seq[QueryDef] = Seq(
-    tumbling, sliding, sessionize, sessionize2Level, sessionWindowNative,
+    tumbling, sliding, sessionize, sessionize2Level, sessionizeAuto,
+    sessionWindowNative,
     dedupRows, gapFill,
     funnel, cohortRetention, wauRolling, stickiness, anomalies, ohlc,
     attribution, attribution2Level, timeWeightedAvg, autocorr, eventsPruned, eventsDpp, scd2,

@@ -17,7 +17,7 @@ import org.apache.spark.sql.functions._
   */
 object Similarity extends QueryModule {
 
-  private val duckCos =
+  private[queries] val duckCos =
     """list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
       |  / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
       |     * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))))""".stripMargin

@@ -33,6 +33,8 @@ object SqlText extends QueryModule {
       case "nation"   => Tables.nation(s, d).createOrReplaceTempView("nation_sqt")
       case "region"   => Tables.region(s, d).createOrReplaceTempView("region_sqt")
       case "events"   => Tables.events(s, d).createOrReplaceTempView("events_sqt")
+      case "documents" => Tables.documents(s, d).createOrReplaceTempView("documents_sqt")
+      case "embeddings" => Tables.embeddings(s, d).createOrReplaceTempView("embeddings_sqt")
       case other => throw new IllegalArgumentException(other)
     }
 
@@ -361,7 +363,158 @@ object SqlText extends QueryModule {
       LIMIT 20 OFFSET 40
     """))
 
+  /** MinHash/LSH near-dup dedup in SQL TEXT (r13 — the §2.10 flagship
+    * through the parser path): tokenize → 3-shingles → 8 banded
+    * min-signatures per doc (all higher-order array functions: filter
+    * / transform / sequence / array_min — no explode of
+    * |shingles|×|bands| rows, same map-side shape as the DSL), bucket
+    * cap 2..10, candidate self-join, Jaccard verify. Same oracle as
+    * q_dedup_minhash — the hash match proves the SQL surface computes
+    * the DSL pipeline exactly.
+    */
+  val sqlMinhashDedup = QueryDef(
+    "q_sql_minhash_dedup",
+    (s, d) => {
+      reg(s, d, "documents")
+      s.sql("""
+        WITH tok AS (
+          SELECT doc_id, filter(split(text, ' '), t -> t != '') AS toks
+          FROM documents_sqt),
+        sh AS (
+          SELECT doc_id,
+                 CASE WHEN size(toks) >= 3
+                   THEN array_distinct(transform(sequence(0, size(toks) - 3),
+                          i -> concat(toks[i], ' ', toks[i + 1], ' ', toks[i + 2])))
+                   ELSE CAST(array() AS ARRAY<STRING>) END AS shingles
+          FROM tok),
+        sig AS (
+          SELECT doc_id, band,
+                 array_min(transform(hs, h -> substr(h, band * 8 + 1, 8))) AS sig
+          FROM (SELECT doc_id,
+                       transform(shingles, x -> concat(md5(x), md5(concat('x', x)))) AS hs
+                FROM sh)
+          LATERAL VIEW explode(sequence(0, 7)) b AS band),
+        ok AS (
+          SELECT band, sig FROM sig
+          GROUP BY band, sig HAVING count(*) BETWEEN 2 AND 10),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+          FROM sig a
+          JOIN ok USING (band, sig)
+          JOIN sig b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+        verified AS (
+          SELECT doc1, doc2,
+                 round(CAST(size(array_intersect(s1.shingles, s2.shingles)) AS DOUBLE)
+                       / size(array_union(s1.shingles, s2.shingles)), 4) AS jaccard
+          FROM cand
+          JOIN sh s1 ON doc1 = s1.doc_id
+          JOIN sh s2 ON doc2 = s2.doc_id)
+        SELECT doc1, doc2, jaccard FROM verified
+        WHERE jaccard >= 0.1
+        ORDER BY doc1, doc2
+      """)
+    },
+    Some(s"""
+      WITH ${Dedup.minhashVerifiedCte}
+      SELECT doc1, doc2, jaccard FROM verified
+      ORDER BY doc1, doc2
+    """))
+
+  /** Brute-force cosine top-k in SQL TEXT: the registered native
+    * cosine_sim expression (codegen'd, double accumulation in element
+    * order) called from the parser path over the embeddings
+    * cross-join. Same oracle as q_cosine_topk.
+    */
+  val sqlCosineTopk = QueryDef(
+    "q_sql_cosine_topk",
+    (s, d) => {
+      graft.functions.expressions.CosineSimilarity.register(s)
+      reg(s, d, "embeddings")
+      s.sql("""
+        SELECT query_id, neighbor_id, rank, round(cos, 4) AS cosine
+        FROM (
+          SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                 cosine_sim(a.embedding, b.embedding) AS cos,
+                 row_number() OVER (PARTITION BY a.vec_id
+                   ORDER BY cosine_sim(a.embedding, b.embedding) DESC, b.vec_id)
+                   AS rank
+          FROM embeddings_sqt a JOIN embeddings_sqt b ON a.vec_id <> b.vec_id
+          WHERE a.vec_id < 3)
+        WHERE rank <= 5
+        ORDER BY query_id, rank
+      """).selectExpr("query_id", "neighbor_id", "CAST(rank AS BIGINT) AS rank",
+        "cosine")
+    },
+    Some(s"""
+      SELECT query_id, neighbor_id, rank, round(cos, 4) AS cosine
+      FROM (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, ${Similarity.duckCos} AS cos,
+               row_number() OVER (PARTITION BY a.vec_id
+                 ORDER BY ${Similarity.duckCos} DESC, b.vec_id) AS rank
+        FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+        WHERE a.vec_id < 3)
+      WHERE rank <= 5
+      ORDER BY query_id, rank
+    """))
+
+  /** TF-IDF top-3 terms per probe doc in SQL TEXT: term frequency,
+    * document frequency, and the lazy one-row corpus count as plain
+    * CTEs through the parser. Same oracle as q_tf_idf.
+    */
+  val sqlTfIdf = QueryDef(
+    "q_sql_tf_idf",
+    (s, d) => {
+      reg(s, d, "documents")
+      s.sql("""
+        WITH toks AS (
+          SELECT doc_id, explode(filter(split(text, ' '), t -> t != '')) AS token
+          FROM documents_sqt),
+        tf AS (
+          SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY doc_id, token),
+        df AS (
+          SELECT token, count(*) AS df
+          FROM (SELECT DISTINCT doc_id, token FROM toks) GROUP BY token),
+        n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents_sqt),
+        scored AS (
+          SELECT doc_id, token, round(tf * ln(n_docs / df), 6) AS tfidf
+          FROM tf JOIN df USING (token) CROSS JOIN n
+          WHERE doc_id < 10)
+        SELECT doc_id, CAST(rank AS BIGINT) AS rank, token, tfidf
+        FROM (
+          SELECT doc_id, token, tfidf,
+                 row_number() OVER (PARTITION BY doc_id
+                   ORDER BY tfidf DESC, token) AS rank
+          FROM scored)
+        WHERE rank <= 3
+        ORDER BY doc_id, rank
+      """)
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS token
+        FROM documents),
+      tf AS (
+        SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY doc_id, token),
+      df AS (
+        SELECT token, count(*) AS df
+        FROM (SELECT DISTINCT doc_id, token FROM toks) GROUP BY token),
+      n AS (SELECT count(*) AS n_docs FROM documents),
+      scored AS (
+        SELECT doc_id, token,
+               round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+        FROM tf JOIN df USING (token) CROSS JOIN n
+        WHERE doc_id < 10)
+      SELECT doc_id, rank, token, tfidf
+      FROM (
+        SELECT doc_id, token, tfidf,
+               row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rank
+        FROM scored)
+      WHERE rank <= 3
+      ORDER BY doc_id, rank
+    """))
+
   def defs: Seq[QueryDef] = Seq(
     sqlStarJoin, sqlRollup, sqlWindowRank, sqlSetOps, sqlExists,
-    sqlSessionize, sqlCte, sqlValues, sqlLimitOffset)
+    sqlSessionize, sqlCte, sqlValues, sqlLimitOffset,
+    sqlMinhashDedup, sqlCosineTopk, sqlTfIdf)
 }

@@ -199,9 +199,11 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_mixture_sample", // 1-row corpus-stats cross join (tf_idf pattern)
     "q_cluster_keywords", // 1-row mean-cluster-size cross join (tf_idf pattern)
     "q_bigram_logprob", // 1-row vocab-size cross join (tf_idf pattern)
-    "q_mann_kendall") // calendar-bounded day-pair theta join + 1-row stat
+    "q_mann_kendall", // calendar-bounded day-pair theta join + 1-row stat
                       // cross joins: the broadcast side can't grow with
                       // data volume (q_event_paths class)
+    "q_sql_cosine_topk", // 3-row broadcast probe set in SQL text (cosine_topk twin)
+    "q_sql_tf_idf") // lazy 1-row corpus-count cross join in SQL text (tf_idf twin)
 
   /** Queries whose plan legitimately contains a Window with an EMPTY
     * partition spec (single-partition WindowExec). Every entry windows
