@@ -57,6 +57,20 @@ import org.apache.spark.sql.functions._
   * counting. Identical filter semantics to the windowed
   * `HAVING count(*) <= cap` it replaces (pinned in BandHistorySpec
   * against the windowed reference on a random corpus).
+  *
+  * KNOWN GROWTH TERM (documented, not yet built): each append adds
+  * ≤ [[Buckets]] slice files, so after N batches a commit's partmap
+  * fast path pays N×Buckets hard-link syscalls and the probe's
+  * stats-manifest scan is N×Buckets lines — linear in BATCH COUNT
+  * (not data), metadata-cheap for thousands of batches but a real
+  * term at millions. The fix shape is an LSM-style OPTIMIZE below the
+  * streaming checkpoint's sealed watermark: rewrite sealed batches'
+  * slices into one consolidated slice per bucket and drop the
+  * originals. That needs a partition-DROP commit primitive (today's
+  * choices both break an invariant: `compactFiles` flat-rewrites and
+  * loses the partmap; `deleteWhere` leaves deletion vectors, which
+  * this table's DV-free pruned reader deliberately bypasses) — the
+  * next snapshot-layer item if batch counts grow past ~10⁴.
   */
 object BandHistory {
 
