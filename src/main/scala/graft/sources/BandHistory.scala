@@ -58,19 +58,17 @@ import org.apache.spark.sql.functions._
   * `HAVING count(*) <= cap` it replaces (pinned in BandHistorySpec
   * against the windowed reference on a random corpus).
   *
-  * KNOWN GROWTH TERM (documented, not yet built): each append adds
-  * ≤ [[Buckets]] slice files, so after N batches a commit's partmap
-  * fast path pays N×Buckets hard-link syscalls and the probe's
-  * stats-manifest scan is N×Buckets lines — linear in BATCH COUNT
-  * (not data), metadata-cheap for thousands of batches but a real
-  * term at millions. The fix shape is an LSM-style OPTIMIZE below the
-  * streaming checkpoint's sealed watermark: rewrite sealed batches'
-  * slices into one consolidated slice per bucket and drop the
-  * originals. That needs a partition-DROP commit primitive (today's
-  * choices both break an invariant: `compactFiles` flat-rewrites and
-  * loses the partmap; `deleteWhere` leaves deletion vectors, which
-  * this table's DV-free pruned reader deliberately bypasses) — the
-  * next snapshot-layer item if batch counts grow past ~10⁴.
+  * GROWTH TERM + ITS FIX: each append adds ≤ [[Buckets]] slice files,
+  * so after N batches a commit's partmap fast path pays N×Buckets
+  * hard-link syscalls and the probe's stats-manifest scan is
+  * N×Buckets lines — linear in BATCH COUNT (not data). [[optimize]]
+  * removes it: an LSM-style consolidation below the streaming
+  * checkpoint's sealed watermark rewrites sealed batches' slices into
+  * one slice per bucket AND drops the originals in a single committed
+  * version (commitPartitions' atomic `dropValues` — neither
+  * `compactFiles`, which flat-rewrites away the partmap, nor
+  * `deleteWhere`, which leaves deletion vectors this DV-free reader
+  * bypasses, could express it).
   */
 object BandHistory {
 
@@ -167,6 +165,65 @@ object BandHistory {
       .distinct()
   }
 
+  /** LSM-style OPTIMIZE: consolidate every sealed batch's slices
+    * (batch_id < `sealedBelowBatchId`, plus any previously
+    * consolidated rows) into ONE slice per hash bucket at the
+    * reserved addresses `bkt − Buckets` (negative — no live batch can
+    * collide), and DROP the originals in the SAME committed version
+    * (commitPartitions' `dropValues` — atomic, no
+    * duplicated-rows window for concurrent probes). Removes the
+    * file-count growth term: a table that has absorbed N batches
+    * carries ≤ Buckets consolidated slices + the unsealed tail,
+    * instead of N×Buckets files to hard-link and stat per commit.
+    *
+    * Correctness: rows keep their batch_id column, and every probe
+    * filters on batch_id (not slice decode), so consolidation is
+    * invisible to candidates/sizing at ANY beforeBatchId — pinned in
+    * BandHistorySpec. Caller contract: `sealedBelowBatchId` must be ≤
+    * the lowest batch id the stream can still redeliver (the
+    * checkpoint's committed watermark): a replayed SEALED batch would
+    * try to overwrite slices that no longer exist and duplicate rows
+    * into the consolidated layout. Idempotent: re-running with the
+    * same watermark rewrites the same consolidated slices and finds
+    * nothing left to drop.
+    */
+  def optimize(spark: SparkSession, root: String, sealedBelowBatchId: Long,
+      maxConflictRetries: Int = 20): Unit = {
+    val broot = bandsRoot(root)
+    val hi = sealedBelowBatchId * Buckets - 1
+    if (SnapshotTable.currentVersion(broot) == 0 || hi < 0) return
+    val all = SnapshotTable.read(spark, broot)
+    val sealedRows = all.filter(col("slice") <= hi)
+    // one materialization feeds the drop-list collect and the commit
+    // (and survives OCC recomposition retries)
+    val compacted = sealedRows
+      .withColumn("slice", col("bkt").cast("long") - Buckets)
+      .localCheckpoint()
+    try {
+      if (!compacted.isEmpty) {
+        val dropVals = sealedRows.filter(col("slice") >= 0)
+          .select(col("slice")).distinct()
+          .collect().map(_.getLong(0)).toSeq // ≤ batches×Buckets: metadata
+        var attempt = 0
+        var done = false
+        while (!done) {
+          val v = SnapshotTable.currentVersion(broot)
+          try {
+            SnapshotTable.commitPartitions(spark, broot, compacted, "slice",
+              readVersion = v, statsCols = Seq("slice"),
+              dropValues = dropVals)
+            done = true
+          } catch {
+            case e: SnapshotTable.SnapshotConflict =>
+              attempt += 1
+              if (attempt >= maxConflictRetries) throw e
+              Thread.sleep(math.min(1000L, 50L * attempt))
+          }
+        }
+      }
+    } finally SnapshotTable.freeLocalCheckpoint(compacted)
+  }
+
   /** The saturated-bucket set visible to batch `beforeBatchId` —
     * rows from earlier batches only, so a replayed batch never sees
     * its own prior delta.
@@ -202,7 +259,10 @@ object BandHistory {
       if (files.isEmpty)
         SnapshotTable.read(spark, broot).filter(lit(false))
       else spark.read.parquet(files: _*)
-    base.filter(col("slice") <= maxSlice &&
+    // batch_id residual (not derivable from slice once OPTIMIZE has
+    // consolidated sealed batches into negative slices): replay and
+    // pre-optimize probes must still exclude newer batches' rows
+    base.filter(col("batch_id") < beforeBatchId &&
       col("bkt").isin(bktSet.toSeq: _*))
   }
 
@@ -216,10 +276,11 @@ object BandHistory {
       bktSet: Set[Int], beforeBatchId: Long): Seq[String] = {
     val maxSlice = beforeBatchId * Buckets - 1
     // range prune first (also yields the conservative full list when
-    // stats are absent), then exact per-file slice decode
+    // stats are absent; lo = -Buckets keeps OPTIMIZE's consolidated
+    // negative slices in range), then exact per-file slice decode —
+    // floorMod because consolidated slices are negative
     val candidates = SnapshotTable.pruneFiles(spark, broot, "slice",
-      "0", maxSlice.toString, numeric = true)
-    val v = SnapshotTable.currentVersion(broot)
+      (-Buckets).toString, maxSlice.toString, numeric = true)
     val stats: Map[String, (String, String)] =
       SnapshotTable.statsTable(spark, broot).filter(col("column") === "slice")
         .collect()
@@ -231,7 +292,8 @@ object BandHistory {
         case Some((mn, mx)) if mn == mx =>
           mn.toLongOption match {
             case Some(s) =>
-              bktSet.contains((s % Buckets).toInt) && s <= maxSlice
+              bktSet.contains(java.lang.Math.floorMod(s, Buckets).toInt) &&
+                s <= maxSlice
             case None => true
           }
         case _ => true // multi-value or stats-less file: keep

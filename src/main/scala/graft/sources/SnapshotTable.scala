@@ -588,10 +588,21 @@ object SnapshotTable {
     * (that IS the rebase); a retry against an unmoved head (in-flight
     * claim ahead) only waits.
     */
+  /** @param dropValues additional partition values ATOMICALLY REMOVED
+    *        in the same committed version (no window where old and new
+    *        rows coexist) — the partition-DROP primitive an LSM-style
+    *        OPTIMIZE needs (rewrite sealed slices into consolidated
+    *        partitions AND drop the originals in one version; see
+    *        BandHistory.optimize). Must be disjoint from `df`'s own
+    *        partition values. On the partmap fast path dropped
+    *        partitions' files are simply not linked forward; on the
+    *        slow path they are filtered out of the composed content.
+    */
   def commitPartitions(spark: SparkSession, root: String, df: DataFrame,
       partitionCol: String, readVersion: Int = -1,
       maxRetries: Int = 10, statsCols: Seq[String] = Nil,
-      setCols: Seq[String] = Nil, setCap: Int = 1024): Int = {
+      setCols: Seq[String] = Nil, setCap: Int = 1024,
+      dropValues: Seq[Any] = Nil): Int = {
     Files.createDirectories(logDir(root))
     requireNoReservedColumns(df)
     require(df.columns.contains(partitionCol),
@@ -602,6 +613,11 @@ object SnapshotTable {
     require(vals.nonEmpty, "partition-sliced commit carries no rows")
     require(!vals.contains(null),
       s"null $partitionCol values cannot address a partition")
+    require(!dropValues.contains(null),
+      s"null $partitionCol values cannot address a dropped partition")
+    require(dropValues.intersect(vals).isEmpty,
+      s"dropValues overlap the slice's own partition values: " +
+        dropValues.intersect(vals).mkString(","))
     // Partition tokens are built from value.toString, which is only
     // VALUE-BASED for these types. A BinaryType value would tokenize
     // as its identity hash (different every run → the same partition
@@ -624,9 +640,12 @@ object SnapshotTable {
     }
     // whole-token escape, same framing rule as commit(): a value
     // carrying a newline must not split the manifest into bogus
-    // entries that defeat a concurrent writer's overlap check
+    // entries that defeat a concurrent writer's overlap check.
+    // Dropped partitions are claimed exactly like rewritten ones —
+    // a concurrent writer of a dropped partition must conflict.
     val mine: Set[String] =
-      if (tokenSafe) vals.map(v => escapeVal(s"$partitionCol=${tokenRender(v)}")).toSet
+      if (tokenSafe) (vals ++ dropValues)
+        .map(v => escapeVal(s"$partitionCol=${tokenRender(v)}")).toSet
       else Set("*")
     var attempt = 0
     var composedBase = -1 // version the current staging was composed against
@@ -656,6 +675,8 @@ object SnapshotTable {
         staging = Paths.get(root, "_staging", java.util.UUID.randomUUID().toString)
         try {
         if (base == 0) {
+          require(dropValues.isEmpty,
+            "dropValues on a CREATE commit: nothing exists to drop")
           // CREATE: write one partition value at a time so the version
           // is born with a `_partmap` and every later slice commit can
           // take the file-link fast path (capped — a pathological
@@ -720,7 +741,8 @@ object SnapshotTable {
               // prior table is unaddressable by a slice and survives
               val replaced = org.apache.spark.sql.functions.coalesce(
                 org.apache.spark.sql.functions.col(partitionCol)
-                  .isin(vals: _*), org.apache.spark.sql.functions.lit(false))
+                  .isin(vals ++ dropValues: _*),
+                org.apache.spark.sql.functions.lit(false))
               prior.filter(!replaced).unionByName(aligned)
                 .write.mode("overwrite").parquet(staging.toString)
           }

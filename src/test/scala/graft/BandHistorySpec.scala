@@ -96,6 +96,44 @@ class BandHistorySpec extends AnyFunSuite {
     assert(before === after, "replayed append must converge to identical tables")
   }
 
+  test("optimize consolidates sealed batches, shrinks files, changes no probe result") {
+    val rnd = new scala.util.Random(42L)
+    val root = Files.createTempDirectory("bandhist-opt").toString
+    val b0 = syntheticBands(rnd, 0 until 30, sigPool = 8)
+    val b1 = syntheticBands(rnd, 30 until 60, sigPool = 8)
+    val b2 = syntheticBands(rnd, 60 until 70, sigPool = 8)
+    BandHistory.append(spark, root, b0, 0L)
+    BandHistory.append(spark, root, b1, 1L)
+    val before2 = probe(root, b2, 2L)
+    val before1 = probe(root, b2, 1L) // replay-depth probe
+    def files(): Int = {
+      val broot = BandHistory.bandsRoot(root)
+      val v = SnapshotTable.currentVersion(broot)
+      val s = Files.list(Paths.get(broot, s"v=$v"))
+      try s.iterator().asScala.count { p =>
+        val n = p.getFileName.toString
+        n.endsWith(".parquet") && !n.startsWith("_")
+      } finally s.close()
+    }
+    val preFiles = files()
+    // seal both batches: 2 batches × per-batch slices → ≤ Buckets
+    BandHistory.optimize(spark, root, sealedBelowBatchId = 2L)
+    assert(files() < preFiles,
+      s"optimize must shrink the file count ($preFiles -> ${files()})")
+    // probes identical at full depth AND at replay depth (batch_id
+    // residual, not slice decode, carries the visibility contract)
+    assert(probe(root, b2, 2L) === before2)
+    assert(probe(root, b2, 1L) === before1)
+    // appends continue on the fast path after optimize; new batch visible
+    BandHistory.append(spark, root, b2, 2L)
+    val b3 = syntheticBands(rnd, 70 until 80, sigPool = 8)
+    assert(probe(root, b3, 3L) === reference(b0.union(b1).union(b2), b3),
+      "post-optimize probe must equal the windowed reference on full history")
+    // idempotent re-run with the same watermark
+    BandHistory.optimize(spark, root, sealedBelowBatchId = 2L)
+    assert(probe(root, b3, 3L) === reference(b0.union(b1).union(b2), b3))
+  }
+
   test("probe opens only hit-bucket files and plans no Window over history") {
     val rnd = new scala.util.Random(5L)
     val root = Files.createTempDirectory("bandhist-prune").toString
