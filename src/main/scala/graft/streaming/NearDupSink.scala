@@ -52,9 +52,21 @@ object NearDupSink {
 
   /** The foreachBatch handler: `stream.writeStream.foreachBatch(
     * NearDupSink.ingestBatch(root) _)`. Batch schema: (doc_id, text).
+    *
+    * `optimizeEvery` > 0 folds maintenance into the stream: every
+    * N-th batch first runs [[BandHistory.optimize]] below THIS
+    * batch's id — sound, because foreachBatch hands over batch k only
+    * once every batch < k is recorded in the streaming checkpoint, so
+    * batches < k can never be redelivered (the optimize sealed-
+    * watermark contract). Keeps the band table's file count bounded
+    * by Buckets + N×Buckets instead of growing with stream lifetime.
     */
-  def ingestBatch(root: String, maxConflictRetries: Int = 20)
+  def ingestBatch(root: String, maxConflictRetries: Int = 20,
+      optimizeEvery: Int = 0)
       (batch: DataFrame, batchId: Long): Unit = {
+    if (optimizeEvery > 0 && batchId > 0 && batchId % optimizeEvery == 0)
+      BandHistory.optimize(batch.sparkSession, root, batchId,
+        maxConflictRetries)
     if (batch.isEmpty) return
     val spark = batch.sparkSession
     val slice = batch.select(col("doc_id"), col("text"))

@@ -108,6 +108,26 @@ class StreamingNearDupSpec extends AnyFunSuite {
       "per-batch probe must not plan a history-wide window")
   }
 
+  test("in-stream optimize consolidates history and pairs still converge") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("neardup-opt").toString
+    val ingest = NearDupSink.ingestBatch(root, optimizeEvery = 2) _
+    ingest(Seq((1L, textA), (2L, textB)).toDF("doc_id", "text"), 0L)
+    ingest(Seq((3L, textC)).toDF("doc_id", "text"), 1L)
+    // batch 2 triggers optimize(sealedBelow=2) BEFORE probing, then
+    // must still find its pair against the CONSOLIDATED history
+    ingest(Seq((11L, textA)).toDF("doc_id", "text"), 2L)
+    val pairs = SnapshotTable.read(spark, NearDupSink.pairsRoot(root))
+      .collect().map(r => (r.getAs[Long]("batch_doc"), r.getAs[Long]("hist_doc")))
+    assert(pairs.toSeq === Seq((11L, 1L)),
+      s"pair must survive consolidation: ${pairs.toSeq}")
+    // consolidated layout: every sealed slice is negative
+    val bands = SnapshotTable.read(spark, NearDupSink.bandsRoot(root))
+    assert(bands.filter($"batch_id" < 2 && $"slice" >= 0).count() === 0,
+      "sealed batches must live in consolidated (negative) slices")
+    assert(bands.select("doc_id").distinct().count() === 4L)
+  }
+
   test("a batch with no history pairs commits docs+bands and no pairs table rows") {
     import spark.implicits._
     val root = Files.createTempDirectory("neardup-none").toString
