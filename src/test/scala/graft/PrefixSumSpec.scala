@@ -172,4 +172,29 @@ class PrefixSumSpec extends AnyFunSuite {
         "prefix results changed under a different input partitioning")
     }
   }
+
+  test("attachAuto: both routes bit-identical to attach, routing stat respected") {
+    val ordered = Seq(col("k"), col("tb"))
+    def run(f: => org.apache.spark.sql.DataFrame): Seq[String] =
+      f.orderBy(col("g"), col("k"), col("tb"))
+        .collect().map(_.toString).toSeq
+    val viaAttach = run(PrefixSum.attach(df, Seq("g"), ordered,
+      rank = Some("rk"), sums = Seq("v" -> "cs"),
+      totals = Seq("v" -> "tot"), countTotal = Some("n")))
+    // forced window route (guard above every group size)
+    val viaWindow = run(PrefixSum.attachAuto(df, Seq("g"), ordered,
+      rank = Some("rk"), sums = Seq("v" -> "cs"),
+      totals = Seq("v" -> "tot"), countTotal = Some("n"),
+      maxWindowDistinct = Long.MaxValue))
+    // forced prefix route (guard below every group size)
+    val viaPrefix = run(PrefixSum.attachAuto(df, Seq("g"), ordered,
+      rank = Some("rk"), sums = Seq("v" -> "cs"),
+      totals = Seq("v" -> "tot"), countTotal = Some("n"),
+      maxWindowDistinct = 0L))
+    assert(viaWindow === viaAttach, "window route must equal attach")
+    assert(viaPrefix === viaAttach, "prefix route must equal attach")
+    // no groups: always the prefix path (a group-less window is one task)
+    val g = run(PrefixSum.attachAuto(df, Nil, ordered, rank = Some("rk")))
+    assert(g === run(PrefixSum.attach(df, Nil, ordered, rank = Some("rk"))))
+  }
 }
