@@ -158,12 +158,26 @@ object BandHistory {
     val bktSet = b.select(col("bkt")).distinct()
       .collect().map(_.getInt(0)).toSet
     val hist = prunedBands(spark, root, bktSet, beforeBatchId)
-    broadcast(b).as("b")
+    // a true micro-batch broadcasts (history streams through the
+    // pruned scan, zero shuffle); an oversized "batch" (a backfill
+    // replaying a corpus slice) must NOT be forced onto the driver —
+    // past the cap the join falls back to a plain equi-join and lets
+    // the planner/AQE pick from runtime sizes
+    val probe =
+      if (b.count() <= MaxBroadcastBatchRows) broadcast(b) else b
+    probe.as("b")
       .join(hist.as("h"),
         col("b.band") === col("h.band") && col("b.sig") === col("h.sig"))
       .select(col("b.doc_id").as("batch_doc"), col("h.doc_id").as("hist_doc"))
       .distinct()
   }
+
+  /** Batch-band row cap for the forced probe broadcast: 2²² rows ×
+    * ~30 B ≈ 120 MB on the driver — above it the caller is doing a
+    * backfill, not a micro-batch, and the join reverts to
+    * planner-chosen strategies.
+    */
+  val MaxBroadcastBatchRows: Long = 1L << 22
 
   /** LSM-style OPTIMIZE: consolidate every sealed batch's slices
     * (batch_id < `sealedBelowBatchId`, plus any previously
