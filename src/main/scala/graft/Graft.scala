@@ -101,5 +101,6 @@ object Graft {
     queries.Dedup.clearCaches()
     queries.Graphs.clearCache()
     functions.SkewRouter.clearCache()
+    sources.BandHistory.clearCaches()
   }
 }

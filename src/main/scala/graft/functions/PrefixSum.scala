@@ -272,7 +272,9 @@ object PrefixSum {
       totals: Seq[(String, String)] = Nil,
       countTotal: Option[String] = None,
       maxPartials: Int = DefaultMaxPartials,
-      maxWindowDistinct: Long = 1L << 21): DataFrame = {
+      // the same single-task window ceiling as the quantile family —
+      // one shared constant, not a duplicated literal (ADVICE r13)
+      maxWindowDistinct: Long = ExactQuantiles.SaturationGuard): DataFrame = {
     if (groupCols.isEmpty)
       return attach(df, groupCols, sortCols, rank, sums, totals,
         countTotal, maxPartials)

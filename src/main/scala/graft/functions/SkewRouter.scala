@@ -44,22 +44,34 @@ object SkewRouter {
     */
   val HotKeyRows: Long = 1L << 22
 
-  private val statCache = new java.util.concurrent.ConcurrentHashMap[
-    (org.apache.spark.sql.SparkSession, String), Long]()
+  private val statCache =
+    new graft.Memo[(org.apache.spark.sql.SparkSession, String), Long]
 
   /** Max rows under any single `keys` value. `tag` identifies the
     * (dataset, key) pair for memoization — pass a stable string like
-    * s"$dir#events.user_id". An empty input reports 0.
+    * s"$dir#events.user_id". An empty input reports 0. The probe job
+    * runs outside any map bin lock (graft.Memo — ADVICE r13), so
+    * concurrent callers on different tags never serialize.
     */
   def maxKeyRows(df: DataFrame, keys: Seq[String], tag: String): Long =
-    statCache.computeIfAbsent((df.sparkSession, tag), _ => {
+    statCache.get((df.sparkSession, tag)) {
       val r = df.select(keys.map(col): _*)
         .groupBy(keys.map(col): _*)
         .agg(count(lit(1)).as("__sr_n"))
         .agg(max(col("__sr_n")))
         .head()
       if (r.isNullAt(0)) 0L else r.getLong(0)
-    })
+    }
+
+  /** Record a known hot-key stat into the router's memo — the
+    * ingest-maintained path (TableStats r14): a pipeline that keeps
+    * per-key counts at commit time seeds the stat here and NO
+    * query-time probe job ever runs for the tag. Also the spec hook
+    * for pinning routing decisions without building a 4M-row fixture.
+    */
+  def recordStat(session: org.apache.spark.sql.SparkSession,
+      tag: String, maxKeyRows: Long): Unit =
+    statCache.put((session, tag), maxKeyRows)
 
   /** True when the plain per-key window is safe: no key exceeds
     * `threshold` rows, so no window task sorts more than that.

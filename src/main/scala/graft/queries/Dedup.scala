@@ -268,7 +268,26 @@ object Dedup extends QueryModule {
   private[graft] def clearCaches(): Unit = {
     sigCache.clear(); pairsCache.clear()
     docCountCache.clear(); adaptiveFpCache.clear()
-    histTableCache.clear() // table dirs are temp-rooted; OS reclaims
+    // the history band tables live in temp dirs THIS cache created —
+    // delete them as their last reference drops (ADVICE r13: "OS
+    // reclaims" only holds at reboot/tmp-cleaner; repeated clear+rerun
+    // cycles would otherwise accumulate full band tables under /tmp)
+    histTableCache.keys.foreach { k =>
+      histTableCache.peek(k).foreach(deleteTree)
+      histTableCache.remove(k)
+    }
+  }
+
+  private def deleteTree(root: String): Unit = {
+    import java.nio.file.{Files, Path, Paths}
+    import java.util.Comparator
+    val p = Paths.get(root)
+    if (Files.exists(p)) {
+      val walk = Files.walk(p)
+      try walk.sorted(Comparator.reverseOrder[Path]())
+        .forEach(f => Files.deleteIfExists(f))
+      finally walk.close()
+    }
   }
 
   /** Force the one-time shared artifacts (LSH signatures + verified
@@ -1061,18 +1080,21 @@ object Dedup extends QueryModule {
     * bucket-pruned path; nothing at query time re-touches history
     * text or the full-corpus signature artifact.
     */
-  private val histTableCache = new java.util.concurrent.ConcurrentHashMap[
-    (org.apache.spark.sql.SparkSession, String, Long), String]()
+  private val histTableCache = new graft.Memo[
+    (org.apache.spark.sql.SparkSession, String, Long), String]
 
   private def incrementalHistoryRoot(
       s: org.apache.spark.sql.SparkSession, d: String, splitId: Long): String =
-    histTableCache.computeIfAbsent((s, d, splitId), _ => {
+    // graft.Memo (ADVICE r13): the history ingest is a long Spark job —
+    // it must not run under a ConcurrentHashMap bin lock where it
+    // would serialize unrelated concurrent callers
+    histTableCache.get((s, d, splitId)) {
       val root = java.nio.file.Files
         .createTempDirectory("graft-bandhistory").toString
       val hist = bandSignaturesOf(shingleTable(s, d).filter(col("doc_id") < splitId))
       graft.sources.BandHistory.append(s, root, hist, batchId = 0L)
       root
-    })
+    }
 
   /** Materialize the persisted history band table outside any timed
     * region. tools/IncrementalProbe is the only intended caller.

@@ -570,24 +570,30 @@ object EventsTime extends QueryModule {
     * on active users. Epoch-µs arithmetic keeps the tolerance exact
     * on both engines.
     */
+  /** The plain one-shuffle attribution table over any events slice —
+    * shared by q_attribution and the router's uniform-key route.
+    */
+  private[graft] def attributionPlain(
+      events: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .filter(col("event_type").isin("click", "purchase"))
+      .withColumn("click_id",
+        last(when(col("event_type") === "click", col("event_id")), ignoreNulls = true).over(w))
+      .withColumn("click_us",
+        last(when(col("event_type") === "click", unix_micros(col("ts"))), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        when(col("click_us") >= unix_micros(col("ts")) - lit(86400000000L),
+          col("click_id")).as("attributed_click"))
+      .orderBy(col("purchase_id"))
+  }
+
   val attribution = QueryDef(
     "q_attribution",
-    (s, d) => {
-      val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts"), col("event_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      Tables.events(s, d)
-        .filter(col("event_type").isin("click", "purchase"))
-        .withColumn("click_id",
-          last(when(col("event_type") === "click", col("event_id")), ignoreNulls = true).over(w))
-        .withColumn("click_us",
-          last(when(col("event_type") === "click", unix_micros(col("ts"))), ignoreNulls = true).over(w))
-        .filter(col("event_type") === "purchase")
-        .select(col("event_id").as("purchase_id"), col("user_id"),
-          when(col("click_us") >= unix_micros(col("ts")) - lit(86400000000L),
-            col("click_id")).as("attributed_click"))
-        .orderBy(col("purchase_id"))
-    },
+    (s, d) => attributionPlain(Tables.events(s, d)),
     Some(attributionSql))
 
   /** TWO-LEVEL last-touch attribution — q_attribution's giant-key
@@ -603,10 +609,12 @@ object EventsTime extends QueryModule {
     * hash match = equivalence. Measured on the 9.5M-row hot key
     * (BASELINE r11).
     */
-  val attribution2Level = QueryDef(
-    "q_attribution_2level",
-    (s, d) => {
-      val pre = Tables.events(s, d)
+  /** The two-level attribution table over any events slice — shared
+    * by q_attribution_2level and the router's giant-key route.
+    */
+  private[graft] def attribution2LevelOf(
+      events: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      val pre = events
         .filter(col("event_type").isin("click", "purchase"))
         .withColumn("day", to_date(col("ts")))
         .withColumn("us", unix_micros(col("ts")))
@@ -638,6 +646,26 @@ object EventsTime extends QueryModule {
           when(col("eff.cus") >= col("us") - lit(86400000000L),
             col("eff.cid")).as("attributed_click"))
         .orderBy(col("purchase_id"))
+  }
+
+  val attribution2Level = QueryDef(
+    "q_attribution_2level",
+    (s, d) => attribution2LevelOf(Tables.events(s, d)),
+    Some(attributionSql))
+
+  /** ENGINE-CHOSEN attribution (r14, VERDICT r13 item 1): routed
+    * plain-vs-2level by [[graft.functions.SkewRouter]] on the shared
+    * memoized events hot-key statistic — same contract as
+    * q_sessionize_auto, graded against the identical oracle.
+    */
+  val attributionAuto = QueryDef(
+    "q_attribution_auto",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      if (graft.functions.SkewRouter.plainWindowSafe(
+          ev, Seq("user_id"), tag = s"$d#events.user_id"))
+        attributionPlain(ev)
+      else attribution2LevelOf(ev)
     },
     Some(attributionSql))
 
@@ -858,6 +886,7 @@ object EventsTime extends QueryModule {
     sessionWindowNative,
     dedupRows, gapFill,
     funnel, cohortRetention, wauRolling, stickiness, anomalies, ohlc,
-    attribution, attribution2Level, timeWeightedAvg, autocorr, eventsPruned, eventsDpp, scd2,
+    attribution, attribution2Level, attributionAuto,
+    timeWeightedAvg, autocorr, eventsPruned, eventsDpp, scd2,
     entropy)
 }

@@ -218,24 +218,30 @@ object Joins extends QueryModule {
     * scalable as-of pattern; a per-row range join would be quadratic
     * per key.
     */
+  /** The plain one-shuffle as-of table over any events slice — shared
+    * by q_join_asof and the router's uniform-key route.
+    */
+  private[graft] def asofPlain(
+      events: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val ev = events
+      .filter(col("event_type").isin("purchase", "click", "view"))
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        when(col("event_type") =!= "purchase", col("event_id")).as("c_id"),
+        when(col("event_type") =!= "purchase", col("ts")).as("c_ts"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ev.withColumn("last_click_id", last(col("c_id"), ignoreNulls = true).over(w))
+      .withColumn("last_click_ts", last(col("c_ts"), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("last_click_id"), col("last_click_ts"))
+      .orderBy(col("purchase_id"))
+  }
+
   val joinAsOf = QueryDef(
     "q_join_asof",
-    (s, d) => {
-      val ev = Tables.events(s, d)
-        .filter(col("event_type").isin("purchase", "click", "view"))
-        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
-          when(col("event_type") =!= "purchase", col("event_id")).as("c_id"),
-          when(col("event_type") =!= "purchase", col("ts")).as("c_ts"))
-      val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts"), col("event_id"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      ev.withColumn("last_click_id", last(col("c_id"), ignoreNulls = true).over(w))
-        .withColumn("last_click_ts", last(col("c_ts"), ignoreNulls = true).over(w))
-        .filter(col("event_type") === "purchase")
-        .select(col("event_id").as("purchase_id"), col("user_id"),
-          col("last_click_id"), col("last_click_ts"))
-        .orderBy(col("purchase_id"))
-    },
+    (s, d) => asofPlain(Tables.events(s, d)),
     Some(asofSql))
 
   /** TWO-LEVEL as-of join — the same giant-key lever as
@@ -249,10 +255,12 @@ object Joins extends QueryModule {
     * bucket" composes exactly with the within-bucket window; graded
     * against the IDENTICAL oracle as q_join_asof at all 3 SFs.
     */
-  val joinAsOf2Level = QueryDef(
-    "q_join_asof_2level",
-    (s, d) => {
-      val ev = Tables.events(s, d)
+  /** The two-level as-of table over any events slice — shared by
+    * q_join_asof_2level and the router's giant-key route.
+    */
+  private[graft] def asof2Level(
+      events: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      val ev = events
         .filter(col("event_type").isin("purchase", "click", "view"))
         .withColumn("day", to_date(col("ts")))
         .select(col("user_id"), col("day"), col("ts"), col("event_id"),
@@ -281,6 +289,31 @@ object Joins extends QueryModule {
           coalesce(col("loc_id"), col("carry.id")).as("last_click_id"),
           coalesce(col("loc_ts"), col("carry.ts")).as("last_click_ts"))
         .orderBy(col("purchase_id"))
+  }
+
+  val joinAsOf2Level = QueryDef(
+    "q_join_asof_2level",
+    (s, d) => asof2Level(Tables.events(s, d)),
+    Some(asofSql))
+
+  /** ENGINE-CHOSEN as-of join (r14, VERDICT r13 item 1):
+    * [[graft.functions.SkewRouter]] picks plain-vs-2level from the
+    * SAME memoized events hot-key statistic q_sessionize_auto uses
+    * (one probe job serves every auto-routed events family) —
+    * uniform keys take the one-shuffle window, a giant key takes the
+    * (user, day)-bucketed rewrite. Both routes are hash-graded
+    * against this very oracle, so routing is invisible to results;
+    * SkewRouterSpec pins the crossover choice and route equality on
+    * the skew corpus.
+    */
+  val joinAsOfAuto = QueryDef(
+    "q_join_asof_auto",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      if (graft.functions.SkewRouter.plainWindowSafe(
+          ev, Seq("user_id"), tag = s"$d#events.user_id"))
+        asofPlain(ev)
+      else asof2Level(ev)
     },
     Some(asofSql))
 
@@ -609,6 +642,6 @@ object Joins extends QueryModule {
   def defs: Seq[QueryDef] = Seq(
     joinInner, joinLeft, joinRight, joinFull, joinSemi, joinAnti,
     joinCross, joinThetaRange, joinAsOf, joinAsOfForward, joinAsOfNearest,
-    joinAsOfTolerance, joinAsOf2Level,
+    joinAsOfTolerance, joinAsOf2Level, joinAsOfAuto,
     joinStar, joinRangeBucketed, joinSkewed, joinExistence)
 }

@@ -184,22 +184,29 @@ object Lifecycle extends QueryModule {
       ORDER BY from_event, to_event
     """
 
+  /** The plain one-shuffle transition matrix over any events slice —
+    * shared by q_markov_transitions and the router's uniform-key
+    * route.
+    */
+  private[graft] def markovPlain(
+      events: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val wFrom = Window.partitionBy(col("from_event"))
+    events
+      .withColumn("from_event", lag(col("event_type"), 1).over(w))
+      .filter(col("from_event").isNotNull)
+      .groupBy(col("from_event"), col("event_type").as("to_event"))
+      .agg(count(lit(1)).as("n_transitions"))
+      .withColumn("p_transition",
+        (col("n_transitions") / sum(col("n_transitions")).over(wFrom))
+          .cast("float"))
+      .orderBy(col("from_event"), col("to_event"))
+  }
+
   val markovTransitions = QueryDef(
     "q_markov_transitions",
-    (s, d) => {
-      val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts"), col("event_id"))
-      val wFrom = Window.partitionBy(col("from_event"))
-      Tables.events(s, d)
-        .withColumn("from_event", lag(col("event_type"), 1).over(w))
-        .filter(col("from_event").isNotNull)
-        .groupBy(col("from_event"), col("event_type").as("to_event"))
-        .agg(count(lit(1)).as("n_transitions"))
-        .withColumn("p_transition",
-          (col("n_transitions") / sum(col("n_transitions")).over(wFrom))
-            .cast("float"))
-        .orderBy(col("from_event"), col("to_event"))
-    },
+    (s, d) => markovPlain(Tables.events(s, d)),
     Some(markovSql))
 
 
@@ -215,12 +222,14 @@ object Lifecycle extends QueryModule {
     * ORACLE as the plain form — the hash match is the equivalence
     * proof. Measured on the 9.5M-row hot key (BASELINE r11).
     */
-  val markovTransitions2Level = QueryDef(
-    "q_markov_transitions_2level",
-    (s, d) => {
+  /** The two-level transition matrix over any events slice — shared
+    * by q_markov_transitions_2level and the router's giant-key route.
+    */
+  private[graft] def markov2Level(
+      events: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
       val wB = Window.partitionBy(col("user_id"), col("day"))
         .orderBy(col("ts"), col("event_id"))
-      val pre = Tables.events(s, d).withColumn("day", to_date(col("ts")))
+      val pre = events.withColumn("day", to_date(col("ts")))
       val within = pre
         .withColumn("from_event", lag(col("event_type"), 1).over(wB))
         .filter(col("from_event").isNotNull)
@@ -244,6 +253,26 @@ object Lifecycle extends QueryModule {
           (col("n_transitions") / sum(col("n_transitions")).over(wFrom))
             .cast("float"))
         .orderBy(col("from_event"), col("to_event"))
+  }
+
+  val markovTransitions2Level = QueryDef(
+    "q_markov_transitions_2level",
+    (s, d) => markov2Level(Tables.events(s, d)),
+    Some(markovSql))
+
+  /** ENGINE-CHOSEN transition matrix (r14, VERDICT r13 item 1):
+    * routed plain-vs-2level by [[graft.functions.SkewRouter]] on the
+    * shared memoized events hot-key statistic — same contract as
+    * q_sessionize_auto, graded against the identical oracle.
+    */
+  val markovTransitionsAuto = QueryDef(
+    "q_markov_transitions_auto",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      if (graft.functions.SkewRouter.plainWindowSafe(
+          ev, Seq("user_id"), tag = s"$d#events.user_id"))
+        markovPlain(ev)
+      else markov2Level(ev)
     },
     Some(markovSql))
 
@@ -761,14 +790,16 @@ object Lifecycle extends QueryModule {
     * both engines. Share rides a window-over-all on the tiny path
     * table; top-15 is TakeOrdered.
     */
-  val eventPaths = QueryDef(
-    "q_event_paths",
-    (s, d) => {
+  /** The plain one-shuffle opening-paths table over any events slice —
+    * shared by q_event_paths and the router's uniform-key route.
+    */
+  private[graft] def eventPathsPlain(
+      events: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
       val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
       val running = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val inSess = Window.partitionBy(col("user_id"), col("session_id"))
         .orderBy(col("ts"), col("event_id"))
-      Tables.events(s, d)
+      events
         .withColumn("us", unix_micros(col("ts")))
         .withColumn("prev_us", lag(col("us"), 1).over(byUser))
         .withColumn("new_sess",
@@ -789,7 +820,11 @@ object Lifecycle extends QueryModule {
             .cast("float"))
         .orderBy(col("n_sessions").desc, col("path"))
         .limit(15)
-    },
+  }
+
+  val eventPaths = QueryDef(
+    "q_event_paths",
+    (s, d) => eventPathsPlain(Tables.events(s, d)),
     Some(eventPathsSql))
 
   /** TWO-LEVEL session-opening paths — q_event_paths' giant-key twin.
@@ -806,13 +841,15 @@ object Lifecycle extends QueryModule {
     * match = equivalence. Measured on the 9.5M-row hot key
     * (BASELINE r11).
     */
-  val eventPaths2Level = QueryDef(
-    "q_event_paths_2level",
-    (s, d) => {
+  /** The two-level opening-paths table over any events slice — shared
+    * by q_event_paths_2level and the router's giant-key route.
+    */
+  private[graft] def eventPaths2LevelOf(
+      events: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
       val wB = Window.partitionBy(col("user_id"), col("day"))
         .orderBy(col("ts"), col("event_id"))
       val runB = wB.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val pre = Tables.events(s, d)
+      val pre = events
         .withColumn("day", to_date(col("ts")))
         .withColumn("us", unix_micros(col("ts")))
         .withColumn("prev_us", lag(col("us"), 1).over(wB))
@@ -857,6 +894,26 @@ object Lifecycle extends QueryModule {
             .cast("float"))
         .orderBy(col("n_sessions").desc, col("path"))
         .limit(15)
+  }
+
+  val eventPaths2Level = QueryDef(
+    "q_event_paths_2level",
+    (s, d) => eventPaths2LevelOf(Tables.events(s, d)),
+    Some(eventPathsSql))
+
+  /** ENGINE-CHOSEN opening paths (r14, VERDICT r13 item 1): routed
+    * plain-vs-2level by [[graft.functions.SkewRouter]] on the shared
+    * memoized events hot-key statistic — same contract as
+    * q_sessionize_auto, graded against the identical oracle.
+    */
+  val eventPathsAuto = QueryDef(
+    "q_event_paths_auto",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      if (graft.functions.SkewRouter.plainWindowSafe(
+          ev, Seq("user_id"), tag = s"$d#events.user_id"))
+        eventPathsPlain(ev)
+      else eventPaths2LevelOf(ev)
     },
     Some(eventPathsSql))
 
@@ -1702,7 +1759,8 @@ object Lifecycle extends QueryModule {
 
   def defs: Seq[QueryDef] = Seq(
     survivalCurve, churnRate, seasonalIndex, markovTransitions,
-    markovTransitions2Level, eventPaths2Level,
+    markovTransitions2Level, markovTransitionsAuto,
+    eventPaths2Level, eventPathsAuto,
     abTest, benford, paretoCutoff, packSequences,
     concurrentSessions, gini, sessionStats, pagerank, eventPaths,
     conversionLag, shipLag, growthAccounting, anomalyIqr, activityHeatmap,

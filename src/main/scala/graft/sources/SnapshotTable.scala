@@ -1538,6 +1538,28 @@ object SnapshotTable {
     rows.toDF("file", "column", "min", "max", "bytes")
   }
 
+  /** Driver-only stats-manifest slice: file → (min, max) for one
+    * column of one version — the map [[pruneFiles]] builds internally,
+    * exposed so per-batch probes (BandHistory) can memoize it per
+    * (root, version) instead of re-collecting [[statsTable]] (which
+    * also stats every data file's size) on every call. Zero Spark
+    * jobs; an absent manifest is the empty map (callers keep files
+    * conservatively).
+    */
+  private[sources] def statsRanges(root: String, column: String,
+      version: Int): Map[String, (String, String)] = {
+    val dir = Paths.get(root, s"v=$version")
+    val sf = statsFile(dir)
+    if (!Files.exists(sf)) Map.empty
+    else Files.readString(sf).linesIterator.flatMap { line =>
+      line.split('\t') match {
+        case Array(f, c, mnV, mxV) if c == column =>
+          Some(f -> (unescapeVal(mnV), unescapeVal(mxV)))
+        case _ => None
+      }
+    }.toMap
+  }
+
   // ---- change data feed --------------------------------------------
 
   /** Row-level changes between two committed versions, bag

@@ -31,7 +31,14 @@ class SkewRouterSpec extends AnyFunSuite {
     (hot ++ cold)
       .toDF("user_id", "event_id", "us", "value")
       .withColumn("ts", timestamp_micros(col("us")))
-      .select("user_id", "event_id", "ts", "value")
+      // deterministic event_type mix for the asof/attribution/markov/
+      // paths families (clicks+views interleaved with purchases)
+      .withColumn("event_type",
+        element_at(
+          typedLit(Seq("view", "click", "purchase", "view", "signup",
+            "click", "view")),
+          (pmod(col("event_id"), lit(7)) + 1).cast("int")))
+      .select("user_id", "event_id", "ts", "event_type", "value")
   }
 
   test("router stat: exact hot-key count, memoized per tag") {
@@ -62,5 +69,73 @@ class SkewRouterSpec extends AnyFunSuite {
     assert(plain.length > 51, "corpus must produce multi-session users")
     assert(plain.toSeq === two.toSeq,
       "plain and 2level must be row-identical — routing is invisible")
+  }
+
+  // r14 (VERDICT r13 item 1): every auto-routed family's two routes
+  // must be row-identical on the skew corpus — the equivalence that
+  // makes the router's choice invisible to results.
+
+  test("as-of join: plain ≡ 2level on the skew corpus") {
+    val ev = skewedEvents(3000).localCheckpoint()
+    val plain = queries.Joins.asofPlain(ev).collect().map(_.toString)
+    val two = queries.Joins.asof2Level(ev).collect().map(_.toString)
+    assert(plain.nonEmpty, "fixture must contain purchases")
+    assert(plain.toSeq === two.toSeq)
+  }
+
+  test("attribution: plain ≡ 2level on the skew corpus") {
+    val ev = skewedEvents(3000).localCheckpoint()
+    val plain = EventsTime.attributionPlain(ev).collect().map(_.toString)
+    val two = EventsTime.attribution2LevelOf(ev).collect().map(_.toString)
+    assert(plain.nonEmpty)
+    assert(plain.toSeq === two.toSeq)
+  }
+
+  test("markov transitions: plain ≡ 2level on the skew corpus") {
+    val ev = skewedEvents(3000).localCheckpoint()
+    val plain = queries.Lifecycle.markovPlain(ev).collect().map(_.toString)
+    val two = queries.Lifecycle.markov2Level(ev).collect().map(_.toString)
+    assert(plain.nonEmpty)
+    assert(plain.toSeq === two.toSeq)
+  }
+
+  test("event paths: plain ≡ 2level on the skew corpus") {
+    val ev = skewedEvents(3000).localCheckpoint()
+    val plain = queries.Lifecycle.eventPathsPlain(ev).collect().map(_.toString)
+    val two = queries.Lifecycle.eventPaths2LevelOf(ev).collect().map(_.toString)
+    assert(plain.nonEmpty)
+    assert(plain.toSeq === two.toSeq)
+  }
+
+  /** Each family's auto query consults the SHARED memoized hot-key
+    * stat for its dataset tag: seeding the stat above/below the
+    * threshold (the ingest-maintained path — SkewRouter.recordStat)
+    * must flip every family between the plain plan and the
+    * (user, day)-bucketed plan with zero probe jobs. The 2level plan
+    * is identified by its `to_date` day-bucketing (no plain form
+    * derives a day column).
+    */
+  test("auto queries route plain vs 2level from the seeded stat, per family") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-skewroute")
+    java.nio.file.Files.createSymbolicLink(
+      dir.resolve("events.parquet"),
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"))
+    val d = dir.toString
+    val autos = Seq(
+      EventsTime.sessionizeAuto, queries.Joins.joinAsOfAuto,
+      EventsTime.attributionAuto, queries.Lifecycle.markovTransitionsAuto,
+      queries.Lifecycle.eventPathsAuto)
+    SkewRouter.recordStat(spark, s"$d#events.user_id", SkewRouter.HotKeyRows + 1)
+    autos.foreach { q =>
+      val plan = q.fn(spark, d).queryExecution.analyzed.toString
+      assert(plan.contains("to_date"),
+        s"${q.name} must take the 2level route above the threshold")
+    }
+    SkewRouter.recordStat(spark, s"$d#events.user_id", 100L)
+    autos.foreach { q =>
+      val plan = q.fn(spark, d).queryExecution.analyzed.toString
+      assert(!plan.contains("to_date"),
+        s"${q.name} must take the plain route below the threshold")
+    }
   }
 }
