@@ -82,6 +82,17 @@ object Graft {
     Tables.eventsByDate(spark, sfDir).limit(1).count()
     queries.Dedup.warm(spark, sfDir)
     queries.Graphs.warm(spark, sfDir)
+    // ExactQuantiles ranked-table warm (VERDICT r13 item 2): the six
+    // quantile-backed queries construct EAGERLY (distinct-table
+    // checkpoint + saturation-guard routing jobs); constructing each
+    // once here fills the per-(session, tag) memo, so query-time
+    // construction reuses the warmed tables and runs zero jobs
+    // (WarmAllSpec pins this). Oracles unchanged — only WHEN the
+    // fixed cost runs moves, the Dedup.warm precedent.
+    Seq("q_percentile", "q_percentile_disc", "q_mad", "q_session_stats",
+      "q_conversion_lag", "q_ship_lag")
+      .foreach(n => SparkEntry.queries(n)(spark, sfDir))
+    ()
   }
 
   /** Drop every memoized plan/artifact the library keeps per
@@ -101,6 +112,7 @@ object Graft {
     queries.Dedup.clearCaches()
     queries.Graphs.clearCache()
     functions.SkewRouter.clearCache()
+    functions.ExactQuantiles.clearCache()
     sources.BandHistory.clearCaches()
   }
 }

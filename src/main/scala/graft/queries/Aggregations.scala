@@ -339,10 +339,14 @@ object Aggregations extends QueryModule {
     "q_percentile",
     (s, d) => {
       val li = Tables.lineitem(s, d)
+      // tags share the warmed ranked tables with q_percentile_disc
+      // and q_mad's median pass (VERDICT r13 item 2)
       val qty = graft.functions.ExactQuantiles.cont(li, Seq("l_returnflag"),
-        "l_quantity", Seq(0.25 -> "qty_p25_raw", 0.5 -> "qty_median_raw"))
+        "l_quantity", Seq(0.25 -> "qty_p25_raw", 0.5 -> "qty_median_raw"),
+        tag = s"$d#lineitem.l_returnflag.l_quantity")
       val price = graft.functions.ExactQuantiles.cont(li, Seq("l_returnflag"),
-        "l_extendedprice", Seq(0.9 -> "price_p90_raw"))
+        "l_extendedprice", Seq(0.9 -> "price_p90_raw"),
+        tag = s"$d#lineitem.l_returnflag.l_extendedprice")
       qty.join(price, Seq("l_returnflag"))
         .select(col("l_returnflag"),
           round(col("qty_p25_raw"), 4).as("qty_p25"),
@@ -510,10 +514,14 @@ object Aggregations extends QueryModule {
     "q_percentile_disc",
     (s, d) => {
       val li = Tables.lineitem(s, d)
+      // same tags as q_percentile: the ranked distinct table depends
+      // only on the (dataset, groups, value) triple, not cont-vs-disc
       val qty = graft.functions.ExactQuantiles.disc(li, Seq("l_returnflag"),
-        "l_quantity", Seq(0.25 -> "qty_p25", 0.5 -> "qty_median"))
+        "l_quantity", Seq(0.25 -> "qty_p25", 0.5 -> "qty_median"),
+        tag = s"$d#lineitem.l_returnflag.l_quantity")
       val price = graft.functions.ExactQuantiles.disc(li, Seq("l_returnflag"),
-        "l_extendedprice", Seq(0.9 -> "price_p90"))
+        "l_extendedprice", Seq(0.9 -> "price_p90"),
+        tag = s"$d#lineitem.l_returnflag.l_extendedprice")
       qty.join(price, Seq("l_returnflag"))
         .select(col("l_returnflag"), col("qty_p25"), col("qty_median"),
           col("price_p90"))
@@ -934,7 +942,8 @@ object Aggregations extends QueryModule {
       // (ExactQuantiles construction is already eager, so this adds
       // no new eagerness; r13, q_mad 8.0 → measured below 5 s)
       val med = graft.functions.ExactQuantiles.cont(li, Seq("l_returnflag"),
-        "l_extendedprice", Seq(0.5 -> "med"))
+        "l_extendedprice", Seq(0.5 -> "med"),
+        tag = s"$d#lineitem.l_returnflag.l_extendedprice")
         .withColumnRenamed("l_returnflag", "m_flag")
         .localCheckpoint()
       val dev = li
@@ -942,7 +951,8 @@ object Aggregations extends QueryModule {
         .select(col("l_returnflag"),
           abs(col("l_extendedprice") - col("med")).as("adev"))
       graft.functions.ExactQuantiles.cont(dev, Seq("l_returnflag"),
-          "adev", Seq(0.5 -> "mad_raw"))
+          "adev", Seq(0.5 -> "mad_raw"),
+          tag = s"$d#mad.l_returnflag.adev")
         .join(broadcast(med), col("l_returnflag") === col("m_flag"))
         .select(col("l_returnflag"),
           round(col("med"), 4).as("median_price"),

@@ -617,7 +617,8 @@ object Lifecycle extends QueryModule {
       // domain; nothing buffers per task (was the value-buffering
       // percentile() over every session row)
       val pct = graft.functions.ExactQuantiles.cont(sess, Nil,
-        "duration_us", Seq(0.5 -> "p50_raw", 0.9 -> "p90_raw", 0.99 -> "p99_raw"))
+        "duration_us", Seq(0.5 -> "p50_raw", 0.9 -> "p90_raw", 0.99 -> "p99_raw"),
+        tag = s"$d#session_stats.duration_us")
       sess
         .agg(count(lit(1)).as("n_sessions"),
           (sum(col("n_events")).cast("double") / count(lit(1)))
@@ -955,7 +956,8 @@ object Lifecycle extends QueryModule {
       // to the distinct-lag domain — no per-task value buffering
       val pct = graft.functions.ExactQuantiles.cont(
         cohort.filter(col("lag_us").isNotNull), Nil, "lag_us",
-        Seq(0.5 -> "p50_raw", 0.9 -> "p90_raw"))
+        Seq(0.5 -> "p50_raw", 0.9 -> "p90_raw"),
+        tag = s"$d#conversion_lag.lag_us")
       cohort
         .agg(count(lit(1)).as("n_signup_users"),
           sum(when(col("lag_us").isNotNull, 1).otherwise(0)).as("n_converted"),
@@ -1009,7 +1011,8 @@ object Lifecycle extends QueryModule {
           datediff(col("l_shipdate"), col("o_orderdate")).cast("long").as("lag_days"))
       val pct = graft.functions.ExactQuantiles.cont(src,
         Seq("o_orderpriority"), "lag_days",
-        Seq(0.5 -> "p50_raw", 0.9 -> "p90_raw"))
+        Seq(0.5 -> "p50_raw", 0.9 -> "p90_raw"),
+        tag = s"$d#ship_lag.o_orderpriority.lag_days")
       src.groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n_lineitems"),
           max(col("lag_days")).as("max_lag_days"))

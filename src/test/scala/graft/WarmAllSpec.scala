@@ -26,9 +26,12 @@ class WarmAllSpec extends AnyFunSuite {
     spark.sparkContext.addSparkListener(l)
     try {
       // q_dedup_simhash_adaptive: the banding width's corpus count is
-      // a warmed scalar since r11 (was a plan-build count() job)
+      // a warmed scalar since r11 (was a plan-build count() job).
+      // q_percentile/q_percentile_disc: the ExactQuantiles ranked
+      // tables are warmed per tag since r14 (were an eager checkpoint
+      // + routing-stat jobs per invocation — VERDICT r13 item 2).
       for (name <- Seq("q_dedup_minhash", "q_dedup_events",
-          "q_dedup_simhash_adaptive")) {
+          "q_dedup_simhash_adaptive", "q_percentile", "q_percentile_disc")) {
         SparkEntry.queries(name)(spark, TestSpark.sf0001)
           .queryExecution.optimizedPlan // analysis + optimization, no action
       }
