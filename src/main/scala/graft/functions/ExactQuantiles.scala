@@ -81,9 +81,11 @@ object ExactQuantiles {
   def cont(df: DataFrame, groupCols: Seq[String], valueCol: String,
       ps: Seq[(Double, String)],
       maxWindowDistinct: Long = SaturationGuard,
-      tag: String = null): DataFrame = {
+      tag: String = null,
+      knownMaxDistinct: Option[Long] = None): DataFrame = {
     val pArr = typedLit(ps.map(_._1))
-    val cum = rankedValuesTagged(df, groupCols, valueCol, maxWindowDistinct, tag)
+    val cum = rankedValuesTagged(df, groupCols, valueCol, maxWindowDistinct,
+      tag, knownMaxDistinct)
     def r(p: Column): Column = lit(1) + p * (col("__eq_n") - 1)
     def hits(rr: Column): Column =
       (floor(rr) >= col("__eq_lo") && floor(rr) <= col("__eq_cum")) ||
@@ -116,7 +118,8 @@ object ExactQuantiles {
   def disc(df: DataFrame, groupCols: Seq[String], valueCol: String,
       ps: Seq[(Double, String)],
       maxWindowDistinct: Long = SaturationGuard,
-      tag: String = null): DataFrame = {
+      tag: String = null,
+      knownMaxDistinct: Option[Long] = None): DataFrame = {
     // exact decimal p: ⌈p·n⌉ must not jump a value boundary because
     // 0.9·n landed 2⁻⁵² above the integer it mathematically is
     val pArr = array(ps.map { case (p, _) =>
@@ -124,7 +127,8 @@ object ExactQuantiles {
         lit(new java.math.BigDecimal(p.toString))
           .cast(DecimalType(12, 6)).as("pd"))
     }: _*)
-    val cum = rankedValuesTagged(df, groupCols, valueCol, maxWindowDistinct, tag)
+    val cum = rankedValuesTagged(df, groupCols, valueCol, maxWindowDistinct,
+      tag, knownMaxDistinct)
     def rOf(pd: Column): Column =
       greatest(ceil(pd * col("__eq_n")).cast("long"), lit(1L))
     val byP = cum
@@ -174,37 +178,50 @@ object ExactQuantiles {
     * contract).
     */
   private def rankedValuesTagged(df: DataFrame, groupCols: Seq[String],
-      valueCol: String, maxWindowDistinct: Long, tag: String): DataFrame =
-    if (tag == null) rankedValues(df, groupCols, valueCol, maxWindowDistinct)
+      valueCol: String, maxWindowDistinct: Long, tag: String,
+      knownMaxDistinct: Option[Long]): DataFrame =
+    if (tag == null)
+      rankedValues(df, groupCols, valueCol, maxWindowDistinct, knownMaxDistinct)
     else rankedCache.get((df.sparkSession, tag)) {
-      rankedValues(df, groupCols, valueCol, maxWindowDistinct)
+      rankedValues(df, groupCols, valueCol, maxWindowDistinct, knownMaxDistinct)
     }
 
   private def rankedValues(df: DataFrame, groupCols: Seq[String],
-      valueCol: String, maxWindowDistinct: Long): DataFrame = {
+      valueCol: String, maxWindowDistinct: Long,
+      knownMaxDistinct: Option[Long]): DataFrame = {
     val distinctTable = df.groupBy((groupCols :+ valueCol).map(col): _*)
       .agg(count(lit(1)).as("__eq_c"))
+    def windowCum(agg: DataFrame): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(groupCols.map(col): _*).orderBy(col(valueCol))
+      val W = org.apache.spark.sql.expressions.Window
+      agg
+        .withColumn("__eq_cum", sum(col("__eq_c")).over(
+          w.rowsBetween(W.unboundedPreceding, W.currentRow)))
+        .withColumn("__eq_n", sum(col("__eq_c")).over(
+          w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)))
+    }
+    def prefixCum(agg: DataFrame): DataFrame =
+      PrefixSum.attach(agg, groupCols, Seq(col(valueCol)),
+        sums = Seq("__eq_c" -> "__eq_cum"),
+        totals = Seq("__eq_c" -> "__eq_n"))
     val cum =
       if (groupCols.isEmpty) {
         PrefixSum.attach(distinctTable, Nil, Seq(col(valueCol)),
           sums = Seq("__eq_c" -> "__eq_cum"),
           totals = Seq("__eq_c" -> "__eq_n"))
-      } else {
-        val agg = distinctTable.localCheckpoint()
-        if (windowSafe(agg, groupCols, maxWindowDistinct)) {
-          val w = org.apache.spark.sql.expressions.Window
-            .partitionBy(groupCols.map(col): _*).orderBy(col(valueCol))
-          val W = org.apache.spark.sql.expressions.Window
-          agg
-            .withColumn("__eq_cum", sum(col("__eq_c")).over(
-              w.rowsBetween(W.unboundedPreceding, W.currentRow)))
-            .withColumn("__eq_n", sum(col("__eq_c")).over(
-              w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)))
-        } else {
-          PrefixSum.attach(agg, groupCols, Seq(col(valueCol)),
-            sums = Seq("__eq_c" -> "__eq_cum"),
-            totals = Seq("__eq_c" -> "__eq_n"))
-        }
+      } else knownMaxDistinct match {
+        case Some(md) =>
+          // ingest-maintained stat (TableStats r14): routing needs
+          // ZERO query-time jobs, and the window route needs no
+          // checkpoint either (there is no second consumer of the
+          // distinct table), so the plan stays fully lazy
+          if (md <= maxWindowDistinct) windowCum(distinctTable)
+          else prefixCum(distinctTable)
+        case None =>
+          val agg = distinctTable.localCheckpoint()
+          if (windowSafe(agg, groupCols, maxWindowDistinct)) windowCum(agg)
+          else prefixCum(agg)
       }
     cum.withColumn("__eq_lo", col("__eq_cum") - col("__eq_c") + 1)
   }

@@ -80,6 +80,21 @@ object SkewRouter {
       threshold: Long = HotKeyRows): Boolean =
     maxKeyRows(df, keys, tag) <= threshold
 
+  /** [[plainWindowSafe]] for a snapshot table carrying an
+    * ingest-maintained stat ([[graft.sources.TableStats]], r14): the
+    * stored scalar answers with ZERO query-time jobs while it is
+    * current for the table's version; a missing or stale stat falls
+    * back to the memoized probe over `df`. TableStatsSpec pins both
+    * the zero-job path and decision equality with the probe.
+    */
+  def plainWindowSafeForTable(tableRoot: String, statName: String,
+      df: DataFrame, keys: Seq[String], tag: String,
+      threshold: Long = HotKeyRows): Boolean =
+    graft.sources.TableStats.stored(tableRoot, statName) match {
+      case Some(s) => s.maxKeyRows <= threshold
+      case None => plainWindowSafe(df, keys, tag, threshold)
+    }
+
   /** Drop memoized stats (dataset retirement — Graft.clearCaches). */
   private[graft] def clearCache(): Unit = statCache.clear()
 }
