@@ -48,6 +48,32 @@ import org.apache.spark.sql.SparkSession
   * SPARK_GRAFT_BENCH_OUT (default ./bench_full.json).
   */
 object Bench {
+
+  /** Fixed single-thread CPU workload (~0.1 s calm): timed before the
+    * suite and after each pass. On a calm host every sample is ~equal;
+    * a host that co-schedules other work (the r13 driver window read
+    * 97.5 s wall where the same code anchors at 36.2 s calm) inflates
+    * the samples proportionally — the artifact then EXPLAINS its own
+    * divergence instead of reading as a code regression (VERDICT r13
+    * item 6). Deterministic integer loop; the xor fold defeats DCE.
+    */
+  private def cpuProbe(): Double = {
+    val t0 = System.nanoTime()
+    var x = 0L
+    var i = 0
+    while (i < 100000000) { x ^= i * 2654435761L; i += 1 }
+    val dt = (System.nanoTime() - t0) / 1e9
+    if (x == 42L) System.err.println("") // value sink
+    dt
+  }
+
+  /** 1/5/15-min load averages from /proc/loadavg (empty off-Linux). */
+  private def loadAvg(): String =
+    try java.nio.file.Files.readString(
+        java.nio.file.Paths.get("/proc/loadavg"))
+      .trim.split(" ").take(3).mkString(" ")
+    catch { case _: Throwable => "" }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -87,8 +113,13 @@ object Bench {
     // eager-checkpoint builds shared across several queries; charging
     // them to whichever query runs first made that query's number a
     // coin flip across windows. Graft.warmAll is the same entry point
-    // exposed to interactive users.
-    Graft.warmAll(spark, sfDir)
+    // exposed to interactive users. SPARK_GRAFT_BENCH_WARM=0 skips it
+    // for COLD-ARTIFACT measurements (e.g. the DSL-vs-SQL-twin
+    // comparison, where the DSL side's warmed pair artifact would
+    // otherwise read 74× faster than the SQL twin that recomputes the
+    // same pipeline through the parser — BASELINE r14 note).
+    if (!sys.env.get("SPARK_GRAFT_BENCH_WARM").contains("0"))
+      Graft.warmAll(spark, sfDir)
 
     val fullEval = sys.env.get("SPARK_GRAFT_BENCH_ACTION").contains("write")
     // default min-of-2 (r8 verdict item 5): the driver's single-pass
@@ -155,9 +186,17 @@ object Bench {
       pool.awaitTermination(60, TimeUnit.SECONDS)
       (res, passWall)
     }
-    val passes = (1 to repeat).map(i => onePass(i))
+    val loadStart = loadAvg()
+    val probes = scala.collection.mutable.ArrayBuffer(cpuProbe())
+    val passes = (1 to repeat).map { i =>
+      val p = onePass(i)
+      probes += cpuProbe()
+      p
+    }
+    val loadEnd = loadAvg()
     val wall = passes.map(_._2).min
     val wallAll = passes.map(_._2).sum
+    val passWalls = passes.map(_._2)
     // per-query min across passes; a query that failed in EVERY pass
     // keeps the -1 marker, one that succeeded in any pass reports
     // its best honest time
@@ -171,8 +210,16 @@ object Bench {
     val (ok, failed) = results.partition(_._2 >= 0.0)
     val sum = ok.map(_._2).sum
     val failedList = failed.map(n => "\"" + n._1 + "\"").mkString("[", ",", "]")
+    // environment self-diagnosis fields (VERDICT r13 item 6): probe
+    // samples ≫ the ~0.1 s calm constant, pass walls far apart, or a
+    // loadavg ≫ the 32 cores all say "contended window — adjudicate
+    // against a calm anchor", straight from the artifact
+    val envDiag =
+      s""""cpu_probe_sec":[${probes.map(p => f"$p%.3f").mkString(",")}],""" +
+        s""""pass_walls":[${passWalls.map(w => f"$w%.2f").mkString(",")}],""" +
+        s""""loadavg_start":"$loadStart","loadavg_end":"$loadEnd""""
     val detail =
-      s"""{"metric":"total","value":$wall,"unit":"sec","queries":$qs,"sum_sec":$sum,"failed":$failedList,"concurrency":$conc,"repeat":$repeat,"wall_all_passes":$wallAll,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$wall,"unit":"sec","queries":$qs,"sum_sec":$sum,"failed":$failedList,"concurrency":$conc,"repeat":$repeat,"wall_all_passes":$wallAll,$envDiag,"sf":"$sfDir"}"""
     // The per-query detail line is long (~3KB); the harness tail-captures
     // stdout, so print it FIRST and finish with a short headline line that
     // survives head-truncation. Full JSON also lands in a file.
@@ -180,7 +227,7 @@ object Bench {
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), detail + "\n")
     catch { case _: Throwable => () }
     println(detail)
-    println(s"""{"metric":"total","value":$wall,"unit":"sec","sum_sec":$sum,"failed_count":${failed.size},"concurrency":$conc,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$wall,"unit":"sec","sum_sec":$sum,"failed_count":${failed.size},"concurrency":$conc,$envDiag,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
