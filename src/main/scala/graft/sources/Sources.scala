@@ -157,4 +157,21 @@ object Sources {
     props.foreach { case (k, v) => p.setProperty(k, v) }
     df.write.mode(mode).jdbc(url, table, p)
   }
+
+  /** Avro container-file reader — the graft DSv2 connector
+    * (`graft.sources.avro.AvroDataSource`, short name "gavro"),
+    * split-aware (block-level read parallelism within one file) with
+    * reader-schema column pruning. Avro is the ingest edge format:
+    * land it into parquet for the query loop.
+    */
+  def avro(spark: SparkSession, path: String): DataFrame =
+    spark.read.format("gavro").load(path)
+
+  /** Avro sink: one container file per task, staged-then-renamed on
+    * driver commit (atomic job output). Codec: snappy (default),
+    * deflate, or null.
+    */
+  def writeAvro(df: DataFrame, path: String, mode: String = "overwrite",
+      codec: String = "snappy"): Unit =
+    df.write.format("gavro").option("compression", codec).mode(mode).save(path)
 }

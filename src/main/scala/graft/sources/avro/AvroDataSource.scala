@@ -1,0 +1,348 @@
+package graft.sources.avro
+
+import java.io.{IOException, ObjectInputStream, ObjectOutputStream}
+import java.util
+
+import org.apache.avro.Schema
+import org.apache.avro.file.{CodecFactory, DataFileReader, DataFileWriter}
+import org.apache.avro.generic.{GenericDatumReader, GenericDatumWriter, GenericRecord}
+import org.apache.avro.mapred.FsInput
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** Avro container-file connector as a DataSource V2 `TableProvider`
+  * (SURVEY.md §2.1) — built on the Apache Avro core/mapred jars that
+  * ship with Spark, since the separate `spark-avro` module is not on
+  * this classpath. Usage:
+  *
+  *   spark.read.format("gavro").load(dir)
+  *   df.write.format("gavro").mode("append"|"overwrite").save(dir)
+  *
+  * Scale posture:
+  *   - READ SPLITS: Avro container files are block-structured with
+  *     16-byte sync markers between blocks, so one large file fans
+  *     out to many tasks. Planning cuts each file into byte ranges of
+  *     `spark.sql.files.maxPartitionBytes`; each reader does the
+  *     standard Avro split protocol (`sync(start)`, read while not
+  *     `pastSync(end)`) — every block is decoded by exactly one task.
+  *   - COLUMN PRUNING: `SupportsPushDownRequiredColumns` projects the
+  *     Avro READER schema down to the required columns, so dropped
+  *     fields are skipped during decode rather than materialized and
+  *     discarded (Avro is row-oriented: bytes still stream over, but
+  *     no object churn). Analytics should still land Avro into
+  *     parquet at ingest — this source is the ingest edge, not the
+  *     query-loop format.
+  *   - SCHEMA EVOLUTION: the table schema is inferred from one file
+  *     header; every file is then decoded THROUGH Avro schema
+  *     resolution against it, so files written with older/newer
+  *     field sets read correctly (missing fields take defaults,
+  *     extra fields are skipped).
+  *   - WRITES: one container file per task, staged under
+  *     `_staging_<queryId>/` and moved into place on driver commit —
+  *     a clean job fails atomically (no partial visible output).
+  *     `overwrite` is truncate-on-commit. Codec: `compression` option
+  *     (`snappy` default, `deflate`, `null`).
+  */
+class AvroDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "gavro"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val path = AvroDataSource.pathOf(options)
+    val conf = AvroDataSource.hadoopConf()
+    val files = AvroDataSource.listAvroFiles(path, conf)
+    if (files.isEmpty) new StructType() // fresh write target: schema comes from the query
+    else AvroSchemas.toSpark(AvroDataSource.readWriterSchema(files.head.getPath, conf))
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new AvroTable(properties.get("path"), schema)
+
+  override def supportsExternalMetadata(): Boolean = true
+}
+
+object AvroDataSource {
+  private[avro] def pathOf(options: CaseInsensitiveStringMap): String = {
+    val p = options.get("path")
+    require(p != null && p.nonEmpty, "gavro requires a path (use .load(dir)/.save(dir))")
+    p
+  }
+
+  private[avro] def hadoopConf(): Configuration =
+    SparkSession.active.sessionState.newHadoopConf()
+
+  private[avro] def listAvroFiles(path: String, conf: Configuration): Seq[FileStatus] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) return Nil
+    val it = fs.listFiles(p, true)
+    val out = Seq.newBuilder[FileStatus]
+    while (it.hasNext) {
+      val st = it.next()
+      val name = st.getPath.getName
+      if (st.isFile && st.getLen > 0 && name.endsWith(".avro") && !name.startsWith("_") &&
+        !name.startsWith(".") && !st.getPath.toString.contains("/_staging_")) {
+        out += st
+      }
+    }
+    out.result().sortBy(_.getPath.toString)
+  }
+
+  private[avro] def readWriterSchema(file: Path, conf: Configuration): Schema = {
+    val in = new FsInput(file, conf)
+    try {
+      val r = new DataFileReader[GenericRecord](in, new GenericDatumReader[GenericRecord]())
+      try r.getSchema finally r.close()
+    } finally in.close()
+  }
+}
+
+/** One table = one directory of .avro container files. */
+class AvroTable(path: String, tableSchema: StructType)
+    extends Table with SupportsRead with SupportsWrite {
+  override def name(): String = s"gavro:$path"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE, TableCapability.ACCEPT_ANY_SCHEMA)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new AvroScanBuilder(path, tableSchema)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new AvroWriteBuilder(path, info)
+}
+
+class AvroScanBuilder(path: String, full: StructType)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = full
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = new AvroScan(path, full, required)
+}
+
+class AvroScan(path: String, full: StructType, required: StructType) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"gavro $path cols=[${required.fieldNames.mkString(",")}]"
+
+  /** Mirror of Spark's own file-source packing: large files are cut
+    * into `maxPartitionBytes` byte ranges, then slices are bin-packed
+    * into partitions with each file charged `filesOpenCostInBytes` —
+    * so a million tiny Avro files becomes ~total/maxPartitionBytes
+    * tasks, not a million.
+    */
+  override def planInputPartitions(): Array[InputPartition] = {
+    val conf = AvroDataSource.hadoopConf()
+    val files = AvroDataSource.listAvroFiles(path, conf)
+    val sqlConf = org.apache.spark.sql.internal.SQLConf.get
+    val splitBytes = math.max(1L << 20, sqlConf.filesMaxPartitionBytes)
+    val openCost = sqlConf.filesOpenCostInBytes
+    val slices = files.flatMap { f =>
+      val len = f.getLen
+      (0L until len by splitBytes).map { start =>
+        AvroSlice(f.getPath.toString, start, math.min(splitBytes, len - start))
+      }
+    }.sortBy(-_.length) // big slices first packs tighter
+    val parts = Seq.newBuilder[AvroInputPartition]
+    var current = Vector.empty[AvroSlice]
+    var currentBytes = 0L
+    slices.foreach { s =>
+      val cost = s.length + openCost
+      if (current.nonEmpty && currentBytes + cost > splitBytes) {
+        parts += AvroInputPartition(current)
+        current = Vector.empty
+        currentBytes = 0L
+      }
+      current :+= s
+      currentBytes += cost
+    }
+    if (current.nonEmpty) parts += AvroInputPartition(current)
+    parts.result().toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val conf = AvroDataSource.hadoopConf()
+    val files = AvroDataSource.listAvroFiles(path, conf)
+    require(files.nonEmpty, s"no .avro files under $path")
+    // Reader schema: the table schema pruned to the required columns.
+    // Each file resolves its own writer schema against this.
+    val tableAvro = AvroDataSource.readWriterSchema(files.head.getPath, conf)
+    val reader = AvroSchemas.prune(tableAvro, required.fieldNames.toSeq)
+    new AvroReaderFactory(reader.toString, required, new SerializableHadoopConf(conf))
+  }
+}
+
+case class AvroSlice(file: String, start: Long, length: Long)
+
+case class AvroInputPartition(slices: Seq[AvroSlice]) extends InputPartition
+
+class AvroReaderFactory(readerSchemaJson: String, sparkSchema: StructType,
+    conf: SerializableHadoopConf) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[AvroInputPartition]
+    new AvroPartitionReader(p.slices, readerSchemaJson, sparkSchema, conf.value)
+  }
+}
+
+/** Reads a packed sequence of (file, byte-range) slices. Per slice:
+  * the Avro split protocol — `sync(start)` seeks to the first block
+  * boundary at-or-after start (the header's trailing sync makes
+  * start=0 land on the first block), then blocks are consumed until
+  * the next block would start past the range end. Every block
+  * belongs to exactly one slice.
+  */
+class AvroPartitionReader(slices: Seq[AvroSlice], readerSchemaJson: String,
+    sparkSchema: StructType, conf: Configuration) extends PartitionReader[InternalRow] {
+  private val readerSchema = new Schema.Parser().parse(readerSchemaJson)
+  private val convert = AvroConverters.recordToRow(readerSchema, sparkSchema)
+  private val it = slices.iterator
+  private var fileReader: DataFileReader[GenericRecord] = null
+  private var end = 0L
+  private var record: GenericRecord = null
+  private var row: InternalRow = _
+
+  private def openNext(): Boolean = {
+    closeCurrent()
+    if (!it.hasNext) return false
+    val s = it.next()
+    val in = new FsInput(new Path(s.file), conf)
+    fileReader = new DataFileReader[GenericRecord](in,
+      new GenericDatumReader[GenericRecord](null, readerSchema))
+    fileReader.sync(s.start)
+    end = s.start + s.length
+    true
+  }
+
+  override def next(): Boolean = {
+    while (fileReader == null || !fileReader.hasNext || fileReader.pastSync(end)) {
+      if (!openNext()) return false
+    }
+    record = fileReader.next(record)
+    row = convert(record)
+    true
+  }
+
+  override def get(): InternalRow = row
+
+  private def closeCurrent(): Unit = {
+    if (fileReader != null) { fileReader.close(); fileReader = null }
+  }
+
+  override def close(): Unit = closeCurrent()
+}
+
+class AvroWriteBuilder(path: String, info: LogicalWriteInfo)
+    extends WriteBuilder with SupportsTruncate {
+  private var doTruncate = false
+
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite =
+      new AvroBatchWrite(path, info.schema(), info.queryId(),
+        Option(info.options.get("compression")).getOrElse("snappy"), doTruncate)
+  }
+}
+
+class AvroBatchWrite(path: String, schema: StructType, queryId: String,
+    codec: String, truncate: Boolean) extends BatchWrite {
+  private val stagingDir = s"$path/_staging_$queryId"
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    val conf = AvroDataSource.hadoopConf()
+    val p = new Path(stagingDir)
+    p.getFileSystem(conf).mkdirs(p)
+    new AvroWriterFactory(stagingDir, schema,
+      AvroSchemas.toAvro(schema).toString, codec, new SerializableHadoopConf(conf))
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val conf = AvroDataSource.hadoopConf()
+    val root = new Path(path)
+    val fs = root.getFileSystem(conf)
+    if (truncate) {
+      AvroDataSource.listAvroFiles(path, conf).foreach(f => fs.delete(f.getPath, false))
+    }
+    messages.foreach { case AvroCommitMessage(staged) =>
+      val src = new Path(staged)
+      val ok = fs.rename(src, new Path(root, src.getName))
+      if (!ok) throw new IOException(s"commit rename failed for $staged")
+    }
+    fs.delete(new Path(stagingDir), true)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val conf = AvroDataSource.hadoopConf()
+    val p = new Path(stagingDir)
+    p.getFileSystem(conf).delete(p, true)
+  }
+}
+
+case class AvroCommitMessage(stagedFile: String) extends WriterCommitMessage
+
+class AvroWriterFactory(stagingDir: String, schema: StructType, avroJson: String,
+    codec: String, conf: SerializableHadoopConf) extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new AvroDataWriter(stagingDir, schema, avroJson, codec, conf.value, partitionId, taskId)
+}
+
+class AvroDataWriter(stagingDir: String, schema: StructType, avroJson: String,
+    codec: String, conf: Configuration, partitionId: Int, taskId: Long)
+    extends DataWriter[InternalRow] {
+  private val avroSchema = new Schema.Parser().parse(avroJson)
+  private val file = new Path(stagingDir, f"part-$partitionId%05d-$taskId.avro")
+  private val out = file.getFileSystem(conf).create(file, false)
+  private val writer = {
+    val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](avroSchema))
+    w.setCodec(codec match {
+      case "snappy" => CodecFactory.snappyCodec()
+      case "deflate" => CodecFactory.deflateCodec(CodecFactory.DEFAULT_DEFLATE_LEVEL)
+      case "null" | "none" => CodecFactory.nullCodec()
+      case other => throw new IllegalArgumentException(s"unknown codec $other")
+    })
+    w.create(avroSchema, out)
+  }
+  private val convert = AvroConverters.rowToRecord(schema, avroSchema)
+
+  override def write(record: InternalRow): Unit = writer.append(convert(record))
+
+  override def commit(): WriterCommitMessage = {
+    writer.close()
+    AvroCommitMessage(file.toString)
+  }
+
+  override def abort(): Unit = {
+    try writer.close() catch { case _: IOException => }
+    file.getFileSystem(conf).delete(file, false)
+  }
+
+  override def close(): Unit = ()
+}
+
+/** Hadoop `Configuration` is `Writable`, not `Serializable`; this is
+  * the standard wrapper to ship it from planning to executor tasks.
+  */
+class SerializableHadoopConf(@transient var value: Configuration) extends Serializable {
+  private def writeObject(out: ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    value.write(out)
+  }
+  private def readObject(in: ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    value = new Configuration(false)
+    value.readFields(in)
+  }
+}

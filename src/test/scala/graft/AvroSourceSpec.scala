@@ -1,0 +1,173 @@
+package graft
+
+import java.nio.file.{Files, Path}
+import java.sql.{Date, Timestamp}
+
+import scala.jdk.CollectionConverters._
+
+import graft.sources.Sources
+import graft.sources.avro.AvroSchemas
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The gavro DSv2 connector: roundtrip fidelity over the full mapped
+  * type surface, split-aware reads (one big container file must fan
+  * out to multiple input partitions, each block decoded exactly
+  * once), reader-schema column pruning visible in the scan, atomic
+  * overwrite/append semantics, and Avro schema-resolution reads
+  * across files with differing writer schemas.
+  */
+class AvroSourceSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def tmpDir(tag: String): String = {
+    val d: Path = Files.createTempDirectory(s"gavro_$tag")
+    d.toFile.deleteOnExit()
+    d.toString
+  }
+
+  private val fullSchema = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("name", StringType, nullable = true),
+    StructField("flag", BooleanType, nullable = false),
+    StructField("score", DoubleType, nullable = true),
+    StructField("small", IntegerType, nullable = false),
+    StructField("ratio", FloatType, nullable = false),
+    StructField("blob", BinaryType, nullable = true),
+    StructField("d", DateType, nullable = true),
+    StructField("ts", TimestampType, nullable = true),
+    StructField("amount", DecimalType(12, 2), nullable = true),
+    StructField("tags", ArrayType(StringType, containsNull = true), nullable = true),
+    StructField("props", MapType(StringType, LongType, valueContainsNull = true), nullable = true),
+    StructField("nested", StructType(Seq(
+      StructField("a", IntegerType, nullable = false),
+      StructField("b", StringType, nullable = true))), nullable = true)))
+
+  private def fullRows = Seq(
+    Row(1L, "alpha", true, 1.5, 7, 0.25f, Array[Byte](1, 2, 3),
+      Date.valueOf("2024-03-01"), Timestamp.valueOf("2024-03-01 12:34:56.789123"),
+      BigDecimal("12345.67").bigDecimal, Seq("x", null, "y"),
+      Map("k1" -> 10L, "k2" -> null), Row(42, "inner")),
+    Row(2L, null, false, null, -3, -1.5f, null, null, null, null, null, null, null),
+    Row(3L, "gamma", true, 2.25, 0, 3.5f, Array[Byte](),
+      Date.valueOf("1969-12-31"), Timestamp.valueOf("1969-12-31 23:59:59.0"),
+      BigDecimal("-0.01").bigDecimal, Seq.empty[String], Map.empty[String, Long],
+      Row(0, null)))
+
+  private def fullDf = spark.createDataFrame(
+    spark.sparkContext.parallelize(fullRows, 2), fullSchema)
+
+  test("roundtrip over the full mapped type surface") {
+    val dir = tmpDir("roundtrip")
+    Sources.writeAvro(fullDf, dir)
+    val back = Sources.avro(spark, dir)
+    assert(back.schema.fields.map(f => (f.name, f.dataType)).toSeq ===
+      fullSchema.fields.map(f => (f.name, f.dataType)).toSeq)
+    val a = fullDf.orderBy("id").collect().map(normalize)
+    val b = back.orderBy("id").collect().map(normalize)
+    assert(b === a)
+  }
+
+  /** Binary/array/map fields compare by value, not reference. */
+  private def normalize(r: Row): Seq[Any] = r.toSeq.map {
+    case b: Array[Byte] => b.toSeq
+    case m: scala.collection.Map[_, _] => m.toSeq.sortBy(_._1.toString)
+    case x => x
+  }
+
+  test("one large file fans out to multiple split partitions, rows exactly once") {
+    val dir = tmpDir("splits")
+    val n = 200000L
+    val df = spark.range(n).select(col("id"),
+      concat(lit("payload_"), col("id")).as("text"),
+      (col("id") % 97).cast("double").as("v"))
+    // one task → one container file; null codec keeps it large enough to split
+    df.coalesce(1).write.format("gavro").option("compression", "null")
+      .mode("overwrite").save(dir)
+    val files = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".avro"))
+    assert(files.length === 1)
+    assert(files.head.length() > (2L << 20), "file too small to exercise splitting")
+
+    val prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", (1L << 20).toString)
+      val back = spark.read.format("gavro").load(dir)
+      assert(back.rdd.getNumPartitions > 1,
+        s"expected >1 split partitions, got ${back.rdd.getNumPartitions}")
+      assert(back.count() === n)
+      assert(back.select(countDistinct(col("id"))).head().getLong(0) === n)
+      assert(back.agg(sum(col("id"))).head().getLong(0) === n * (n - 1) / 2)
+    } finally spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+  }
+
+  test("many small files pack into few partitions (open-cost bin packing)") {
+    val dir = tmpDir("pack")
+    spark.range(1000).select(col("id"), lit("t").as("tag"))
+      .repartition(20).write.format("gavro").mode("overwrite").save(dir)
+    val files = new java.io.File(dir).listFiles().count(_.getName.endsWith(".avro"))
+    assert(files === 20)
+    // defaults: 128MB partitions, 4MB open cost → 20 tiny files ≪ one partition's budget
+    val back = spark.read.format("gavro").load(dir)
+    assert(back.rdd.getNumPartitions <= 2,
+      s"small files not packed: ${back.rdd.getNumPartitions} partitions for 20 tiny files")
+    assert(back.count() === 1000)
+  }
+
+  test("column pruning reaches the scan's reader schema") {
+    val dir = tmpDir("prune")
+    Sources.writeAvro(fullDf, dir)
+    val pruned = Sources.avro(spark, dir).select(col("id"), col("name"))
+    val scans = pruned.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b
+    }
+    assert(scans.nonEmpty)
+    assert(scans.head.output.map(_.name).toSet === Set("id", "name"))
+    assert(pruned.orderBy("id").collect().map(_.toSeq) ===
+      Array(Seq(1L, "alpha"), Seq(2L, null), Seq(3L, "gamma")))
+  }
+
+  test("append adds files; overwrite truncates prior output atomically") {
+    val dir = tmpDir("modes")
+    val df1 = spark.range(10).select(col("id"), lit("a").as("tag"))
+    val df2 = spark.range(10, 25).select(col("id"), lit("b").as("tag"))
+    Sources.writeAvro(df1, dir, mode = "append")
+    Sources.writeAvro(df2, dir, mode = "append")
+    assert(Sources.avro(spark, dir).count() === 25)
+    Sources.writeAvro(df1, dir, mode = "overwrite")
+    val after = Sources.avro(spark, dir)
+    assert(after.count() === 10)
+    assert(after.agg(max(col("id"))).head().getLong(0) === 9L)
+    // no staging residue
+    assert(!new java.io.File(dir).listFiles().exists(_.getName.startsWith("_staging_")))
+  }
+
+  test("schema resolution reads files with differing writer schemas") {
+    val dir = tmpDir("evolve")
+    // older writer: (id, name); newer writer: (id, name, extra)
+    val oldDf = spark.range(3).select(col("id"), lit("old").as("name"))
+    val newDf = spark.range(3, 6).select(col("id"), lit("new").as("name"),
+      lit(7L).as("extra"))
+    Sources.writeAvro(oldDf, dir, mode = "append")
+    Sources.writeAvro(newDf, dir, mode = "append")
+    // table schema comes from one file header; the other file resolves
+    // against it by field name (extra skipped, or absent→null default)
+    val back = Sources.avro(spark, dir).select(col("id"), col("name"))
+    assert(back.count() === 6)
+    assert(back.filter(col("name") === "old").count() === 3)
+    assert(back.filter(col("name") === "new").count() === 3)
+  }
+
+  test("avro schema conversion is stable both ways; prune keeps writer field types") {
+    val avro = AvroSchemas.toAvro(fullSchema)
+    val back = AvroSchemas.toSpark(avro)
+    assert(back.fields.map(f => (f.name, f.dataType, f.nullable)).toSeq ===
+      fullSchema.fields.map(f => (f.name, f.dataType, f.nullable)).toSeq)
+    val pruned = AvroSchemas.prune(avro, Seq("ts", "id"))
+    assert(pruned.getFields.asScala.map(_.name()).toSeq === Seq("ts", "id"))
+    assert(AvroSchemas.toSpark(pruned).fields.map(_.dataType).toSeq ===
+      Seq(TimestampType, LongType))
+  }
+}

@@ -230,6 +230,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_benford",           // 9 digit rows
     "q_event_paths",       // ≤|event_type|³ distinct 3-step paths
     "q_event_paths_2level", // same bounded path table (2level twin)
+    "q_event_paths_auto",  // routes to one of the two allowed bodies above
     "q_growth_accounting", // month series (calendar-bounded)
     "q_anomaly_iqr",       // day series (calendar-bounded)
     "q_activity_heatmap",  // 168 weekday×hour rows
