@@ -174,4 +174,19 @@ object Sources {
   def writeAvro(df: DataFrame, path: String, mode: String = "overwrite",
       codec: String = "snappy"): Unit =
     df.write.format("gavro").option("compression", codec).mode(mode).save(path)
+
+  /** Streaming tail of an Avro landing directory (collectors roll
+    * container files into the dir; the pipeline consumes them exactly
+    * once via a checkpointed manifest). `maxFilesPerTrigger` > 0 caps
+    * files admitted per micro-batch for backpressure. Schema is
+    * inferred from a present file — pass `schema` when the stream may
+    * start against an empty directory.
+    */
+  def avroStream(spark: SparkSession, path: String, maxFilesPerTrigger: Int = 0,
+      schema: Option[StructType] = None): DataFrame = {
+    var r = spark.readStream.format("gavro")
+    if (maxFilesPerTrigger > 0) r = r.option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+    schema.foreach(s => r = r.schema(s))
+    r.load(path)
+  }
 }

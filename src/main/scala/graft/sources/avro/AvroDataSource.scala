@@ -14,6 +14,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.streaming.MicroBatchStream
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.StructType
@@ -80,20 +81,31 @@ object AvroDataSource {
   private[avro] def hadoopConf(): Configuration =
     SparkSession.active.sessionState.newHadoopConf()
 
+  /** Manual recursive walk rather than `fs.listFiles(recursive)`:
+    * `_`/`.`-prefixed directories (staging, checkpoints, metadata)
+    * are never DESCENDED into — the recursive lister would stat
+    * their children and race with a concurrent writer deleting its
+    * staging dir (observed: streaming poll vs batch commit). Vanished
+    * entries mid-walk are skipped, not fatal.
+    */
   private[avro] def listAvroFiles(path: String, conf: Configuration): Seq[FileStatus] = {
-    val p = new Path(path)
-    val fs = p.getFileSystem(conf)
-    if (!fs.exists(p)) return Nil
-    val it = fs.listFiles(p, true)
+    val root = new Path(path)
+    val fs = root.getFileSystem(conf)
+    if (!fs.exists(root)) return Nil
     val out = Seq.newBuilder[FileStatus]
-    while (it.hasNext) {
-      val st = it.next()
-      val name = st.getPath.getName
-      if (st.isFile && st.getLen > 0 && name.endsWith(".avro") && !name.startsWith("_") &&
-        !name.startsWith(".") && !st.getPath.toString.contains("/_staging_")) {
-        out += st
+    def walk(p: Path): Unit = {
+      val children =
+        try fs.listStatus(p)
+        catch { case _: java.io.FileNotFoundException => Array.empty[FileStatus] }
+      children.foreach { st =>
+        val name = st.getPath.getName
+        if (!name.startsWith("_") && !name.startsWith(".")) {
+          if (st.isDirectory) walk(st.getPath)
+          else if (st.isFile && st.getLen > 0 && name.endsWith(".avro")) out += st
+        }
       }
     }
+    walk(root)
     out.result().sortBy(_.getPath.toString)
   }
 
@@ -113,28 +125,34 @@ class AvroTable(path: String, tableSchema: StructType)
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE, TableCapability.ACCEPT_ANY_SCHEMA)
+      TableCapability.MICRO_BATCH_READ, TableCapability.TRUNCATE,
+      TableCapability.ACCEPT_ANY_SCHEMA)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new AvroScanBuilder(path, tableSchema)
+    new AvroScanBuilder(path, tableSchema,
+      options.getInt("maxFilesPerTrigger", 0))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new AvroWriteBuilder(path, info)
 }
 
-class AvroScanBuilder(path: String, full: StructType)
+class AvroScanBuilder(path: String, full: StructType, maxFilesPerTrigger: Int)
     extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = full
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new AvroScan(path, full, required)
+  override def build(): Scan = new AvroScan(path, full, required, maxFilesPerTrigger)
 }
 
-class AvroScan(path: String, full: StructType, required: StructType) extends Scan with Batch {
+class AvroScan(path: String, full: StructType, required: StructType,
+    maxFilesPerTrigger: Int) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new AvroMicroBatchStream(path, full, required, checkpointLocation, maxFilesPerTrigger)
   override def description(): String =
     s"gavro $path cols=[${required.fieldNames.mkString(",")}]"
 
@@ -147,30 +165,14 @@ class AvroScan(path: String, full: StructType, required: StructType) extends Sca
   override def planInputPartitions(): Array[InputPartition] = {
     val conf = AvroDataSource.hadoopConf()
     val files = AvroDataSource.listAvroFiles(path, conf)
-    val sqlConf = org.apache.spark.sql.internal.SQLConf.get
-    val splitBytes = math.max(1L << 20, sqlConf.filesMaxPartitionBytes)
-    val openCost = sqlConf.filesOpenCostInBytes
+    val splitBytes = AvroPlanning.splitBytes()
     val slices = files.flatMap { f =>
       val len = f.getLen
       (0L until len by splitBytes).map { start =>
         AvroSlice(f.getPath.toString, start, math.min(splitBytes, len - start))
       }
-    }.sortBy(-_.length) // big slices first packs tighter
-    val parts = Seq.newBuilder[AvroInputPartition]
-    var current = Vector.empty[AvroSlice]
-    var currentBytes = 0L
-    slices.foreach { s =>
-      val cost = s.length + openCost
-      if (current.nonEmpty && currentBytes + cost > splitBytes) {
-        parts += AvroInputPartition(current)
-        current = Vector.empty
-        currentBytes = 0L
-      }
-      current :+= s
-      currentBytes += cost
     }
-    if (current.nonEmpty) parts += AvroInputPartition(current)
-    parts.result().toArray
+    AvroPlanning.pack(slices)
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
@@ -188,6 +190,37 @@ class AvroScan(path: String, full: StructType, required: StructType) extends Sca
 case class AvroSlice(file: String, start: Long, length: Long)
 
 case class AvroInputPartition(slices: Seq[AvroSlice]) extends InputPartition
+
+/** Shared split planning for the batch and micro-batch paths. */
+object AvroPlanning {
+  def splitBytes(): Long = math.max(1L << 20,
+    org.apache.spark.sql.internal.SQLConf.get.filesMaxPartitionBytes)
+
+  /** Bin-pack slices into partitions, each file range charged its
+    * length plus `filesOpenCostInBytes`, biggest-first for tight
+    * packing — a million tiny files becomes ~total/maxPartitionBytes
+    * tasks, not a million.
+    */
+  def pack(slices: Seq[AvroSlice]): Array[InputPartition] = {
+    val budget = splitBytes()
+    val openCost = org.apache.spark.sql.internal.SQLConf.get.filesOpenCostInBytes
+    val parts = Seq.newBuilder[AvroInputPartition]
+    var current = Vector.empty[AvroSlice]
+    var currentBytes = 0L
+    slices.sortBy(-_.length).foreach { s =>
+      val cost = s.length + openCost
+      if (current.nonEmpty && currentBytes + cost > budget) {
+        parts += AvroInputPartition(current)
+        current = Vector.empty
+        currentBytes = 0L
+      }
+      current :+= s
+      currentBytes += cost
+    }
+    if (current.nonEmpty) parts += AvroInputPartition(current)
+    parts.result().toArray
+  }
+}
 
 class AvroReaderFactory(readerSchemaJson: String, sparkSchema: StructType,
     conf: SerializableHadoopConf) extends PartitionReaderFactory {
