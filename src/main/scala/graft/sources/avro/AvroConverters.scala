@@ -60,6 +60,12 @@ object AvroConverters {
         }
       case (Schema.Type.FLOAT, FloatType) => identity
       case (Schema.Type.DOUBLE, DoubleType) => identity
+      // widening promotions (Avro's own resolution set): files written
+      // with a narrower type than the table declares still read
+      case (Schema.Type.INT, LongType) => v => v.asInstanceOf[Int].toLong
+      case (Schema.Type.INT, DoubleType) => v => v.asInstanceOf[Int].toDouble
+      case (Schema.Type.LONG, DoubleType) => v => v.asInstanceOf[Long].toDouble
+      case (Schema.Type.FLOAT, DoubleType) => v => v.asInstanceOf[Float].toDouble
       case (Schema.Type.STRING | Schema.Type.ENUM, StringType) =>
         v => UTF8String.fromString(v.toString)
       case (Schema.Type.BYTES, d: DecimalType) =>

@@ -133,7 +133,7 @@ class AvroTable(path: String, tableSchema: StructType)
       options.getInt("maxFilesPerTrigger", 0))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new AvroWriteBuilder(path, info)
+    new AvroWriteBuilder(path, tableSchema, info)
 }
 
 class AvroScanBuilder(path: String, full: StructType, maxFilesPerTrigger: Int)
@@ -277,15 +277,33 @@ class AvroPartitionReader(slices: Seq[AvroSlice], readerSchemaJson: String,
   override def close(): Unit = closeCurrent()
 }
 
-class AvroWriteBuilder(path: String, info: LogicalWriteInfo)
+class AvroWriteBuilder(path: String, tableSchema: StructType, info: LogicalWriteInfo)
     extends WriteBuilder with SupportsTruncate {
   private var doTruncate = false
 
   override def truncate(): WriteBuilder = { doTruncate = true; this }
 
+  /** ACCEPT_ANY_SCHEMA means Spark hands the query's own schema
+    * through unresolved — an `INSERT INTO ... VALUES` arrives with
+    * synthetic column names (col1, col2, …). When the table schema is
+    * known and arity matches, adopt ITS field names positionally so
+    * the written files resolve against the table on read (types stay
+    * the query's — Avro read-time promotion covers int→long,
+    * float→double). The positional contract is the standard one for
+    * accept-any-schema sources.
+    */
+  private def writeSchema: StructType = {
+    val q = info.schema()
+    if (tableSchema.nonEmpty && tableSchema.length == q.length) {
+      StructType(q.fields.zip(tableSchema.fieldNames).map {
+        case (f, n) => f.copy(name = n)
+      })
+    } else q
+  }
+
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
-      new AvroBatchWrite(path, info.schema(), info.queryId(),
+      new AvroBatchWrite(path, writeSchema, info.queryId(),
         Option(info.options.get("compression")).getOrElse("snappy"), doTruncate)
   }
 }

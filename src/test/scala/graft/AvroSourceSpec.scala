@@ -160,6 +160,19 @@ class AvroSourceSpec extends AnyFunSuite {
     assert(back.filter(col("name") === "new").count() === 3)
   }
 
+  test("SQL DDL surface: CREATE TABLE USING gavro, INSERT INTO / OVERWRITE") {
+    val dir = tmpDir("sql")
+    spark.sql(s"CREATE TABLE gavro_sql_t (id BIGINT, name STRING) USING gavro " +
+      s"OPTIONS (path '$dir')")
+    try {
+      spark.sql("INSERT INTO gavro_sql_t VALUES (1, 'a'), (2, 'b')")
+      assert(spark.sql("SELECT count(*) FROM gavro_sql_t").head().getLong(0) === 2)
+      spark.sql("INSERT OVERWRITE gavro_sql_t VALUES (9, 'z')")
+      val rows = spark.sql("SELECT id, name FROM gavro_sql_t").collect().map(_.toSeq)
+      assert(rows === Array(Seq(9L, "z")))
+    } finally spark.sql("DROP TABLE gavro_sql_t")
+  }
+
   test("avro schema conversion is stable both ways; prune keeps writer field types") {
     val avro = AvroSchemas.toAvro(fullSchema)
     val back = AvroSchemas.toSpark(avro)
