@@ -1132,10 +1132,85 @@ object Dedup extends QueryModule {
       ORDER BY batch_doc, hist_doc
     """))
 
+  /** Duplicated-SPAN removal accounting — the fixed-n-gram
+    * approximation of exact-substring dedup (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better",
+    * which uses suffix arrays; 5-gram windows approximate the
+    * ≥50-char-substring criterion at word granularity): every 5-token
+    * window whose text occurs in ≥2 documents is cut from all of
+    * them, and any token covered by at least one cut window is
+    * removed. Reports per-doc total/removed/kept token counts.
+    *
+    * Scale shape: the positional span table is ~|tokens| rows per doc
+    * (the same cardinality class as the minhash shingle scan); the
+    * plan is two hash aggregations (span-text df count, per-doc
+    * covered-position count) and one semi-join on the span text —
+    * no windows, no self-join, nothing all-pairs. The distinct on
+    * (doc_id, position) is a hash shuffle keyed by doc, so overlap
+    * resolution never serializes.
+    */
+  val dedupSpans = QueryDef(
+    "q_dedup_spans",
+    (s, d) => {
+      graft.functions.expressions.WordNgrams.register(s)
+      val n = 5
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), TF.tokens(col("text")).as("toks"))
+      // positional (non-distinct) windows: pos i in the kernel's
+      // ordered output = 1-based token start i+1
+      val spans = toks.select(col("doc_id"),
+          posexplode(call_function(
+            graft.functions.expressions.WordNgrams.name, col("toks"), lit(n))))
+        .select(col("doc_id"), (col("pos") + 1).as("start"), col("col").as("sh"))
+      val dup = spans.groupBy(col("sh"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+        .filter(col("df") >= 2)
+        .select(col("sh"))
+      val removed = spans.join(dup, Seq("sh"), "left_semi")
+        .select(col("doc_id"),
+          explode(sequence(col("start"), col("start") + (n - 1))).as("p"))
+        .distinct()
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_removed"))
+      toks.select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"))
+        .join(removed, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"),
+          coalesce(col("n_removed"), lit(0L)).as("n_removed"))
+        .withColumn("n_kept", col("n_tokens") - col("n_removed"))
+        .withColumn("kept_ratio",
+          round(col("n_kept").cast("double") / col("n_tokens").cast("double"), 4))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        FROM documents),
+      sh0 AS (
+        SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 4),
+          i -> struct_pack(start := i,
+                 sh := toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+                       toks[i+3] || ' ' || toks[i+4]))) AS u
+        FROM t),
+      sh AS (SELECT doc_id, u.start AS start, u.sh AS sh FROM sh0),
+      dup AS (SELECT sh FROM sh GROUP BY sh HAVING count(DISTINCT doc_id) >= 2),
+      cov0 AS (
+        SELECT s.doc_id, unnest(generate_series(s.start, s.start + 4)) AS p
+        FROM sh s JOIN dup USING (sh)),
+      cov AS (SELECT DISTINCT doc_id, p FROM cov0),
+      rem AS (SELECT doc_id, count(*) AS n_removed FROM cov GROUP BY doc_id)
+      SELECT t.doc_id,
+             len(t.toks) AS n_tokens,
+             coalesce(rem.n_removed, 0) AS n_removed,
+             len(t.toks) - coalesce(rem.n_removed, 0) AS n_kept,
+             round((len(t.toks) - coalesce(rem.n_removed, 0))::DOUBLE
+                   / len(t.toks)::DOUBLE, 4) AS kept_ratio
+      FROM t LEFT JOIN rem USING (doc_id)
+      ORDER BY doc_id
+    """))
+
   def defs: Seq[QueryDef] = Seq(
     dedupExact, dedupFingerprint, dedupMinhash, dedupCluster, dedupSimhash,
     dedupSimhashHamming, dedupSimhashWide, dedupSimhashBanded,
     dedupSimhashAdaptive, dedupEmbedding, dedupFuzzy,
     dedupKeepBest, dedupIncremental, dedupMinhashIncremental,
-    minhashEstimate)
+    minhashEstimate, dedupSpans)
 }
