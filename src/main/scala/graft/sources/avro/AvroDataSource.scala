@@ -178,10 +178,14 @@ class AvroScan(path: String, full: StructType, required: StructType,
   override def createReaderFactory(): PartitionReaderFactory = {
     val conf = AvroDataSource.hadoopConf()
     val files = AvroDataSource.listAvroFiles(path, conf)
-    require(files.nonEmpty, s"no .avro files under $path")
     // Reader schema: the table schema pruned to the required columns.
-    // Each file resolves its own writer schema against this.
-    val tableAvro = AvroDataSource.readWriterSchema(files.head.getPath, conf)
+    // Each file resolves its own writer schema against this. Anchor
+    // on a real file header when one exists (preserves enum/fixed
+    // writer types exactly); an empty dir (valid — zero partitions
+    // were planned) synthesizes from the table schema.
+    val tableAvro =
+      if (files.nonEmpty) AvroDataSource.readWriterSchema(files.head.getPath, conf)
+      else AvroSchemas.toAvro(full)
     val reader = AvroSchemas.prune(tableAvro, required.fieldNames.toSeq)
     new AvroReaderFactory(reader.toString, required, new SerializableHadoopConf(conf))
   }

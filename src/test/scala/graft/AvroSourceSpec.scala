@@ -160,6 +160,29 @@ class AvroSourceSpec extends AnyFunSuite {
     assert(back.filter(col("name") === "new").count() === 3)
   }
 
+  test("empty directory reads as an empty frame with the declared schema") {
+    val dir = tmpDir("empty")
+    val schema = StructType(Seq(StructField("id", LongType), StructField("s", StringType)))
+    val df = spark.read.format("gavro").schema(schema).load(dir)
+    assert(df.schema === schema)
+    assert(df.count() === 0)
+  }
+
+  test("concurrent appends from two write jobs both land (isolated staging)") {
+    val dir = tmpDir("conc")
+    val dfs = Seq(
+      spark.range(0, 50).select(col("id"), lit("a").as("tag")),
+      spark.range(50, 120).select(col("id"), lit("b").as("tag")))
+    val threads = dfs.map { d =>
+      new Thread(() => Sources.writeAvro(d, dir, mode = "append"))
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    val back = Sources.avro(spark, dir)
+    assert(back.count() === 120)
+    assert(back.select(countDistinct(col("id"))).head().getLong(0) === 120)
+  }
+
   test("SQL DDL surface: CREATE TABLE USING gavro, INSERT INTO / OVERWRITE") {
     val dir = tmpDir("sql")
     spark.sql(s"CREATE TABLE gavro_sql_t (id BIGINT, name STRING) USING gavro " +
