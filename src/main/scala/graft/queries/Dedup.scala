@@ -1158,10 +1158,13 @@ object Dedup extends QueryModule {
         .select(col("doc_id"), TF.tokens(col("text")).as("toks"))
       // positional (non-distinct) windows: pos i in the kernel's
       // ordered output = 1-based token start i+1
+      // checkpointed: the span table feeds BOTH the df count and the
+      // semi-join probe — without it the tokenize+ngram scan runs 3×
       val spans = toks.select(col("doc_id"),
           posexplode(call_function(
             graft.functions.expressions.WordNgrams.name, col("toks"), lit(n))))
         .select(col("doc_id"), (col("pos") + 1).as("start"), col("col").as("sh"))
+        .localCheckpoint(false)
       val dup = spans.groupBy(col("sh"))
         .agg(countDistinct(col("doc_id")).as("df"))
         .filter(col("df") >= 2)
