@@ -513,8 +513,49 @@ object SqlText extends QueryModule {
       ORDER BY doc_id, rank
     """))
 
+  /** Duplicated-span removal in SQL TEXT (twin of q_dedup_spans, same
+    * oracle): positional 5-gram windows via transform-over-sequence +
+    * posexplode through the parser — no registered native functions,
+    * the whole pipeline is portable higher-order SQL.
+    */
+  val sqlDedupSpans = QueryDef(
+    "q_sql_dedup_spans",
+    (s, d) => {
+      reg(s, d, "documents")
+      s.sql("""
+        WITH tok AS (
+          SELECT doc_id, filter(split(text, ' '), t -> t != '') AS toks
+          FROM documents_sqt),
+        sp AS (
+          SELECT doc_id, pos + 1 AS start, sh
+          FROM (SELECT doc_id,
+                       CASE WHEN size(toks) >= 5
+                         THEN transform(sequence(0, size(toks) - 5),
+                                i -> concat(toks[i], ' ', toks[i + 1], ' ', toks[i + 2],
+                                            ' ', toks[i + 3], ' ', toks[i + 4]))
+                         ELSE CAST(array() AS ARRAY<STRING>) END AS spans
+                FROM tok)
+          LATERAL VIEW posexplode(spans) p AS pos, sh),
+        dup AS (SELECT sh FROM sp GROUP BY sh HAVING count(DISTINCT doc_id) >= 2),
+        cov AS (
+          SELECT DISTINCT s.doc_id, pp.p
+          FROM sp s JOIN dup USING (sh)
+          LATERAL VIEW explode(sequence(s.start, s.start + 4)) pp AS p),
+        rem AS (SELECT doc_id, count(*) AS n_removed FROM cov GROUP BY doc_id)
+        SELECT t.doc_id,
+               CAST(size(t.toks) AS BIGINT) AS n_tokens,
+               coalesce(rem.n_removed, 0L) AS n_removed,
+               CAST(size(t.toks) AS BIGINT) - coalesce(rem.n_removed, 0L) AS n_kept,
+               round((CAST(size(t.toks) AS BIGINT) - coalesce(rem.n_removed, 0L))
+                     / CAST(size(t.toks) AS DOUBLE), 4) AS kept_ratio
+        FROM tok t LEFT JOIN rem USING (doc_id)
+        ORDER BY doc_id
+      """)
+    },
+    Dedup.dedupSpans.oracle)
+
   def defs: Seq[QueryDef] = Seq(
     sqlStarJoin, sqlRollup, sqlWindowRank, sqlSetOps, sqlExists,
     sqlSessionize, sqlCte, sqlValues, sqlLimitOffset,
-    sqlMinhashDedup, sqlCosineTopk, sqlTfIdf)
+    sqlMinhashDedup, sqlCosineTopk, sqlTfIdf, sqlDedupSpans)
 }
