@@ -61,12 +61,21 @@ class AvroDataSource extends TableProvider with DataSourceRegister {
     val conf = AvroDataSource.hadoopConf()
     val files = AvroDataSource.listAvroFiles(path, conf)
     if (files.isEmpty) new StructType() // fresh write target: schema comes from the query
-    else AvroSchemas.toSpark(AvroDataSource.readWriterSchema(files.head.getPath, conf))
+    else if (options.getBoolean("mergeSchema", false)) {
+      // union of every file's writer schema (one header read per
+      // file — same planning cost class as parquet's mergeSchema;
+      // default off). A field absent from any file must be nullable:
+      // those files resolve it to null on read.
+      val schemas = files.map(f =>
+        AvroSchemas.toSpark(AvroDataSource.readWriterSchema(f.getPath, conf)))
+      AvroDataSource.mergeSchemas(schemas)
+    } else AvroSchemas.toSpark(AvroDataSource.readWriterSchema(files.head.getPath, conf))
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
-    new AvroTable(properties.get("path"), schema)
+    new AvroTable(properties.get("path"), schema,
+      "true".equalsIgnoreCase(properties.getOrDefault("mergeSchema", "false")))
 
   override def supportsExternalMetadata(): Boolean = true
 }
@@ -109,6 +118,30 @@ object AvroDataSource {
     out.result().sortBy(_.getPath.toString)
   }
 
+  /** Field-name union across file schemas: first-seen order, first
+    * occurrence's type wins (widening promotions absorb int→long /
+    * float→double divergence at read), nullable when nullable
+    * anywhere OR absent from any file.
+    */
+  private[avro] def mergeSchemas(schemas: Seq[StructType]): StructType = {
+    val order = scala.collection.mutable.LinkedHashMap.empty[String, org.apache.spark.sql.types.StructField]
+    val presentIn = scala.collection.mutable.HashMap.empty[String, Int].withDefaultValue(0)
+    schemas.foreach { st =>
+      st.fields.foreach { f =>
+        presentIn(f.name) += 1
+        order.get(f.name) match {
+          case None => order.update(f.name, f)
+          case Some(prev) if f.nullable && !prev.nullable =>
+            order.update(f.name, prev.copy(nullable = true))
+          case _ =>
+        }
+      }
+    }
+    StructType(order.values.map { f =>
+      if (presentIn(f.name) < schemas.size) f.copy(nullable = true) else f
+    }.toSeq)
+  }
+
   private[avro] def readWriterSchema(file: Path, conf: Configuration): Schema = {
     val in = new FsInput(file, conf)
     try {
@@ -119,7 +152,7 @@ object AvroDataSource {
 }
 
 /** One table = one directory of .avro container files. */
-class AvroTable(path: String, tableSchema: StructType)
+class AvroTable(path: String, tableSchema: StructType, mergedSchema: Boolean = false)
     extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"gavro:$path"
   override def schema(): StructType = tableSchema
@@ -130,24 +163,27 @@ class AvroTable(path: String, tableSchema: StructType)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new AvroScanBuilder(path, tableSchema,
-      options.getInt("maxFilesPerTrigger", 0))
+      options.getInt("maxFilesPerTrigger", 0),
+      mergedSchema || options.getBoolean("mergeSchema", false))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new AvroWriteBuilder(path, tableSchema, info)
 }
 
-class AvroScanBuilder(path: String, full: StructType, maxFilesPerTrigger: Int)
+class AvroScanBuilder(path: String, full: StructType, maxFilesPerTrigger: Int,
+    merged: Boolean = false)
     extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = full
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new AvroScan(path, full, required, maxFilesPerTrigger)
+  override def build(): Scan =
+    new AvroScan(path, full, required, maxFilesPerTrigger, merged)
 }
 
 class AvroScan(path: String, full: StructType, required: StructType,
-    maxFilesPerTrigger: Int) extends Scan with Batch {
+    maxFilesPerTrigger: Int, merged: Boolean = false) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
@@ -181,10 +217,13 @@ class AvroScan(path: String, full: StructType, required: StructType,
     // Reader schema: the table schema pruned to the required columns.
     // Each file resolves its own writer schema against this. Anchor
     // on a real file header when one exists (preserves enum/fixed
-    // writer types exactly); an empty dir (valid — zero partitions
-    // were planned) synthesizes from the table schema.
+    // writer types exactly); a merged-schema table or an empty dir
+    // (valid — zero partitions were planned) synthesizes from the
+    // table schema, whose merged-only fields are nullable and so
+    // carry the null default files missing them resolve to.
     val tableAvro =
-      if (files.nonEmpty) AvroDataSource.readWriterSchema(files.head.getPath, conf)
+      if (files.nonEmpty && !merged)
+        AvroDataSource.readWriterSchema(files.head.getPath, conf)
       else AvroSchemas.toAvro(full)
     val reader = AvroSchemas.prune(tableAvro, required.fieldNames.toSeq)
     new AvroReaderFactory(reader.toString, required, new SerializableHadoopConf(conf))

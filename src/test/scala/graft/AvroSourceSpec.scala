@@ -160,6 +160,23 @@ class AvroSourceSpec extends AnyFunSuite {
     assert(back.filter(col("name") === "new").count() === 3)
   }
 
+  test("mergeSchema unions evolving writer schemas; missing fields read null") {
+    val dir = tmpDir("merge")
+    Sources.writeAvro(spark.range(3).select(col("id"), lit("old").as("name")),
+      dir, mode = "append")
+    Sources.writeAvro(spark.range(3, 5).select(col("id"), lit("new").as("name"),
+      (col("id") * 10).as("extra")), dir, mode = "append")
+    val merged = spark.read.format("gavro").option("mergeSchema", "true").load(dir)
+    assert(merged.schema.fieldNames.toSet === Set("id", "name", "extra"))
+    // 'extra' absent from the old file → must come back nullable + null
+    assert(merged.schema("extra").nullable)
+    assert(merged.count() === 5)
+    assert(merged.filter(col("extra").isNull).count() === 3)
+    assert(merged.filter(col("extra") === 40L).count() === 1)
+    // pruning to the merged-only column still resolves every file
+    assert(merged.select(sum(col("extra"))).head().getLong(0) === 70L)
+  }
+
   test("empty directory reads as an empty frame with the declared schema") {
     val dir = tmpDir("empty")
     val schema = StructType(Seq(StructField("id", LongType), StructField("s", StringType)))
