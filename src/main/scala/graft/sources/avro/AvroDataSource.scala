@@ -359,7 +359,7 @@ class AvroBatchWrite(path: String, schema: StructType, queryId: String,
     val conf = AvroDataSource.hadoopConf()
     val p = new Path(stagingDir)
     p.getFileSystem(conf).mkdirs(p)
-    new AvroWriterFactory(stagingDir, schema,
+    new AvroWriterFactory(stagingDir, queryId, schema,
       AvroSchemas.toAvro(schema).toString, codec, new SerializableHadoopConf(conf))
   }
 
@@ -387,17 +387,22 @@ class AvroBatchWrite(path: String, schema: StructType, queryId: String,
 
 case class AvroCommitMessage(stagedFile: String) extends WriterCommitMessage
 
-class AvroWriterFactory(stagingDir: String, schema: StructType, avroJson: String,
-    codec: String, conf: SerializableHadoopConf) extends DataWriterFactory {
+class AvroWriterFactory(stagingDir: String, queryId: String, schema: StructType,
+    avroJson: String, codec: String, conf: SerializableHadoopConf)
+    extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new AvroDataWriter(stagingDir, schema, avroJson, codec, conf.value, partitionId, taskId)
+    new AvroDataWriter(stagingDir, queryId, schema, avroJson, codec, conf.value,
+      partitionId, taskId)
 }
 
-class AvroDataWriter(stagingDir: String, schema: StructType, avroJson: String,
-    codec: String, conf: Configuration, partitionId: Int, taskId: Long)
-    extends DataWriter[InternalRow] {
+class AvroDataWriter(stagingDir: String, queryId: String, schema: StructType,
+    avroJson: String, codec: String, conf: Configuration, partitionId: Int,
+    taskId: Long) extends DataWriter[InternalRow] {
   private val avroSchema = new Schema.Parser().parse(avroJson)
-  private val file = new Path(stagingDir, f"part-$partitionId%05d-$taskId.avro")
+  // queryId in the name: (partitionId, taskId) alone can collide when
+  // two APPLICATIONS append to the same directory (taskIds restart
+  // per app); rename-over-existing would fail the late committer
+  private val file = new Path(stagingDir, f"part-$partitionId%05d-$taskId-$queryId.avro")
   private val out = file.getFileSystem(conf).create(file, false)
   private val writer = {
     val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](avroSchema))
