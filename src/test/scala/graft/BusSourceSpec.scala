@@ -76,6 +76,37 @@ class BusSourceSpec extends AnyFunSuite {
     InMemoryLog.drop(log)
   }
 
+  test("bus records feed the streaming near-dup ingest end to end") {
+    import graft.streaming.NearDupSink
+    import graft.sources.SnapshotTable
+    val log = "bus_ingest"
+    InMemoryLog.create(log, 2)
+    val ckpt = tmp("ingest_ckpt")
+    val root = tmp("ingest_root")
+    val textA = "the quick brown fox jumps over the lazy dog near the old river bank today"
+    val textB = "completely different words describing an unrelated subject matter entirely alien here"
+
+    InMemoryLog.append(log, "1", textA, 0)
+    InMemoryLog.append(log, "2", textB, 1)
+    val q = spark.readStream.format("gbus").option("log", log).load()
+      .select(col("key").cast("long").as("doc_id"), col("value").as("text"))
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch(NearDupSink.ingestBatch(root) _)
+      .start()
+    try {
+      q.processAllAvailable()
+      InMemoryLog.append(log, "11", textA, 0) // dup of history doc 1
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val pairs = SnapshotTable.read(spark, NearDupSink.pairsRoot(root))
+      .select("batch_doc", "hist_doc").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(pairs === Seq((11L, 1L)), s"expected (11 vs history 1): $pairs")
+    assert(SnapshotTable.read(spark, NearDupSink.docsRoot(root)).count() === 3L)
+    InMemoryLog.drop(log)
+  }
+
   test("maxPerTrigger paces each partition relative to consumed progress") {
     val log = "bus_pace"
     InMemoryLog.create(log, 2)
