@@ -160,6 +160,21 @@ class AvroSourceSpec extends AnyFunSuite {
     assert(back.filter(col("name") === "new").count() === 3)
   }
 
+  test("the real corpus round-trips: documents through avro ≡ parquet") {
+    val dir = tmpDir("corpus")
+    val viaParquet = Tables.documents(spark, TestSpark.sf0001)
+    Sources.writeAvro(viaParquet, dir)
+    val viaAvro = Sources.avro(spark, dir)
+    assert(viaAvro.schema.map(f => (f.name, f.dataType)) ===
+      viaParquet.schema.map(f => (f.name, f.dataType)))
+    // same rows AND a real query computes identically over either path
+    assert(viaAvro.count() === viaParquet.count())
+    def langStats(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(col("lang")).agg(count(lit(1)).as("n"),
+        sum(length(col("text"))).as("chars")).orderBy("lang").collect().toSeq
+    assert(langStats(viaAvro) === langStats(viaParquet))
+  }
+
   test("mergeSchema unions evolving writer schemas; missing fields read null") {
     val dir = tmpDir("merge")
     Sources.writeAvro(spark.range(3).select(col("id"), lit("old").as("name")),
