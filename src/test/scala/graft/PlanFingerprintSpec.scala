@@ -38,6 +38,10 @@ class PlanFingerprintSpec extends AnyFunSuite {
     "q_join_range_bucketed" -> Map("BroadcastExchange" -> 1, "BroadcastHashJoin" -> 1, "Exchange hashpartitioning" -> 1, "Exchange rangepartitioning" -> 1),
     "q_topk_per_group" -> Map("Exchange hashpartitioning" -> 1, "Exchange rangepartitioning" -> 1, "WindowGroupLimit" -> 2),
     "q_sort_limit" -> Map("TakeOrderedAndProject" -> 1),
+    // span dedup: dup-set semi-join + removed-counts join broadcast at
+    // this SF (flip to SMJ at scale is the planner's call), two hash
+    // aggs' exchanges + the distinct's, range for the output order
+    "q_dedup_spans" -> Map("BroadcastExchange" -> 2, "BroadcastHashJoin" -> 2, "Exchange hashpartitioning" -> 4, "Exchange rangepartitioning" -> 1),
     "q_contamination" -> Map("BroadcastExchange" -> 1, "BroadcastHashJoin" -> 1, "Exchange hashpartitioning" -> 2, "Exchange rangepartitioning" -> 1),
     "q_ann_ivf" -> Map("BroadcastExchange" -> 1, "BroadcastHashJoin" -> 1, "Exchange hashpartitioning" -> 1, "Exchange rangepartitioning" -> 1, "WindowGroupLimit" -> 2),
     "q_shipping_priority" -> Map("BroadcastExchange" -> 2, "BroadcastHashJoin" -> 2, "Exchange hashpartitioning" -> 1, "TakeOrderedAndProject" -> 1),
