@@ -1210,10 +1210,83 @@ object Dedup extends QueryModule {
       ORDER BY doc_id
     """))
 
+  /** Duplicated-span removal, RANGE form (VERDICT r14 item 4): the
+    * spans a corpus pipeline actually CUTS. [[dedupSpans]] reports
+    * per-doc removed-token counts; this emits the merged contiguous
+    * token ranges (doc_id, span_start, span_end) covered by ≥1
+    * duplicated 5-gram window — gaps-and-islands over the covered
+    * positions (island id = p − row_number per doc; one group per
+    * maximal run).
+    *
+    * Scale shape: same two hash aggs + semi-join as [[dedupSpans]],
+    * plus one per-doc window whose partition cardinality is bounded
+    * by tokens-per-document (document length, NOT corpus size — no
+    * global window, no skew exposure; the distinct and the window
+    * both shuffle on doc-keyed hashes).
+    */
+  val dedupSpanRanges = QueryDef(
+    "q_dedup_span_ranges",
+    (s, d) => {
+      graft.functions.expressions.WordNgrams.register(s)
+      val n = 5
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), TF.tokens(col("text")).as("toks"))
+      // checkpointed: spans feed both the df count and the semi-join
+      // probe (same reuse rationale as q_dedup_spans)
+      val spans = toks.select(col("doc_id"),
+          posexplode(call_function(
+            graft.functions.expressions.WordNgrams.name, col("toks"), lit(n))))
+        .select(col("doc_id"), (col("pos") + 1).as("start"), col("col").as("sh"))
+        .localCheckpoint(false)
+      val dup = spans.groupBy(col("sh"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+        .filter(col("df") >= 2)
+        .select(col("sh"))
+      // covered positions, long-typed to match the oracle's BIGINT
+      // generate_series/row_number arithmetic
+      val cov = spans.join(dup, Seq("sh"), "left_semi")
+        .select(col("doc_id"),
+          explode(sequence(col("start").cast("long"),
+            (col("start") + (n - 1)).cast("long"))).as("p"))
+        .distinct()
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+      cov.withColumn("grp", col("p") - row_number().over(w))
+        .groupBy(col("doc_id"), col("grp"))
+        .agg(min(col("p")).as("span_start"), max(col("p")).as("span_end"))
+        .select(col("doc_id"), col("span_start"), col("span_end"),
+          (col("span_end") - col("span_start") + 1).as("span_len"))
+        .orderBy(col("doc_id"), col("span_start"))
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        FROM documents),
+      sh0 AS (
+        SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 4),
+          i -> struct_pack(start := i,
+                 sh := toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+                       toks[i+3] || ' ' || toks[i+4]))) AS u
+        FROM t),
+      sh AS (SELECT doc_id, u.start AS start, u.sh AS sh FROM sh0),
+      dup AS (SELECT sh FROM sh GROUP BY sh HAVING count(DISTINCT doc_id) >= 2),
+      cov0 AS (
+        SELECT s.doc_id, unnest(generate_series(s.start, s.start + 4)) AS p
+        FROM sh s JOIN dup USING (sh)),
+      cov AS (SELECT DISTINCT doc_id, p FROM cov0),
+      isl AS (
+        SELECT doc_id, p,
+               p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS grp
+        FROM cov)
+      SELECT doc_id, min(p) AS span_start, max(p) AS span_end,
+             max(p) - min(p) + 1 AS span_len
+      FROM isl GROUP BY doc_id, grp
+      ORDER BY doc_id, span_start
+    """))
+
   def defs: Seq[QueryDef] = Seq(
     dedupExact, dedupFingerprint, dedupMinhash, dedupCluster, dedupSimhash,
     dedupSimhashHamming, dedupSimhashWide, dedupSimhashBanded,
     dedupSimhashAdaptive, dedupEmbedding, dedupFuzzy,
     dedupKeepBest, dedupIncremental, dedupMinhashIncremental,
-    minhashEstimate, dedupSpans)
+    minhashEstimate, dedupSpans, dedupSpanRanges)
 }
