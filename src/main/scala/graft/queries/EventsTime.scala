@@ -192,8 +192,8 @@ object EventsTime extends QueryModule {
     "q_sessionize_auto",
     (s, d) => {
       val ev = Tables.events(s, d)
-      if (graft.functions.SkewRouter.plainWindowSafe(
-          ev, Seq("user_id"), tag = s"$d#events.user_id"))
+      if (graft.functions.SkewRouter.plainWindowSafeForSource(
+          d, "events", ev, Seq("user_id"), tag = s"$d#events.user_id"))
         sessionsPlain(ev)
       else sessions2Level(ev)
     },
@@ -662,8 +662,8 @@ object EventsTime extends QueryModule {
     "q_attribution_auto",
     (s, d) => {
       val ev = Tables.events(s, d)
-      if (graft.functions.SkewRouter.plainWindowSafe(
-          ev, Seq("user_id"), tag = s"$d#events.user_id"))
+      if (graft.functions.SkewRouter.plainWindowSafeForSource(
+          d, "events", ev, Seq("user_id"), tag = s"$d#events.user_id"))
         attributionPlain(ev)
       else attribution2LevelOf(ev)
     },

@@ -310,8 +310,8 @@ object Joins extends QueryModule {
     "q_join_asof_auto",
     (s, d) => {
       val ev = Tables.events(s, d)
-      if (graft.functions.SkewRouter.plainWindowSafe(
-          ev, Seq("user_id"), tag = s"$d#events.user_id"))
+      if (graft.functions.SkewRouter.plainWindowSafeForSource(
+          d, "events", ev, Seq("user_id"), tag = s"$d#events.user_id"))
         asofPlain(ev)
       else asof2Level(ev)
     },

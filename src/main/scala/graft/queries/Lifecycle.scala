@@ -269,8 +269,8 @@ object Lifecycle extends QueryModule {
     "q_markov_transitions_auto",
     (s, d) => {
       val ev = Tables.events(s, d)
-      if (graft.functions.SkewRouter.plainWindowSafe(
-          ev, Seq("user_id"), tag = s"$d#events.user_id"))
+      if (graft.functions.SkewRouter.plainWindowSafeForSource(
+          d, "events", ev, Seq("user_id"), tag = s"$d#events.user_id"))
         markovPlain(ev)
       else markov2Level(ev)
     },
@@ -911,8 +911,8 @@ object Lifecycle extends QueryModule {
     "q_event_paths_auto",
     (s, d) => {
       val ev = Tables.events(s, d)
-      if (graft.functions.SkewRouter.plainWindowSafe(
-          ev, Seq("user_id"), tag = s"$d#events.user_id"))
+      if (graft.functions.SkewRouter.plainWindowSafeForSource(
+          d, "events", ev, Seq("user_id"), tag = s"$d#events.user_id"))
         eventPathsPlain(ev)
       else eventPaths2LevelOf(ev)
     },

@@ -301,6 +301,7 @@ object SnapshotTable {
     // it, so the marker is born with complete content.
     val staging = Paths.get(root, "_staging", java.util.UUID.randomUUID().toString)
     df.write.mode("overwrite").parquet(staging.toString)
+    writeSchemaSidecar(staging, df.schema)
     try validateConstraints(spark, root, staging)
     catch { case e: Throwable => deleteTree(staging); throw e }
     if (statsCols.nonEmpty) writeStats(spark, staging, statsCols)
@@ -308,7 +309,13 @@ object SnapshotTable {
     val manifestTmp = Paths.get(root, "_staging",
       staging.getFileName.toString + ".manifest")
     Files.writeString(manifestTmp, mine.toSeq.sorted.mkString("\n"))
-    casCommit(root, staging, manifestTmp, mine, readVersion, maxRetries)
+    val committed = casCommit(root, staging, manifestTmp, mine, readVersion, maxRetries)
+    // enrolled routing stats refresh AFTER publish (advisory — a stats
+    // failure stales the scalar, never the commit); no-op one dir
+    // check for non-enrolled tables. Full-content commit → recompute
+    // (one counts aggregate, same order as the write just paid).
+    TableStats.maintainFull(spark, root, committed)
+    committed
   }
 
   /** The metadata half of [[commit]] — CAS-claim a version for an
@@ -415,7 +422,7 @@ object SnapshotTable {
       cols.forall(present.contains)
     }
 
-  private def listDataFiles(dir: Path): Vector[String] = {
+  private[sources] def listDataFiles(dir: Path): Vector[String] = {
     val s = Files.list(dir)
     try s.iterator().asScala.filter(p => Files.isRegularFile(p) && {
       val n = p.getFileName.toString
@@ -687,6 +694,7 @@ object SnapshotTable {
             writePartmap(staging, partitionCol,
               writeSlicePerValue(df, partitionCol, vals, staging))
           else df.write.mode("overwrite").parquet(staging.toString)
+          writeSchemaSidecar(staging, df.schema)
         } else {
           val prior = read(spark, root, base)
           // names AND types must match exactly: a name-only check
@@ -746,6 +754,9 @@ object SnapshotTable {
               prior.filter(!replaced).unionByName(aligned)
                 .write.mode("overwrite").parquet(staging.toString)
           }
+          // schema sidecar in the table's (prior) column order —
+          // zero-job reads of the new version
+          writeSchemaSidecar(staging, aligned.schema)
         }
         // explicit sidecar requests (same contract as commit()). A
         // carried manifest that does not cover the REQUESTED columns
@@ -769,8 +780,41 @@ object SnapshotTable {
       }
       // contiguous claim: exactly composedBase + 1
       val next = composedBase + 1
-      if (backend.claim(root, next, manifestTmp))
-        return publishClaimed(root, staging, manifestTmp, next, () => cleanup())
+      if (backend.claim(root, next, manifestTmp)) {
+        val committed =
+          publishClaimed(root, staging, manifestTmp, next, () => cleanup())
+        // enrolled routing stats: fold the slice's counts in and the
+        // replaced partitions' old counts out — the prior version's
+        // partmap names the replaced files exactly, so the old-slice
+        // read is ∝ touched data (never a table scan) on the fast
+        // path; the DV/token-unsafe fallback filters the prior
+        // version the same way the slow compose does. Advisory: runs
+        // after publish, failures only stale the scalar.
+        if (TableStats.hasEnrollments(root)) {
+          val priorDir = Paths.get(root, s"v=$composedBase")
+          val oldSlice =
+            if (composedBase == 0) None
+            else readPartmap(priorDir, partitionCol)
+              .filter(_ => tokenSafe && !Files.exists(dvDir(priorDir))) match {
+              case Some(pm) =>
+                val replacedFiles = pm.collect {
+                  case (f, tok) if mine.contains(tok) =>
+                    priorDir.resolve(f).toString
+                }.toSeq
+                if (replacedFiles.isEmpty) None
+                else Some(spark.read.parquet(replacedFiles: _*))
+              case None =>
+                val replaced = org.apache.spark.sql.functions.coalesce(
+                  org.apache.spark.sql.functions.col(partitionCol)
+                    .isin(vals ++ dropValues: _*),
+                  org.apache.spark.sql.functions.lit(false))
+                Some(read(spark, root, composedBase).filter(replaced))
+            }
+          TableStats.maintainPartitionOverwrite(spark, root, committed,
+            df, oldSlice)
+        }
+        return committed
+      }
       attempt += 1
       // head unmoved means an in-flight claim owns next: wait, don't
       // restage; a moved head recomposes on the next loop pass
@@ -779,6 +823,36 @@ object SnapshotTable {
     cleanup()
     throw new SnapshotConflict(
       s"lost the commit race $maxRetries times at $root; giving up")
+  }
+
+  // ---- schema sidecar: zero-job cold reads ---------------------------
+  //
+  // Without a declared schema, spark.read.parquet infers it by reading
+  // footers in a SPARK JOB — the real table formats store the schema
+  // in commit metadata precisely so a cold read is metadata-only.
+  // Every staged version records its schema (all-nullable: the
+  // conservative read form — linked files from earlier versions may
+  // differ in nullability) as `_schema.json`; read() declares it so a
+  // snapshot read plans with ZERO jobs. Tables without the sidecar
+  // (pre-r15 history) fall back to inference.
+
+  private[sources] def schemaFile(dir: Path) = dir.resolve("_schema.json")
+
+  private[sources] def writeSchemaSidecar(staging: Path,
+      schema: org.apache.spark.sql.types.StructType): Unit = {
+    val nullable = org.apache.spark.sql.types.StructType(
+      schema.fields.map(_.copy(nullable = true)))
+    Files.writeString(schemaFile(staging), nullable.json); ()
+  }
+
+  private def readWithSidecarSchema(spark: SparkSession, dir: Path): DataFrame = {
+    val sf = schemaFile(dir)
+    if (Files.exists(sf))
+      spark.read.schema(org.apache.spark.sql.types.DataType
+        .fromJson(Files.readString(sf))
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+        .parquet(dir.toString)
+    else spark.read.parquet(dir.toString)
   }
 
   /** Read the latest snapshot (default) or time-travel to `version`. */
@@ -792,7 +866,7 @@ object SnapshotTable {
     require(Files.exists(Paths.get(root, s"v=$v")),
       s"version $v does not exist (vacuumed or never committed)")
     applyDv(spark, Paths.get(root, s"v=$v"),
-      spark.read.parquet(s"$root/v=$v"))
+      readWithSidecarSchema(spark, Paths.get(root, s"v=$v")))
   }
 
   // ---- deletion vectors (row-level delete without rewrite) ---------
@@ -819,7 +893,7 @@ object SnapshotTable {
   //  - a later full [[commit]] writes fresh files and no `_dv`, and
   //    [[compactFiles]] materializes the subtraction — both end the
   //    merge-on-read debt, exactly like OPTIMIZE on the real formats.
-  private def dvDir(dir: Path) = dir.resolve("_dv")
+  private[sources] def dvDir(dir: Path) = dir.resolve("_dv")
 
   private val dvSchema = org.apache.spark.sql.types.StructType(Seq(
     org.apache.spark.sql.types.StructField("__dv_file",
@@ -901,10 +975,16 @@ object SnapshotTable {
     if (Files.exists(setsFile(srcDir)))
       Files.copy(setsFile(srcDir), setsFile(staging),
         StandardCopyOption.COPY_ATTRIBUTES)
+    // schema unchanged by a DV-only commit
+    if (Files.exists(schemaFile(srcDir)))
+      Files.copy(schemaFile(srcDir), schemaFile(staging),
+        StandardCopyOption.COPY_ATTRIBUTES)
     val manifestTmp = Paths.get(root, "_staging",
       staging.getFileName.toString + ".manifest")
     Files.writeString(manifestTmp, "*")
-    casCommit(root, staging, manifestTmp, Set("*"), cur, maxRetries)
+    val committed = casCommit(root, staging, manifestTmp, Set("*"), cur, maxRetries)
+    TableStats.maintainFull(spark, root, committed) // enrolled stats (advisory)
+    committed
   }
 
   // ---- MERGE (batch upsert) ----------------------------------------
@@ -1078,7 +1158,9 @@ object SnapshotTable {
     val manifestTmp = Paths.get(root, "_staging",
       staging.getFileName.toString + ".manifest")
     Files.writeString(manifestTmp, "*")
-    casCommit(root, staging, manifestTmp, Set("*"), cur, maxRetries)
+    val committed = casCommit(root, staging, manifestTmp, Set("*"), cur, maxRetries)
+    TableStats.maintainFull(spark, root, committed) // enrolled stats (advisory)
+    committed
   }
 
   // ---- commit history (metadata table) -----------------------------
@@ -1784,8 +1866,23 @@ object SnapshotTable {
   * @param readVersion snapshot version the DataFrame was derived from;
   *                    -1 = blind write (never conflicts, only rebases)
   */
+/** One table's write inside a [[SnapshotTransaction.commitAll]].
+  *
+  * `appendFiles = true` (r15) stages the new version as HARD LINKS of
+  * the current version's data files (plus its `_dv`/`_schema.json`
+  * sidecars) with only `df`'s rows written as new files — an APPEND
+  * whose staging cost is ∝ batch + |files| link metadata ops, never
+  * the table (the property that makes a per-micro-batch transactional
+  * sink viable at 100 TB). The linked base version becomes the
+  * write's readVersion (unless one was given), and the write declares
+  * the full table, so ANY commit landing after the link invalidates
+  * the composition and the transaction aborts with a conflict rather
+  * than publishing stale bytes. With `appendFiles = false` (default)
+  * `df` is the complete next content, as in single-table [[SnapshotTable.commit]].
+  */
 final case class TableWrite(root: String, df: DataFrame,
-    partitions: Seq[String] = Nil, readVersion: Int = -1)
+    partitions: Seq[String] = Nil, readVersion: Int = -1,
+    appendFiles: Boolean = false)
 
 /** Cross-table transactions over [[SnapshotTable]] — the piece even
   * most production formats lack (Delta/Iceberg commit one table at a
@@ -1854,12 +1951,44 @@ object SnapshotTransaction {
       "a transaction may write each table at most once")
     Files.createDirectories(Paths.get(txnDir))
     // ---- 1. stage (expensive, no locks, writer-unique names) -------
-    val staged = writes.sortBy(_.root).map { w =>
-      Files.createDirectories(Paths.get(w.root, "_staging"))
-      Files.createDirectories(Paths.get(w.root, "_log"))
-      val staging = Paths.get(w.root, "_staging",
+    val staged = writes.sortBy(_.root).map { w0 =>
+      Files.createDirectories(Paths.get(w0.root, "_staging"))
+      Files.createDirectories(Paths.get(w0.root, "_log"))
+      val staging = Paths.get(w0.root, "_staging",
         java.util.UUID.randomUUID().toString)
-      w.df.write.mode("overwrite").parquet(staging.toString)
+      val w =
+        if (!w0.appendFiles) {
+          w0.df.write.mode("overwrite").parquet(staging.toString)
+          writeSchemaSidecar(staging, w0.df.schema)
+          w0
+        } else {
+          // append staging: link the current version's files (and its
+          // DV — linking data files without their deletion vector
+          // would resurrect deleted rows), then write only the batch
+          val base = currentVersion(w0.root)
+          Files.createDirectories(staging)
+          if (base > 0) {
+            val curDir = Paths.get(w0.root, s"v=$base")
+            listDataFiles(curDir).foreach(n =>
+              Files.createLink(staging.resolve(n), curDir.resolve(n)))
+            if (Files.exists(dvDir(curDir))) {
+              Files.createDirectories(dvDir(staging))
+              val s = Files.list(dvDir(curDir))
+              try s.iterator().asScala.filter(Files.isRegularFile(_))
+                .foreach(f => Files.createLink(
+                  dvDir(staging).resolve(f.getFileName), f))
+              finally s.close()
+            }
+            if (Files.exists(schemaFile(curDir)))
+              Files.copy(schemaFile(curDir), schemaFile(staging))
+          }
+          w0.df.write.mode("append").parquet(staging.toString)
+          if (!Files.exists(schemaFile(staging)))
+            writeSchemaSidecar(staging, w0.df.schema)
+          // the linked base is the version this composition is valid
+          // against — any later commit must conflict the claim
+          if (w0.readVersion < 0) w0.copy(readVersion = base) else w0
+        }
       // escapeVal: SAME framing rule as single-table commit() — the
       // overlap check compares this set against claims written by
       // commit()/commitPartitions(), which escape; an unescaped token
@@ -1943,6 +2072,14 @@ object SnapshotTransaction {
         staging.getFileName.toString + ".manifest"))
     }
     Files.deleteIfExists(decidedRec)
+    // enrolled routing stats (advisory, after publish — same contract
+    // as the single-table hooks): an append folds exactly its delta,
+    // a full write recomputes
+    versions.foreach { case (w, _, v) =>
+      if (w.appendFiles)
+        TableStats.maintainPartitionOverwrite(spark, w.root, v, w.df, None)
+      else TableStats.maintainFull(spark, w.root, v)
+    }
     versions.map { case (w, _, v) => w.root -> v }.toMap
   }
 

@@ -3,6 +3,8 @@ package graft.sources.avro
 import java.io.{IOException, ObjectInputStream, ObjectOutputStream}
 import java.util
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.avro.Schema
 import org.apache.avro.file.{CodecFactory, DataFileReader, DataFileWriter}
 import org.apache.avro.generic.{GenericDatumReader, GenericDatumWriter, GenericRecord}
@@ -66,7 +68,7 @@ class AvroDataSource extends TableProvider with DataSourceRegister {
       // file — same planning cost class as parquet's mergeSchema;
       // default off). A field absent from any file must be nullable:
       // those files resolve it to null on read.
-      val schemas = files.map(f =>
+      val schemas = files.map(f => f.getPath.getName ->
         AvroSchemas.toSpark(AvroDataSource.readWriterSchema(f.getPath, conf)))
       AvroDataSource.mergeSchemas(schemas)
     } else AvroSchemas.toSpark(AvroDataSource.readWriterSchema(files.head.getPath, conf))
@@ -118,22 +120,52 @@ object AvroDataSource {
     out.result().sortBy(_.getPath.toString)
   }
 
-  /** Field-name union across file schemas: first-seen order, first
-    * occurrence's type wins (widening promotions absorb int→long /
-    * float→double divergence at read), nullable when nullable
+  /** Widening rank along Avro's numeric promotion chain
+    * (int→long→float→double); -1 = not in the chain.
+    */
+  private def promoRank(dt: org.apache.spark.sql.types.DataType): Int = dt match {
+    case org.apache.spark.sql.types.IntegerType => 0
+    case org.apache.spark.sql.types.LongType => 1
+    case org.apache.spark.sql.types.FloatType => 2
+    case org.apache.spark.sql.types.DoubleType => 3
+    case _ => -1
+  }
+
+  /** Field-name union across (file, schema) pairs: first-seen order;
+    * type divergence WIDENS along Avro's promotion chain (the same
+    * promotions read-time resolution applies) and anything beyond it
+    * fails AT PLANNING with the field and the two conflicting files
+    * named (ADVICE r14: first-type-wins deferred the conflict to an
+    * opaque executor-side resolution error). Nullable when nullable
     * anywhere OR absent from any file.
     */
-  private[avro] def mergeSchemas(schemas: Seq[StructType]): StructType = {
-    val order = scala.collection.mutable.LinkedHashMap.empty[String, org.apache.spark.sql.types.StructField]
+  private[avro] def mergeSchemas(schemas: Seq[(String, StructType)]): StructType = {
+    val order = scala.collection.mutable.LinkedHashMap
+      .empty[String, org.apache.spark.sql.types.StructField]
+    val firstFile = scala.collection.mutable.HashMap.empty[String, String]
     val presentIn = scala.collection.mutable.HashMap.empty[String, Int].withDefaultValue(0)
-    schemas.foreach { st =>
+    schemas.foreach { case (file, st) =>
       st.fields.foreach { f =>
         presentIn(f.name) += 1
         order.get(f.name) match {
-          case None => order.update(f.name, f)
-          case Some(prev) if f.nullable && !prev.nullable =>
-            order.update(f.name, prev.copy(nullable = true))
-          case _ =>
+          case None =>
+            order.update(f.name, f)
+            firstFile.update(f.name, file)
+          case Some(prev) =>
+            val widened =
+              if (prev.dataType == f.dataType) prev.dataType
+              else {
+                val (a, b) = (promoRank(prev.dataType), promoRank(f.dataType))
+                if (a >= 0 && b >= 0)
+                  (if (a >= b) prev.dataType else f.dataType)
+                else throw new IllegalArgumentException(
+                  s"gavro mergeSchema: field '${f.name}' has incompatible " +
+                    s"types ${prev.dataType.simpleString} " +
+                    s"(in ${firstFile(f.name)}) vs ${f.dataType.simpleString} " +
+                    s"(in $file) — beyond Avro's numeric promotion chain")
+              }
+            order.update(f.name, prev.copy(dataType = widened,
+              nullable = prev.nullable || f.nullable))
         }
       }
     }
@@ -221,9 +253,19 @@ class AvroScan(path: String, full: StructType, required: StructType,
     // (valid — zero partitions were planned) synthesizes from the
     // table schema, whose merged-only fields are nullable and so
     // carry the null default files missing them resolve to.
-    val tableAvro =
+    val anchored =
       if (files.nonEmpty && !merged)
         AvroDataSource.readWriterSchema(files.head.getPath, conf)
+      else AvroSchemas.toAvro(full)
+    // The anchor file is arbitrary (ADVICE r14): with a user-supplied
+    // schema, or files added between planning and factory creation,
+    // a required column can be absent from THAT file's writer schema
+    // even though other files (or the declared schema) carry it —
+    // fall back to the synthesized table schema, whose nullable
+    // fields carry the null defaults missing-field resolution needs.
+    val anchorNames = anchored.getFields.asScala.map(_.name()).toSet
+    val tableAvro =
+      if (required.fieldNames.forall(anchorNames.contains)) anchored
       else AvroSchemas.toAvro(full)
     val reader = AvroSchemas.prune(tableAvro, required.fieldNames.toSeq)
     new AvroReaderFactory(reader.toString, required, new SerializableHadoopConf(conf))
@@ -328,20 +370,35 @@ class AvroWriteBuilder(path: String, tableSchema: StructType, info: LogicalWrite
 
   /** ACCEPT_ANY_SCHEMA means Spark hands the query's own schema
     * through unresolved — an `INSERT INTO ... VALUES` arrives with
-    * synthetic column names (col1, col2, …). When the table schema is
-    * known and arity matches, adopt ITS field names positionally so
-    * the written files resolve against the table on read (types stay
-    * the query's — Avro read-time promotion covers int→long,
-    * float→double). The positional contract is the standard one for
-    * accept-any-schema sources.
+    * synthetic column names (col1, col2, …). Table names are adopted
+    * positionally ONLY for that synthetic case (ADVICE r14: a blanket
+    * arity-match adoption silently relabeled an out-of-order or
+    * differently-named DataFrame append — data corruption when the
+    * swapped columns share a type). A query whose name SET already
+    * matches the table case-insensitively keeps its own order but
+    * takes the table's exact casing (Avro name resolution is
+    * case-sensitive); any other query keeps its own names and
+    * per-file Avro name resolution handles the read side.
     */
   private def writeSchema: StructType = {
     val q = info.schema()
-    if (tableSchema.nonEmpty && tableSchema.length == q.length) {
+    val synthetic = q.fieldNames.zipWithIndex.forall {
+      case (n, i) => n.equalsIgnoreCase(s"col${i + 1}")
+    }
+    if (tableSchema.isEmpty || tableSchema.length != q.length) q
+    else if (synthetic && q.nonEmpty) {
       StructType(q.fields.zip(tableSchema.fieldNames).map {
         case (f, n) => f.copy(name = n)
       })
-    } else q
+    } else {
+      val canon = tableSchema.fieldNames.map(n => n.toLowerCase -> n).toMap
+      val sameSet = q.fieldNames.map(_.toLowerCase).toSet ==
+        tableSchema.fieldNames.map(_.toLowerCase).toSet
+      if (sameSet) // case-normalize, do NOT rearrange
+        StructType(q.fields.map(f =>
+          f.copy(name = canon(f.name.toLowerCase))))
+      else q
+    }
   }
 
   override def build(): Write = new Write {

@@ -44,23 +44,42 @@ class AvroMicroBatchStream(path: String, tableSchema: StructType,
   // from the manifest on construction so restarts never re-admit.
   private val seen = mutable.LinkedHashMap.empty[String, Long]
   private var batches: Long = 0L
+  // highest batch id folded into a `_compact_` snapshot (its
+  // per-batch manifests are deleted; only COMMITTED batches are ever
+  // folded, so batch recovery always finds its manifest)
+  private var compactedThrough: Long = 0L
   rebuildFromManifest()
 
   private def manifestFile(batch: Long): Path =
     new Path(manifestDir, f"$batch%010d")
+  private def compactFile(through: Long): Path =
+    new Path(manifestDir, f"_compact_$through%010d")
 
+  /** Rebuild from ONE directory listing (ADVICE r14: the per-batch
+    * exists-probe loop paid O(total batches) filesystem RPCs on every
+    * restart): load the newest `_compact_` seen-set snapshot, then
+    * replay only the per-batch manifests at or above it.
+    */
   private def rebuildFromManifest(): Unit = {
-    var b = 0L
-    while (fs.exists(manifestFile(b))) {
-      readManifest(b).foreach { case (p, len) => seen.update(p, len) }
-      b += 1
-    }
-    batches = b
+    val entries =
+      try fs.listStatus(manifestDir)
+      catch { case _: java.io.FileNotFoundException => Array.empty[org.apache.hadoop.fs.FileStatus] }
+    val names = entries.map(_.getPath.getName)
+    val compacts = names.filter(_.startsWith("_compact_"))
+      .map(_.stripPrefix("_compact_").toLong).sorted
+    compactedThrough = compacts.lastOption.getOrElse(0L)
+    if (compactedThrough > 0L)
+      readLines(compactFile(compactedThrough))
+        .foreach { case (p, len) => seen.update(p, len) }
+    val ids = names.filter(n => n.nonEmpty && n.forall(_.isDigit))
+      .map(_.toLong).filter(_ >= compactedThrough).sorted
+    ids.foreach(b => readManifest(b).foreach { case (p, len) => seen.update(p, len) })
+    batches = ids.lastOption.map(_ + 1L).getOrElse(compactedThrough)
   }
 
-  private def readManifest(batch: Long): Seq[(String, Long)] = {
+  private def readLines(f: Path): Seq[(String, Long)] = {
     val in = new BufferedReader(new InputStreamReader(
-      fs.open(manifestFile(batch)), StandardCharsets.UTF_8))
+      fs.open(f), StandardCharsets.UTF_8))
     try {
       Iterator.continually(in.readLine()).takeWhile(_ != null).map { line =>
         val i = line.lastIndexOf('\t')
@@ -68,6 +87,9 @@ class AvroMicroBatchStream(path: String, tableSchema: StructType,
       }.toVector
     } finally in.close()
   }
+
+  private def readManifest(batch: Long): Seq[(String, Long)] =
+    readLines(manifestFile(batch))
 
   /** Atomic manifest append: create(overwrite=false) — two racing
     * writers for the same batch id (can't happen in one driver, but
@@ -125,7 +147,39 @@ class AvroMicroBatchStream(path: String, tableSchema: StructType,
     new AvroReaderFactory(reader.toString, required, new SerializableHadoopConf(conf))
   }
 
-  override def commit(end: Offset): Unit = () // manifest is already durable
+  /** Manifests are already durable; commit's job is COMPACTION
+    * (ADVICE r14: one file per micro-batch grows the manifest dir
+    * unboundedly — Spark's FileStreamSource compacts its log for
+    * the same reason). Every `compactEvery` committed batches the
+    * cumulative seen-set snapshots into `_compact_<end>` and the
+    * folded per-batch manifests are deleted. Only batches below the
+    * COMMITTED offset fold, so an uncommitted batch's re-plan always
+    * finds its manifest; the snapshot is written before any delete,
+    * so a crash mid-compaction loses nothing.
+    */
+  override def commit(end: Offset): Unit = {
+    val e = end.asInstanceOf[AvroStreamOffset].batch
+    val compactEvery = 64L
+    if (e - compactedThrough < compactEvery) return
+    // fold exactly the batches < e (entries admitted by a NEWER,
+    // uncommitted batch must stay in their own manifest files)
+    val snapshot =
+      (compactedThrough until e).flatMap(readManifest)
+    val prev = compactedThrough
+    val out = fs.create(compactFile(e), true)
+    try {
+      if (prev > 0L) readLines(compactFile(prev)).foreach { case (p, len) =>
+        out.write(s"$p\t$len\n".getBytes(StandardCharsets.UTF_8))
+      }
+      snapshot.foreach { case (p, len) =>
+        out.write(s"$p\t$len\n".getBytes(StandardCharsets.UTF_8))
+      }
+    } finally out.close()
+    // snapshot durable — now drop what it covers
+    (prev until e).foreach(b => fs.delete(manifestFile(b), false))
+    if (prev > 0L) fs.delete(compactFile(prev), false)
+    compactedThrough = e
+  }
 
   override def stop(): Unit = ()
 }

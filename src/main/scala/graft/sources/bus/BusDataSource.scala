@@ -25,8 +25,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *   - one InputPartition per bus partition per batch — consumption
   *     parallelism is the bus's partition count, the Kafka planning
   *     shape;
-  *   - `maxPerTrigger` caps records admitted per partition per batch
-  *     (backpressure, `maxOffsetsPerTrigger` analog);
+  *   - `maxPerTrigger` caps TOTAL records admitted per batch,
+  *     distributed over partitions proportionally to backlog
+  *     (`maxOffsetsPerTrigger`'s exact contract, r15 — and the
+  *     engine-passed ReadLimit is honored, so composed limits bind);
   *   - per-partition ordering is preserved into the output; offsets
   *     are exposed as columns for downstream exactly-once dedup.
   *
@@ -98,17 +100,51 @@ class BusMicroBatchStream(logName: String, maxPerTrigger: Long)
     if (maxPerTrigger > 0) ReadLimit.maxRows(maxPerTrigger) else ReadLimit.allAvailable()
 
   /** Admission-control variant — the engine passes the batch's true
-    * start, so the per-partition cap is relative to consumed progress
-    * and composes with checkpoint recovery (the Kafka source shape).
-    * `maxPerTrigger` caps each PARTITION's admission per batch.
+    * start, so caps are relative to consumed progress and compose
+    * with checkpoint recovery (the Kafka source shape). The PASSED
+    * `limit` is honored (ADVICE r14: ignoring it meant admission
+    * could exceed the declared cap by the partition count, and
+    * engine-composed limits — e.g. Trigger.AvailableNow wrappers —
+    * were silently dropped): ReadMaxRows is a GLOBAL row budget
+    * distributed over partitions proportionally to backlog, exactly
+    * `maxOffsetsPerTrigger`'s contract; composite limits apply each
+    * member; min-rows/unknown kinds don't bound a bus admission.
     */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = start.asInstanceOf[BusOffset].next
     val end = InMemoryLog.endOffsets(logName)
-    if (maxPerTrigger <= 0) BusOffset(end)
-    else BusOffset(end.map { case (p, e) =>
-      p -> math.min(e, s.getOrElse(p, 0L) + maxPerTrigger)
-    })
+
+    def capGlobal(cur: Map[Int, Long], maxRows: Long): Map[Int, Long] = {
+      val lag = cur.map { case (p, e) => p -> math.max(0L, e - s.getOrElse(p, 0L)) }
+      val total = lag.values.sum
+      if (total <= maxRows) cur
+      else {
+        val shared = cur.map { case (p, e) =>
+          val share = (maxRows.toDouble * lag(p) / total).toLong // floor
+          p -> math.min(e, s.getOrElse(p, 0L) + share)
+        }
+        // floor-rounding can starve every partition when
+        // maxRows < |partitions|: always admit ≥1 record from the
+        // largest backlog so the stream provably drains
+        val admits = shared.map { case (p, e) => math.max(0L, e - s.getOrElse(p, 0L)) }.sum
+        if (admits > 0L || total == 0L) shared
+        else {
+          val hottest = lag.maxBy(_._2)._1
+          shared.updated(hottest, s.getOrElse(hottest, 0L) + 1L)
+        }
+      }
+    }
+
+    def apply(lim: ReadLimit, cur: Map[Int, Long]): Map[Int, Long] = lim match {
+      case _: org.apache.spark.sql.connector.read.streaming.ReadAllAvailable => cur
+      case m: org.apache.spark.sql.connector.read.streaming.ReadMaxRows =>
+        capGlobal(cur, m.maxRows())
+      case c: org.apache.spark.sql.connector.read.streaming.CompositeReadLimit =>
+        c.getReadLimits.foldLeft(cur)((acc, l) => apply(l, acc))
+      case _ => cur
+    }
+
+    BusOffset(apply(limit, end))
   }
 
   override def latestOffset(): Offset =
