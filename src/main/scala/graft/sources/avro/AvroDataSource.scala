@@ -196,14 +196,15 @@ class AvroTable(path: String, tableSchema: StructType, mergedSchema: Boolean = f
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new AvroScanBuilder(path, tableSchema,
       options.getInt("maxFilesPerTrigger", 0),
-      mergedSchema || options.getBoolean("mergeSchema", false))
+      mergedSchema || options.getBoolean("mergeSchema", false),
+      options.getInt("manifestCompactEvery", 64))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new AvroWriteBuilder(path, tableSchema, info)
 }
 
 class AvroScanBuilder(path: String, full: StructType, maxFilesPerTrigger: Int,
-    merged: Boolean = false)
+    merged: Boolean = false, manifestCompactEvery: Int = 64)
     extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = full
 
@@ -211,16 +212,19 @@ class AvroScanBuilder(path: String, full: StructType, maxFilesPerTrigger: Int,
     required = requiredSchema
 
   override def build(): Scan =
-    new AvroScan(path, full, required, maxFilesPerTrigger, merged)
+    new AvroScan(path, full, required, maxFilesPerTrigger, merged,
+      manifestCompactEvery)
 }
 
 class AvroScan(path: String, full: StructType, required: StructType,
-    maxFilesPerTrigger: Int, merged: Boolean = false) extends Scan with Batch {
+    maxFilesPerTrigger: Int, merged: Boolean = false,
+    manifestCompactEvery: Int = 64) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new AvroMicroBatchStream(path, full, required, checkpointLocation, maxFilesPerTrigger)
+    new AvroMicroBatchStream(path, full, required, checkpointLocation,
+      maxFilesPerTrigger, manifestCompactEvery)
   override def description(): String =
     s"gavro $path cols=[${required.fieldNames.mkString(",")}]"
 

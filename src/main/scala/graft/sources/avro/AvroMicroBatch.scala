@@ -32,7 +32,8 @@ import org.apache.spark.sql.types.StructType
   * triggers (discovery order: modification time, then path).
   */
 class AvroMicroBatchStream(path: String, tableSchema: StructType,
-    required: StructType, checkpointLocation: String, maxFilesPerTrigger: Int)
+    required: StructType, checkpointLocation: String, maxFilesPerTrigger: Int,
+    manifestCompactEvery: Int = 64)
     extends MicroBatchStream {
 
   private val conf: Configuration = AvroDataSource.hadoopConf()
@@ -159,8 +160,7 @@ class AvroMicroBatchStream(path: String, tableSchema: StructType,
     */
   override def commit(end: Offset): Unit = {
     val e = end.asInstanceOf[AvroStreamOffset].batch
-    val compactEvery = 64L
-    if (e - compactedThrough < compactEvery) return
+    if (e - compactedThrough < math.max(1, manifestCompactEvery).toLong) return
     // fold exactly the batches < e (entries admitted by a NEWER,
     // uncommitted batch must stay in their own manifest files)
     val snapshot =

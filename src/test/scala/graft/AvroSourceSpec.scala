@@ -238,4 +238,60 @@ class AvroSourceSpec extends AnyFunSuite {
     assert(AvroSchemas.toSpark(pruned).fields.map(_.dataType).toSeq ===
       Seq(TimestampType, LongType))
   }
+
+  test("append with reordered column names aligns by NAME, never positionally") {
+    // ADVICE r14 regression pin: a DataFrame whose columns are the
+    // table's set in a different ORDER must land under its own names
+    // (read-side Avro name resolution aligns), never be silently
+    // relabeled by position
+    val dir = tmpDir("reorder")
+    import spark.implicits._
+    Seq((1L, "one"), (2L, "two")).toDF("id", "name")
+      .write.format("gavro").mode("append").save(dir)
+    // reversed order: (name, id)
+    Seq(("three", 3L)).toDF("name", "id")
+      .write.format("gavro").mode("append").save(dir)
+    val got = spark.read.format("gavro").load(dir)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSeq === Seq((1L, "one"), (2L, "two"), (3L, "three")),
+      s"positional relabeling corrupted the append: ${got.toSeq}")
+  }
+
+  test("append with same-arity DIFFERENT names keeps the query's names") {
+    val dir = tmpDir("diffnames")
+    import spark.implicits._
+    Seq((1L, "one")).toDF("id", "name").write.format("gavro").mode("append").save(dir)
+    Seq((9L, "x")).toDF("id", "extra")
+      .write.format("gavro").mode("append").save(dir)
+    // reading under the declared (id, name) schema: the second file's
+    // `extra` field is skipped, its missing `name` resolves to null —
+    // the honest name-resolution outcome, NOT a silent relabel of
+    // extra→name (which would surface "x" below)
+    val got = spark.read.format("gavro")
+      .schema(StructType(Seq(
+        StructField("id", LongType), StructField("name", StringType))))
+      .load(dir)
+      .orderBy("id").collect().map(r => (r.getLong(0), Option(r.getString(1))))
+    assert(got.toSeq === Seq((1L, Some("one")), (9L, None)), s"${got.toSeq}")
+  }
+
+  test("mergeSchema widens along Avro promotions; real conflicts fail at planning") {
+    val dir = tmpDir("widen")
+    import spark.implicits._
+    Seq((1, 1.0f)).toDF("n", "v").write.format("gavro").mode("append").save(dir)
+    Seq((2L, 2.0d)).toDF("n", "v").write.format("gavro").mode("append").save(dir)
+    val merged = spark.read.format("gavro").option("mergeSchema", "true").load(dir)
+    assert(merged.schema("n").dataType === LongType)
+    assert(merged.schema("v").dataType === DoubleType)
+    assert(merged.select(sum("n")).head().getLong(0) === 3L)
+
+    val bad = tmpDir("conflict")
+    Seq((1, "text")).toDF("n", "v").write.format("gavro").mode("append").save(bad)
+    Seq((2, 9L)).toDF("n", "v").write.format("gavro").mode("append").save(bad)
+    val e = intercept[IllegalArgumentException] {
+      spark.read.format("gavro").option("mergeSchema", "true").load(bad).schema
+    }
+    assert(e.getMessage.contains("'v'") && e.getMessage.contains(".avro"),
+      s"planning error must name the field and the files: ${e.getMessage}")
+  }
 }

@@ -90,4 +90,48 @@ class AvroStreamSpec extends AnyFunSuite {
       assert(spark.table("gavro_prune").count() === 5)
     } finally q.stop()
   }
+
+  test("manifest compaction bounds the checkpoint dir; restart stays exactly-once") {
+    val dir = tmp("compact")
+    val ckpt = tmp("compact_ckpt")
+    val out = tmp("compact_out")
+    // one file per batch (maxFilesPerTrigger=1), compact every 3
+    // committed batches: the per-batch manifests fold into a
+    // `_compact_` seen-set snapshot and are deleted
+    (0 until 9).foreach(i => drop(dir, i * 10, i * 10 + 10))
+
+    def start() = spark.readStream.format("gavro")
+      .option("maxFilesPerTrigger", "1").option("manifestCompactEvery", "3")
+      .load(dir).select("id")
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+
+    val q1 = start()
+    try { q1.processAllAvailable() } finally q1.stop()
+    assert(spark.read.parquet(out).count() === 90)
+
+    // the engine hands the source a per-source checkpoint subdir
+    // (sources/0/...): locate the manifest dir by name
+    def findManifestDir(f: java.io.File): Option[java.io.File] =
+      if (f.isDirectory && f.getName == "graft-avro-manifest") Some(f)
+      else Option(f.listFiles()).toSeq.flatten
+        .filter(_.isDirectory).flatMap(findManifestDir).headOption
+    val manifestDir = findManifestDir(new java.io.File(ckpt))
+      .getOrElse(fail(s"no manifest dir under $ckpt"))
+    val names = manifestDir.list().toSeq.sorted
+    val compacts = names.filter(_.startsWith("_compact_"))
+    val perBatch = names.filterNot(_.startsWith("_compact_"))
+    assert(compacts.size === 1, s"exactly one snapshot survives: $names")
+    assert(perBatch.size < 9,
+      s"folded per-batch manifests must be deleted: $names")
+
+    // restart rebuilds seen from snapshot + tail manifests (one
+    // listing): nothing re-emits, late files arrive once
+    drop(dir, 90, 95)
+    val q2 = start()
+    try { q2.processAllAvailable() } finally q2.stop()
+    val ids = spark.read.parquet(out).collect().map(_.getLong(0)).sorted
+    assert(ids === (0L until 95L).toArray,
+      s"restart after compaction re-emitted or dropped: n=${ids.length}")
+  }
 }

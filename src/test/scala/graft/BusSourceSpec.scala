@@ -125,4 +125,38 @@ class BusSourceSpec extends AnyFunSuite {
     } finally q.stop()
     InMemoryLog.drop(log)
   }
+
+  test("engine-passed ReadLimit binds globally, distributed by backlog, and always drains") {
+    import graft.sources.bus.{BusMicroBatchStream, BusOffset}
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val log = "bus_limit"
+    InMemoryLog.create(log, 2)
+    // skewed backlog: 9 records on p0, 3 on p1
+    (0 until 9).foreach(i => InMemoryLog.append(log, s"a$i", s"a$i", 0))
+    (0 until 3).foreach(i => InMemoryLog.append(log, s"b$i", s"b$i", 1))
+    val stream = new BusMicroBatchStream(log, maxPerTrigger = 0L)
+    val start = stream.initialOffset().asInstanceOf[BusOffset]
+
+    // ADVICE r14 pin: maxRows is a GLOBAL row budget (Kafka's
+    // maxOffsetsPerTrigger contract), not per-partition
+    val end = stream.latestOffset(start, ReadLimit.maxRows(4L))
+      .asInstanceOf[BusOffset]
+    val admitted = end.next.map { case (p, o) => o - start.next(p) }
+    assert(admitted.sum <= 4L, s"global cap exceeded: ${end.next}")
+    // proportional to backlog: p0 (9 lag) gets 3, p1 (3 lag) gets 1
+    assert(end.next(0) === 3L && end.next(1) === 1L, s"${end.next}")
+
+    // starvation guard: a budget below the partition count still
+    // admits one record from the largest backlog
+    val tiny = stream.latestOffset(start, ReadLimit.maxRows(1L))
+      .asInstanceOf[BusOffset]
+    val tinyAdmits = tiny.next.map { case (p, o) => o - start.next(p) }.sum
+    assert(tinyAdmits === 1L, s"must drain under tiny budgets: ${tiny.next}")
+
+    // allAvailable admits everything
+    val all = stream.latestOffset(start, ReadLimit.allAvailable())
+      .asInstanceOf[BusOffset]
+    assert(all.next === Map(0 -> 9L, 1 -> 3L))
+    InMemoryLog.drop(log)
+  }
 }
