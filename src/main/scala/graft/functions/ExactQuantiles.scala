@@ -73,6 +73,20 @@ object ExactQuantiles {
     */
   private[graft] def clearCache(): Unit = rankedCache.clear()
 
+  /** The ingest-maintained saturation scalar for a (sfDir, table)
+    * source — the [[graft.sources.TableStats]] enrollment named after
+    * `groupCols :+ valueCol` (the same convention SkewRouter's
+    * plainWindowSafeForSource uses). Zero Spark jobs; `None` for a
+    * plain parquet corpus (one file-exists check) or a stale stat,
+    * both of which fall back to [[windowSafe]]'s probe. Pass the
+    * result as `knownMaxDistinct` so a stats-bearing snapshot table
+    * constructs its quantile plan job-free (TableStatsIngestSpec).
+    */
+  def knownMaxDistinctForSource(sfDir: String, table: String,
+      groupCols: Seq[String], valueCol: String): Option[Long] =
+    graft.sources.TableStats.stored(s"$sfDir/$table.parquet",
+      (groupCols :+ valueCol).mkString("_")).flatMap(_.maxDistinctPerGroup)
+
   /** Interpolated percentiles, wide output: one row per group with a
     * double column per requested (p, name). Empty `groupCols` = one
     * global row. A non-null `tag` memoizes the ranked distinct table

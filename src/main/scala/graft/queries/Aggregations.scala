@@ -343,10 +343,14 @@ object Aggregations extends QueryModule {
       // and q_mad's median pass (VERDICT r13 item 2)
       val qty = graft.functions.ExactQuantiles.cont(li, Seq("l_returnflag"),
         "l_quantity", Seq(0.25 -> "qty_p25_raw", 0.5 -> "qty_median_raw"),
-        tag = s"$d#lineitem.l_returnflag.l_quantity")
+        tag = s"$d#lineitem.l_returnflag.l_quantity",
+        knownMaxDistinct = graft.functions.ExactQuantiles
+          .knownMaxDistinctForSource(d, "lineitem", Seq("l_returnflag"), "l_quantity"))
       val price = graft.functions.ExactQuantiles.cont(li, Seq("l_returnflag"),
         "l_extendedprice", Seq(0.9 -> "price_p90_raw"),
-        tag = s"$d#lineitem.l_returnflag.l_extendedprice")
+        tag = s"$d#lineitem.l_returnflag.l_extendedprice",
+        knownMaxDistinct = graft.functions.ExactQuantiles
+          .knownMaxDistinctForSource(d, "lineitem", Seq("l_returnflag"), "l_extendedprice"))
       qty.join(price, Seq("l_returnflag"))
         .select(col("l_returnflag"),
           round(col("qty_p25_raw"), 4).as("qty_p25"),
@@ -518,10 +522,14 @@ object Aggregations extends QueryModule {
       // only on the (dataset, groups, value) triple, not cont-vs-disc
       val qty = graft.functions.ExactQuantiles.disc(li, Seq("l_returnflag"),
         "l_quantity", Seq(0.25 -> "qty_p25", 0.5 -> "qty_median"),
-        tag = s"$d#lineitem.l_returnflag.l_quantity")
+        tag = s"$d#lineitem.l_returnflag.l_quantity",
+        knownMaxDistinct = graft.functions.ExactQuantiles
+          .knownMaxDistinctForSource(d, "lineitem", Seq("l_returnflag"), "l_quantity"))
       val price = graft.functions.ExactQuantiles.disc(li, Seq("l_returnflag"),
         "l_extendedprice", Seq(0.9 -> "price_p90"),
-        tag = s"$d#lineitem.l_returnflag.l_extendedprice")
+        tag = s"$d#lineitem.l_returnflag.l_extendedprice",
+        knownMaxDistinct = graft.functions.ExactQuantiles
+          .knownMaxDistinctForSource(d, "lineitem", Seq("l_returnflag"), "l_extendedprice"))
       qty.join(price, Seq("l_returnflag"))
         .select(col("l_returnflag"), col("qty_p25"), col("qty_median"),
           col("price_p90"))

@@ -127,4 +127,40 @@ class TableStatsIngestSpec extends AnyFunSuite {
     assert(TableStats.stored(root, "nope").isEmpty,
       "failed maintenance leaves no (stale) scalar marked current")
   }
+
+  test("quantile guard consumes the enrolled two-scalar stat: job-free source lookup") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-enroll-q2").toString
+    val root = s"$dir/lineitem.parquet"
+    // two-scalar enrollment: group prefix 1 over (user_id, v) tracks
+    // BOTH the hot-key rows and the per-group distinct-value count
+    TableStats.enroll(root, "user_id_value", Seq("user_id", "value"), groupPrefix = 1)
+    SnapshotTable.commitPartitions(spark, root,
+      eventsBatch(Seq(1L -> 30, 2L -> 5), 0L), "batch_id")
+    SnapshotTable.commitPartitions(spark, root,
+      eventsBatch(Seq(1L -> 20, 3L -> 8), 1L), "batch_id")
+
+    // value takes 5 distinct values within every user (eventsBatch: i % 5)
+    var md: Option[Long] = None
+    val jobs = jobsDuring {
+      md = graft.functions.ExactQuantiles
+        .knownMaxDistinctForSource(dir, "lineitem", Seq("user_id"), "value")
+    }
+    assert(jobs === 0, s"source lookup must be job-free, ran $jobs")
+    assert(md === Some(5L), s"per-group distinct scalar: $md")
+
+    // quantile construction over the table with the stored scalar:
+    // zero jobs, rows identical to the probe route
+    val df = SnapshotTable.read(spark, root)
+    var routed: org.apache.spark.sql.DataFrame = null
+    val jobs2 = jobsDuring {
+      routed = graft.functions.ExactQuantiles.cont(df, Seq("user_id"), "value",
+        Seq(0.5 -> "p50"), knownMaxDistinct = md)
+      routed.queryExecution.optimizedPlan
+    }
+    assert(jobs2 === 0, s"stat-routed quantile construction ran $jobs2 jobs")
+    val probed = graft.functions.ExactQuantiles.cont(df, Seq("user_id"), "value",
+      Seq(0.5 -> "p50"))
+    assert(routed.orderBy("user_id").collect().map(_.toString).toSeq ===
+      probed.orderBy("user_id").collect().map(_.toString).toSeq)
+  }
 }
