@@ -57,19 +57,53 @@ object BusTxnSink {
 
   /** The foreachBatch handler: `stream.writeStream.foreachBatch(
     * BusTxnSink.ingestBatch(root) _)`. Any batch schema; rows land
-    * with a `batch_id` column appended.
+    * with a `batch_id` column appended. When the batch carries bus
+    * `partition`/`offset` columns, the offsets row also records the
+    * per-partition offset RANGES this batch covered ("p:lo-hi,…" —
+    * metadata-sized collect over |partitions| rows), so the offsets
+    * table is self-describing to an external auditor, not just a
+    * replay guard.
+    *
+    * `optimizeEvery` > 0 folds file maintenance into the stream:
+    * every N-th batch first OPTIMIZEs both tables (compactFiles —
+    * a normal committed version, conflict-safe against the appends).
+    * Without it, each append hard-links every prior file and the
+    * per-batch link cost grows with stream lifetime; with it the
+    * file count — and therefore the append's metadata cost — stays
+    * bounded by N × files-per-batch + compacted output.
     */
-  def ingestBatch(root: String)(batch: DataFrame, batchId: Long): Unit = {
+  def ingestBatch(root: String, optimizeEvery: Int = 0)
+      (batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
     // heal any transaction a previous incarnation died inside —
     // recover is idempotent and O(interrupted txns)
     SnapshotTransaction.recover(txnDir(root))
     if (batchId <= lastCommittedBatch(spark, root)) return // replay: already atomic-committed
+    if (optimizeEvery > 0 && batchId > 0 && batchId % optimizeEvery == 0) {
+      Seq(dataRoot(root), offsetsRoot(root)).foreach { r =>
+        if (SnapshotTable.currentVersion(r) > 0) {
+          SnapshotTable.compactFiles(spark, r); ()
+        }
+      }
+    }
     val slice = batch.withColumn("batch_id", lit(batchId)).localCheckpoint()
     try {
-      val n = slice.count()
+      val hasBusOffsets = batch.columns.contains("partition") &&
+        batch.columns.contains("offset")
+      val (n, ranges): (Long, String) =
+        if (hasBusOffsets) {
+          val per = slice.groupBy(col("partition"))
+            .agg(min(col("offset")).as("lo"), max(col("offset")).as("hi"),
+              count(lit(1)).as("c"))
+            .collect() // |bus partitions| rows — metadata-sized
+          (per.map(_.getLong(3)).sum,
+            per.sortBy(_.getInt(0))
+              .map(r => s"${r.getInt(0)}:${r.getLong(1)}-${r.getLong(2)}")
+              .mkString(","))
+        } else (slice.count(), null)
       import spark.implicits._
-      val offsetRow = Seq((batchId, n)).toDF("batch_id", "n_rows")
+      val offsetRow = Seq((batchId, n, Option(ranges)))
+        .toDF("batch_id", "n_rows", "ranges")
       SnapshotTransaction.commitAll(spark, txnDir(root), Seq(
         TableWrite(dataRoot(root), slice, appendFiles = true),
         TableWrite(offsetsRoot(root), offsetRow, appendFiles = true)))

@@ -99,7 +99,7 @@ class BusTxnSinkSpec extends AnyFunSuite {
     def run(): Unit = {
       val q = spark.readStream.format("gbus").option("log", log)
         .option("maxPerTrigger", "5").load()
-        .writeStream.foreachBatch(BusTxnSink.ingestBatch(root) _)
+        .writeStream.foreachBatch(BusTxnSink.ingestBatch(root, optimizeEvery = 2) _)
         .option("checkpointLocation", ckpt).start()
       try q.processAllAvailable() finally q.stop()
     }
@@ -113,6 +113,21 @@ class BusTxnSinkSpec extends AnyFunSuite {
       .map(r => (r.getInt(0), r.getLong(1))).toSeq
     assert(got.size === 20 && got.distinct.size === 20,
       s"every bus record exactly once: ${got.size}/${got.distinct.size}")
+
+    // the offsets table is self-describing: per-partition ranges
+    // recorded for every committed batch
+    val ranges = SnapshotTable.read(spark, BusTxnSink.offsetsRoot(root))
+      .orderBy("batch_id").collect().map(r => Option(r.getString(2)))
+    assert(ranges.nonEmpty && ranges.forall(_.exists(_.contains(":"))),
+      s"per-partition offset ranges must be recorded: ${ranges.toSeq}")
+
+    // in-stream OPTIMIZE bounds the hard-linked file count: far fewer
+    // data files than one-per-batch-per-partition accumulation
+    val dataDir = new java.io.File(s"${BusTxnSink.dataRoot(root)}/v=" +
+      SnapshotTable.currentVersion(BusTxnSink.dataRoot(root)))
+    val nFiles = dataDir.listFiles().count(f =>
+      f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    assert(nFiles < 20, s"optimizeEvery must bound file growth: $nFiles files")
     InMemoryLog.drop(log)
   }
 }
