@@ -238,9 +238,14 @@ object TableStats {
     }
 
   /** Commit-hook for partition-sliced commits: fold the slice's
-    * counts in and the replaced partitions' old counts out — cost
-    * ∝ touched data + |counts table|, never the monitored table
-    * (the property that makes per-batch streaming ingest viable).
+    * counts in and the replaced partitions' old counts out. On the
+    * partmap fast path the old slice is read from exactly the
+    * replaced FILES, so cost ∝ touched data + |counts table| — the
+    * property that makes per-batch streaming ingest viable. The
+    * no-partmap/DV fallback filters the prior version instead; that
+    * branch only arises when the commit itself took the slow full
+    * compose (which already scanned the table), so stats maintenance
+    * never exceeds the commit's own cost class.
     */
   private[sources] def maintainPartitionOverwrite(spark: SparkSession,
       tableRoot: String, committedVersion: Int, newSlice: DataFrame,
