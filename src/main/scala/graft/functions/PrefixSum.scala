@@ -84,6 +84,17 @@ object PrefixSum {
     * @param sums       (valueCol -> outName) inclusive running sums
     * @param totals     (valueCol -> outName) per-group total sums
     * @param countTotal output name for the per-group row count
+    * @param mins       (valueCol -> outName) inclusive running MIN —
+    *                   min over rows at-or-before the current row in
+    *                   the group's total order (dominance frontiers,
+    *                   best-so-far scans). Unlike sums, running min is
+    *                   order-insensitive within a prefix, so results
+    *                   are bit-identical to the one-partition window
+    *                   for every supported type including double.
+    * @param minsExcl   (valueCol -> outName) EXCLUSIVE running min —
+    *                   min over rows strictly before the current row;
+    *                   null on a group's first row (skyline "does any
+    *                   strictly-cheaper row undercut me" probes)
     * @param maxPartials guard on the driver-side partials collect; above
     *                   this the call falls back to the plain partitioned
     *                   window (see the cardinality contract above)
@@ -96,6 +107,8 @@ object PrefixSum {
       sums: Seq[(String, String)] = Nil,
       totals: Seq[(String, String)] = Nil,
       countTotal: Option[String] = None,
+      mins: Seq[(String, String)] = Nil,
+      minsExcl: Seq[(String, String)] = Nil,
       maxPartials: Int = DefaultMaxPartials): DataFrame = {
     val spark = df.sparkSession
     val pid = "__ps_pid"
@@ -109,8 +122,10 @@ object PrefixSum {
     // Pass 1: per-(pid, group) partials. Output is #partitions × #groups
     // rows — the collect below is metadata-sized, not data-sized.
     val valueCols = (sums.map(_._1) ++ totals.map(_._1)).distinct
-    val partialAggs = count(lit(1)).as("__ps_cnt") +:
-      valueCols.map(v => sum(col(v)).as(s"__ps_s_$v"))
+    val minCols = (mins.map(_._1) ++ minsExcl.map(_._1)).distinct
+    val partialAggs = (count(lit(1)).as("__ps_cnt") +:
+      valueCols.map(v => sum(col(v)).as(s"__ps_s_$v"))) ++
+      minCols.map(v => min(col(v)).as(s"__ps_m_$v"))
     val partialsDf = parted
       .groupBy((pid +: groupCols).map(col): _*)
       .agg(partialAggs.head, partialAggs.tail: _*)
@@ -121,7 +136,7 @@ object PrefixSum {
     val pRows = partialsDf.limit(maxPartials + 1).collect()
     if (pRows.length > maxPartials) {
       return windowFallback(df, groupCols, sortCols,
-        rank, sums, totals, countTotal)
+        rank, sums, totals, countTotal, mins, minsExcl)
     }
 
     // Pass 2 (driver): exclusive prefix offsets in pid order per group,
@@ -144,8 +159,26 @@ object PrefixSum {
       case other => throw new IllegalArgumentException(
         s"PrefixSum: unsupported sum operands $other")
     }
+    // Running-min prefix compare: NaN orders LARGEST for float/double
+    // (java.lang compare), matching Spark's own min/least semantics so
+    // the offset agrees with the pass-3 window it merges into.
+    def lt(a: Any, b: Any): Boolean = (a, b) match {
+      case (x: Long, y: Long)     => x < y
+      case (x: Int, y: Int)       => x < y
+      case (x: Double, y: Double) => java.lang.Double.compare(x, y) < 0
+      case (x: Float, y: Float)   => java.lang.Float.compare(x, y) < 0
+      case (x: java.math.BigDecimal, y: java.math.BigDecimal) => x.compareTo(y) < 0
+      case (x: String, y: String) => x < y
+      case other => throw new IllegalArgumentException(
+        s"PrefixSum: unsupported min operands $other")
+    }
+    // null = "no value yet" (empty prefix, or an all-null partial)
+    def minOf(a: Any, b: Any): Any =
+      if (a == null) b else if (b == null) a else if (lt(b, a)) b else a
     val nGroup = groupCols.size
     val sumTypes = valueCols.map(v => pSchema(s"__ps_s_$v").dataType)
+    val nSums = valueCols.size
+    val minTypes = minCols.map(v => pSchema(s"__ps_m_$v").dataType)
     val offRows = pRows
       .groupBy(r => (1 to nGroup).map(r.get).toSeq)
       .valuesIterator
@@ -157,12 +190,19 @@ object PrefixSum {
         }
         var offCnt = 0L
         var offSums = sumTypes.map(zero)
+        // EXCLUSIVE prefix mins (min over all prior partitions' rows
+        // of this group); null until a prior partition held a value
+        var offMins: Seq[Any] = minCols.map(_ => null)
         ordered.map { r =>
           val row = Row.fromSeq(
-            (0 to nGroup).map(r.get) ++ (offCnt +: offSums) ++ (totCnt +: totSums))
+            (0 to nGroup).map(r.get) ++ (offCnt +: offSums) ++
+              (totCnt +: totSums) ++ offMins)
           offCnt += r.getLong(1 + nGroup)
           offSums = offSums.zipWithIndex.map { case (acc, i) =>
             add(acc, r.get(2 + nGroup + i))
+          }
+          offMins = offMins.zipWithIndex.map { case (acc, i) =>
+            minOf(acc, r.get(2 + nGroup + nSums + i))
           }
           row
         }
@@ -177,7 +217,10 @@ object PrefixSum {
         (StructField("__ps_tot_cnt", LongType) +:
           valueCols.zip(sumTypes).map { case (v, dt) =>
             StructField(s"__ps_tot_$v", dt)
-          }))
+          }) ++
+        minCols.zip(minTypes).map { case (v, dt) =>
+          StructField(s"__ps_off_m_$v", dt)
+        })
     val offsetsDf = spark.createDataFrame(offRows.asJava, offSchema)
 
     // Pass 3: broadcast the offsets back and finish with a PARTITIONED
@@ -199,6 +242,10 @@ object PrefixSum {
       .partitionBy((pid +: groupCols).map(col): _*)
       .orderBy(sortCols: _*)
     val wRun = wLoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // exclusive frame for minsExcl: empty on a slice's first row, so
+    // the local min is null there and least() passes the prior-slice
+    // offset through (itself null on the group's true first row)
+    val wExc = wLoc.rowsBetween(Window.unboundedPreceding, -1)
     var out = joined
     rank.foreach { o =>
       out = out.withColumn(o, row_number().over(wLoc).cast("long") + col("__ps_off_cnt"))
@@ -210,8 +257,16 @@ object PrefixSum {
       out = out.withColumn(o, col(s"__ps_tot_$v"))
     }
     countTotal.foreach { o => out = out.withColumn(o, col("__ps_tot_cnt")) }
+    // least() skips nulls, which is exactly the "no value yet" merge
+    mins.foreach { case (v, o) =>
+      out = out.withColumn(o, least(min(col(v)).over(wRun), col(s"__ps_off_m_$v")))
+    }
+    minsExcl.foreach { case (v, o) =>
+      out = out.withColumn(o, least(min(col(v)).over(wExc), col(s"__ps_off_m_$v")))
+    }
     val helper = pid +: ("__ps_off_cnt" +: "__ps_tot_cnt" +:
-      valueCols.flatMap(v => Seq(s"__ps_off_$v", s"__ps_tot_$v")))
+      (valueCols.flatMap(v => Seq(s"__ps_off_$v", s"__ps_tot_$v")) ++
+        minCols.map(v => s"__ps_off_m_$v")))
     out.drop(helper: _*)
   }
 
@@ -229,7 +284,9 @@ object PrefixSum {
       rank: Option[String],
       sums: Seq[(String, String)],
       totals: Seq[(String, String)],
-      countTotal: Option[String]): DataFrame = {
+      countTotal: Option[String],
+      mins: Seq[(String, String)] = Nil,
+      minsExcl: Seq[(String, String)] = Nil): DataFrame = {
     require(groupCols.nonEmpty,
       "PrefixSum partials exceeded maxPartials with no group columns — " +
         "impossible unless maxPartials < shuffle partition count")
@@ -245,6 +302,11 @@ object PrefixSum {
     sums.foreach { case (v, o) => out = out.withColumn(o, sum(col(v)).over(wRun)) }
     totals.foreach { case (v, o) => out = out.withColumn(o, sum(col(v)).over(wAll)) }
     countTotal.foreach { o => out = out.withColumn(o, count(lit(1)).over(wAll)) }
+    mins.foreach { case (v, o) => out = out.withColumn(o, min(col(v)).over(wRun)) }
+    minsExcl.foreach { case (v, o) =>
+      out = out.withColumn(o,
+        min(col(v)).over(wOrd.rowsBetween(Window.unboundedPreceding, -1)))
+    }
     out
   }
 
@@ -277,7 +339,7 @@ object PrefixSum {
       maxWindowDistinct: Long = ExactQuantiles.SaturationGuard): DataFrame = {
     if (groupCols.isEmpty)
       return attach(df, groupCols, sortCols, rank, sums, totals,
-        countTotal, maxPartials)
+        countTotal, maxPartials = maxPartials)
     val pinned = df.localCheckpoint()
     val safe = pinned.count() <= maxWindowDistinct || {
       val r = pinned.groupBy(groupCols.map(col): _*)
@@ -287,7 +349,7 @@ object PrefixSum {
     if (safe) windowFallback(pinned, groupCols, sortCols,
       rank, sums, totals, countTotal)
     else attach(pinned, groupCols, sortCols, rank, sums, totals,
-      countTotal, maxPartials)
+      countTotal, maxPartials = maxPartials)
   }
 
   /** `ntile(k)` derived from a total-order rank and the group size —

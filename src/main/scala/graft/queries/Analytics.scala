@@ -751,9 +751,58 @@ object Analytics extends QueryModule {
       LIMIT 20
     """))
 
+  /** 2-D skyline (Pareto frontier): parts not dominated on
+    * (retail price, size) — no other part is ≤ on both axes and
+    * strictly < on one. The naive formulation is an O(n²) dominance
+    * self-join; this one is linear: aggregate to the per-price min
+    * size (hash agg), take running mins over the price-ordered
+    * domain, and keep a row iff no strictly-cheaper price reaches its
+    * size (`min_prev > s`) and no ≤-price row strictly undercuts it
+    * (`min_incl == s`, i.e. NOT `< s`). The running mins go through
+    * PrefixSum's distributed prefix scan — the distinct-price domain
+    * is data-proportional (a growing catalog mints new price points),
+    * so a single-partition Window over it would be the exact shape
+    * the plan audit bans. Exact dominance: the comparisons only ever
+    * see parquet-loaded values, no arithmetic, so Spark and the
+    * oracle agree bit-for-bit.
+    */
+  val skyline = QueryDef(
+    "q_skyline",
+    (s, d) => {
+      val p = Tables.part(s, d)
+        .select(col("p_partkey"), col("p_brand"), col("p_retailprice"), col("p_size"))
+      val perPrice = p.groupBy(col("p_retailprice"))
+        .agg(min(col("p_size")).as("m"))
+      val mins = PrefixSum.attach(perPrice, Nil, Seq(col("p_retailprice")),
+          mins = Seq("m" -> "min_incl"), minsExcl = Seq("m" -> "min_prev"))
+        .select(col("p_retailprice").as("sk_price"),
+          col("min_incl"), col("min_prev"))
+      p.join(mins, col("p_retailprice") === col("sk_price"))
+        .filter((col("min_prev").isNull || col("min_prev") > col("p_size")) &&
+          !(col("min_incl") < col("p_size")))
+        .select(col("p_partkey"), col("p_brand"), col("p_retailprice"), col("p_size"))
+        .orderBy(col("p_retailprice"), col("p_partkey"))
+    },
+    Some("""
+      WITH per AS (
+        SELECT p_retailprice AS pr, min(p_size) AS m FROM part GROUP BY 1),
+      mins AS (
+        SELECT pr,
+               min(m) OVER (ORDER BY pr
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS min_incl,
+               min(m) OVER (ORDER BY pr
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS min_prev
+        FROM per)
+      SELECT p_partkey, p_brand, p_retailprice, p_size
+      FROM part JOIN mins ON p_retailprice = mins.pr
+      WHERE (min_prev IS NULL OR min_prev > p_size)
+        AND NOT (min_incl < p_size)
+      ORDER BY p_retailprice, p_partkey
+    """))
+
   def defs: Seq[QueryDef] = Seq(
     shippingPriority, forecastRevenue, promoRevenue, topSupplier, partsStats,
     emaOrders, largeOrders, marketShare, waitingOrders, globalCustomers,
     priorityCount, custDist, returnedRevenue, localSupplierRevenue,
-    topkTies, momGrowth, drawdown, rfm, basketAffinity)
+    topkTies, momGrowth, drawdown, rfm, basketAffinity, skyline)
 }

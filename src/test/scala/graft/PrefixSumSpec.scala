@@ -93,6 +93,43 @@ class PrefixSumSpec extends AnyFunSuite {
       "null-group ranks/sums diverged from the window")
   }
 
+  test("global running min (incl + excl) matches the one-partition window") {
+    val w = Window.orderBy(col("k"), col("tb"))
+    val expected = df
+      .withColumn("mi", min(col("v"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("mp", min(col("v"))
+        .over(w.rowsBetween(Window.unboundedPreceding, -1)))
+    val actual = PrefixSum.attach(df, Nil, Seq(col("k"), col("tb")),
+      mins = Seq("v" -> "mi"), minsExcl = Seq("v" -> "mp"))
+    assert(actual.exceptAll(expected).isEmpty && expected.exceptAll(actual).isEmpty,
+      "distributed running min diverged from the global window")
+    // the exclusive min is null on exactly the first row of the order
+    assert(actual.filter(col("mp").isNull).count() == 1)
+  }
+
+  test("grouped running min restarts per group; nulls and NaN follow Spark min") {
+    // null values are skipped by min; NaN orders LARGEST (Spark
+    // semantics) — the driver-side prefix merge must agree with the
+    // pass-3 window on both
+    val data = Seq(
+      ("a", 1L, Option(5.0)), ("a", 2L, Option.empty[Double]),
+      ("a", 3L, Option(Double.NaN)), ("a", 4L, Option(2.0)),
+      ("b", 1L, Option(Double.NaN)), ("b", 2L, Option(7.0)),
+      ("b", 3L, Option.empty[Double]), ("c", 1L, Option.empty[Double]))
+      .toDF("g", "tb", "v").repartition(5)
+    val w = Window.partitionBy(col("g")).orderBy(col("tb"))
+    val expected = data
+      .withColumn("mi", min(col("v"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("mp", min(col("v"))
+        .over(w.rowsBetween(Window.unboundedPreceding, -1)))
+    val actual = PrefixSum.attach(data, Seq("g"), Seq(col("tb")),
+      mins = Seq("v" -> "mi"), minsExcl = Seq("v" -> "mp"))
+    assert(actual.exceptAll(expected).isEmpty && expected.exceptAll(actual).isEmpty,
+      "grouped running min diverged (null/NaN handling)")
+  }
+
   test("high-cardinality groups trip the guard and fall back bit-identically") {
     // one group per row → partials are data-sized; with maxPartials = 10
     // the guarded collect must abort (≤ 11 rows reach the driver) and

@@ -1,0 +1,27 @@
+#!/bin/bash
+# Dev tool: regenerate the 26x corpus, drive Verify over it, and run the
+# DuckDB oracle compare -> scale_sf26_check_r15.log. Mirrors the sbt fork
+# options from build.sbt (JDK17 add-opens, UTC, UI off).
+set -u
+cd /root/repo
+AO=""
+for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
+         java.nio java.util java.util.concurrent java.util.concurrent.atomic \
+         sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
+  AO="$AO --add-opens java.base/$p=ALL-UNNAMED"
+done
+CP="target/scala-2.13/classes:/opt/spark/jars/*"
+JAVA="java $AO -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC"
+
+echo "[$(date +%T)] GenScale 26x"
+$JAVA -Xmx16g -cp "$CP" graft.tools.GenScale /root/testdata/sf0.1 .tmp/sf26 26 \
+  > .tmp/genscale_sf26.log 2>&1 || { echo GENSCALE_FAILED; exit 1; }
+echo "[$(date +%T)] Verify at sf26"
+$JAVA -Xmx32g -cp "$CP" graft.Verify .tmp/sf26 .tmp/verify_sf26 \
+  > .tmp/verify_sf26.log 2>&1 || { echo VERIFY_FAILED; exit 1; }
+echo "[$(date +%T)] check.py at sf26"
+python3 tools/check.py .tmp/sf26 .tmp/verify_sf26 > scale_sf26_check_r15.log 2>&1
+rc=$?
+echo "[$(date +%T)] done rc=$rc"
+tail -3 scale_sf26_check_r15.log
+exit $rc
