@@ -284,7 +284,8 @@ object SnapshotTable {
   def commit(spark: SparkSession, root: String, df: DataFrame,
       partitions: Seq[String] = Nil, readVersion: Int = -1,
       maxRetries: Int = 10, statsCols: Seq[String] = Nil,
-      setCols: Seq[String] = Nil, setCap: Int = 1024): Int = {
+      setCols: Seq[String] = Nil, setCap: Int = 1024,
+      bloomCols: Seq[String] = Nil, bloomFpp: Double = 0.01): Int = {
     Files.createDirectories(logDir(root))
     requireNoReservedColumns(df)
     // escapeVal makes the newline-framed manifest injective: a
@@ -306,6 +307,7 @@ object SnapshotTable {
     catch { case e: Throwable => deleteTree(staging); throw e }
     if (statsCols.nonEmpty) writeStats(spark, staging, statsCols)
     if (setCols.nonEmpty) writeSets(spark, staging, setCols, setCap)
+    if (bloomCols.nonEmpty) writeBlooms(spark, staging, bloomCols, bloomFpp)
     val manifestTmp = Paths.get(root, "_staging",
       staging.getFileName.toString + ".manifest")
     Files.writeString(manifestTmp, mine.toSeq.sorted.mkString("\n"))
@@ -533,7 +535,7 @@ object SnapshotTable {
     */
   private def carrySidecars(spark: SparkSession, priorDir: Path,
       staging: Path, keptFiles: Set[String], newFiles: Set[String],
-      setCap: Int): Unit = {
+      setCap: Int, bloomFpp: Double = 0.01): Unit = {
     val newPaths = newFiles.toSeq.sorted.map(f => staging.resolve(f).toString)
     def carry(sidecar: Path => Path, fresh: Seq[String] => String): Unit = {
       if (!Files.exists(sidecar(priorDir))) return
@@ -548,6 +550,7 @@ object SnapshotTable {
     }
     carry(statsFile, cols => statsBody(spark, newPaths, cols))
     carry(setsFile, cols => setsBody(spark, newPaths, cols, setCap))
+    carry(bloomFile, cols => bloomBody(spark, newPaths, cols, bloomFpp))
   }
 
   /** Partition-sliced read-modify-write commit — the SOUND concurrent
@@ -609,7 +612,8 @@ object SnapshotTable {
       partitionCol: String, readVersion: Int = -1,
       maxRetries: Int = 10, statsCols: Seq[String] = Nil,
       setCols: Seq[String] = Nil, setCap: Int = 1024,
-      dropValues: Seq[Any] = Nil): Int = {
+      dropValues: Seq[Any] = Nil,
+      bloomCols: Seq[String] = Nil, bloomFpp: Double = 0.01): Int = {
     Files.createDirectories(logDir(root))
     requireNoReservedColumns(df)
     require(df.columns.contains(partitionCol),
@@ -740,7 +744,7 @@ object SnapshotTable {
               // pruning manifests survive the fast path too: kept
               // files' lines carry verbatim, new files are scanned
               carrySidecars(spark, priorDir, staging, keep.keySet,
-                fresh.keySet, setCap)
+                fresh.keySet, setCap, bloomFpp)
             case _ =>
               // SLOW PATH (no partmap / DV present / token-unsafe
               // type / too many values): full compose stays correct,
@@ -766,6 +770,8 @@ object SnapshotTable {
           writeStats(spark, staging, statsCols)
         if (setCols.nonEmpty && !sidecarCovers(setsFile(staging), setCols))
           writeSets(spark, staging, setCols, setCap)
+        if (bloomCols.nonEmpty && !sidecarCovers(bloomFile(staging), bloomCols))
+          writeBlooms(spark, staging, bloomCols, bloomFpp)
         validateConstraints(spark, root, staging)
         manifestTmp = Paths.get(root, "_staging",
           staging.getFileName.toString + ".manifest")
@@ -1464,10 +1470,88 @@ object SnapshotTable {
     sb.toString
   }
 
+  // ---- bloom-filter skipping (high-cardinality point pruning) ------
+  //
+  // The value-set sidecar is exact but capped: files past `setCap`
+  // distinct values record OVERFLOW and every point probe keeps them.
+  // The bloom sidecar (`_bloom.json`, see sources/BloomSidecar) covers
+  // exactly that regime — a fixed-size per-(file, column) bit array
+  // with no false negatives — so `pruneFilesEq` stays useful on
+  // non-clustered high-cardinality columns (IDs, hashes) where at
+  // 100 TB the set cap is always exceeded. Probes consult the set
+  // first (exact), and fall through to the bloom only for files whose
+  // set is OVERFLOW or absent.
+
+  private def bloomFile(dir: Path) = dir.resolve("_bloom.json")
+
+  private def writeBlooms(spark: SparkSession, staged: Path,
+      cols: Seq[String], fpp: Double): Unit = {
+    Files.writeString(bloomFile(staged),
+      bloomBody(spark, Seq(staged.toString), cols, fpp))
+    ()
+  }
+
+  /** The bloom manifest lines for exactly `srcs` (explicit source set,
+    * same contract as [[statsBody]]): `file \t col \t m:k:base64`.
+    * Two passes per column, both bounded: per-file distinct counts
+    * size the filters (one metadata-sized collect), then one
+    * map-side-combined aggregate ORs each file's value hashes into an
+    * `m`-bit buffer — the shuffle moves |files| buffers, never rows.
+    */
+  private def bloomBody(spark: SparkSession, srcs: Seq[String],
+      cols: Seq[String], fpp: Double): String = {
+    import org.apache.spark.sql.functions.{col => c, countDistinct, input_file_name, udaf}
+    import org.apache.spark.sql.Encoders
+    val df = spark.read.parquet(srcs: _*)
+    val sb = new StringBuilder
+    cols.foreach { n =>
+      val counts = df.groupBy(input_file_name().as("file"))
+        .agg(countDistinct(c(n)).as("n")).collect()
+        .map(r => r.getString(0) -> r.getLong(1))
+      if (counts.nonEmpty) {
+        // one (m, k) per column, sized for the LARGEST file so no
+        // file's realized fpp exceeds the request (post-OPTIMIZE files
+        // are near-uniform; smaller files just get a sparser filter)
+        val (m, k) = BloomSidecar.size(counts.map(_._2).max, fpp)
+        val agg = udaf(new BloomSidecar.BloomAgg(m, k), Encoders.STRING)
+        val rows = df
+          .select(input_file_name().as("file"), c(n).cast("string").as("v"))
+          .groupBy(c("file")).agg(agg(c("v")).as("bits")).collect()
+        rows.foreach { r =>
+          val file = Paths.get(new java.net.URI(r.getString(0)).getPath)
+            .getFileName.toString
+          val bytes = r.getAs[Array[Byte]](1)
+          val bb = java.nio.ByteBuffer.wrap(bytes)
+          val longs = Array.fill(bytes.length / 8)(bb.getLong)
+          sb.append(s"$file\t$n\t${BloomSidecar.encode(longs, m, k)}\n")
+        }
+      }
+    }
+    sb.toString
+  }
+
+  /** Driver-side bloom slice for one column of one version directory:
+    * file → (m, k, bits). Absent manifest or malformed lines read as
+    * "no filter" (callers keep those files conservatively).
+    */
+  private def loadBlooms(dir: Path,
+      column: String): Map[String, (Int, Int, Array[Long])] = {
+    val bf = bloomFile(dir)
+    if (!Files.exists(bf)) Map.empty
+    else Files.readString(bf).linesIterator.flatMap { line =>
+      line.split('\t') match {
+        case Array(f, cName, payload) if cName == column =>
+          BloomSidecar.decode(payload).map(f -> _)
+        case _ => None
+      }
+    }.toMap
+  }
+
   /** Files of version `v` that can hold rows with `column = value`
     * according to the value-set manifest. Files with OVERFLOW, no
-    * set line, or a table committed without sets are kept. Returns
-    * full paths.
+    * set line, or a table committed without sets are kept — unless a
+    * bloom sidecar covers them, in which case the bloom's
+    * no-false-negative `mightContain` decides. Returns full paths.
     */
   def pruneFilesEq(spark: SparkSession, root: String, column: String,
       value: String, version: Int = -1): Seq[String] = {
@@ -1482,8 +1566,14 @@ object SnapshotTable {
         .toVector.sorted
       finally s.close()
     }
+    val blooms = loadBlooms(dir, column)
+    def bloomKeep(f: String): Boolean = blooms.get(f) match {
+      case Some((m, k, bits)) => BloomSidecar.mightContain(bits, m, k, value)
+      case None => true // no filter for this file: keep
+    }
     val sf = setsFile(dir)
-    if (!Files.exists(sf)) return all.map(n => s"$root/v=$v/$n")
+    if (!Files.exists(sf))
+      return all.filter(bloomKeep).map(n => s"$root/v=$v/$n")
     val sets: Map[String, String] =
       Files.readString(sf).linesIterator.flatMap { line =>
         line.split('\t') match {
@@ -1494,9 +1584,9 @@ object SnapshotTable {
       }.toMap
     all.filter { f =>
       sets.get(f) match {
-        case Some(p) if p == setsOverflow => true
+        case Some(p) if p == setsOverflow => bloomKeep(f)
         case Some(p) => p.split(setsSep).contains(escapeVal(value))
-        case None => true // no set line for this file: keep
+        case None => bloomKeep(f) // no set line for this file
       }
     }.map(n => s"$root/v=$v/$n")
   }
