@@ -1597,17 +1597,38 @@ object SnapshotTable {
     * `read(...).filter(column = value)`.
     */
   def readPoint(spark: SparkSession, root: String, column: String,
-      value: String, version: Int = -1): DataFrame = {
+      value: String, version: Int = -1): DataFrame =
+    readPointAll(spark, root, Seq(column -> value), version)
+
+  /** Conjunctive point-lookup read: every (column, value) equality at
+    * once, opening only the files that survive EVERY predicate's
+    * sidecar pruning (set/bloom per column, intersected). Exactly
+    * `read(...).filter(c1 = v1 AND c2 = v2 AND ...)`. This is the
+    * compound-probe primitive for tables laid out on one column and
+    * bloom-indexed on another (e.g. an inverted text index bucketed
+    * by token hash with per-file token blooms: the bucket set prunes
+    * to the slice, the token bloom prunes within it).
+    */
+  def readPointAll(spark: SparkSession, root: String,
+      preds: Seq[(String, String)], version: Int = -1): DataFrame = {
     import org.apache.spark.sql.functions.{col => c, lit}
-    val files = pruneFilesEq(spark, root, column, value, version)
+    require(preds.nonEmpty, "readPointAll needs at least one predicate")
+    val cur = currentVersion(root)
+    val v = if (version > 0) version else cur
+    val files = preds
+      .map { case (column, value) =>
+        pruneFilesEq(spark, root, column, value, v).toSet
+      }
+      .reduce(_ intersect _)
     if (files.isEmpty)
-      read(spark, root, version).filter(lit(false))
+      read(spark, root, v).filter(lit(false))
     else {
-      val cur = currentVersion(root)
-      val v = if (version > 0) version else cur
+      val residual = preds
+        .map { case (column, value) => c(column).cast("string") === value }
+        .reduce(_ && _)
       applyDv(spark, Paths.get(root, s"v=$v"),
-        spark.read.parquet(files: _*))
-        .filter(c(column).cast("string") === value)
+        spark.read.parquet(files.toSeq.sorted: _*))
+        .filter(residual)
     }
   }
 

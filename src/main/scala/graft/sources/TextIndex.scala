@@ -1,0 +1,152 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Inverted token index over a document corpus, stored as a snapshot
+  * table — the corpus-search primitive a training-data pipeline uses
+  * for ad-hoc retrieval ("which documents mention these terms"),
+  * contamination forensics, and targeted corpus surgery, without
+  * scanning 100 TB of text per query.
+  *
+  * Layout: one row per (token, doc_id) posting with its term
+  * frequency, PARTITIONED by `bucket = pmod(xxhash64(token), B)`
+  * through [[SnapshotTable.commitPartitions]]. The partmap makes each
+  * bucket an independently addressable slice, so:
+  *
+  *   - a term lookup opens only its bucket's files (partition-value
+  *     point read — |files|/B of the index, no footer listing of the
+  *     rest), then the value-set/bloom sidecars prune WITHIN the
+  *     bucket if committed;
+  *   - incremental corpus appends rewrite only the buckets the new
+  *     documents' tokens hash into, through the same read-modify-write
+  *     slice commit every other incremental table here uses (cost ∝
+  *     touched buckets, OCC against concurrent appends);
+  *   - at 100 TB the index is itself big, but a B-way bucket split
+  *     keeps every posting-list scan a small fraction of it, and the
+  *     per-bucket files stay compactable by OPTIMIZE like any other
+  *     snapshot table.
+  *
+  * Tokenization is the corpus convention: whitespace split, empty
+  * tokens dropped (same as q_explode_tokens and the dedup shingle
+  * scans), so index-backed results are provably identical to a raw
+  * text scan — the spec and the q_index_search oracle pin exactly
+  * that equivalence.
+  */
+object TextIndex {
+
+  /** Number of hash buckets; recorded at build time in `_textindex`
+    * next to the snapshot log so readers never have to guess.
+    */
+  val DefaultBuckets = 64
+
+  private def metaFile(root: String) = Paths.get(root, "_textindex")
+
+  /** Build (or fully rebuild) the index over `docs`. One wide
+    * tokenize+aggregate over the corpus — the same cardinality class
+    * as the shingle scans — then a partitioned snapshot commit.
+    * Returns the committed version.
+    */
+  def build(spark: SparkSession, docs: DataFrame, root: String,
+      idCol: String = "doc_id", textCol: String = "text",
+      buckets: Int = DefaultBuckets): Int = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val postings = postingsOf(docs, idCol, textCol, buckets)
+    val v = SnapshotTable.commitPartitions(spark, root, postings, "bucket",
+      setCols = Seq("bucket"), setCap = 8, bloomCols = Seq("token"))
+    Files.createDirectories(Paths.get(root))
+    Files.writeString(metaFile(root), s"$buckets\n")
+    v
+  }
+
+  /** Append documents incrementally: recompute postings for the new
+    * docs only, merge them into the buckets they touch (read the
+    * CURRENT rows of just those buckets through the partmap, sum term
+    * frequencies for (token, doc) pairs that already exist — i.e. a
+    * re-ingested doc revision), and commit the touched slices. Cost ∝
+    * new-doc tokens + the touched buckets' existing postings.
+    */
+  def append(spark: SparkSession, newDocs: DataFrame, root: String,
+      idCol: String = "doc_id", textCol: String = "text"): Int = {
+    val buckets = bucketCount(root)
+    val readV = SnapshotTable.currentVersion(root)
+    val fresh = postingsOf(newDocs, idCol, textCol, buckets)
+      .localCheckpoint() // the touched-bucket list and the merge read one plan
+    val touched = fresh.select("bucket").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    if (touched.isEmpty) return readV
+    val existing = touched
+      .map(b => SnapshotTable.readPoint(spark, root, "bucket", b.toString,
+        version = readV))
+      .reduce(_ unionAll _)
+      .select(col("bucket"), col("token"), col("doc_id"), col("tf"))
+    val merged = existing.unionAll(
+        fresh.select(col("bucket"), col("token"), col("doc_id"), col("tf")))
+      .groupBy(col("bucket"), col("token"), col("doc_id"))
+      .agg(sum(col("tf")).cast("long").as("tf"))
+    SnapshotTable.commitPartitions(spark, root, merged, "bucket",
+      readVersion = readV,
+      setCols = Seq("bucket"), setCap = 8, bloomCols = Seq("token"))
+  }
+
+  /** Conjunctive (AND) term search ranked by summed term frequency,
+    * deterministic tiebreak on doc id: the documents containing EVERY
+    * query term, top `k` by score. Per term, reads only the files
+    * that survive BOTH sidecar prunes — the bucket value-set narrows
+    * to the term's hash slice, the token bloom narrows within it —
+    * via [[SnapshotTable.readPointAll]]; the driver computes each
+    * term's bucket with the same xxhash64 the build used.
+    */
+  def search(spark: SparkSession, root: String, terms: Seq[String],
+      k: Int): DataFrame = {
+    require(terms.nonEmpty, "search needs at least one term")
+    val buckets = bucketCount(root)
+    val distinctTerms = terms.distinct
+    val postings = distinctTerms
+      .map { t =>
+        SnapshotTable.readPointAll(spark, root,
+          Seq("bucket" -> bucketOf(t, buckets).toString, "token" -> t))
+      }
+      .reduce(_ unionAll _)
+    postings
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("token")).as("nt"),
+        sum(col("tf")).cast("long").as("score"))
+      .filter(col("nt") === distinctTerms.size)
+      .select(col("doc_id"), col("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** The driver-side twin of the build's `pmod(xxhash64(token), B)` —
+    * evaluated through the same Catalyst expression (seed 42), so a
+    * probe can never hash into a different bucket than the build.
+    */
+  def bucketOf(term: String, buckets: Int): Int = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    val h = XxHash64(Seq(Literal.create(term,
+      org.apache.spark.sql.types.StringType)), 42L)
+      .eval(null).asInstanceOf[Long]
+    (((h % buckets) + buckets) % buckets).toInt
+  }
+
+  /** The bucket count recorded at build time. */
+  def bucketCount(root: String): Int = {
+    val f = metaFile(root)
+    require(Files.exists(f), s"no text index at $root (missing ${f.getFileName})")
+    Files.readString(f).trim.toInt
+  }
+
+  private def postingsOf(docs: DataFrame, idCol: String, textCol: String,
+      buckets: Int): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"),
+        explode(split(col(textCol), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("token"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("bucket", pmod(xxhash64(col("token")), lit(buckets)).cast("int"))
+      .select(col("bucket"), col("token"), col("doc_id"), col("tf"))
+}

@@ -1,0 +1,137 @@
+package graft
+
+import graft.sources.{SnapshotTable, TextIndex}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Inverted text index (sources/TextIndex): the bucket-sliced postings
+  * table must answer term searches EXACTLY like a raw corpus scan —
+  * the index is an access path, never a semantics change — while
+  * opening only the probed buckets' files; incremental appends merge
+  * postings by (token, doc) and rewrite only the touched buckets.
+  */
+class TextIndexSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def freshRoot(): String =
+    java.nio.file.Files.createTempDirectory("graft-ti").toString
+
+  // raw-scan reference: same tokenization, same ranking
+  private def rawSearch(docs: org.apache.spark.sql.DataFrame,
+      terms: Seq[String], k: Int) = {
+    val t = terms.distinct
+    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .filter(col("token").isin(t: _*))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("token")).as("nt"),
+        sum(col("tf")).cast("long").as("score"))
+      .filter(col("nt") === t.size)
+      .select(col("doc_id"), col("score"))
+      .orderBy(col("score").desc, col("doc_id")).limit(k)
+  }
+
+  private lazy val docs = Tables.documents(spark, TestSpark.sf0001)
+
+  test("index-backed search equals the raw corpus scan") {
+    val root = freshRoot()
+    TextIndex.build(spark, docs, root)
+    for (terms <- Seq(Seq("table"), Seq("spark", "vector"),
+        Seq("spark", "vector", "stream"))) {
+      val viaIndex = TextIndex.search(spark, root, terms, 15).collect().toSeq
+      val viaScan = rawSearch(docs, terms, 15).collect().toSeq
+      assert(viaIndex == viaScan, s"index diverged from scan for $terms")
+      assert(viaIndex.nonEmpty, s"degenerate test: no hits for $terms")
+    }
+    // absent term: empty, not an error
+    assert(TextIndex.search(spark, root, Seq("zzznotaword"), 5).count() == 0)
+    // duplicate terms collapse (AND of the distinct set)
+    val dup = TextIndex.search(spark, root, Seq("table", "table"), 5).collect().toSeq
+    val one = TextIndex.search(spark, root, Seq("table"), 5).collect().toSeq
+    assert(dup == one)
+  }
+
+  test("a term search opens only its bucket's files") {
+    val root = freshRoot()
+    TextIndex.build(spark, docs, root)
+    val v = SnapshotTable.currentVersion(root)
+    val dir = java.nio.file.Paths.get(root, s"v=$v")
+    val total = java.nio.file.Files.list(dir).iterator()
+    var nAll = 0
+    while (total.hasNext) {
+      val f = total.next().getFileName.toString
+      if (f.endsWith(".parquet") && !f.startsWith("_")) nAll += 1
+    }
+    val b = TextIndex.bucketOf("table", TextIndex.bucketCount(root))
+    val kept = SnapshotTable.pruneFilesEq(spark, root, "bucket", b.toString)
+    assert(kept.nonEmpty && kept.size < nAll,
+      s"bucket probe kept ${kept.size} of $nAll files — no pruning")
+    // driver-side bucket hash agrees with the build's Spark-side hash:
+    // the term's postings are actually IN that bucket
+    val inBucket = SnapshotTable
+      .readPoint(spark, root, "bucket", b.toString)
+      .filter(col("token") === "table").count()
+    assert(inBucket > 0, "bucketOf disagrees with the build-side xxhash64")
+  }
+
+  test("append merges postings by (token, doc) and keeps search exact") {
+    import spark.implicits._
+    val root = freshRoot()
+    val base = Seq(
+      (1L, "red fish blue fish"),
+      (2L, "one fish two fish red"),
+      (3L, "no match here")).toDF("doc_id", "text")
+    TextIndex.build(spark, base, root, buckets = 8)
+    // doc 4 is new; doc 1 is a re-ingested revision adding more tokens
+    val extra = Seq(
+      (4L, "red red fish"),
+      (1L, "red again")).toDF("doc_id", "text")
+    TextIndex.append(spark, extra, root)
+
+    val expected = rawSearch(
+      base.unionAll(extra)
+        .groupBy("doc_id").agg(concat_ws(" ", collect_list("text")).as("text")),
+      Seq("red", "fish"), 10).collect().toSeq
+    val got = TextIndex.search(spark, root, Seq("red", "fish"), 10)
+      .collect().toSeq
+    assert(got == expected, "append-merged index diverged from the scan")
+    // doc 1's "red" tf merged across the two ingests: 1 + 1 = 2
+    val tf1 = SnapshotTable.read(spark, root)
+      .filter(col("token") === "red" && col("doc_id") === 1L)
+      .select("tf").head().getLong(0)
+    assert(tf1 == 2L)
+    // two committed versions: build + one touched-bucket append
+    assert(SnapshotTable.currentVersion(root) == 2)
+  }
+
+  test("append touches only the new docs' buckets (others hard-link forward)") {
+    import spark.implicits._
+    val root = freshRoot()
+    val base = (1L to 200L).map(i => (i, s"w$i common")).toDF("doc_id", "text")
+    TextIndex.build(spark, base, root, buckets = 16)
+    val dir1 = java.nio.file.Paths.get(root, "v=1")
+    // one new doc with one rare token: touches that token's bucket and
+    // "common"'s bucket only
+    TextIndex.append(spark, Seq((201L, "w201only common")).toDF("doc_id", "text"), root)
+    val dir2 = java.nio.file.Paths.get(root, "v=2")
+    def files(p: java.nio.file.Path) = {
+      val s = java.nio.file.Files.list(p)
+      try {
+        val it = s.iterator()
+        var v = Vector.empty[String]
+        while (it.hasNext) {
+          val n = it.next().getFileName.toString
+          if (n.endsWith(".parquet") && !n.startsWith("_")) v :+= n
+        }
+        v
+      } finally s.close()
+    }
+    val carried = files(dir1).toSet intersect files(dir2).toSet
+    assert(carried.nonEmpty,
+      "no files carried across the append — every bucket was rewritten")
+    // search still exact over the merged corpus
+    assert(TextIndex.search(spark, root, Seq("w201only"), 5).count() == 1)
+    assert(TextIndex.search(spark, root, Seq("common"), 500).count() == 201)
+  }
+}
