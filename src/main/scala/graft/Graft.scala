@@ -92,6 +92,10 @@ object Graft {
     Seq("q_percentile", "q_percentile_disc", "q_mad", "q_session_stats",
       "q_conversion_lag", "q_ship_lag")
       .foreach(n => SparkEntry.queries(n)(spark, sfDir))
+    // inverted text index (r15): one persisted build per (session,
+    // dataset), shared by every q_index_search invocation — the same
+    // ingest-style artifact class as the band history
+    SparkEntry.queries("q_index_search")(spark, sfDir).limit(1).count()
     ()
   }
 
@@ -111,6 +115,7 @@ object Graft {
     Tables.clearCache()
     queries.Dedup.clearCaches()
     queries.Graphs.clearCache()
+    queries.TextAnalysis.clearIndexCache()
     functions.SkewRouter.clearCache()
     functions.ExactQuantiles.clearCache()
     sources.BandHistory.clearCaches()

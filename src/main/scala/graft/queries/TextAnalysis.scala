@@ -1997,6 +1997,26 @@ object TextAnalysis extends QueryModule {
       root
     }
 
+  /** Drop the memoized index roots AND their temp-dir tables (the
+    * same lifecycle contract as Dedup's band-history cache: "OS
+    * reclaims /tmp" only holds at reboot, so repeated clear+rerun
+    * cycles must not accumulate full postings tables).
+    */
+  private[graft] def clearIndexCache(): Unit = {
+    indexCache.keys.foreach { k =>
+      indexCache.peek(k).foreach { root =>
+        val p = java.nio.file.Paths.get(root)
+        if (java.nio.file.Files.exists(p)) {
+          val s = java.nio.file.Files.walk(p)
+          try s.sorted(java.util.Comparator.reverseOrder())
+            .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
+          finally s.close()
+        }
+      }
+      indexCache.remove(k)
+    }
+  }
+
   /** Conjunctive term retrieval THROUGH the inverted index (sources/
     * TextIndex): documents containing every query term, ranked by
     * summed term frequency, doc_id tiebreak. The oracle recomputes the
