@@ -2048,6 +2048,35 @@ object TextAnalysis extends QueryModule {
       LIMIT 20
     """))
 
+  /** Exact PHRASE retrieval through the positional index: documents
+    * where "spark table" occurs as consecutive tokens, with the
+    * occurrence count. The oracle recomputes adjacency from the raw
+    * token lists (positions, not string-replace — overlapping
+    * occurrences count), pinning the positional posting lists and the
+    * shifted-intersection evaluation end-to-end. The capability a raw
+    * tf index cannot express: conjunctive search finds documents
+    * containing both words anywhere; this finds the collocation.
+    */
+  val indexPhrase = QueryDef(
+    "q_index_phrase",
+    (s, d) => graft.sources.TextIndex
+      .searchPhrase(s, indexRootOf(s, d), Seq("spark", "table"), 30)
+      .orderBy(col("matches").desc, col("doc_id")),
+    Some("""
+      WITH tok AS (
+        SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+      occ AS (
+        SELECT doc_id,
+               len(list_filter(range(1, len(l)),
+                 i -> l[i] = 'spark' AND l[i+1] = 'table')) AS matches
+        FROM tok)
+      SELECT doc_id, CAST(matches AS BIGINT) AS matches
+      FROM occ
+      WHERE matches > 0
+      ORDER BY matches DESC, doc_id
+      LIMIT 30
+    """))
+
   def defs: Seq[QueryDef] = Seq(
     textJaccard, ngramJaccard, textContainment, ngramNovelty, langId,
     langStats, textQuality,
@@ -2057,5 +2086,5 @@ object TextAnalysis extends QueryModule {
     shardPlan, chunkDocs, driftPsi, cooccurrence, boilerplate, bm25,
     hybridRrf, jaroWinkler, damerau, mixtureSample, corpusPipeline,
     clusterKeywords, lengthTrim, bigramLogprob, qualityLogreg, groupSplit,
-    indexSearch)
+    indexSearch, indexPhrase)
 }

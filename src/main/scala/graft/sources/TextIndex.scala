@@ -61,18 +61,34 @@ object TextIndex {
     v
   }
 
+  /** Position-space stride between ingest segments: an appended
+    * revision of an existing doc gets its positions shifted into its
+    * own segment (`committed-version × stride`), so phrase adjacency
+    * can never false-match ACROSS a segment boundary while staying
+    * exact within each ingest. Bounds: docs up to 2^20 tokens, up to
+    * ~2^11 append rounds before int positions saturate — both far
+    * past the training-document regime; a corpus outside it rebuilds.
+    */
+  val SegmentStride: Int = 1 << 20
+
   /** Append documents incrementally: recompute postings for the new
     * docs only, merge them into the buckets they touch (read the
     * CURRENT rows of just those buckets through the partmap, sum term
     * frequencies for (token, doc) pairs that already exist — i.e. a
-    * re-ingested doc revision), and commit the touched slices. Cost ∝
-    * new-doc tokens + the touched buckets' existing postings.
+    * re-ingested doc revision — and union their position lists, the
+    * new segment's shifted by [[SegmentStride]]), and commit the
+    * touched slices. Cost ∝ new-doc tokens + the touched buckets'
+    * existing postings.
     */
   def append(spark: SparkSession, newDocs: DataFrame, root: String,
       idCol: String = "doc_id", textCol: String = "text"): Int = {
     val buckets = bucketCount(root)
     val readV = SnapshotTable.currentVersion(root)
+    val cols = Seq(col("bucket"), col("token"), col("doc_id"), col("tf"),
+      col("positions"))
     val fresh = postingsOf(newDocs, idCol, textCol, buckets)
+      .withColumn("positions",
+        transform(col("positions"), p => p + lit(readV * SegmentStride)))
       .localCheckpoint() // the touched-bucket list and the merge read one plan
     val touched = fresh.select("bucket").distinct()
       .collect().map(_.getInt(0)).toSeq
@@ -81,11 +97,11 @@ object TextIndex {
       .map(b => SnapshotTable.readPoint(spark, root, "bucket", b.toString,
         version = readV))
       .reduce(_ unionAll _)
-      .select(col("bucket"), col("token"), col("doc_id"), col("tf"))
-    val merged = existing.unionAll(
-        fresh.select(col("bucket"), col("token"), col("doc_id"), col("tf")))
+      .select(cols: _*)
+    val merged = existing.unionAll(fresh.select(cols: _*))
       .groupBy(col("bucket"), col("token"), col("doc_id"))
-      .agg(sum(col("tf")).cast("long").as("tf"))
+      .agg(sum(col("tf")).cast("long").as("tf"),
+        sort_array(flatten(collect_list(col("positions")))).as("positions"))
     SnapshotTable.commitPartitions(spark, root, merged, "bucket",
       readVersion = readV,
       setCols = Seq("bucket"), setCap = 8, bloomCols = Seq("token"))
@@ -120,6 +136,37 @@ object TextIndex {
       .limit(k)
   }
 
+  /** Exact phrase search: documents where the query tokens occur
+    * CONSECUTIVELY, with the occurrence count, ranked (matches desc,
+    * doc_id). Classic positional-index evaluation: each term's
+    * posting positions are shifted left by the term's offset in the
+    * phrase, and an occurrence is a position present in every shifted
+    * list — set intersection over per-doc position arrays, joined on
+    * doc_id. Reads |phrase| bucket/bloom-pruned slices, never the
+    * corpus text; occurrences count overlapping matches (position
+    * semantics, not string-replace semantics).
+    */
+  def searchPhrase(spark: SparkSession, root: String, phrase: Seq[String],
+      k: Int): DataFrame = {
+    require(phrase.size >= 2, "phrase search needs at least two tokens")
+    val buckets = bucketCount(root)
+    val parts = phrase.zipWithIndex.map { case (t, i) =>
+      SnapshotTable.readPointAll(spark, root,
+        Seq("bucket" -> bucketOf(t, buckets).toString, "token" -> t))
+        .select(col("doc_id"),
+          transform(col("positions"), p => p - i).as(s"__p$i"))
+    }
+    val joined = parts.reduce((a, b) => a.join(b, "doc_id"))
+    val aligned = (1 until phrase.size).foldLeft(col("__p0")) {
+      (acc, i) => array_intersect(acc, col(s"__p$i"))
+    }
+    joined
+      .select(col("doc_id"), size(aligned).cast("long").as("matches"))
+      .filter(col("matches") > 0)
+      .orderBy(col("matches").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** The driver-side twin of the build's `pmod(xxhash64(token), B)` —
     * evaluated through the same Catalyst expression (seed 42), so a
     * probe can never hash into a different bucket than the build.
@@ -143,10 +190,12 @@ object TextIndex {
       buckets: Int): DataFrame =
     docs
       .select(col(idCol).as("doc_id"),
-        explode(split(col(textCol), " ")).as("token"))
+        posexplode(split(col(textCol), " ")).as(Seq("pos", "token")))
       .filter(col("token") =!= "")
       .groupBy(col("token"), col("doc_id"))
-      .agg(count(lit(1)).as("tf"))
+      .agg(count(lit(1)).as("tf"),
+        sort_array(collect_list(col("pos"))).as("positions"))
       .withColumn("bucket", pmod(xxhash64(col("token")), lit(buckets)).cast("int"))
-      .select(col("bucket"), col("token"), col("doc_id"), col("tf"))
+      .select(col("bucket"), col("token"), col("doc_id"), col("tf"),
+        col("positions"))
 }

@@ -105,6 +105,42 @@ class TextIndexSpec extends AnyFunSuite {
     assert(SnapshotTable.currentVersion(root) == 2)
   }
 
+  test("phrase search: consecutive-token adjacency, overlap counting, segments") {
+    import spark.implicits._
+    val root = freshRoot()
+    val base = Seq(
+      (1L, "big red fish and big red fish again"), // "big red" twice
+      (2L, "red big fish"),                        // both words, wrong order
+      (3L, "big blue fish"),                       // only "big"
+      (4L, "fish fish fish"),                      // overlap probe, no phrase
+      (5L, "ends with big")).toDF("doc_id", "text") // phrase split by doc edge
+    TextIndex.build(spark, base, root, buckets = 8)
+    val hits = TextIndex.searchPhrase(spark, root, Seq("big", "red"), 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(hits == Seq((1L, 2L)), s"phrase hits wrong: $hits")
+    // overlapping occurrences count with position semantics: "fish fish"
+    // in "fish fish fish" is 2 matches
+    val ov = TextIndex.searchPhrase(spark, root, Seq("fish", "fish"), 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(ov == Seq((4L, 2L)), s"overlap counting wrong: $ov")
+    // 3-token phrase
+    val tri = TextIndex.searchPhrase(spark, root, Seq("big", "red", "fish"), 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(tri == Seq((1L, 2L)), s"trigram wrong: $tri")
+
+    // doc 5 ends with "big"; a revision STARTING with "red" must NOT
+    // create a phantom "big red" across the segment boundary
+    TextIndex.append(spark, Seq((5L, "red herring")).toDF("doc_id", "text"), root)
+    val after = TextIndex.searchPhrase(spark, root, Seq("big", "red"), 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(after == Seq((1L, 2L)),
+      s"segment boundary leaked a phantom phrase: $after")
+    // while a phrase WITHIN the appended revision does match
+    val within = TextIndex.searchPhrase(spark, root, Seq("red", "herring"), 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(within == Seq((5L, 1L)), s"within-segment phrase lost: $within")
+  }
+
   test("append touches only the new docs' buckets (others hard-link forward)") {
     import spark.implicits._
     val root = freshRoot()
