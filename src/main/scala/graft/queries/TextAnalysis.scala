@@ -2077,6 +2077,26 @@ object TextAnalysis extends QueryModule {
       LIMIT 30
     """))
 
+  /** BM25-ranked retrieval THROUGH the index — q_bm25's exact answer
+    * (same terms, same k1/b, same positive-idf formula, same oracle
+    * CTE) computed from index state alone: tf from the pruned posting
+    * slices, document lengths and (N, avgdl) from the doc-stats side
+    * table. Grades that the index carries sufficient statistics for
+    * ranked retrieval, not just boolean/phrase matching — the oracle
+    * recomputes BM25 from raw text and must hash-match.
+    */
+  val indexBm25 = QueryDef(
+    "q_index_bm25",
+    (s, d) => graft.sources.TextIndex
+      .searchRanked(s, indexRootOf(s, d), Seq("hash", "join", "stream"), 20)
+      .orderBy(col("bm25").desc, col("doc_id")),
+    Some(s"""
+      WITH $bm25ScoredCte
+      SELECT doc_id, bm25 FROM bm25s
+      ORDER BY bm25 DESC, doc_id
+      LIMIT 20
+    """))
+
   def defs: Seq[QueryDef] = Seq(
     textJaccard, ngramJaccard, textContainment, ngramNovelty, langId,
     langStats, textQuality,
@@ -2086,5 +2106,5 @@ object TextAnalysis extends QueryModule {
     shardPlan, chunkDocs, driftPsi, cooccurrence, boilerplate, bm25,
     hybridRrf, jaroWinkler, damerau, mixtureSample, corpusPipeline,
     clusterKeywords, lengthTrim, bigramLogprob, qualityLogreg, groupSplit,
-    indexSearch, indexPhrase)
+    indexSearch, indexPhrase, indexBm25)
 }

@@ -56,6 +56,8 @@ object TextIndex {
     val postings = postingsOf(docs, idCol, textCol, buckets)
     val v = SnapshotTable.commitPartitions(spark, root, postings, "bucket",
       setCols = Seq("bucket"), setCap = 8, bloomCols = Seq("token"))
+    SnapshotTable.commitPartitions(spark, docStatsRoot(root),
+      docStatsOf(docs, idCol, textCol, buckets), "dbucket")
     Files.createDirectories(Paths.get(root))
     Files.writeString(metaFile(root), s"$buckets\n")
     v
@@ -102,9 +104,31 @@ object TextIndex {
       .groupBy(col("bucket"), col("token"), col("doc_id"))
       .agg(sum(col("tf")).cast("long").as("tf"),
         sort_array(flatten(collect_list(col("positions")))).as("positions"))
-    SnapshotTable.commitPartitions(spark, root, merged, "bucket",
+    val v = SnapshotTable.commitPartitions(spark, root, merged, "bucket",
       readVersion = readV,
       setCols = Seq("bucket"), setCap = 8, bloomCols = Seq("token"))
+    // doc-length side table: same slice-merge shape keyed by doc-hash
+    // bucket (a revision's length ADDS — concat semantics, like tf)
+    val sRoot = docStatsRoot(root)
+    val sReadV = SnapshotTable.currentVersion(sRoot)
+    val freshStats = docStatsOf(newDocs, idCol, textCol, buckets)
+      .localCheckpoint()
+    val touchedS = freshStats.select("dbucket").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    if (touchedS.nonEmpty) {
+      val existingS = touchedS
+        .map(b => SnapshotTable.readPoint(spark, sRoot, "dbucket", b.toString,
+          version = sReadV))
+        .reduce(_ unionAll _)
+        .select(col("dbucket"), col("doc_id"), col("dl"))
+      val mergedS = existingS
+        .unionAll(freshStats.select(col("dbucket"), col("doc_id"), col("dl")))
+        .groupBy(col("dbucket"), col("doc_id"))
+        .agg(sum(col("dl")).cast("long").as("dl"))
+      SnapshotTable.commitPartitions(spark, sRoot, mergedS, "dbucket",
+        readVersion = sReadV)
+    }
+    v
   }
 
   /** Conjunctive (AND) term search ranked by summed term frequency,
@@ -166,6 +190,65 @@ object TextIndex {
       .orderBy(col("matches").desc, col("doc_id"))
       .limit(k)
   }
+
+  /** Disjunctive BM25-ranked retrieval (k1 = 1.2, b = 0.75, the
+    * positive Lucene idf `ln((N - df + 0.5)/(df + 0.5) + 1)`): top `k`
+    * documents matching ANY query term, scored by summed per-term
+    * BM25, doc_id tiebreak. Everything comes from index state — term
+    * frequencies from the pruned posting slices, document lengths and
+    * the corpus aggregates (N, avgdl) from the doc-stats side table —
+    * so ranking never touches the corpus text. df per term is the
+    * posting-list length, counted in-plan on the already-pruned reads.
+    */
+  def searchRanked(spark: SparkSession, root: String, terms: Seq[String],
+      k: Int): DataFrame = {
+    require(terms.nonEmpty, "ranked search needs at least one term")
+    val buckets = bucketCount(root)
+    val k1 = 1.2d
+    val b = 0.75d
+    val tf = terms.distinct
+      .map { t =>
+        SnapshotTable.readPointAll(spark, root,
+          Seq("bucket" -> bucketOf(t, buckets).toString, "token" -> t))
+          .select(col("doc_id"), col("token"), col("tf"))
+      }
+      .reduce(_ unionAll _)
+    val dl = SnapshotTable.read(spark, docStatsRoot(root))
+      .select(col("doc_id"), col("dl").cast("double").as("dl"))
+    val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"),
+      avg(col("dl")).as("avgdl"))
+    val idf = tf.groupBy(col("token"))
+      .agg(countDistinct(col("doc_id")).cast("double").as("df"))
+    tf.join(dl, Seq("doc_id"))
+      .join(broadcast(idf), Seq("token"))
+      .crossJoin(stats)
+      .select(col("doc_id"),
+        (log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1)) *
+          (col("tf") * lit(k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
+          .as("term_score"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("term_score")).cast("float").as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  private def docStatsRoot(root: String): String =
+    Paths.get(root, "docstats").toString
+
+  /** Per-doc token counts, bucketed by doc-id hash the same way the
+    * postings bucket by token hash (appends slice-commit the touched
+    * doc buckets only). Zero-token docs keep a row — they count
+    * toward N and avgdl exactly as a raw-corpus scan would count them.
+    */
+  private def docStatsOf(docs: DataFrame, idCol: String, textCol: String,
+      buckets: Int): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"),
+        size(filter(split(col(textCol), " "), t => t =!= ""))
+          .cast("long").as("dl"))
+      .withColumn("dbucket", pmod(xxhash64(col("doc_id")), lit(buckets)).cast("int"))
+      .select(col("dbucket"), col("doc_id"), col("dl"))
 
   /** The driver-side twin of the build's `pmod(xxhash64(token), B)` —
     * evaluated through the same Catalyst expression (seed 42), so a

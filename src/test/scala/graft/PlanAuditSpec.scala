@@ -188,6 +188,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_cooccurrence", // 1-row doc-count cross join (tf_idf pattern)
     "q_ann_ivf_multiprobe", // 10-row broadcast centroid table (kmeans_assign pattern)
     "q_bm25", // lazy 1-row corpus-stats cross join (tf_idf pattern)
+    "q_index_bm25", // same 1-row (N, avgdl) cross join, stats read from the index side table
     "q_hybrid_rrf", // 1-row probe-embedding + 1-row stats cross joins (tf_idf pattern)
     "q_rfm", // 1-row corpus-max-date cross join (tf_idf pattern)
     "q_churn_rate", // 1-row corpus-max-date cross join (tf_idf pattern)

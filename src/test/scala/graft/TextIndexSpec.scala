@@ -141,6 +141,39 @@ class TextIndexSpec extends AnyFunSuite {
     assert(within == Seq((5L, 1L)), s"within-segment phrase lost: $within")
   }
 
+  test("ranked search matches the raw-corpus BM25 computation") {
+    val root = freshRoot()
+    TextIndex.build(spark, docs, root)
+    val terms = Seq("hash", "join", "stream")
+    // raw reference: same formula over the corpus text
+    val k1 = 1.2d; val b = 0.75d
+    val toks = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+    val tf = toks.filter(col("token").isin(terms: _*))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val dl = docs.select(col("doc_id"),
+      size(filter(split(col("text"), " "), t => t =!= "")).cast("double").as("dl"))
+    val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"),
+      avg(col("dl")).as("avgdl"))
+    val idf = tf.groupBy(col("token"))
+      .agg(countDistinct(col("doc_id")).cast("double").as("df"))
+    val expected = tf.join(dl, Seq("doc_id")).join(idf, Seq("token"))
+      .crossJoin(stats)
+      .select(col("doc_id"),
+        (log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1)) *
+          (col("tf") * lit(k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
+          .as("ts"))
+      .groupBy(col("doc_id")).agg(sum(col("ts")).cast("float").as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id")).limit(15)
+      .collect().map(r => (r.getLong(0), r.getFloat(1))).toSeq
+    val got = TextIndex.searchRanked(spark, root, terms, 15)
+      .collect().map(r => (r.getLong(0), r.getFloat(1))).toSeq
+    assert(got == expected, "index-backed BM25 diverged from the corpus scan")
+    assert(got.nonEmpty)
+  }
+
   test("append touches only the new docs' buckets (others hard-link forward)") {
     import spark.implicits._
     val root = freshRoot()
