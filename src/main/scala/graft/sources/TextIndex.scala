@@ -177,8 +177,12 @@ object TextIndex {
     val parts = phrase.zipWithIndex.map { case (t, i) =>
       SnapshotTable.readPointAll(spark, root,
         Seq("bucket" -> bucketOf(t, buckets).toString, "token" -> t))
+        // collapse per-ingest posting rows (streaming appends write one
+        // row per batch; segment-shifted positions just concatenate)
+        .groupBy(col("doc_id"))
+        .agg(flatten(collect_list(col("positions"))).as("ps"))
         .select(col("doc_id"),
-          transform(col("positions"), p => p - i).as(s"__p$i"))
+          transform(col("ps"), p => p - i).as(s"__p$i"))
     }
     val joined = parts.reduce((a, b) => a.join(b, "doc_id"))
     val aligned = (1 until phrase.size).foldLeft(col("__p0")) {
@@ -210,11 +214,15 @@ object TextIndex {
       .map { t =>
         SnapshotTable.readPointAll(spark, root,
           Seq("bucket" -> bucketOf(t, buckets).toString, "token" -> t))
-          .select(col("doc_id"), col("token"), col("tf"))
+          // BM25 is nonlinear in tf: per-ingest posting rows must merge
+          // to one tf per (doc, term) before the formula sees them
+          .groupBy(col("doc_id"), col("token"))
+          .agg(sum(col("tf")).cast("long").as("tf"))
       }
       .reduce(_ unionAll _)
     val dl = SnapshotTable.read(spark, docStatsRoot(root))
-      .select(col("doc_id"), col("dl").cast("double").as("dl"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("dl")).cast("double").as("dl"))
     val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"),
       avg(col("dl")).as("avgdl"))
     val idf = tf.groupBy(col("token"))
@@ -232,6 +240,103 @@ object TextIndex {
       .orderBy(col("bm25").desc, col("doc_id"))
       .limit(k)
   }
+
+  // ---- streaming maintenance (transactional micro-batch ingest) ----
+  //
+  // A foreachBatch sink cannot use [[append]]'s read-modify-write
+  // merge: a replayed micro-batch would merge its term frequencies
+  // TWICE. Streaming ingest instead APPENDS raw posting rows — one row
+  // per (token, doc, batch), positions shifted into the batch's own
+  // segment — through ONE SnapshotTransaction that also appends the
+  // doc-length rows and the batch-id marker. Replay is then idempotent
+  // BY CONSTRUCTION (the BusTxnSink contract): an undecided crash
+  // rolls everything back and the redelivered batch applies once; a
+  // decided crash rolls forward and [[lastAppliedBatch]] tells the
+  // redelivery to skip. Read paths pre-aggregate per (token, doc), so
+  // multi-row postings are invisible to search/phrase/BM25 semantics.
+  //
+  // Appended versions are hard-link compositions WITHOUT the pruning
+  // sidecars or the partmap, so probe pruning degrades (never wrong —
+  // absent sidecars read as "keep") until [[optimize]] folds the
+  // per-batch rows back into one row per (token, doc) and recommits
+  // with fresh set/bloom sidecars — the LSM compaction trade, same as
+  // the near-dup band table's in-stream OPTIMIZE.
+  //
+  // Single-writer contract per root: a root is maintained EITHER by
+  // [[append]] (batch merge, version-keyed segments) OR by
+  // [[ingestBatch]] (streaming, batch-keyed segments) — interleaving
+  // the two could collide position segments.
+
+  /** Initialize an EMPTY index root for streaming-first ingest (no
+    * corpus at build time): records the bucket count; the first
+    * ingested batch creates the tables.
+    */
+  def init(root: String, buckets: Int = DefaultBuckets): Unit = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    Files.createDirectories(Paths.get(root))
+    Files.writeString(metaFile(root), s"$buckets\n")
+    ()
+  }
+
+  /** Apply one micro-batch exactly once. Returns false (no-op) when
+    * `batchId` is already recorded — the streaming-engine replay path.
+    * Call [[SnapshotTable.SnapshotTransaction recovery|SnapshotTransaction.recover]]
+    * on `txnDir` before restarting a stream.
+    */
+  def ingestBatch(spark: SparkSession, newDocs: DataFrame, root: String,
+      txnDir: String, batchId: Long,
+      idCol: String = "doc_id", textCol: String = "text"): Boolean = {
+    require(batchId >= 0 && batchId < 2000,
+      s"batchId $batchId outside the int-position segment range " +
+        "(see SegmentStride); OPTIMIZE + restart numbering past it")
+    if (lastAppliedBatch(spark, root) >= batchId) return false
+    val buckets = bucketCount(root)
+    val seg = ((batchId + 1) * SegmentStride.toLong).toInt
+    val postings = postingsOf(newDocs, idCol, textCol, buckets)
+      .withColumn("positions", transform(col("positions"), p => p + lit(seg)))
+    val stats = docStatsOf(newDocs, idCol, textCol, buckets)
+    val marker = spark.range(1).select(lit(batchId).as("batch_id"))
+    SnapshotTransaction.commitAll(spark, txnDir, Seq(
+      TableWrite(root, postings, appendFiles = true),
+      TableWrite(docStatsRoot(root), stats, appendFiles = true),
+      TableWrite(ingestLogRoot(root), marker, appendFiles = true)))
+    true
+  }
+
+  /** Highest batch id the ingest log records; -1 before any batch. */
+  def lastAppliedBatch(spark: SparkSession, root: String): Long = {
+    val r = ingestLogRoot(root)
+    if (!Files.isDirectory(Paths.get(r, "_log")) ||
+      SnapshotTable.currentVersion(r) == 0) return -1L
+    val row = SnapshotTable.read(spark, r).agg(max(col("batch_id"))).head()
+    if (row.isNullAt(0)) -1L else row.getLong(0)
+  }
+
+  /** Fold streaming-appended per-batch posting rows back into one row
+    * per (token, doc) — tf summed, position segments concatenated —
+    * and recommit WITH the set/bloom pruning sidecars (one full
+    * rewrite, the OPTIMIZE cost); same fold for the doc-length table.
+    * Search results are identical before and after (the read paths
+    * pre-aggregate); only probe pruning and row counts improve.
+    */
+  def optimize(spark: SparkSession, root: String): Int = {
+    val buckets = bucketCount(root)
+    val merged = SnapshotTable.read(spark, root)
+      .groupBy(col("bucket"), col("token"), col("doc_id"))
+      .agg(sum(col("tf")).cast("long").as("tf"),
+        sort_array(flatten(collect_list(col("positions")))).as("positions"))
+      .repartition(buckets, col("bucket"))
+    val v = SnapshotTable.commit(spark, root, merged,
+      setCols = Seq("bucket"), setCap = 8, bloomCols = Seq("token"))
+    val stats = SnapshotTable.read(spark, docStatsRoot(root))
+      .groupBy(col("dbucket"), col("doc_id"))
+      .agg(sum(col("dl")).cast("long").as("dl"))
+    SnapshotTable.commit(spark, docStatsRoot(root), stats)
+    v
+  }
+
+  private def ingestLogRoot(root: String): String =
+    Paths.get(root, "ingestlog").toString
 
   private def docStatsRoot(root: String): String =
     Paths.get(root, "docstats").toString
