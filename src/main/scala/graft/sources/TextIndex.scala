@@ -107,6 +107,7 @@ object TextIndex {
     val v = SnapshotTable.commitPartitions(spark, root, merged, "bucket",
       readVersion = readV,
       setCols = Seq("bucket"), setCap = 8, bloomCols = Seq("token"))
+    SnapshotTable.freeLocalCheckpoint(fresh)
     // doc-length side table: same slice-merge shape keyed by doc-hash
     // bucket (a revision's length ADDS — concat semantics, like tf)
     val sRoot = docStatsRoot(root)
@@ -128,6 +129,7 @@ object TextIndex {
       SnapshotTable.commitPartitions(spark, sRoot, mergedS, "dbucket",
         readVersion = sReadV)
     }
+    SnapshotTable.freeLocalCheckpoint(freshStats)
     v
   }
 
@@ -332,6 +334,19 @@ object TextIndex {
       .groupBy(col("dbucket"), col("doc_id"))
       .agg(sum(col("dl")).cast("long").as("dl"))
     SnapshotTable.commit(spark, docStatsRoot(root), stats)
+    // the ingest log accretes one hard-linked file per batch (the
+    // appendFiles composition links every prior file); only the max
+    // batch id is load-bearing for replay-skip, so compact it to one
+    // row — same debt-clearing contract as the posting fold above
+    val logRoot = ingestLogRoot(root)
+    if (java.nio.file.Files.isDirectory(Paths.get(logRoot, "_log")) &&
+      SnapshotTable.currentVersion(logRoot) > 0) {
+      val top = SnapshotTable.read(spark, logRoot)
+        .agg(max(col("batch_id")).as("batch_id"))
+        .filter(col("batch_id").isNotNull)
+      SnapshotTable.commit(spark, logRoot, top)
+      ()
+    }
     v
   }
 

@@ -113,6 +113,11 @@ class StreamingTextIndexSpec extends AnyFunSuite {
     val dir = java.nio.file.Paths.get(root, s"v=$vOpt")
     assert(java.nio.file.Files.exists(dir.resolve("_sets.json")))
     assert(java.nio.file.Files.exists(dir.resolve("_bloom.json")))
+    // the ingest log compacted to its max marker; the stream continues
+    assert(TextIndex.lastAppliedBatch(spark, root) == 2L)
+    assert(TextIndex.ingestBatch(spark, docs(4L -> "red dawn"), root, txn, 3L))
+    assert(!TextIndex.ingestBatch(spark, docs(4L -> "red dawn"), root, txn, 3L))
+    assert(TextIndex.search(spark, root, Seq("dawn"), 5).count() == 1)
   }
 
   test("a real foreachBatch stream maintains the index across a restart") {
