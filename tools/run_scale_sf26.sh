@@ -1,7 +1,9 @@
 #!/bin/bash
-# Dev tool: regenerate the 26x corpus, drive Verify over it, and run the
-# DuckDB oracle compare -> scale_sf26_check_r15.log. Mirrors the sbt fork
-# options from build.sbt (JDK17 add-opens, UTC, UI off).
+# Dev tool: drive Verify over the 26x corpus and run the DuckDB oracle
+# compare -> scale_sf26_check_r15.log. Runs from a SNAPSHOT of the
+# compiled classes so a concurrent recompile can't tear the run
+# (mixed-version class loading). Mirrors build.sbt's fork options.
+# Usage: run_scale_sf26.sh [skip-genscale]
 set -u
 cd /root/repo
 AO=""
@@ -10,13 +12,19 @@ for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
          sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
   AO="$AO --add-opens java.base/$p=ALL-UNNAMED"
 done
-CP="target/scala-2.13/classes:/opt/spark/jars/*"
+SNAP=.tmp/classes_snap_sf26
+rm -rf "$SNAP" && mkdir -p "$SNAP"
+cp -r target/scala-2.13/classes/* "$SNAP"/
+CP="$SNAP:/opt/spark/jars/*"
 JAVA="java $AO -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC"
 
-echo "[$(date +%T)] GenScale 26x"
-$JAVA -Xmx16g -cp "$CP" graft.tools.GenScale /root/testdata/sf0.1 .tmp/sf26 26 \
-  > .tmp/genscale_sf26.log 2>&1 || { echo GENSCALE_FAILED; exit 1; }
+if [ "${1:-}" != "skip-genscale" ] && [ ! -d .tmp/sf26 ]; then
+  echo "[$(date +%T)] GenScale 26x"
+  $JAVA -Xmx16g -cp "$CP" graft.tools.GenScale /root/testdata/sf0.1 .tmp/sf26 26 \
+    > .tmp/genscale_sf26.log 2>&1 || { echo GENSCALE_FAILED; exit 1; }
+fi
 echo "[$(date +%T)] Verify at sf26"
+rm -rf .tmp/verify_sf26
 $JAVA -Xmx32g -cp "$CP" graft.Verify .tmp/sf26 .tmp/verify_sf26 \
   > .tmp/verify_sf26.log 2>&1 || { echo VERIFY_FAILED; exit 1; }
 echo "[$(date +%T)] check.py at sf26"
