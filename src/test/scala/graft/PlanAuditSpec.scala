@@ -286,6 +286,7 @@ class PlanAuditSpec extends AnyFunSuite {
     */
   private val objectHashAllowed = Map(
     "q_collect_list" -> "bounded", // per-user set/list of event TYPES (≤|enum| values)
+    "q_index_phrase" -> "bounded", // per-(doc, term) position-list fold: buffer ≤ doc token count, rows/group ≤ ingest segments — document-bounded, never corpus
     "q_string_agg" -> "bounded", // listagg of ≤25 nation names per region
     "q_lang_id" -> "bounded", // per-lang profile slice (top-k bigrams)
     "q_ann_ivf_multiprobe" -> "bounded", // per-label centroid assembly (k×dims rows)

@@ -86,7 +86,11 @@ class SnapshotPruneFuzzSpec extends AnyFunSuite {
           rowsDf(randRows(8 + rnd.nextInt(25)), 2 + rnd.nextInt(3), rnd.nextInt(3)),
           statsCols = if (withManifests) Seq("num", "cat") else Nil,
           setCols = if (withManifests) Seq("cat") else Nil,
-          setCap = if (rnd.nextInt(4) == 0) 2 else 1024) // exercise OVERFLOW
+          setCap = if (rnd.nextInt(4) == 0) 2 else 1024, // exercise OVERFLOW
+          // bloom leg rides the same fuzz: cat hits the set-first path
+          // (bloom consulted only on OVERFLOW/absent lines), k has no
+          // set lines at all so every k probe goes straight to bloom
+          bloomCols = if (withManifests && rnd.nextBoolean()) Seq("cat", "k") else Nil)
       }
 
       def mergeOp(): Unit =
@@ -157,6 +161,19 @@ class SnapshotPruneFuzzSpec extends AnyFunSuite {
         val wantPoint = collectSet(full.filter(col("cat") === lit(pv)))
         assert(gotPoint === wantPoint,
           s"scenario $scenario (seed ${seed + scenario}) v$v point '$pv' mismatch")
+
+        // conjunctive point read: set-pruned cat ∩ bloom-pruned k —
+        // a bloom false NEGATIVE here silently loses rows, which is
+        // exactly what the battery exists to catch
+        val pv2 = catPool(rnd.nextInt(catPool.length))
+        val kk = rnd.nextInt(40).toLong
+        val gotAll = collectSet(SnapshotTable.readPointAll(spark, root,
+          Seq("cat" -> pv2, "k" -> kk.toString), version = v))
+        val wantAll = collectSet(
+          full.filter(col("cat") === lit(pv2) && col("k") === lit(kk)))
+        assert(gotAll === wantAll,
+          s"scenario $scenario (seed ${seed + scenario}) v$v " +
+            s"conjunctive ('$pv2', $kk) mismatch")
       }
     }
   }
