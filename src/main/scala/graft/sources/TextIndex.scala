@@ -305,6 +305,30 @@ object TextIndex {
     true
   }
 
+  /** foreachBatch-ready sink: heals any transaction a previous
+    * incarnation died inside (recover is idempotent), applies the
+    * batch exactly once via [[ingestBatch]], and — when
+    * `optimizeEvery` > 0 — every N-th batch first runs [[optimize]]
+    * so the per-batch posting rows, the hard-link count, and the
+    * ingest log stay bounded by N × batch size (the BusTxnSink
+    * maintenance contract).
+    *
+    * {{{ df.writeStream.foreachBatch(TextIndex.sink(root, txnDir, 16) _) }}}
+    */
+  def sink(root: String, txnDir: String, optimizeEvery: Int = 0,
+      idCol: String = "doc_id", textCol: String = "text")
+      (batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    SnapshotTransaction.recover(txnDir)
+    if (optimizeEvery > 0 && batchId > 0 && batchId % optimizeEvery == 0 &&
+      Files.isDirectory(Paths.get(root, "_log")) &&
+      SnapshotTable.currentVersion(root) > 0) {
+      optimize(spark, root); ()
+    }
+    ingestBatch(spark, batch, root, txnDir, batchId, idCol, textCol)
+    ()
+  }
+
   /** Highest batch id the ingest log records; -1 before any batch. */
   def lastAppliedBatch(spark: SparkSession, root: String): Long = {
     val r = ingestLogRoot(root)

@@ -125,12 +125,12 @@ class StreamingTextIndexSpec extends AnyFunSuite {
     val (root, txn) = fresh("stream")
     TextIndex.init(root, buckets = 8)
     val ckpt = java.nio.file.Files.createTempDirectory("graft-sti-ckpt").toString
+    // the packaged sink: self-healing recover + exactly-once ingest +
+    // in-stream OPTIMIZE every 2nd batch
     def start(input: MemoryStream[(Long, String)]) =
       input.toDF().toDF("doc_id", "text").writeStream
         .option("checkpointLocation", ckpt)
-        .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
-          TextIndex.ingestBatch(spark, df, root, txn, id); ()
-        }
+        .foreachBatch(TextIndex.sink(root, txn, optimizeEvery = 2) _)
         .start()
     val in1 = MemoryStream[(Long, String)]
     val q1 = start(in1)
