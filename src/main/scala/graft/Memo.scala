@@ -14,7 +14,15 @@ import java.util.concurrent.ConcurrentHashMap
   * callers never contend.
   */
 private[graft] final class Memo[K, V] {
-  private final class Holder(f: () => V) { lazy val value: V = f() }
+  // `computed` flips only after f() returned — so peek can tell a
+  // successfully-memoized holder from one whose first compute THREW
+  // (a Scala lazy val retries a failed initializer on the next force:
+  // peek would otherwise re-run a full Spark build, or rethrow, inside
+  // a cache-CLEAR path)
+  private final class Holder(f: () => V) {
+    @volatile var computed = false
+    lazy val value: V = { val v = f(); computed = true; v }
+  }
   private val map = new ConcurrentHashMap[K, Holder]()
 
   /** The memoized value for `key`, computing `f` at most once per key
@@ -30,9 +38,11 @@ private[graft] final class Memo[K, V] {
     h.value
   }
 
-  /** The value for `key` if it has been computed (never computes). */
+  /** The value for `key` if it has been computed (never computes —
+    * a holder whose compute failed reads as absent).
+    */
   def peek(key: K): Option[V] =
-    Option(map.get(key)).map(_.value)
+    Option(map.get(key)).filter(_.computed).map(_.value)
 
   /** Store a pre-computed value (overwrites any holder). */
   def put(key: K, value: V): Unit = {

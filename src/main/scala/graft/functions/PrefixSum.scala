@@ -160,15 +160,21 @@ object PrefixSum {
         s"PrefixSum: unsupported sum operands $other")
     }
     // Running-min prefix compare: NaN orders LARGEST for float/double
-    // (java.lang compare), matching Spark's own min/least semantics so
-    // the offset agrees with the pass-3 window it merges into.
+    // (java.lang compare), and strings compare as UNSIGNED UTF-8
+    // BYTES — both matching Spark's own ordering (UTF8String is
+    // binary-ordered; Scala's UTF-16 `<` would rank supplementary-
+    // plane characters BELOW U+E000..U+FFFF via their 0xD800 surrogate
+    // units, flipping the merged min across partition boundaries).
     def lt(a: Any, b: Any): Boolean = (a, b) match {
       case (x: Long, y: Long)     => x < y
       case (x: Int, y: Int)       => x < y
       case (x: Double, y: Double) => java.lang.Double.compare(x, y) < 0
       case (x: Float, y: Float)   => java.lang.Float.compare(x, y) < 0
       case (x: java.math.BigDecimal, y: java.math.BigDecimal) => x.compareTo(y) < 0
-      case (x: String, y: String) => x < y
+      case (x: String, y: String) =>
+        java.util.Arrays.compareUnsigned(
+          x.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+          y.getBytes(java.nio.charset.StandardCharsets.UTF_8)) < 0
       case other => throw new IllegalArgumentException(
         s"PrefixSum: unsupported min operands $other")
     }

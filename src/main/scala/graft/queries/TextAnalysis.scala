@@ -2005,13 +2005,7 @@ object TextAnalysis extends QueryModule {
   private[graft] def clearIndexCache(): Unit = {
     indexCache.keys.foreach { k =>
       indexCache.peek(k).foreach { root =>
-        val p = java.nio.file.Paths.get(root)
-        if (java.nio.file.Files.exists(p)) {
-          val s = java.nio.file.Files.walk(p)
-          try s.sorted(java.util.Comparator.reverseOrder())
-            .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
-          finally s.close()
-        }
+        graft.sources.SnapshotTable.deleteTree(java.nio.file.Paths.get(root))
       }
       indexCache.remove(k)
     }

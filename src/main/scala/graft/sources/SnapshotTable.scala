@@ -1960,7 +1960,7 @@ object SnapshotTable {
     dropped
   }
 
-  private[sources] def deleteTree(dir: Path): Unit = {
+  private[graft] def deleteTree(dir: Path): Unit = {
     if (Files.exists(dir)) {
       val walk = Files.walk(dir) // stream holds a directory fd — close it
       try walk.sorted(java.util.Comparator.reverseOrder())

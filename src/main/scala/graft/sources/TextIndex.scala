@@ -44,15 +44,26 @@ object TextIndex {
 
   private def metaFile(root: String) = Paths.get(root, "_textindex")
 
-  /** Build (or fully rebuild) the index over `docs`. One wide
+  /** Build the index over `docs` at a FRESH root. One wide
     * tokenize+aggregate over the corpus — the same cardinality class
     * as the shingle scans — then a partitioned snapshot commit.
     * Returns the committed version.
+    *
+    * Build CREATES; it never re-derives an existing index, because
+    * the partition-sliced commit would carry any bucket the new
+    * corpus doesn't touch forward verbatim (stale postings of removed
+    * documents), and a changed bucket count would misroute every
+    * probe against the carried partitions. Rebuild over a changed
+    * corpus = a fresh root (or delete this one first); evolve a live
+    * index with [[append]] / [[ingestBatch]].
     */
   def build(spark: SparkSession, docs: DataFrame, root: String,
       idCol: String = "doc_id", textCol: String = "text",
       buckets: Int = DefaultBuckets): Int = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
+    require(!Files.exists(metaFile(root)),
+      s"an index already exists at $root — build creates a NEW index; " +
+        "evolve it with append/ingestBatch, or point at a fresh root")
     val postings = postingsOf(docs, idCol, textCol, buckets)
     val v = SnapshotTable.commitPartitions(spark, root, postings, "bucket",
       setCols = Seq("bucket"), setCap = 8, bloomCols = Seq("token"))
@@ -94,19 +105,22 @@ object TextIndex {
       .localCheckpoint() // the touched-bucket list and the merge read one plan
     val touched = fresh.select("bucket").distinct()
       .collect().map(_.getInt(0)).toSeq
-    if (touched.isEmpty) return readV
-    val existing = touched
-      .map(b => SnapshotTable.readPoint(spark, root, "bucket", b.toString,
-        version = readV))
-      .reduce(_ unionAll _)
-      .select(cols: _*)
-    val merged = existing.unionAll(fresh.select(cols: _*))
-      .groupBy(col("bucket"), col("token"), col("doc_id"))
-      .agg(sum(col("tf")).cast("long").as("tf"),
-        sort_array(flatten(collect_list(col("positions")))).as("positions"))
-    val v = SnapshotTable.commitPartitions(spark, root, merged, "bucket",
-      readVersion = readV,
-      setCols = Seq("bucket"), setCap = 8, bloomCols = Seq("token"))
+    // a zero-token batch still falls through: its docs must reach the
+    // doc-stats merge below (they count toward BM25's N and avgdl)
+    val v = if (touched.isEmpty) readV else {
+      val existing = touched
+        .map(b => SnapshotTable.readPoint(spark, root, "bucket", b.toString,
+          version = readV))
+        .reduce(_ unionAll _)
+        .select(cols: _*)
+      val merged = existing.unionAll(fresh.select(cols: _*))
+        .groupBy(col("bucket"), col("token"), col("doc_id"))
+        .agg(sum(col("tf")).cast("long").as("tf"),
+          sort_array(flatten(collect_list(col("positions")))).as("positions"))
+      SnapshotTable.commitPartitions(spark, root, merged, "bucket",
+        readVersion = readV,
+        setCols = Seq("bucket"), setCap = 8, bloomCols = Seq("token"))
+    }
     SnapshotTable.freeLocalCheckpoint(fresh)
     // doc-length side table: same slice-merge shape keyed by doc-hash
     // bucket (a revision's length ADDS — concat semantics, like tf)
@@ -275,6 +289,9 @@ object TextIndex {
     */
   def init(root: String, buckets: Int = DefaultBuckets): Unit = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
+    require(!Files.exists(metaFile(root)),
+      s"an index already exists at $root (changing the bucket count " +
+        "under carried partitions would misroute every probe)")
     Files.createDirectories(Paths.get(root))
     Files.writeString(metaFile(root), s"$buckets\n")
     ()
@@ -290,7 +307,10 @@ object TextIndex {
       idCol: String = "doc_id", textCol: String = "text"): Boolean = {
     require(batchId >= 0 && batchId < 2000,
       s"batchId $batchId outside the int-position segment range " +
-        "(see SegmentStride); OPTIMIZE + restart numbering past it")
+        "(see SegmentStride): ~2000 batches exhaust the 2^31 position " +
+        "space. Rebuild into a FRESH root past it — optimize() keeps " +
+        "absolute segment positions, so restarting batch numbering " +
+        "over the same root would reuse live segments")
     if (lastAppliedBatch(spark, root) >= batchId) return false
     val buckets = bucketCount(root)
     val seg = ((batchId + 1) * SegmentStride.toLong).toInt
@@ -413,16 +433,39 @@ object TextIndex {
     Files.readString(f).trim.toInt
   }
 
+  /** Tokenize to per-(token, doc) postings. Multiple input rows
+    * sharing one doc id in a SINGLE call (two revisions of a doc in
+    * one micro-batch) concatenate in a deterministic content order
+    * with a +1 gap: each row's positions are offset past the prior
+    * rows' raw token span, so a row boundary can never read as phrase
+    * adjacency and same-segment positions never collide. The ordering
+    * window partitions by doc id over INPUT ROWS (|docs| rows, group
+    * size = revision count — nearly always 1), not tokens.
+    */
   private def postingsOf(docs: DataFrame, idCol: String, textCol: String,
-      buckets: Int): DataFrame =
+      buckets: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("__rh"), col("__rm"))
+      .rowsBetween(Window.unboundedPreceding, -1)
     docs
-      .select(col(idCol).as("doc_id"),
-        posexplode(split(col(textCol), " ")).as(Seq("pos", "token")))
+      .select(col(idCol).as("doc_id"), col(textCol).as("__text"))
+      // raw split length (empties included): positions index the raw
+      // split array, so the gap must clear the raw span
+      .withColumn("__len", size(split(col("__text"), " ")))
+      .withColumn("__rh", xxhash64(col("__text")))
+      .withColumn("__rm", md5(col("__text")))
+      .withColumn("__off",
+        coalesce(sum(col("__len") + 1).over(w), lit(0)).cast("int"))
+      .select(col("doc_id"), col("__off"),
+        posexplode(split(col("__text"), " ")).as(Seq("pos", "token")))
       .filter(col("token") =!= "")
       .groupBy(col("token"), col("doc_id"))
       .agg(count(lit(1)).as("tf"),
-        sort_array(collect_list(col("pos"))).as("positions"))
+        sort_array(collect_list(col("pos") + col("__off"))).as("positions"))
       .withColumn("bucket", pmod(xxhash64(col("token")), lit(buckets)).cast("int"))
       .select(col("bucket"), col("token"), col("doc_id"), col("tf"),
         col("positions"))
+  }
 }

@@ -43,4 +43,26 @@ class CachesSpec extends AnyFunSuite {
     Graft.clearCaches() // second clear: no throw
     assert(snapshot("q_pricing_summary").nonEmpty)
   }
+
+  test("Memo.peek never re-runs a failed compute (poisoned holder reads as absent)") {
+    // a Scala lazy val RETRIES a throwing initializer on the next
+    // force — peek inside a cache-CLEAR path must not relaunch the
+    // failed build (or rethrow and abort the remaining clears)
+    val m = new Memo[String, String]
+    var calls = 0
+    intercept[RuntimeException] {
+      m.get("k") { calls += 1; throw new RuntimeException("boom") }
+    }
+    assert(calls == 1)
+    assert(m.peek("k").isEmpty, "poisoned holder must read as absent")
+    assert(calls == 1, "peek re-ran the failed compute")
+    // get() on the poisoned key retries the ORIGINAL thunk (lazy val
+    // semantics) — remove() is the recovery path, then a fresh get
+    // memoizes normally
+    intercept[RuntimeException] { m.get("k")("never evaluated") }
+    assert(calls == 2)
+    m.remove("k")
+    assert(m.get("k")("ok") == "ok")
+    assert(m.peek("k").contains("ok"))
+  }
 }

@@ -130,6 +130,27 @@ class PrefixSumSpec extends AnyFunSuite {
       "grouped running min diverged (null/NaN handling)")
   }
 
+  test("string running min follows Spark's UTF-8 binary order, not UTF-16") {
+    // U+FFFF is a single 3-byte UTF-8 sequence; U+10000 encodes as 4
+    // bytes (and as a 0xD800 surrogate in UTF-16) — Java string `<`
+    // ranks U+10000 BELOW U+FFFF while Spark's UTF8String binary
+    // order ranks it ABOVE. The driver-side prefix merge must agree
+    // with the in-slice window (Spark's order) or the merged min
+    // flips across a partition boundary.
+    val data = (1 to 64).map { i =>
+      val v = if (i % 2 == 0) "￿" else new String(Character.toChars(0x10000))
+      (i.toLong, v)
+    }.toDF("tb", "v").repartition(8)
+    val w = Window.orderBy(col("tb"))
+    val expected = data
+      .withColumn("mi", min(col("v"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val actual = PrefixSum.attach(data, Nil, Seq(col("tb")),
+      mins = Seq("v" -> "mi"))
+    assert(actual.exceptAll(expected).isEmpty && expected.exceptAll(actual).isEmpty,
+      "string min ordering diverged from Spark across partitions")
+  }
+
   test("high-cardinality groups trip the guard and fall back bit-identically") {
     // one group per row → partials are data-sized; with maxPartials = 10
     // the guarded collect must abort (≤ 11 rows reach the driver) and

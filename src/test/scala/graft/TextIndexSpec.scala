@@ -141,6 +141,47 @@ class TextIndexSpec extends AnyFunSuite {
     assert(within == Seq((5L, 1L)), s"within-segment phrase lost: $within")
   }
 
+  test("two revisions of a doc in ONE call never phrase-match across rows") {
+    import spark.implicits._
+    val root = freshRoot()
+    // doc 5 appears twice in the same build: 'a b' and 'c d'. Raw
+    // per-row positions would make a=[0] and d=[1] adjacent — the
+    // per-row concatenation offsets must keep them apart, while
+    // within-row phrases still match.
+    val base = Seq(
+      (5L, "a b"), (5L, "c d"),
+      (6L, "a d")).toDF("doc_id", "text")
+    TextIndex.build(spark, base, root, buckets = 4)
+    val ad = TextIndex.searchPhrase(spark, root, Seq("a", "d"), 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(ad == Seq((6L, 1L)), s"cross-row phantom phrase: $ad")
+    val ab = TextIndex.searchPhrase(spark, root, Seq("a", "b"), 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(ab == Seq((5L, 1L)), s"within-row phrase lost: $ab")
+    // doc stats concatenate: dl(5) = 2 + 2
+    val dl5 = graft.sources.SnapshotTable
+      .read(spark, java.nio.file.Paths.get(root, "docstats").toString)
+      .filter(col("doc_id") === 5L)
+      .agg(sum(col("dl"))).head().getLong(0)
+    assert(dl5 == 4L)
+  }
+
+  test("build refuses an existing root; zero-token append still counts the doc") {
+    import spark.implicits._
+    val root = freshRoot()
+    TextIndex.build(spark, Seq((1L, "x y")).toDF("doc_id", "text"), root, buckets = 4)
+    intercept[IllegalArgumentException] {
+      TextIndex.build(spark, Seq((2L, "z")).toDF("doc_id", "text"), root, buckets = 4)
+    }
+    // a batch of only zero-token docs produces no postings but MUST
+    // land in the doc-length table: BM25's N and avgdl count it
+    TextIndex.append(spark, Seq((9L, "")).toDF("doc_id", "text"), root)
+    val stats = graft.sources.SnapshotTable
+      .read(spark, java.nio.file.Paths.get(root, "docstats").toString)
+    assert(stats.filter(col("doc_id") === 9L).count() == 1)
+    assert(stats.filter(col("doc_id") === 9L).head().getAs[Long]("dl") == 0L)
+  }
+
   test("ranked search matches the raw-corpus BM25 computation") {
     val root = freshRoot()
     TextIndex.build(spark, docs, root)
