@@ -800,9 +800,56 @@ object Analytics extends QueryModule {
       ORDER BY p_retailprice, p_partkey
     """))
 
+  /** Grouped skyline: the (price, size) Pareto frontier WITHIN each
+    * brand — q_skyline's dominance logic with the running mins
+    * restarting per group, which drives PrefixSum's grouped prefix
+    * path (per-(slice, brand) partials, per-brand driver merge). At
+    * 100 TB each brand's distinct-price domain is itself
+    * data-proportional, so the per-brand scan must parallelize INSIDE
+    * a group — exactly what the two-pass machinery does and a plain
+    * `partitionBy(brand)` window does not.
+    */
+  val skylineBrand = QueryDef(
+    "q_skyline_brand",
+    (s, d) => {
+      val p = Tables.part(s, d)
+        .select(col("p_brand"), col("p_partkey"), col("p_retailprice"), col("p_size"))
+      val perPrice = p.groupBy(col("p_brand"), col("p_retailprice"))
+        .agg(min(col("p_size")).as("m"))
+      val mins = PrefixSum.attach(perPrice, Seq("p_brand"),
+          Seq(col("p_retailprice")),
+          mins = Seq("m" -> "min_incl"), minsExcl = Seq("m" -> "min_prev"))
+        .select(col("p_brand").as("sk_brand"),
+          col("p_retailprice").as("sk_price"),
+          col("min_incl"), col("min_prev"))
+      p.join(mins, col("p_brand") === col("sk_brand") &&
+          col("p_retailprice") === col("sk_price"))
+        .filter((col("min_prev").isNull || col("min_prev") > col("p_size")) &&
+          !(col("min_incl") < col("p_size")))
+        .select(col("p_brand"), col("p_partkey"), col("p_retailprice"), col("p_size"))
+        .orderBy(col("p_brand"), col("p_retailprice"), col("p_partkey"))
+    },
+    Some("""
+      WITH per AS (
+        SELECT p_brand AS br, p_retailprice AS pr, min(p_size) AS m
+        FROM part GROUP BY 1, 2),
+      mins AS (
+        SELECT br, pr,
+               min(m) OVER (PARTITION BY br ORDER BY pr
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS min_incl,
+               min(m) OVER (PARTITION BY br ORDER BY pr
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS min_prev
+        FROM per)
+      SELECT p_brand, p_partkey, p_retailprice, p_size
+      FROM part JOIN mins ON p_brand = mins.br AND p_retailprice = mins.pr
+      WHERE (min_prev IS NULL OR min_prev > p_size)
+        AND NOT (min_incl < p_size)
+      ORDER BY p_brand, p_retailprice, p_partkey
+    """))
+
   def defs: Seq[QueryDef] = Seq(
     shippingPriority, forecastRevenue, promoRevenue, topSupplier, partsStats,
     emaOrders, largeOrders, marketShare, waitingOrders, globalCustomers,
     priorityCount, custDist, returnedRevenue, localSupplierRevenue,
-    topkTies, momGrowth, drawdown, rfm, basketAffinity, skyline)
+    topkTies, momGrowth, drawdown, rfm, basketAffinity, skyline, skylineBrand)
 }
