@@ -190,15 +190,20 @@ object TextIndex {
       k: Int): DataFrame = {
     require(phrase.size >= 2, "phrase search needs at least two tokens")
     val buckets = bucketCount(root)
+    val multi = multirow(root)
     val parts = phrase.zipWithIndex.map { case (t, i) =>
-      SnapshotTable.readPointAll(spark, root,
+      val postings = SnapshotTable.readPointAll(spark, root,
         Seq("bucket" -> bucketOf(t, buckets).toString, "token" -> t))
-        // collapse per-ingest posting rows (streaming appends write one
-        // row per batch; segment-shifted positions just concatenate)
-        .groupBy(col("doc_id"))
-        .agg(flatten(collect_list(col("positions"))).as("ps"))
-        .select(col("doc_id"),
-          transform(col("ps"), p => p - i).as(s"__p$i"))
+      // collapse per-ingest posting rows (streaming appends write one
+      // row per batch; segment-shifted positions just concatenate) —
+      // skipped on merge-maintained indexes, whose postings are one
+      // row per (token, doc) by construction (_multirow flag)
+      val one =
+        if (multi) postings.groupBy(col("doc_id"))
+          .agg(flatten(collect_list(col("positions"))).as("ps"))
+        else postings.select(col("doc_id"), col("positions").as("ps"))
+      one.select(col("doc_id"),
+        transform(col("ps"), p => p - i).as(s"__p$i"))
     }
     val joined = parts.reduce((a, b) => a.join(b, "doc_id"))
     val aligned = (1 until phrase.size).foldLeft(col("__p0")) {
@@ -226,19 +231,24 @@ object TextIndex {
     val buckets = bucketCount(root)
     val k1 = 1.2d
     val b = 0.75d
+    val multi = multirow(root)
     val tf = terms.distinct
       .map { t =>
-        SnapshotTable.readPointAll(spark, root,
+        val postings = SnapshotTable.readPointAll(spark, root,
           Seq("bucket" -> bucketOf(t, buckets).toString, "token" -> t))
-          // BM25 is nonlinear in tf: per-ingest posting rows must merge
-          // to one tf per (doc, term) before the formula sees them
-          .groupBy(col("doc_id"), col("token"))
+        // BM25 is nonlinear in tf: per-ingest posting rows must merge
+        // to one tf per (doc, term) before the formula sees them —
+        // skipped on merge-maintained indexes (_multirow flag)
+        if (multi) postings.groupBy(col("doc_id"), col("token"))
           .agg(sum(col("tf")).cast("long").as("tf"))
+        else postings.select(col("doc_id"), col("token"), col("tf"))
       }
       .reduce(_ unionAll _)
-    val dl = SnapshotTable.read(spark, docStatsRoot(root))
-      .groupBy(col("doc_id"))
-      .agg(sum(col("dl")).cast("double").as("dl"))
+    val dlRaw = SnapshotTable.read(spark, docStatsRoot(root))
+    val dl =
+      if (multi) dlRaw.groupBy(col("doc_id"))
+        .agg(sum(col("dl")).cast("double").as("dl"))
+      else dlRaw.select(col("doc_id"), col("dl").cast("double").as("dl"))
     val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"),
       avg(col("dl")).as("avgdl"))
     val idf = tf.groupBy(col("token"))
@@ -318,6 +328,7 @@ object TextIndex {
       .withColumn("positions", transform(col("positions"), p => p + lit(seg)))
     val stats = docStatsOf(newDocs, idCol, textCol, buckets)
     val marker = spark.range(1).select(lit(batchId).as("batch_id"))
+    Files.writeString(multirowFlag(root), "1") // before the txn: see note
     SnapshotTransaction.commitAll(spark, txnDir, Seq(
       TableWrite(root, postings, appendFiles = true),
       TableWrite(docStatsRoot(root), stats, appendFiles = true),
@@ -391,8 +402,21 @@ object TextIndex {
       SnapshotTable.commit(spark, logRoot, top)
       ()
     }
+    Files.deleteIfExists(multirowFlag(root)) // folds published: reads go direct
     v
   }
+
+  // Multi-row postings exist ONLY after streaming appends: build and
+  // append() keep one row per (token, doc) by construction. The flag
+  // file lets every read path skip its duplicate-fold aggregation
+  // (an extra shuffle per probe) on merge-maintained indexes — set
+  // conservatively BEFORE the txn commits (a rolled-back batch leaves
+  // it on: slower, never wrong), cleared by optimize() AFTER the fold
+  // publishes (a crash in between likewise errs slow-but-correct).
+  private def multirowFlag(root: String) = Paths.get(root, "_multirow")
+
+  private def multirow(root: String): Boolean =
+    Files.exists(multirowFlag(root))
 
   private def ingestLogRoot(root: String): String =
     Paths.get(root, "ingestlog").toString

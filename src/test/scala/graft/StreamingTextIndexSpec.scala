@@ -101,7 +101,13 @@ class StreamingTextIndexSpec extends AnyFunSuite {
     assert(before._2.toSet == Set((1L, 1L), (2L, 1L), (3L, 1L)),
       s"phrase wrong: ${before._2}")
 
+    // streaming appends set the multirow flag (read paths fold);
+    // optimize clears it (reads go direct) — results identical either way
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(root, "_multirow")))
     val vOpt = TextIndex.optimize(spark, root)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(root, "_multirow")))
     val after = snap()
     assert(after == before, "OPTIMIZE changed a search result")
     // folded: one row per (token, doc)
