@@ -67,8 +67,15 @@ object TextIndex {
     val postings = postingsOf(docs, idCol, textCol, buckets)
     val v = SnapshotTable.commitPartitions(spark, root, postings, "bucket",
       setCols = Seq("bucket"), setCap = 8, bloomCols = Seq("token"))
-    SnapshotTable.commitPartitions(spark, docStatsRoot(root),
-      docStatsOf(docs, idCol, textCol, buckets), "dbucket")
+    // one doc-stats row per doc even when the input carries several
+    // rows per doc id (revisions in one call): lengths ADD, the same
+    // semantics postingsOf's tf merge and append()'s stats merge use.
+    // Without this fold the non-multirow BM25 path would join tf rows
+    // to DUPLICATED dl rows (fan-out) and overcount N/avgdl.
+    val stats = docStatsOf(docs, idCol, textCol, buckets)
+      .groupBy(col("dbucket"), col("doc_id"))
+      .agg(sum(col("dl")).cast("long").as("dl"))
+    SnapshotTable.commitPartitions(spark, docStatsRoot(root), stats, "dbucket")
     Files.createDirectories(Paths.get(root))
     Files.writeString(metaFile(root), s"$buckets\n")
     v
@@ -78,11 +85,24 @@ object TextIndex {
     * revision of an existing doc gets its positions shifted into its
     * own segment (`committed-version × stride`), so phrase adjacency
     * can never false-match ACROSS a segment boundary while staying
-    * exact within each ingest. Bounds: docs up to 2^20 tokens, up to
-    * ~2^11 append rounds before int positions saturate — both far
-    * past the training-document regime; a corpus outside it rebuilds.
+    * exact within each ingest.
+    *
+    * Positions are LONGs (r16, VERDICT r15 item 5 — the int cliffs
+    * were a ~2000-stream-batch / 2^20-token ceiling a long-lived
+    * production stream would hit). With a 2^31 stride, per-segment
+    * positions cover any document Spark can hold in one string cell
+    * (the 2 GiB array limit caps a doc below 2^31 tokens), and the
+    * segment count saturates at [[MaxSegments]] = 2^32 — ~4 billion
+    * ingest rounds, unreachable for any stream that triggers more
+    * than once a nanosecond for a century. Both bounds still fail
+    * loud, never wrong.
     */
-  val SegmentStride: Int = 1 << 20
+  val SegmentStride: Long = 1L << 31
+
+  /** Highest segment index before `segment × stride` overflows a
+    * long — the guard both ingest paths enforce.
+    */
+  val MaxSegments: Long = Long.MaxValue / SegmentStride // 2^32
 
   /** Append documents incrementally: recompute postings for the new
     * docs only, merge them into the buckets they touch (read the
@@ -97,6 +117,10 @@ object TextIndex {
       idCol: String = "doc_id", textCol: String = "text"): Int = {
     val buckets = bucketCount(root)
     val readV = SnapshotTable.currentVersion(root)
+    require(readV < MaxSegments,
+      s"append round $readV outside the long-position segment range " +
+        s"(see SegmentStride): $MaxSegments rounds exhaust the position " +
+        "space. Rebuild into a FRESH root past it")
     val cols = Seq(col("bucket"), col("token"), col("doc_id"), col("tf"),
       col("positions"))
     val fresh = postingsOf(newDocs, idCol, textCol, buckets)
@@ -315,15 +339,15 @@ object TextIndex {
   def ingestBatch(spark: SparkSession, newDocs: DataFrame, root: String,
       txnDir: String, batchId: Long,
       idCol: String = "doc_id", textCol: String = "text"): Boolean = {
-    require(batchId >= 0 && batchId < 2000,
-      s"batchId $batchId outside the int-position segment range " +
-        "(see SegmentStride): ~2000 batches exhaust the 2^31 position " +
-        "space. Rebuild into a FRESH root past it — optimize() keeps " +
-        "absolute segment positions, so restarting batch numbering " +
-        "over the same root would reuse live segments")
+    require(batchId >= 0 && batchId + 1 < MaxSegments,
+      s"batchId $batchId outside the long-position segment range " +
+        s"(see SegmentStride): $MaxSegments batches exhaust the 2^63 " +
+        "position space. Rebuild into a FRESH root past it — optimize() " +
+        "keeps absolute segment positions, so restarting batch " +
+        "numbering over the same root would reuse live segments")
     if (lastAppliedBatch(spark, root) >= batchId) return false
     val buckets = bucketCount(root)
-    val seg = ((batchId + 1) * SegmentStride.toLong).toInt
+    val seg = (batchId + 1) * SegmentStride
     val postings = postingsOf(newDocs, idCol, textCol, buckets)
       .withColumn("positions", transform(col("positions"), p => p + lit(seg)))
     val stats = docStatsOf(newDocs, idCol, textCol, buckets)
@@ -480,8 +504,10 @@ object TextIndex {
       .withColumn("__len", size(split(col("__text"), " ")))
       .withColumn("__rh", xxhash64(col("__text")))
       .withColumn("__rm", md5(col("__text")))
+      // LONG offsets: positions are longs end-to-end (segment shifts
+      // multiply by the 2^31 stride; int arithmetic here would wrap)
       .withColumn("__off",
-        coalesce(sum(col("__len") + 1).over(w), lit(0)).cast("int"))
+        coalesce(sum(col("__len") + 1).over(w), lit(0)).cast("long"))
       .select(col("doc_id"), col("__off"),
         posexplode(split(col("__text"), " ")).as(Seq("pos", "token")))
       .filter(col("token") =!= "")

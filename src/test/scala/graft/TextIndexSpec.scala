@@ -158,12 +158,26 @@ class TextIndexSpec extends AnyFunSuite {
     val ab = TextIndex.searchPhrase(spark, root, Seq("a", "b"), 10)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(ab == Seq((5L, 1L)), s"within-row phrase lost: $ab")
-    // doc stats concatenate: dl(5) = 2 + 2
+    // doc stats concatenate AND fold to ONE row per doc (ADVICE r15:
+    // un-aggregated duplicate dl rows would fan out the non-multirow
+    // BM25 join and overcount N/avgdl): dl(5) = 2 + 2, one row
     val dl5 = graft.sources.SnapshotTable
       .read(spark, java.nio.file.Paths.get(root, "docstats").toString)
       .filter(col("doc_id") === 5L)
-      .agg(sum(col("dl"))).head().getLong(0)
-    assert(dl5 == 4L)
+      .collect().map(_.getAs[Long]("dl")).toSeq
+    assert(dl5 == Seq(4L), s"doc-stats rows for a dup-row build: $dl5")
+    // and the ranked path scores the dup-row build exactly like a
+    // clean single-row build over the concatenated corpus
+    val clean = freshRoot()
+    TextIndex.build(spark,
+      Seq((5L, "a b c d"), (6L, "a d")).toDF("doc_id", "text"),
+      clean, buckets = 4)
+    val rankedDup = TextIndex.searchRanked(spark, root, Seq("a", "d"), 10)
+      .collect().map(r => (r.getLong(0), r.getFloat(1))).toSeq
+    val rankedClean = TextIndex.searchRanked(spark, clean, Seq("a", "d"), 10)
+      .collect().map(r => (r.getLong(0), r.getFloat(1))).toSeq
+    assert(rankedDup == rankedClean,
+      s"dup-row build BM25 diverged: $rankedDup vs $rankedClean")
   }
 
   test("build refuses an existing root; zero-token append still counts the doc") {
