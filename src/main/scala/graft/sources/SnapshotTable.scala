@@ -108,7 +108,7 @@ object SnapshotTable {
     * corrupted by the anti-join. Every commit entry point (commit,
     * commitPartitions) must reserve them at the gate.
     */
-  private def requireNoReservedColumns(df: DataFrame): Unit = {
+  private[sources] def requireNoReservedColumns(df: DataFrame): Unit = {
     val reserved = df.columns.toSet
       .intersect(Set("__file", "__idx", "__dv_file", "__dv_idx"))
     require(reserved.isEmpty,
@@ -608,18 +608,31 @@ object SnapshotTable {
     *        partitions' files are simply not linked forward; on the
     *        slow path they are filtered out of the composed content.
     */
-  def commitPartitions(spark: SparkSession, root: String, df: DataFrame,
-      partitionCol: String, readVersion: Int = -1,
-      maxRetries: Int = 10, statsCols: Seq[String] = Nil,
-      setCols: Seq[String] = Nil, setCap: Int = 1024,
-      dropValues: Seq[Any] = Nil,
-      bloomCols: Seq[String] = Nil, bloomFpp: Double = 0.01): Int = {
-    Files.createDirectories(logDir(root))
-    requireNoReservedColumns(df)
+  /** Distinct slice values, token-safety, and conflict-manifest tokens
+    * for a partition-sliced commit — the shared preamble of
+    * [[commitPartitions]] and sliced [[TableWrite]]s in
+    * [[SnapshotTransaction.commitAll]].
+    *
+    * Distinct partition values are metadata-sized by the
+    * partitioned-table contract (|partitions| ≪ |rows|). Partition
+    * tokens are built from value.toString, which is only VALUE-BASED
+    * for the listed types: a BinaryType value would tokenize as its
+    * identity hash (different every run → the same partition gets two
+    * tokens → kept-files filter misses → duplicated rows), and
+    * java.sql.Timestamp/Date render through the JVM default timezone
+    * (unstable across writers). Unsafe types: no tokens — the conflict
+    * manifest degrades to the conservative full-table `*` and
+    * composition takes the value-correct slow path. Tokens are
+    * whole-token escaped (same framing rule as commit(): a value
+    * carrying a newline must not split the manifest into bogus entries
+    * that defeat a concurrent writer's overlap check), and dropped
+    * partitions are claimed exactly like rewritten ones — a concurrent
+    * writer of a dropped partition must conflict.
+    */
+  private[sources] def slicePreamble(df: DataFrame, partitionCol: String,
+      dropValues: Seq[Any]): (Seq[Any], Boolean, Set[String]) = {
     require(df.columns.contains(partitionCol),
       s"partition column $partitionCol missing from ${df.columns.mkString(",")}")
-    // distinct partition values: metadata-sized by the partitioned-
-    // table contract (|partitions| ≪ |rows|)
     val vals = df.select(partitionCol).distinct().collect().map(_.get(0)).toSeq
     require(vals.nonEmpty, "partition-sliced commit carries no rows")
     require(!vals.contains(null),
@@ -629,14 +642,6 @@ object SnapshotTable {
     require(dropValues.intersect(vals).isEmpty,
       s"dropValues overlap the slice's own partition values: " +
         dropValues.intersect(vals).mkString(","))
-    // Partition tokens are built from value.toString, which is only
-    // VALUE-BASED for these types. A BinaryType value would tokenize
-    // as its identity hash (different every run → the same partition
-    // gets two tokens → kept-files filter misses → duplicated rows),
-    // and java.sql.Timestamp/Date render through the JVM default
-    // timezone (unstable across writers). Unsafe types: no tokens —
-    // the conflict manifest degrades to the conservative full-table
-    // `*` and composition takes the value-correct slow path.
     val tokenSafe = df.schema(partitionCol).dataType match {
       case org.apache.spark.sql.types.StringType |
            org.apache.spark.sql.types.BooleanType |
@@ -649,15 +654,124 @@ object SnapshotTable {
       case _: org.apache.spark.sql.types.DecimalType => true
       case _ => false
     }
-    // whole-token escape, same framing rule as commit(): a value
-    // carrying a newline must not split the manifest into bogus
-    // entries that defeat a concurrent writer's overlap check.
-    // Dropped partitions are claimed exactly like rewritten ones —
-    // a concurrent writer of a dropped partition must conflict.
     val mine: Set[String] =
       if (tokenSafe) (vals ++ dropValues)
         .map(v => escapeVal(s"$partitionCol=${tokenRender(v)}")).toSet
       else Set("*")
+    (vals, tokenSafe, mine)
+  }
+
+  /** Compose a partition-sliced staging directory against PUBLISHED
+    * version `base` — the staging step shared by [[commitPartitions]]
+    * and sliced [[TableWrite]]s in [[SnapshotTransaction.commitAll]].
+    * The caller owns the claim/publish/cleanup protocol; on any throw
+    * the caller must delete `staging`.
+    */
+  private[sources] def composeSliceStaging(spark: SparkSession, root: String,
+      df: DataFrame, partitionCol: String, vals: Seq[Any],
+      dropValues: Seq[Any], tokenSafe: Boolean, mine: Set[String],
+      base: Int, staging: Path, statsCols: Seq[String],
+      setCols: Seq[String], setCap: Int,
+      bloomCols: Seq[String], bloomFpp: Double): Unit = {
+    if (base == 0) {
+      require(dropValues.isEmpty,
+        "dropValues on a CREATE commit: nothing exists to drop")
+      // CREATE: write one partition value at a time so the version
+      // is born with a `_partmap` and every later slice commit can
+      // take the file-link fast path (capped — a pathological
+      // first slice with hundreds of values, or a token-unsafe
+      // partition type, stays a flat write)
+      Files.createDirectories(staging)
+      if (tokenSafe && vals.length <= maxPartmapValues)
+        writePartmap(staging, partitionCol,
+          writeSlicePerValue(df, partitionCol, vals, staging))
+      else df.write.mode("overwrite").parquet(staging.toString)
+      writeSchemaSidecar(staging, df.schema)
+    } else {
+      val prior = read(spark, root, base)
+      // names AND types must match exactly: a name-only check
+      // would let unionByName silently widen the table's column
+      // type table-wide on compose (a LONG column fed a DOUBLE
+      // slice flips every row to DOUBLE) — the same-name type
+      // flip mergeByKey's store-assignment guards exist to block
+      val priorTypes = prior.schema.fields
+        .map(f => f.name -> f.dataType).toMap
+      val sliceTypes = df.schema.fields
+        .map(f => f.name -> f.dataType).toMap
+      require(priorTypes == sliceTypes,
+        s"schema mismatch: table has ${prior.schema.simpleString}, " +
+          s"slice has ${df.schema.simpleString} (same names AND types " +
+          "required; evolve via mergeByKey)")
+      val aligned = df.select(prior.columns.map(
+        org.apache.spark.sql.functions.col): _*)
+      val priorDir = Paths.get(root, s"v=$base")
+      // the map is only usable when it was built on the SAME
+      // partition column (its header records the exact column —
+      // a token-prefix test would be fooled by a column name
+      // containing '='): tokens for another column would never
+      // match `mine`, every file would be "kept", and the slice's
+      // rows would duplicate instead of replace. A column switch
+      // (legal, if odd) takes the slow compose, which filters on
+      // values and stays correct.
+      val priorMap = readPartmap(priorDir, partitionCol)
+        .filter(_ => !Files.exists(dvDir(priorDir)))
+      priorMap match {
+        case Some(pm) if tokenSafe && vals.length <= maxPartmapValues =>
+          // FAST PATH: untouched partitions' files are hard-linked
+          // (metadata-only — no read, no write of their bytes);
+          // only the slice's rows are written. Commit cost is
+          // ∝ touched data + |files| link syscalls, not table size
+          // — the file-granularity economics the real formats get
+          // from their manifests.
+          Files.createDirectories(staging)
+          val keep = pm.filter { case (_, tok) => !mine.contains(tok) }
+          keep.keys.foreach(f =>
+            Files.createLink(staging.resolve(f), priorDir.resolve(f)))
+          val fresh = writeSlicePerValue(aligned, partitionCol, vals, staging)
+          writePartmap(staging, partitionCol, keep ++ fresh)
+          // pruning manifests survive the fast path too: kept
+          // files' lines carry verbatim, new files are scanned
+          carrySidecars(spark, priorDir, staging, keep.keySet,
+            fresh.keySet, setCap, bloomFpp)
+        case _ =>
+          // SLOW PATH (no partmap / DV present / token-unsafe
+          // type / too many values): full compose stays correct,
+          // flat files, no partmap.
+          // coalesce(…, false): a NULL partition value in the
+          // prior table is unaddressable by a slice and survives
+          val replaced = org.apache.spark.sql.functions.coalesce(
+            org.apache.spark.sql.functions.col(partitionCol)
+              .isin(vals ++ dropValues: _*),
+            org.apache.spark.sql.functions.lit(false))
+          prior.filter(!replaced).unionByName(aligned)
+            .write.mode("overwrite").parquet(staging.toString)
+      }
+      // schema sidecar in the table's (prior) column order —
+      // zero-job reads of the new version
+      writeSchemaSidecar(staging, aligned.schema)
+    }
+    // explicit sidecar requests (same contract as commit()). A
+    // carried manifest that does not cover the REQUESTED columns
+    // is recomputed over the whole staging (a pruning-column
+    // upgrade is a data-sized event, never a silent drop).
+    if (statsCols.nonEmpty && !sidecarCovers(statsFile(staging), statsCols))
+      writeStats(spark, staging, statsCols)
+    if (setCols.nonEmpty && !sidecarCovers(setsFile(staging), setCols))
+      writeSets(spark, staging, setCols, setCap)
+    if (bloomCols.nonEmpty && !sidecarCovers(bloomFile(staging), bloomCols))
+      writeBlooms(spark, staging, bloomCols, bloomFpp)
+    validateConstraints(spark, root, staging)
+  }
+
+  def commitPartitions(spark: SparkSession, root: String, df: DataFrame,
+      partitionCol: String, readVersion: Int = -1,
+      maxRetries: Int = 10, statsCols: Seq[String] = Nil,
+      setCols: Seq[String] = Nil, setCap: Int = 1024,
+      dropValues: Seq[Any] = Nil,
+      bloomCols: Seq[String] = Nil, bloomFpp: Double = 0.01): Int = {
+    Files.createDirectories(logDir(root))
+    requireNoReservedColumns(df)
+    val (vals, tokenSafe, mine) = slicePreamble(df, partitionCol, dropValues)
     var attempt = 0
     var composedBase = -1 // version the current staging was composed against
     var staging: Path = null
@@ -685,94 +799,9 @@ object SnapshotTable {
         cleanup()
         staging = Paths.get(root, "_staging", java.util.UUID.randomUUID().toString)
         try {
-        if (base == 0) {
-          require(dropValues.isEmpty,
-            "dropValues on a CREATE commit: nothing exists to drop")
-          // CREATE: write one partition value at a time so the version
-          // is born with a `_partmap` and every later slice commit can
-          // take the file-link fast path (capped — a pathological
-          // first slice with hundreds of values, or a token-unsafe
-          // partition type, stays a flat write)
-          Files.createDirectories(staging)
-          if (tokenSafe && vals.length <= maxPartmapValues)
-            writePartmap(staging, partitionCol,
-              writeSlicePerValue(df, partitionCol, vals, staging))
-          else df.write.mode("overwrite").parquet(staging.toString)
-          writeSchemaSidecar(staging, df.schema)
-        } else {
-          val prior = read(spark, root, base)
-          // names AND types must match exactly: a name-only check
-          // would let unionByName silently widen the table's column
-          // type table-wide on compose (a LONG column fed a DOUBLE
-          // slice flips every row to DOUBLE) — the same-name type
-          // flip mergeByKey's store-assignment guards exist to block
-          val priorTypes = prior.schema.fields
-            .map(f => f.name -> f.dataType).toMap
-          val sliceTypes = df.schema.fields
-            .map(f => f.name -> f.dataType).toMap
-          require(priorTypes == sliceTypes,
-            s"schema mismatch: table has ${prior.schema.simpleString}, " +
-              s"slice has ${df.schema.simpleString} (same names AND types " +
-              "required; evolve via mergeByKey)")
-          val aligned = df.select(prior.columns.map(
-            org.apache.spark.sql.functions.col): _*)
-          val priorDir = Paths.get(root, s"v=$base")
-          // the map is only usable when it was built on the SAME
-          // partition column (its header records the exact column —
-          // a token-prefix test would be fooled by a column name
-          // containing '='): tokens for another column would never
-          // match `mine`, every file would be "kept", and the slice's
-          // rows would duplicate instead of replace. A column switch
-          // (legal, if odd) takes the slow compose, which filters on
-          // values and stays correct.
-          val priorMap = readPartmap(priorDir, partitionCol)
-            .filter(_ => !Files.exists(dvDir(priorDir)))
-          priorMap match {
-            case Some(pm) if tokenSafe && vals.length <= maxPartmapValues =>
-              // FAST PATH: untouched partitions' files are hard-linked
-              // (metadata-only — no read, no write of their bytes);
-              // only the slice's rows are written. Commit cost is
-              // ∝ touched data + |files| link syscalls, not table size
-              // — the file-granularity economics the real formats get
-              // from their manifests.
-              Files.createDirectories(staging)
-              val keep = pm.filter { case (_, tok) => !mine.contains(tok) }
-              keep.keys.foreach(f =>
-                Files.createLink(staging.resolve(f), priorDir.resolve(f)))
-              val fresh = writeSlicePerValue(aligned, partitionCol, vals, staging)
-              writePartmap(staging, partitionCol, keep ++ fresh)
-              // pruning manifests survive the fast path too: kept
-              // files' lines carry verbatim, new files are scanned
-              carrySidecars(spark, priorDir, staging, keep.keySet,
-                fresh.keySet, setCap, bloomFpp)
-            case _ =>
-              // SLOW PATH (no partmap / DV present / token-unsafe
-              // type / too many values): full compose stays correct,
-              // flat files, no partmap.
-              // coalesce(…, false): a NULL partition value in the
-              // prior table is unaddressable by a slice and survives
-              val replaced = org.apache.spark.sql.functions.coalesce(
-                org.apache.spark.sql.functions.col(partitionCol)
-                  .isin(vals ++ dropValues: _*),
-                org.apache.spark.sql.functions.lit(false))
-              prior.filter(!replaced).unionByName(aligned)
-                .write.mode("overwrite").parquet(staging.toString)
-          }
-          // schema sidecar in the table's (prior) column order —
-          // zero-job reads of the new version
-          writeSchemaSidecar(staging, aligned.schema)
-        }
-        // explicit sidecar requests (same contract as commit()). A
-        // carried manifest that does not cover the REQUESTED columns
-        // is recomputed over the whole staging (a pruning-column
-        // upgrade is a data-sized event, never a silent drop).
-        if (statsCols.nonEmpty && !sidecarCovers(statsFile(staging), statsCols))
-          writeStats(spark, staging, statsCols)
-        if (setCols.nonEmpty && !sidecarCovers(setsFile(staging), setCols))
-          writeSets(spark, staging, setCols, setCap)
-        if (bloomCols.nonEmpty && !sidecarCovers(bloomFile(staging), bloomCols))
-          writeBlooms(spark, staging, bloomCols, bloomFpp)
-        validateConstraints(spark, root, staging)
+        composeSliceStaging(spark, root, df, partitionCol, vals, dropValues,
+          tokenSafe, mine, base, staging, statsCols, setCols, setCap,
+          bloomCols, bloomFpp)
         manifestTmp = Paths.get(root, "_staging",
           staging.getFileName.toString + ".manifest")
         Files.writeString(manifestTmp, mine.toSeq.sorted.mkString("\n"))
@@ -1990,10 +2019,27 @@ object SnapshotTable {
   * the composition and the transaction aborts with a conflict rather
   * than publishing stale bytes. With `appendFiles = false` (default)
   * `df` is the complete next content, as in single-table [[SnapshotTable.commit]].
+  *
+  * `sliceCol = Some(col)` (r16) stages a PARTITION-SLICED
+  * read-modify-write — the transactional twin of
+  * [[SnapshotTable.commitPartitions]]: `df` holds only the touched
+  * partitions' complete new rows; untouched partitions carry forward
+  * from the published head (hard links on the partmap fast path), and
+  * the conflict manifest claims only the touched partition tokens.
+  * `setCols`/`setCap`/`bloomCols`/`bloomFpp` request pruning sidecars
+  * exactly as in commitPartitions. Because composition reads ONLY
+  * published data, the claimed slot must be contiguous with the
+  * composed base; a concurrent claim in between aborts the whole
+  * transaction with [[SnapshotTable.SnapshotConflict]] (re-read and
+  * re-derive) rather than silently dropping the in-flight writer's
+  * rows. Mutually exclusive with `appendFiles`.
   */
 final case class TableWrite(root: String, df: DataFrame,
     partitions: Seq[String] = Nil, readVersion: Int = -1,
-    appendFiles: Boolean = false)
+    appendFiles: Boolean = false,
+    sliceCol: Option[String] = None,
+    setCols: Seq[String] = Nil, setCap: Int = 1024,
+    bloomCols: Seq[String] = Nil, bloomFpp: Double = 0.01)
 
 /** Cross-table transactions over [[SnapshotTable]] — the piece even
   * most production formats lack (Delta/Iceberg commit one table at a
@@ -2063,10 +2109,32 @@ object SnapshotTransaction {
     Files.createDirectories(Paths.get(txnDir))
     // ---- 1. stage (expensive, no locks, writer-unique names) -------
     val staged = writes.sortBy(_.root).map { w0 =>
+      require(!(w0.appendFiles && w0.sliceCol.isDefined),
+        s"${w0.root}: appendFiles and sliceCol are mutually exclusive")
       Files.createDirectories(Paths.get(w0.root, "_staging"))
       Files.createDirectories(Paths.get(w0.root, "_log"))
       val staging = Paths.get(w0.root, "_staging",
         java.util.UUID.randomUUID().toString)
+      if (w0.sliceCol.isDefined) {
+        // partition-sliced staging (r16): compose (published head minus
+        // touched partitions) ∪ df exactly like commitPartitions —
+        // partmap fast path, carried pruning sidecars, token manifest.
+        // stagedBase records the composed-against version; the claim
+        // phase enforces slot contiguity with it.
+        val pcol = w0.sliceCol.get
+        requireNoReservedColumns(w0.df)
+        val (vals, tokenSafe, mine) = slicePreamble(w0.df, pcol, Nil)
+        val base = currentVersion(w0.root)
+        try composeSliceStaging(spark, w0.root, w0.df, pcol, vals, Nil,
+          tokenSafe, mine, base, staging, Nil,
+          w0.setCols, w0.setCap, w0.bloomCols, w0.bloomFpp)
+        catch { case e: Throwable => deleteTree(staging); throw e }
+        val w = if (w0.readVersion < 0) w0.copy(readVersion = base) else w0
+        val manifestTmp = Paths.get(w.root, "_staging",
+          staging.getFileName.toString + ".manifest")
+        Files.writeString(manifestTmp, mine.toSeq.sorted.mkString("\n"))
+        (w, staging, manifestTmp, mine, base)
+      } else {
       val w =
         if (!w0.appendFiles) {
           w0.df.write.mode("overwrite").parquet(staging.toString)
@@ -2115,9 +2183,10 @@ object SnapshotTransaction {
       val manifestTmp = Paths.get(w.root, "_staging",
         staging.getFileName.toString + ".manifest")
       Files.writeString(manifestTmp, mine.toSeq.sorted.mkString("\n"))
-      (w, staging, manifestTmp, mine)
+      (w, staging, manifestTmp, mine, -1)
+      }
     }
-    def dropStagings(): Unit = staged.foreach { case (_, s, m, _) =>
+    def dropStagings(): Unit = staged.foreach { case (_, s, m, _, _) =>
       deleteTree(s); Files.deleteIfExists(m); ()
     }
     // ---- 2. claim a slot per table (CAS + conflict check) ----------
@@ -2126,7 +2195,7 @@ object SnapshotTransaction {
       backend.abortClaim(root, v)
     }
     val versions: Seq[(TableWrite, Path, Int)] =
-      try staged.map { case (w, staging, manifestTmp, mine) =>
+      try staged.map { case (w, staging, manifestTmp, mine, stagedBase) =>
         var attempt = 0
         var slot = -1
         while (slot < 0) {
@@ -2141,6 +2210,19 @@ object SnapshotTransaction {
               }
           }
           val next = base + 1
+          // sliced staging composed untouched partitions from the
+          // PUBLISHED head it read; a claim landing anywhere but the
+          // very next slot means another writer is in flight whose
+          // rows the composition cannot carry — abort rather than
+          // publish a version missing them (commitPartitions' own
+          // loop waits for contiguity; a multi-table transaction
+          // cannot hold claims while waiting without deadlock risk,
+          // so it surfaces the conflict for the caller to retry)
+          if (stagedBase >= 0 && next != stagedBase + 1)
+            throw new SnapshotConflict(
+              s"sliced transaction write to ${w.root} composed against " +
+                s"v$stagedBase but the next slot is v$next (concurrent " +
+                "writer in flight); re-read and re-derive")
           if (backend.claim(w.root, next, manifestTmp)) {
             claimed += ((w.root, next))
             slot = next

@@ -110,11 +110,23 @@ object TextIndex {
     * frequencies for (token, doc) pairs that already exist — i.e. a
     * re-ingested doc revision — and union their position lists, the
     * new segment's shifted by [[SegmentStride]]), and commit the
-    * touched slices. Cost ∝ new-doc tokens + the touched buckets'
-    * existing postings.
+    * touched postings slices AND the doc-length slices in ONE
+    * [[SnapshotTransaction]] (r16, ADVICE r15: the two-commit form
+    * could crash between them, leaving BM25 stats missing the batch's
+    * docs). Cost ∝ new-doc tokens + the touched buckets' existing
+    * postings.
+    *
+    * Crash contract: an undecided crash rolls the whole batch back
+    * (both tables untouched — re-run the append); a decided crash
+    * rolls the whole batch forward at the next append()/
+    * [[recoverAppend]] (both tables carry it — re-running the SAME
+    * batch would double-merge tf and re-shift positions into a new
+    * segment). After a crash, call [[recoverAppend]] FIRST and re-run
+    * the batch only when it returns false.
     */
   def append(spark: SparkSession, newDocs: DataFrame, root: String,
       idCol: String = "doc_id", textCol: String = "text"): Int = {
+    SnapshotTransaction.recover(appendTxnDir(root)) // heal a crashed writer
     val buckets = bucketCount(root)
     val readV = SnapshotTable.currentVersion(root)
     require(readV < MaxSegments,
@@ -131,7 +143,7 @@ object TextIndex {
       .collect().map(_.getInt(0)).toSeq
     // a zero-token batch still falls through: its docs must reach the
     // doc-stats merge below (they count toward BM25's N and avgdl)
-    val v = if (touched.isEmpty) readV else {
+    val postingsWrite = if (touched.isEmpty) None else {
       val existing = touched
         .map(b => SnapshotTable.readPoint(spark, root, "bucket", b.toString,
           version = readV))
@@ -141,11 +153,10 @@ object TextIndex {
         .groupBy(col("bucket"), col("token"), col("doc_id"))
         .agg(sum(col("tf")).cast("long").as("tf"),
           sort_array(flatten(collect_list(col("positions")))).as("positions"))
-      SnapshotTable.commitPartitions(spark, root, merged, "bucket",
-        readVersion = readV,
-        setCols = Seq("bucket"), setCap = 8, bloomCols = Seq("token"))
+      Some(TableWrite(root, merged, readVersion = readV,
+        sliceCol = Some("bucket"),
+        setCols = Seq("bucket"), setCap = 8, bloomCols = Seq("token")))
     }
-    SnapshotTable.freeLocalCheckpoint(fresh)
     // doc-length side table: same slice-merge shape keyed by doc-hash
     // bucket (a revision's length ADDS — concat semantics, like tf)
     val sRoot = docStatsRoot(root)
@@ -154,7 +165,7 @@ object TextIndex {
       .localCheckpoint()
     val touchedS = freshStats.select("dbucket").distinct()
       .collect().map(_.getInt(0)).toSeq
-    if (touchedS.nonEmpty) {
+    val statsWrite = if (touchedS.isEmpty) None else {
       val existingS = touchedS
         .map(b => SnapshotTable.readPoint(spark, sRoot, "dbucket", b.toString,
           version = sReadV))
@@ -164,12 +175,35 @@ object TextIndex {
         .unionAll(freshStats.select(col("dbucket"), col("doc_id"), col("dl")))
         .groupBy(col("dbucket"), col("doc_id"))
         .agg(sum(col("dl")).cast("long").as("dl"))
-      SnapshotTable.commitPartitions(spark, sRoot, mergedS, "dbucket",
-        readVersion = sReadV)
+      Some(TableWrite(sRoot, mergedS, readVersion = sReadV,
+        sliceCol = Some("dbucket")))
     }
+    val writes = Seq(postingsWrite, statsWrite).flatten
+    val v =
+      if (writes.isEmpty) readV
+      else SnapshotTransaction
+        .commitAll(spark, appendTxnDir(root), writes)
+        .getOrElse(root, readV)
+    SnapshotTable.freeLocalCheckpoint(fresh)
     SnapshotTable.freeLocalCheckpoint(freshStats)
     v
   }
+
+  /** Heal the transactional state of a crashed [[append]]. Undecided
+    * transactions roll back — nothing landed, re-run the batch;
+    * decided ones roll forward — the batch IS in the index, and
+    * re-running it would double-count term frequencies and re-shift
+    * positions into a fresh segment (double-counted phrase
+    * occurrences). Returns true when a roll-FORWARD happened (the
+    * interrupted batch landed; do NOT re-run it). append() heals on
+    * entry too; this entry point exists so a recovering caller can
+    * learn which way recovery went BEFORE deciding to re-run.
+    */
+  def recoverAppend(root: String): Boolean =
+    SnapshotTransaction.recover(appendTxnDir(root))._1 > 0
+
+  private def appendTxnDir(root: String): String =
+    Paths.get(root, "_appendtxn").toString
 
   /** Conjunctive (AND) term search ranked by summed term frequency,
     * deterministic tiebreak on doc id: the documents containing EVERY

@@ -180,6 +180,59 @@ class TextIndexSpec extends AnyFunSuite {
       s"dup-row build BM25 diverged: $rankedDup vs $rankedClean")
   }
 
+  test("append is ONE transaction: crashes roll both tables back or both forward") {
+    import spark.implicits._
+    import graft.sources.SnapshotTransaction
+    val root = freshRoot()
+    TextIndex.build(spark,
+      Seq((1L, "red fish"), (2L, "blue sky")).toDF("doc_id", "text"),
+      root, buckets = 4)
+    val batch = Seq((3L, "red sky at night")).toDF("doc_id", "text")
+    def state() = (
+      SnapshotTable.currentVersion(root),
+      SnapshotTable.currentVersion(
+        java.nio.file.Paths.get(root, "docstats").toString),
+      TextIndex.search(spark, root, Seq("red"), 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq,
+      TextIndex.searchRanked(spark, root, Seq("red", "sky"), 10)
+        .collect().map(r => (r.getLong(0), r.getFloat(1))).toSeq)
+    val before = state()
+
+    // UNDECIDED crash: neither postings nor doc stats may land —
+    // the pre-r16 two-commit form left BM25 stats missing the batch
+    SnapshotTransaction.failpoint =
+      at => if (at == "after-intent") throw SnapshotTransaction.SimulatedCrash(at)
+    try intercept[SnapshotTransaction.SimulatedCrash] {
+      TextIndex.append(spark, batch, root)
+    } finally SnapshotTransaction.failpoint = _ => ()
+    assert(!TextIndex.recoverAppend(root), "undecided crash must roll BACK")
+    assert(state() == before, "a rolled-back append leaked state")
+
+    // re-run applies exactly once
+    TextIndex.append(spark, batch, root)
+    val applied = state()
+    assert(applied._3.map(_._1).contains(3L))
+    assert(applied._1 == before._1 + 1 && applied._2 == before._2 + 1)
+
+    // DECIDED crash (mid-publish, between the two tables): recovery
+    // rolls FORWARD and tells the caller the batch landed
+    val batch2 = Seq((4L, "red dawn")).toDF("doc_id", "text")
+    SnapshotTransaction.failpoint =
+      at => if (at == "mid-publish") throw SnapshotTransaction.SimulatedCrash(at)
+    try intercept[SnapshotTransaction.SimulatedCrash] {
+      TextIndex.append(spark, batch2, root)
+    } finally SnapshotTransaction.failpoint = _ => ()
+    assert(TextIndex.recoverAppend(root),
+      "decided crash must roll FORWARD (batch landed — don't re-run)")
+    val after = state()
+    assert(after._3.map(_._1).contains(4L), "rolled-forward batch missing")
+    assert(after._1 == applied._1 + 1 && after._2 == applied._2 + 1,
+      "both tables must advance exactly once")
+    // ranked search still consistent: every red-matching doc has a dl row
+    assert(after._4.map(_._1).toSet == after._3.map(_._1).toSet
+      ++ TextIndex.search(spark, root, Seq("sky"), 10).collect().map(_.getLong(0)))
+  }
+
   test("build refuses an existing root; zero-token append still counts the doc") {
     import spark.implicits._
     val root = freshRoot()
