@@ -94,8 +94,13 @@ object Graft {
       .foreach(n => SparkEntry.queries(n)(spark, sfDir))
     // inverted text index (r15): one persisted build per (session,
     // dataset), shared by every q_index_search invocation — the same
-    // ingest-style artifact class as the band history
+    // ingest-style artifact class as the band history. r16 adds the
+    // post-deletion root (build + DV delete) and the stream-built
+    // root (3 ingestBatch transactions + optimize) — both ingest-
+    // class costs a production pipeline pays at write time.
     SparkEntry.queries("q_index_search")(spark, sfDir).limit(1).count()
+    SparkEntry.queries("q_index_postdelete")(spark, sfDir).limit(1).count()
+    SparkEntry.queries("q_index_bm25_stream")(spark, sfDir).limit(1).count()
     ()
   }
 

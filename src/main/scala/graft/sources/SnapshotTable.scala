@@ -1010,6 +1010,11 @@ object SnapshotTable {
     if (Files.exists(setsFile(srcDir)))
       Files.copy(setsFile(srcDir), setsFile(staging),
         StandardCopyOption.COPY_ATTRIBUTES)
+    // token blooms likewise (r16: without the carry, a DV commit
+    // silently dropped the third skipping leg until the next OPTIMIZE)
+    if (Files.exists(bloomFile(srcDir)))
+      Files.copy(bloomFile(srcDir), bloomFile(staging),
+        StandardCopyOption.COPY_ATTRIBUTES)
     // schema unchanged by a DV-only commit
     if (Files.exists(schemaFile(srcDir)))
       Files.copy(schemaFile(srcDir), schemaFile(staging),

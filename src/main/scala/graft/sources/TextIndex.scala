@@ -189,6 +189,39 @@ object TextIndex {
     v
   }
 
+  /** Corpus surgery (r16, VERDICT r15 item 2): REMOVE documents from
+    * the index without rewriting it — the operation a dedup or
+    * decontamination pass needs after flagging documents, at a cost
+    * that tracks the matching rows, never the index size. `predicate`
+    * is a SQL boolean over `doc_id` (the one column both index tables
+    * carry), e.g. `"doc_id % 7 = 0"` or `"doc_id IN (3, 17)"`.
+    *
+    * Mechanism: a deletion-vector commit on the postings table, then
+    * one on the doc-stats table ([[SnapshotTable.deleteWhere]] — every
+    * data file hard-links forward; only the (file, row) pairs land in
+    * `_dv`). Every read path subtracts the vectors, so search, phrase,
+    * and BM25 answer as if the docs were never ingested; a later
+    * [[optimize]] folds the vectors away entirely (reads are
+    * DV-filtered, so the fold rewrites only live rows and the
+    * recommitted version carries no `_dv`).
+    *
+    * Postings delete FIRST, deliberately: if a crash lands between the
+    * two commits, a missing-postings state can never surface a deleted
+    * doc (search/phrase read postings only; BM25's tf join has no row
+    * to score) — the only transient effect is BM25's N/avgdl counting
+    * the deleted docs until the doc-stats leg lands. The inverse order
+    * could return deleted docs from term search. Unlike [[append]],
+    * delete is IDEMPOTENT (deleteWhere evaluates its predicate on live
+    * rows only), so crash recovery is simply: re-run the same delete.
+    *
+    * Returns (postings version, doc-stats version).
+    */
+  def delete(spark: SparkSession, root: String, predicate: String): (Int, Int) = {
+    val pv = SnapshotTable.deleteWhere(spark, root, predicate)
+    val sv = SnapshotTable.deleteWhere(spark, docStatsRoot(root), predicate)
+    (pv, sv)
+  }
+
   /** Heal the transactional state of a crashed [[append]]. Undecided
     * transactions roll back — nothing landed, re-run the batch;
     * decided ones roll forward — the batch IS in the index, and

@@ -233,6 +233,49 @@ class TextIndexSpec extends AnyFunSuite {
       ++ TextIndex.search(spark, root, Seq("sky"), 10).collect().map(_.getLong(0)))
   }
 
+  test("delete equals a fresh build over the filtered corpus; optimize folds the DV") {
+    import spark.implicits._
+    val root = freshRoot()
+    val corpus = Seq(
+      (1L, "red fish blue fish"),
+      (2L, "red sky at night"),
+      (3L, "one red fish"),
+      (4L, "blue sky")).toDF("doc_id", "text")
+    TextIndex.build(spark, corpus, root, buckets = 4)
+    // corpus surgery: docs 2 and 4 flagged (say, by a contamination
+    // pass) — subtract them without rewriting the index
+    TextIndex.delete(spark, root, "doc_id IN (2, 4)")
+    val reference = freshRoot()
+    TextIndex.build(spark, corpus.filter(!col("doc_id").isin(2L, 4L)),
+      reference, buckets = 4)
+    def snap(r: String) = (
+      TextIndex.search(spark, r, Seq("red"), 10)
+        .collect().map(x => (x.getLong(0), x.getLong(1))).toSeq,
+      TextIndex.searchPhrase(spark, r, Seq("red", "fish"), 10)
+        .collect().map(x => (x.getLong(0), x.getLong(1))).toSeq,
+      TextIndex.searchRanked(spark, r, Seq("red", "sky"), 10)
+        .collect().map(x => (x.getLong(0), x.getFloat(1))).toSeq)
+    val expected = snap(reference)
+    assert(snap(root) == expected,
+      "DV-deleted index diverged from a fresh filtered build")
+    assert(!expected._3.map(_._1).contains(2L)) // degenerate-test guard
+    // the DV is real (no rewrite happened): postings v2 links v1 files
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(
+      root, s"v=${SnapshotTable.currentVersion(root)}", "_dv")))
+    // delete is idempotent — re-running the same surgery changes nothing
+    TextIndex.delete(spark, root, "doc_id IN (2, 4)")
+    assert(snap(root) == expected, "re-run delete changed results")
+    // optimize folds the vectors away and still answers identically
+    val vOpt = TextIndex.optimize(spark, root)
+    assert(snap(root) == expected, "optimize after delete changed results")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(
+      root, s"v=$vOpt", "_dv")), "optimize left a deletion vector")
+    // and the index remains appendable after the fold
+    TextIndex.append(spark, Seq((9L, "red fish")).toDF("doc_id", "text"), root)
+    assert(TextIndex.search(spark, root, Seq("red"), 10)
+      .collect().map(_.getLong(0)).contains(9L))
+  }
+
   test("build refuses an existing root; zero-token append still counts the doc") {
     import spark.implicits._
     val root = freshRoot()
