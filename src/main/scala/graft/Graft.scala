@@ -122,6 +122,7 @@ object Graft {
     queries.Graphs.clearCache()
     queries.TextAnalysis.clearIndexCache()
     functions.SkewRouter.clearCache()
+    functions.JoinRouter.clearCache()
     functions.ExactQuantiles.clearCache()
     sources.BandHistory.clearCaches()
   }

@@ -294,26 +294,34 @@ object Analytics extends QueryModule {
   val waitingOrders = QueryDef(
     "q_waiting_orders",
     (s, d) => {
+      import graft.functions.JoinRouter
       val o = Tables.orders(s, d).filter(col("o_orderstatus") === "F")
         .select(col("o_orderkey"), col("o_orderdate"))
       val l = Tables.lineitem(s, d)
         .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
-      // SHUFFLE_HASH hints on every fact-side join (r10, same trap
-      // as q_basket_affinity): filtered orders and the narrow
-      // lineitem projections size-estimate under the 64m auto
-      // threshold at 26× while holding millions of rows, and Spark
-      // broadcast them (measured 5.6 s slower sequential). Fact ⋈
-      // fact declares shuffle; the genuinely bounded dims below
+      // SHUFFLE_HASH is ROUTED, not pinned (r16, VERDICT r15 item 1;
+      // the static hints were r10's fix for the opposite trap): the
+      // narrow fact projections size-estimate under the 64m auto
+      // threshold at 26× while holding millions of rows, so Spark
+      // would broadcast them (measured 5.6 s slower sequential) —
+      // but a STATIC hash hint puts an unspillable build on a
+      // data-proportional side, the memory shape q_join_existence
+      // measured failing at sf1 conc-8 on the default heap.
+      // JoinRouter hints only while the per-task build estimate fits
+      // the memory budget; past it the joins go unhinted and AQE
+      // keeps the spillable sort-merge fallback. Fact ⋈ fact never
+      // broadcasts either way; the genuinely bounded dims below
       // (supplier per size, nation enum) stay size-driven broadcasts.
-      val late = l.join(o.hint("shuffle_hash"), col("l_orderkey") === col("o_orderkey"))
+      val late = l.join(JoinRouter.hintIfSafe(o, d, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
         .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
         .select(col("l_orderkey"), col("l_suppkey"))
       val otherLines = l.select(col("l_orderkey").as("x_orderkey"),
         col("l_suppkey").as("x_suppkey"))
       val otherLate = late.select(col("l_orderkey").as("y_orderkey"),
         col("l_suppkey").as("y_suppkey"))
-      late.hint("shuffle_hash")
-        .join(otherLines.hint("shuffle_hash"),
+      JoinRouter.hintIfSafe(late, d, "lineitem")
+        .join(JoinRouter.hintIfSafe(otherLines, d, "lineitem"),
           col("l_orderkey") === col("x_orderkey")
             && col("l_suppkey") =!= col("x_suppkey"), "left_semi")
         .join(otherLate,
@@ -714,24 +722,30 @@ object Analytics extends QueryModule {
     * shuffles both sides on orderkey once and the pair aggregate is
     * the only wide output. Top-20 rides TakeOrderedAndProject.
     *
-    * The join carries an explicit SHUFFLE_HASH hint (r10): both
-    * sides are the FACT table, and the bytes-based auto-broadcast
-    * threshold (raised to 64m by the r9 hint audit so the real dims
-    * stay broadcast at bench scale) mis-fires here — the 2-column
-    * lineitem projection compresses under 64m at 26× while holding
-    * 15.6M rows, and Spark built+shipped a 15.6M-entry broadcast
-    * relation (measured: 28.8 s vs 11.5 s hinted, sequential
-    * min-of-2). The r9 lesson was "broadcast hints only on bounded
-    * enums"; this is its dual: a self-join of a data-proportional
-    * table declares shuffle explicitly, because a size ESTIMATE
-    * under any fixed byte threshold cannot distinguish a narrow
-    * projection of the biggest table from a genuinely small one.
+    * The join carries a ROUTED SHUFFLE_HASH hint (r10 hint, r16
+    * routing): both sides are the FACT table, and the bytes-based
+    * auto-broadcast threshold (raised to 64m by the r9 hint audit so
+    * the real dims stay broadcast at bench scale) mis-fires here —
+    * the 2-column lineitem projection compresses under 64m at 26×
+    * while holding 15.6M rows, and Spark built+shipped a 15.6M-entry
+    * broadcast relation (measured: 28.8 s vs 11.5 s hinted,
+    * sequential min-of-2). The r9 lesson was "broadcast hints only on
+    * bounded enums"; this is its dual: a self-join of a
+    * data-proportional table must never broadcast, because a size
+    * ESTIMATE under any fixed byte threshold cannot distinguish a
+    * narrow projection of the biggest table from a genuinely small
+    * one. The r16 refinement (VERDICT r15 item 1): the hash hint
+    * itself is data-proportional on the build side, so JoinRouter
+    * applies it only while the per-task build fits the memory budget
+    * — past that the join goes unhinted and AQE's spillable
+    * sort-merge carries it (still never a broadcast: the row count
+    * is real, not a byte estimate).
     */
   val basketAffinity = QueryDef(
     "q_basket_affinity",
     (s, d) => {
       val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
-      li.as("a").hint("shuffle_hash")
+      graft.functions.JoinRouter.hintIfSafe(li.as("a"), d, "lineitem")
         .join(li.as("b"),
           col("a.l_orderkey") === col("b.l_orderkey")
             && col("a.l_partkey") < col("b.l_partkey"))

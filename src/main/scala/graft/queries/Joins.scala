@@ -600,23 +600,42 @@ object Joins extends QueryModule {
     * profile is identical to the semi join (equi-key on both sides).
     * Here: 1997-Q1 orders that were either high-value OR had a
     * multi-supplier lineitem set, counted per priority.
+    *
+    * The EXISTS legs build hash relations over lineitem projections —
+    * fact-sized, so the SHUFFLE_HASH hints are ROUTED (r16, VERDICT
+    * r15 item 1: the static form was MEASURED failing both passes at
+    * sf1 conc-8 on the default 8 GiB heap — an unspillable build ×
+    * 8-way co-scheduling). JoinRouter interpolates the hints only
+    * while the per-task build estimate fits the memory budget;
+    * otherwise the text is hint-free and AQE picks spillable
+    * sort-merge. Both SQL texts are result-identical by construction
+    * (JoinRouterSpec pins it).
     */
   val joinExistence = QueryDef(
     "q_join_existence",
     (s, d) => {
       Tables.orders(s, d).createOrReplaceTempView("orders_ex_v")
       Tables.lineitem(s, d).createOrReplaceTempView("lineitem_ex_v")
-      s.sql("""
+      // route on the EXISTS legs' actual build shape: the 2-column
+      // (l_orderkey, l_suppkey) projection of lineitem
+      val build = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val hint =
+        if (graft.functions.JoinRouter
+          .shuffleHashSafeForSource(s, d, "lineitem", build))
+          (alias: String) => s"/*+ SHUFFLE_HASH($alias) */ "
+        else (_: String) => ""
+      s.sql(s"""
         SELECT o_orderpriority, count(*) AS order_count,
                CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_value
         FROM orders_ex_v o
         WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
           AND o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
           AND (o_totalprice > 400000 OR EXISTS (
-            SELECT /*+ SHUFFLE_HASH(l1) */ 1 FROM lineitem_ex_v l1
+            SELECT ${hint("l1")}1 FROM lineitem_ex_v l1
             WHERE l1.l_orderkey = o.o_orderkey
               AND EXISTS (
-                SELECT /*+ SHUFFLE_HASH(l2) */ 1 FROM lineitem_ex_v l2
+                SELECT ${hint("l2")}1 FROM lineitem_ex_v l2
                 WHERE l2.l_orderkey = l1.l_orderkey
                   AND l2.l_suppkey <> l1.l_suppkey)))
         GROUP BY o_orderpriority

@@ -60,7 +60,8 @@ object TableStats {
       keys: Seq[String],
       groupPrefix: Int,
       maxKeyRows: Long,
-      maxDistinctPerGroup: Option[Long])
+      maxDistinctPerGroup: Option[Long],
+      totalRows: Option[Long] = None)
 
   def statsRoot(tableRoot: String, name: String): String =
     s"$tableRoot/_tstats/$name"
@@ -131,16 +132,19 @@ object TableStats {
     val r = counts
       .groupBy(gk: _*)
       .agg(sum(col("__ts_n")).as("__ts_s"), count(lit(1)).as("__ts_d"))
-      .agg(max(col("__ts_s")), max(col("__ts_d")))
+      .agg(max(col("__ts_s")), max(col("__ts_d")), sum(col("__ts_s")))
       .head()
     val maxKey = if (r.isNullAt(0)) 0L else r.getLong(0)
     val maxDistinct =
       if (groupPrefix == 0) None
       else Some(if (r.isNullAt(1)) 0L else r.getLong(1))
+    // total rows ride the same aggregate for free — the join router's
+    // scalar (JoinRouter.rowCountForSource: zero-job build-size routing)
+    val total = if (r.isNullAt(2)) 0L else r.getLong(2)
     val v =
       if (tableVersion > 0) tableVersion
       else SnapshotTable.currentVersion(tableRoot)
-    val stat = Stat(v, keys, groupPrefix, maxKey, maxDistinct)
+    val stat = Stat(v, keys, groupPrefix, maxKey, maxDistinct, Some(total))
     writeScalar(sroot, stat)
     stat
   }
@@ -305,6 +309,20 @@ object TableStats {
     parseScalar(Files.readString(f)).filter(_.tableVersion == cur)
   }
 
+  /** Current total row count from ANY enrolled stat's scalar sidecar —
+    * the zero-job read [[graft.functions.JoinRouter]] uses to size a
+    * hash-join build side. Every enrollment's counts sum to the same
+    * table total, so the first current one answers. None when the
+    * table has no enrollment, the scalar is stale (version mismatch),
+    * or it predates the total_rows field — callers fall back to their
+    * probe.
+    */
+  def storedTotalRows(tableRoot: String): Option[Long] =
+    enrollments(tableRoot).view
+      .flatMap(e => stored(tableRoot, e.name))
+      .flatMap(_.totalRows)
+      .headOption
+
   /** The counts table itself (diagnostics / re-derivation). */
   def counts(spark: SparkSession, tableRoot: String, name: String): DataFrame =
     SnapshotTable.read(spark, statsRoot(tableRoot, name))
@@ -317,7 +335,8 @@ object TableStats {
         s""""keys":"${s.keys.mkString(",")}",""" +
         s""""group_prefix":${s.groupPrefix},""" +
         s""""max_key_rows":${s.maxKeyRows},""" +
-        s""""max_distinct_per_group":${s.maxDistinctPerGroup.getOrElse(-1L)}}"""
+        s""""max_distinct_per_group":${s.maxDistinctPerGroup.getOrElse(-1L)},""" +
+        s""""total_rows":${s.totalRows.getOrElse(-1L)}}"""
     val dir = Paths.get(sroot)
     Files.createDirectories(dir)
     val tmp = Files.createTempFile(dir, "_scalar", ".tmp")
@@ -331,6 +350,9 @@ object TableStats {
       s""""$k":(-?\\d+)""".r.findFirstMatchIn(json).map(_.group(1).toLong)
     def str(k: String): Option[String] =
       s""""$k":"([^"]*)"""".r.findFirstMatchIn(json).map(_.group(1))
+    // total_rows is OPTIONAL on read: pre-r16 sidecars lack the key
+    // and must still parse (their other scalars remain valid)
+    val tr = num("total_rows").filter(_ >= 0)
     for {
       v <- num("table_version")
       keys <- str("keys")
@@ -338,6 +360,6 @@ object TableStats {
       mk <- num("max_key_rows")
       md <- num("max_distinct_per_group")
     } yield Stat(v.toInt, keys.split(',').toSeq, gp.toInt, mk,
-      if (md < 0) None else Some(md))
+      if (md < 0) None else Some(md), tr)
   }
 }
