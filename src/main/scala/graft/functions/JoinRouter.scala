@@ -40,7 +40,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - bytes per row: [[hashRelationRowBytes]], a conservative
   *    UnsafeHashedRelation estimate (per-entry map + row overhead
   *    plus the projected fields);
-  *  - budget: `spark.graft.join.buildMemFraction` (default 0.05) ×
+  *  - budget: `spark.graft.join.buildMemFraction` (default 0.04) ×
   *    executor heap ÷ task slots. Heap defaults to this JVM's
   *    Runtime.maxMemory (local mode: the one shared JVM; on a cluster
   *    set `spark.graft.join.executorMemBytes` to the executor size).
@@ -48,13 +48,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    derivation with an absolute per-task budget (also the spec's
   *    deterministic routing lever).
   *
-  * The defaults route the measured regimes correctly by construction:
-  * at 8 GiB / 32 slots the budget is ~13 MB per task, so lineitem's
-  * 2-column build hints at sf0.1 (~1.2 MB/task) and declines at sf1
-  * (~15 MB/task — the measured OOM shape falls back to sort-merge),
-  * while a 24 GiB deployment (the posture BASELINE r15 actually used
-  * to pass sf1) re-enables the hint exactly where it was measured
-  * safe.
+  * The defaults route the measured regimes correctly with margin:
+  * at 8 GiB / 32 slots the budget is ~10 MB per task, so lineitem's
+  * 2-column build hints at sf0.1 (~1.5 MB/task, 7× headroom) and
+  * declines at sf1 (~15 MB/task, 1.4× over — the measured OOM shape
+  * falls back to sort-merge), while a 24 GiB deployment (the posture
+  * BASELINE r15 actually used to pass sf1) re-enables the hint with
+  * 2× headroom exactly where it was measured safe; sf26's ~390
+  * MB/task build never hints at any tested heap.
   */
 object JoinRouter {
 
@@ -80,11 +81,12 @@ object JoinRouter {
   }
 
   /** Conservative per-row bytes of an UnsafeHashedRelation entry for
-    * the projected build schema: 48 B map-entry + UnsafeRow overhead,
-    * 8 B per fixed-width field, 24 B per variable-width one.
+    * the projected build schema: 64 B map-entry + UnsafeRow overhead
+    * (BytesToBytesMap key row + value pointer + alignment), 8 B per
+    * fixed-width field, 24 B per variable-width one.
     */
   def hashRelationRowBytes(schema: org.apache.spark.sql.types.StructType): Long =
-    48L + schema.fields.map(_.dataType match {
+    64L + schema.fields.map(_.dataType match {
       case org.apache.spark.sql.types.StringType |
            org.apache.spark.sql.types.BinaryType => 24L
       case t if t.isInstanceOf[org.apache.spark.sql.types.ArrayType] ||
@@ -106,7 +108,7 @@ object JoinRouter {
         .getOrElse(Runtime.getRuntime.maxMemory())
       val slots = math.max(1, spark.sparkContext.defaultParallelism)
       val fraction = confDouble(spark, "spark.graft.join.buildMemFraction")
-        .getOrElse(0.05)
+        .getOrElse(0.04)
       (heap * fraction / slots).toLong
     }
 

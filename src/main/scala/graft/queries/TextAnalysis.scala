@@ -2172,6 +2172,49 @@ object TextAnalysis extends QueryModule {
       LIMIT 20
     """))
 
+  /** q_hybrid_rrf's exact answer with the LEXICAL leg served from the
+    * inverted index instead of a corpus scan — the full RAG retrieval
+    * stack from index state: BM25 top-20 out of ~|terms| pruned
+    * posting slices (searchRanked), vector cosine top-20 (the brute
+    * baseline leg), reciprocal-rank fusion over ≤40 rows. Shares
+    * q_hybrid_rrf's oracle verbatim, so the hash compare pins
+    * index-served fusion ≡ scan-served fusion ≡ the DuckDB recompute.
+    * At 100 TB this is the difference between a retrieval stack that
+    * scans the corpus per query and one that reads a few posting
+    * slices; the rank window runs over the 20-row candidate list,
+    * never the corpus.
+    */
+  val indexRrf = QueryDef(
+    "q_index_rrf",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      graft.functions.expressions.CosineSimilarity.register(s)
+      val wLex = Window.orderBy(col("bm25").desc, col("doc_id"))
+      val lex = graft.sources.TextIndex
+        .searchRanked(s, indexRootOf(s, d), Seq("hash", "join", "stream"), 20)
+        .withColumn("rank_lex", row_number().over(wLex).cast("long"))
+        .select(col("doc_id"), col("rank_lex"))
+      val probe = Tables.embeddings(s, d).filter(col("vec_id") === 0)
+        .select(col("embedding").as("probe_emb"))
+      val wVec = Window.orderBy(col("cos").desc, col("doc_id"))
+      val vec = Tables.embeddings(s, d).filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(probe))
+        .select(col("vec_id").as("doc_id"),
+          graft.functions.VectorFunctions
+            .cosineFast(col("embedding"), col("probe_emb")).as("cos"))
+        .withColumn("rank_vec", row_number().over(wVec).cast("long"))
+        .filter(col("rank_vec") <= 20)
+        .select(col("doc_id"), col("rank_vec"))
+      lex.join(vec, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"), col("rank_lex"), col("rank_vec"),
+          (coalesce(lit(1.0) / (lit(60) + col("rank_lex")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + col("rank_vec")), lit(0.0)))
+            .cast("float").as("rrf"))
+        .orderBy(col("rrf").desc, col("doc_id"))
+        .limit(10)
+    },
+    hybridRrf.oracle)
+
   /** q_index_bm25's exact answer from an index built PURELY through
     * the streaming path — init, three ingestBatch transactions (each
     * postings + doc lengths + batch marker in one SnapshotTransaction,
@@ -2202,5 +2245,6 @@ object TextAnalysis extends QueryModule {
     shardPlan, chunkDocs, driftPsi, cooccurrence, boilerplate, bm25,
     hybridRrf, jaroWinkler, damerau, mixtureSample, corpusPipeline,
     clusterKeywords, lengthTrim, bigramLogprob, qualityLogreg, groupSplit,
-    indexSearch, indexPhrase, indexBm25, indexPostDelete, indexBm25Stream)
+    indexSearch, indexPhrase, indexBm25, indexPostDelete, indexBm25Stream,
+    indexRrf)
 }

@@ -189,7 +189,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_ann_ivf_multiprobe", // 10-row broadcast centroid table (kmeans_assign pattern)
     "q_bm25", // lazy 1-row corpus-stats cross join (tf_idf pattern)
     "q_index_bm25", // same 1-row (N, avgdl) cross join, stats read from the index side table
+    "q_index_postdelete", // same searchRanked 1-row stats cross join (post-DV index)
+    "q_index_bm25_stream", // same searchRanked 1-row stats cross join (stream-built index)
     "q_hybrid_rrf", // 1-row probe-embedding + 1-row stats cross joins (tf_idf pattern)
+    "q_index_rrf", // same legs, lexical side read from the inverted index
     "q_rfm", // 1-row corpus-max-date cross join (tf_idf pattern)
     "q_churn_rate", // 1-row corpus-max-date cross join (tf_idf pattern)
     "q_pagerank", // 1-row node-count cross join per unrolled iteration (tf_idf pattern)
@@ -224,6 +227,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_vocab_coverage",    // top-25 slice (post-LIMIT)
     "q_zipf_fit",          // top-200 slice (post-LIMIT)
     "q_hybrid_rrf",        // two ≤20-row rank lists
+    "q_index_rrf",         // same two rank lists, index-served lexical leg
     "q_mom_growth",        // month series (calendar-bounded)
     "q_drawdown",          // day series (calendar-bounded)
     "q_survival_curve",    // ≤~30-row tenure-month histogram
