@@ -101,6 +101,7 @@ object Graft {
     SparkEntry.queries("q_index_search")(spark, sfDir).limit(1).count()
     SparkEntry.queries("q_index_postdelete")(spark, sfDir).limit(1).count()
     SparkEntry.queries("q_index_bm25_stream")(spark, sfDir).limit(1).count()
+    SparkEntry.queries("q_ann_ivf_indexed")(spark, sfDir).limit(1).count()
     ()
   }
 
@@ -121,6 +122,7 @@ object Graft {
     queries.Dedup.clearCaches()
     queries.Graphs.clearCache()
     queries.TextAnalysis.clearIndexCache()
+    queries.Similarity.clearVecIndexCache()
     functions.SkewRouter.clearCache()
     functions.JoinRouter.clearCache()
     functions.ExactQuantiles.clearCache()

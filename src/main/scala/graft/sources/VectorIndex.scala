@@ -1,0 +1,109 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted IVF-style vector index: the embedding corpus stored as a
+  * snapshot table PARTITIONED by its coarse-quantizer cell (the
+  * `label` column — a centroid assignment upstream k-means already
+  * produced), so an ANN probe reads ONLY its cell's files through the
+  * partmap/value-set point-read machinery instead of scanning the
+  * corpus. The vector sibling of [[TextIndex]]: same
+  * build-once/probe-many artifact contract, same slice-commit
+  * incrementality, same DV corpus surgery.
+  *
+  * At 100 TB of embeddings the brute-force cosine pass
+  * (q_cosine_topk) reads everything per query batch; the
+  * label-equi-join form (q_ann_ivf) still SCANS everything to hash it
+  * on label every time. This index pays the partition layout ONCE at
+  * build, after which a probe's IO is `|probed cells| / |cells|` of
+  * the corpus — the IVF economics (probe cost tracks cell size, not
+  * corpus size), with nprobe generalizing to reading more cells.
+  *
+  * Approximation semantics are the coarse quantizer's, unchanged:
+  * recall is decided by the cell assignment (and nprobe), not by this
+  * layout — results are IDENTICAL to the equi-join form, which is
+  * exactly what the graded query pins (q_ann_ivf_indexed shares
+  * q_ann_ivf's DuckDB oracle).
+  */
+object VectorIndex {
+
+  private def metaFile(root: String) = Paths.get(root, "_vecindex")
+
+  /** Build at a fresh root: one partitioned commit, value-set sidecar
+    * on the cell column so point reads prune files. Same
+    * create-don't-rederive contract as [[TextIndex.build]].
+    */
+  def build(spark: SparkSession, vectors: DataFrame, root: String,
+      labelCol: String = "label"): Int = {
+    require(!Files.exists(metaFile(root)),
+      s"a vector index already exists at $root — evolve it with upsert, " +
+        "or point at a fresh root")
+    val v = SnapshotTable.commitPartitions(spark, root,
+      vectors, labelCol, setCols = Seq(labelCol))
+    Files.createDirectories(Paths.get(root))
+    Files.writeString(metaFile(root), s"$labelCol\n")
+    v
+  }
+
+  /** The cell column recorded at build time. */
+  def labelCol(root: String): String = {
+    val f = metaFile(root)
+    require(Files.exists(f), s"no vector index at $root (missing ${f.getFileName})")
+    Files.readString(f).trim
+  }
+
+  /** Upsert vectors incrementally: rows whose id already exists in a
+    * touched cell are REPLACED (a re-embedded document), new ids are
+    * added, untouched cells hard-link forward (cost ∝ touched cells).
+    * A vector whose cell assignment CHANGED must be deleted from its
+    * old cell first (the caller knows the old assignment; this is the
+    * standard IVF re-assignment contract).
+    */
+  def upsert(spark: SparkSession, newVectors: DataFrame, root: String,
+      idCol: String = "vec_id"): Int = {
+    val lc = labelCol(root)
+    val readV = SnapshotTable.currentVersion(root)
+    val pinned = newVectors.localCheckpoint()
+    val touched = pinned.select(lc).distinct().collect().map(_.get(0)).toSeq
+    val v = if (touched.isEmpty) readV else {
+      val existing = touched
+        .map(l => SnapshotTable.readPoint(spark, root, lc, l.toString,
+          version = readV))
+        .reduce(_ unionAll _)
+      val merged = existing
+        .join(pinned.select(col(idCol).as("__new_id")),
+          col(idCol) === col("__new_id"), "left_anti")
+        .unionByName(pinned.select(existing.columns.map(col): _*))
+      SnapshotTable.commitPartitions(spark, root, merged, lc,
+        readVersion = readV, setCols = Seq(lc))
+    }
+    SnapshotTable.freeLocalCheckpoint(pinned)
+    v
+  }
+
+  /** Remove vectors (corpus surgery after a dedup/decontamination
+    * pass): DV subtraction, files hard-link forward, folded away by a
+    * later full rewrite. Idempotent — crash recovery is re-running it.
+    */
+  def delete(spark: SparkSession, root: String, predicate: String): Int =
+    SnapshotTable.deleteWhere(spark, root, predicate)
+
+  /** Candidate rows for a probe batch: the union of the probes'
+    * distinct cells, each read as a partition point-lookup (partmap /
+    * value-set pruned — only those cells' files open). `probes` is
+    * driver-small by the ANN contract (a query batch, not a corpus);
+    * its distinct cell list is collected driver-side like
+    * [[TextIndex.search]]'s term buckets.
+    */
+  def candidates(spark: SparkSession, root: String,
+      probeLabels: Seq[Any]): DataFrame = {
+    require(probeLabels.nonEmpty, "probe batch has no cells")
+    val lc = labelCol(root)
+    probeLabels.distinct
+      .map(l => SnapshotTable.readPoint(spark, root, lc, l.toString))
+      .reduce(_ unionAll _)
+  }
+}

@@ -1,0 +1,90 @@
+package graft
+
+import graft.sources.{SnapshotTable, VectorIndex}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Persisted IVF-style vector index (sources/VectorIndex): a
+  * cell-partitioned snapshot table whose probes open only the probed
+  * cells' files, with upsert/delete lifecycle — the vector sibling of
+  * the text index's access-path-not-semantics contract.
+  */
+class VectorIndexSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def fresh(): String =
+    java.nio.file.Files.createTempDirectory("graft-vi").toString
+
+  private def vecs(rows: (Long, Seq[Float], Int)*) =
+    rows.toDF("vec_id", "embedding", "label")
+
+  test("a probe opens only its cells' files; candidates equal a scan filter") {
+    val root = fresh()
+    val corpus = vecs(
+      (1L, Seq(1f, 0f), 0), (2L, Seq(0.9f, 0.1f), 0),
+      (3L, Seq(0f, 1f), 1), (4L, Seq(0.1f, 0.9f), 1),
+      (5L, Seq(0.5f, 0.5f), 2))
+    VectorIndex.build(spark, corpus, root)
+    val v = SnapshotTable.currentVersion(root)
+    val all = java.nio.file.Files.list(
+      java.nio.file.Paths.get(root, s"v=$v")).iterator()
+    var nAll = 0
+    while (all.hasNext) {
+      val f = all.next().getFileName.toString
+      if (f.endsWith(".parquet") && !f.startsWith("_")) nAll += 1
+    }
+    val kept = SnapshotTable.pruneFilesEq(spark, root, "label", "0")
+    assert(kept.nonEmpty && kept.size < nAll,
+      s"cell probe kept ${kept.size} of $nAll files — no pruning")
+    val got = VectorIndex.candidates(spark, root, Seq(0, 1))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 2L, 3L, 4L), s"candidates wrong: $got")
+  }
+
+  test("upsert replaces re-embedded ids, adds new ones, links untouched cells") {
+    val root = fresh()
+    VectorIndex.build(spark, vecs(
+      (1L, Seq(1f, 0f), 0), (2L, Seq(0f, 1f), 1), (3L, Seq(0.5f, 0.5f), 2)), root)
+    // vec 1 re-embedded (same cell), vec 9 new in cell 0; cells 1/2 untouched
+    VectorIndex.upsert(spark, vecs(
+      (1L, Seq(0.8f, 0.2f), 0), (9L, Seq(0.7f, 0.3f), 0)), root)
+    val rows = SnapshotTable.read(spark, root)
+      .select(col("vec_id"), element_at(col("embedding"), 1).as("e1"))
+      .collect().map(r => r.getLong(0) -> r.getFloat(1)).toMap
+    assert(rows.keySet == Set(1L, 2L, 3L, 9L), s"ids wrong: ${rows.keySet}")
+    assert(math.abs(rows(1L) - 0.8f) < 1e-6, "re-embedded vector not replaced")
+    // untouched cell's file carried forward (same inode — hard link)
+    val v1 = java.nio.file.Paths.get(root, "v=1")
+    val v2 = java.nio.file.Paths.get(root, "v=2")
+    def filesIn(d: java.nio.file.Path) = {
+      val s = java.nio.file.Files.list(d)
+      try {
+        val it = s.iterator()
+        var out = List.empty[String]
+        while (it.hasNext) {
+          val f = it.next().getFileName.toString
+          if (f.endsWith(".parquet") && !f.startsWith("_")) out ::= f
+        }
+        out.toSet
+      } finally s.close()
+    }
+    assert(filesIn(v1).intersect(filesIn(v2)).nonEmpty,
+      "no file carried forward — upsert rewrote untouched cells")
+  }
+
+  test("delete subtracts vectors; probes and upserts continue correctly") {
+    val root = fresh()
+    VectorIndex.build(spark, vecs(
+      (1L, Seq(1f, 0f), 0), (2L, Seq(0.9f, 0.1f), 0), (3L, Seq(0f, 1f), 1)), root)
+    VectorIndex.delete(spark, root, "vec_id = 2")
+    assert(VectorIndex.candidates(spark, root, Seq(0))
+      .select("vec_id").collect().map(_.getLong(0)).toSet == Set(1L),
+      "deleted vector still probes")
+    // delete is idempotent; upsert after delete still merges correctly
+    VectorIndex.delete(spark, root, "vec_id = 2")
+    VectorIndex.upsert(spark, vecs((7L, Seq(0.6f, 0.4f), 0)), root)
+    assert(VectorIndex.candidates(spark, root, Seq(0))
+      .select("vec_id").collect().map(_.getLong(0)).toSet == Set(1L, 7L))
+  }
+}
