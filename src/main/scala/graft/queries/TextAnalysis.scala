@@ -2127,6 +2127,38 @@ object TextAnalysis extends QueryModule {
       LIMIT 30
     """))
 
+  /** Proximity retrieval (NEAR/5) through the positional index: the
+    * IR capability between conjunctive search (terms anywhere) and
+    * exact phrase (adjacent) — documents where "spark" occurs within
+    * 5 raw token slots of "table", counting the spark-occurrences
+    * that have such a neighbor. Two pruned posting-slice reads + a
+    * per-doc position-window comparison; the oracle recomputes the
+    * same counts from raw split positions (1-based in DuckDB,
+    * 0-based in the index — only distances surface, so the bases
+    * cancel). Supersets q_index_phrase's adjacency hits by
+    * construction.
+    */
+  val indexNear = QueryDef(
+    "q_index_near",
+    (s, d) => graft.sources.TextIndex
+      .searchNear(s, indexRootOf(s, d), "spark", "table", 5, 30)
+      .orderBy(col("near_count").desc, col("doc_id")),
+    Some("""
+      WITH tok AS (
+        SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+      occ AS (
+        SELECT doc_id,
+               len(list_filter(range(1, len(l) + 1), i -> l[i] = 'spark'
+                 AND len(list_filter(range(greatest(1, i - 5), least(len(l), i + 5) + 1),
+                   j -> l[j] = 'table')) > 0)) AS near_count
+        FROM tok)
+      SELECT doc_id, CAST(near_count AS BIGINT) AS near_count
+      FROM occ
+      WHERE near_count > 0
+      ORDER BY near_count DESC, doc_id
+      LIMIT 30
+    """))
+
   /** BM25-ranked retrieval THROUGH the index — q_bm25's exact answer
     * (same terms, same k1/b, same positive-idf formula, same oracle
     * CTE) computed from index state alone: tf from the pruned posting
@@ -2245,6 +2277,6 @@ object TextAnalysis extends QueryModule {
     shardPlan, chunkDocs, driftPsi, cooccurrence, boilerplate, bm25,
     hybridRrf, jaroWinkler, damerau, mixtureSample, corpusPipeline,
     clusterKeywords, lengthTrim, bigramLogprob, qualityLogreg, groupSplit,
-    indexSearch, indexPhrase, indexBm25, indexPostDelete, indexBm25Stream,
-    indexRrf)
+    indexSearch, indexPhrase, indexNear, indexBm25, indexPostDelete,
+    indexBm25Stream, indexRrf)
 }

@@ -307,6 +307,45 @@ object TextIndex {
       .limit(k)
   }
 
+  /** Proximity (NEAR/w) search: documents where `termA` occurs within
+    * `slop` tokens of `termB` (either side), ranked by the number of
+    * A-occurrences that have a B-neighbor, doc_id tiebreak. The IR
+    * capability between conjunctive search (anywhere in the doc) and
+    * exact phrase (adjacent): "spark NEAR/5 table" finds collocations
+    * phrase search is too strict for. Reads exactly two bucket/bloom-
+    * pruned posting slices; evaluation is a per-doc position-list
+    * comparison (`exists` over the slop window), never a token
+    * re-scan. Segment shifts keep re-ingests proximity-independent:
+    * the 2^31 stride dwarfs any slop, and same-call revision rows are
+    * [[MaxSlop]]-gapped — hence `slop <= MaxSlop`.
+    */
+  def searchNear(spark: SparkSession, root: String, termA: String,
+      termB: String, slop: Int, k: Int): DataFrame = {
+    require(slop >= 1 && slop <= MaxSlop,
+      s"slop must be in [1, $MaxSlop], got $slop (the cross-row ingest " +
+        "gap guarantees revision independence only up to MaxSlop)")
+    require(termA != termB,
+      "NEAR of a term with itself is ill-defined here (every occurrence " +
+        "matches itself); use searchPhrase for repeated-token patterns")
+    val buckets = bucketCount(root)
+    val multi = multirow(root)
+    def positionsOf(t: String, as: String) = {
+      val postings = SnapshotTable.readPointAll(spark, root,
+        Seq("bucket" -> bucketOf(t, buckets).toString, "token" -> t))
+      if (multi) postings.groupBy(col("doc_id"))
+        .agg(flatten(collect_list(col("positions"))).as(as))
+      else postings.select(col("doc_id"), col("positions").as(as))
+    }
+    positionsOf(termA, "pa").join(positionsOf(termB, "pb"), "doc_id")
+      .select(col("doc_id"),
+        size(filter(col("pa"), p =>
+          exists(col("pb"), q => abs(q - p) <= slop)))
+          .cast("long").as("near_count"))
+      .filter(col("near_count") > 0)
+      .orderBy(col("near_count").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** Disjunctive BM25-ranked retrieval (k1 = 1.2, b = 0.75, the
     * positive Lucene idf `ln((N - df + 0.5)/(df + 0.5) + 1)`): top `k`
     * documents matching ANY query term, scored by summed per-term
@@ -548,14 +587,24 @@ object TextIndex {
     Files.readString(f).trim.toInt
   }
 
+  /** Maximum NEAR slop ([[searchNear]]): the cross-row position gap
+    * in [[postingsOf]] is sized so two revisions of a doc ingested in
+    * one call can never read as within-`w` proximity for any
+    * w ≤ MaxSlop (the same independence contract phrase adjacency
+    * gets from the +1 gap alone). Segment boundaries are already safe
+    * for any slop — the 2^31 stride dwarfs any window.
+    */
+  val MaxSlop: Int = 63
+
   /** Tokenize to per-(token, doc) postings. Multiple input rows
     * sharing one doc id in a SINGLE call (two revisions of a doc in
     * one micro-batch) concatenate in a deterministic content order
-    * with a +1 gap: each row's positions are offset past the prior
-    * rows' raw token span, so a row boundary can never read as phrase
-    * adjacency and same-segment positions never collide. The ordering
-    * window partitions by doc id over INPUT ROWS (|docs| rows, group
-    * size = revision count — nearly always 1), not tokens.
+    * with a +[[MaxSlop]]+1 gap: each row's positions are offset past
+    * the prior rows' raw token span far enough that a row boundary
+    * can never read as phrase adjacency OR within-MaxSlop proximity,
+    * and same-segment positions never collide. The ordering window
+    * partitions by doc id over INPUT ROWS (|docs| rows, group size =
+    * revision count — nearly always 1), not tokens.
     */
   private def postingsOf(docs: DataFrame, idCol: String, textCol: String,
       buckets: Int): DataFrame = {
@@ -574,7 +623,7 @@ object TextIndex {
       // LONG offsets: positions are longs end-to-end (segment shifts
       // multiply by the 2^31 stride; int arithmetic here would wrap)
       .withColumn("__off",
-        coalesce(sum(col("__len") + 1).over(w), lit(0)).cast("long"))
+        coalesce(sum(col("__len") + lit(MaxSlop + 1)).over(w), lit(0)).cast("long"))
       .select(col("doc_id"), col("__off"),
         posexplode(split(col("__text"), " ")).as(Seq("pos", "token")))
       .filter(col("token") =!= "")

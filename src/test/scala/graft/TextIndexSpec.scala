@@ -233,6 +233,44 @@ class TextIndexSpec extends AnyFunSuite {
       ++ TextIndex.search(spark, root, Seq("sky"), 10).collect().map(_.getLong(0)))
   }
 
+  test("NEAR/w proximity: window semantics, revision independence, slop guard") {
+    import spark.implicits._
+    val root = freshRoot()
+    val base = Seq(
+      (1L, "spark big fast table"),        // distance 3 → NEAR/3 hit
+      (2L, "spark a b c d e f table"),     // distance 7 → NEAR/3 miss
+      (3L, "table then spark"),            // order-independent, distance 2
+      (4L, "spark x table y spark"),       // two spark occs, both within 3
+      (5L, "no terms here")).toDF("doc_id", "text")
+    TextIndex.build(spark, base, root, buckets = 8)
+    def near(w: Int) = TextIndex.searchNear(spark, root, "spark", "table", w, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(near(3).toSet == Set((1L, 1L), (3L, 1L), (4L, 2L)), s"got ${near(3)}")
+    assert(near(7).toSet == Set((1L, 1L), (2L, 1L), (3L, 1L), (4L, 2L)))
+    // same-call revision rows are proximity-INDEPENDENT: doc 6 ends
+    // with spark, its second row starts with table — never near
+    val root2 = freshRoot()
+    TextIndex.build(spark,
+      Seq((6L, "ends with spark"), (6L, "table starts")).toDF("doc_id", "text"),
+      root2, buckets = 4)
+    assert(TextIndex.searchNear(spark, root2, "spark", "table",
+      TextIndex.MaxSlop, 10).count() == 0,
+      "cross-revision proximity leaked through the ingest gap")
+    // appended revisions (segment-shifted) are likewise independent
+    TextIndex.append(spark,
+      Seq((1L, "table immediately")).toDF("doc_id", "text"), root)
+    assert(near(3).toSet == Set((1L, 1L), (3L, 1L), (4L, 2L)),
+      "cross-segment proximity leaked")
+    // guards: slop bounds and self-NEAR
+    intercept[IllegalArgumentException] {
+      TextIndex.searchNear(spark, root, "spark", "table",
+        TextIndex.MaxSlop + 1, 10)
+    }
+    intercept[IllegalArgumentException] {
+      TextIndex.searchNear(spark, root, "spark", "spark", 3, 10)
+    }
+  }
+
   test("delete equals a fresh build over the filtered corpus; optimize folds the DV") {
     import spark.implicits._
     val root = freshRoot()
