@@ -772,8 +772,58 @@ object Similarity extends QueryModule {
       ORDER BY query_id, rank
     """))
 
+  /** q_ann_ivf_multiprobe's exact answer THROUGH the persisted vector
+    * index: probe routing reads the index's maintained centroid-stats
+    * side table (|cells| rows, ZERO corpus passes — the scan form
+    * recomputes per-dimension means over the whole corpus every
+    * query), each query probes its top-2 cells by centroid cosine
+    * (float-cast, the same precision pin as the scan twin), and only
+    * those cells' files open for the exact rerank. Shares the scan
+    * twin's oracle, so the hash compare pins maintained-stats routing
+    * ≡ recomputed-centroid routing ≡ the DuckDB recompute — i.e. the
+    * index carries SUFFICIENT STATISTICS for multiprobe ANN, kept
+    * current by upsert/delete deltas.
+    */
+  val annIvfMultiprobeIndexed = QueryDef(
+    "q_ann_ivf_multiprobe_indexed",
+    (s, d) => {
+      graft.functions.expressions.CosineSimilarity.register(s)
+      val root = vecIndexRootOf(s, d)
+      val e = Tables.embeddings(s, d)
+      val cent = graft.sources.VectorIndex.centroids(s, root)
+      val queries = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_emb"))
+      val wProbe = Window.partitionBy(col("query_id"))
+        .orderBy(col("cent_cos").desc, col("label"))
+      val probes = queries.crossJoin(broadcast(cent))
+        .select(col("query_id"), col("query_emb"), col("label"),
+          VF.cosine(col("query_emb"), col("centroid")).cast("float")
+            .as("cent_cos"))
+        .withColumn("probe_rank", row_number().over(wProbe))
+        .filter(col("probe_rank") <= 2)
+        .select(col("query_id"), col("query_emb"), col("label"))
+        .localCheckpoint() // the driver-side cell list and the rerank share it
+      val labels = probes.select("label").distinct().collect().map(_.get(0)).toSeq
+      val cands = graft.sources.VectorIndex.candidates(s, root, labels)
+        .select(col("vec_id").as("neighbor_id"), col("label"),
+          col("embedding").as("cand_emb"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("neighbor_id"))
+      probes
+        .join(cands, Seq("label"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          VF.cosineFast(col("query_emb"), col("cand_emb")).as("cos"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("neighbor_id"), col("rank"),
+          round(col("cos"), 4).as("cosine"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    annIvfMultiprobe.oracle)
+
   def defs: Seq[QueryDef] =
     Seq(cosineTopK, annIvf, annIvfIndexed, vectorStats, annLsh, annLshWide,
-      kmeansAssign, knnJoin, annIvfMultiprobe, embeddingOutliers, kmeansUpdate,
-      knnClassify, labelCoherence)
+      kmeansAssign, knnJoin, annIvfMultiprobe, annIvfMultiprobeIndexed,
+      embeddingOutliers, kmeansUpdate, knnClassify, labelCoherence)
 }

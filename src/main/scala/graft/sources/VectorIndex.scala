@@ -33,26 +33,94 @@ object VectorIndex {
   private def metaFile(root: String) = Paths.get(root, "_vecindex")
 
   /** Build at a fresh root: one partitioned commit, value-set sidecar
-    * on the cell column so point reads prune files. Same
+    * on the cell column so point reads prune files, plus the
+    * centroid-statistics side table (per-cell count + per-dimension
+    * sums) a multi-probe router needs WITHOUT a corpus pass. Same
     * create-don't-rederive contract as [[TextIndex.build]].
     */
   def build(spark: SparkSession, vectors: DataFrame, root: String,
-      labelCol: String = "label"): Int = {
+      labelCol: String = "label", embCol: String = "embedding"): Int = {
     require(!Files.exists(metaFile(root)),
       s"a vector index already exists at $root — evolve it with upsert, " +
         "or point at a fresh root")
     val v = SnapshotTable.commitPartitions(spark, root,
       vectors, labelCol, setCols = Seq(labelCol))
+    SnapshotTable.commit(spark, cstatsRoot(root),
+      cstatsOf(vectors, labelCol, embCol))
     Files.createDirectories(Paths.get(root))
-    Files.writeString(metaFile(root), s"$labelCol\n")
+    Files.writeString(metaFile(root), s"$labelCol\n$embCol\n")
     v
   }
 
+  private def cstatsRoot(root: String): String =
+    Paths.get(root, "cstats").toString
+
+  /** Per-cell sufficient statistics for centroid maintenance: row
+    * count + per-dimension double sums. SUMS, not means, because sums
+    * FOLD — an upsert adds the new rows' sums and subtracts the
+    * replaced rows', cost ∝ batch, never the corpus (the same
+    * delta-maintenance contract as TableStats' enrolled counts).
+    */
+  private def cstatsOf(vectors: DataFrame, labelCol: String,
+      embCol: String): DataFrame = {
+    val sums = vectors
+      .select(col(labelCol), posexplode(col(embCol)))
+      .groupBy(col(labelCol), col("pos"))
+      .agg(sum(col("col").cast("double")).as("s"))
+      .groupBy(col(labelCol))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("s")))),
+        x => x.getField("s")).as("sums"))
+    vectors.groupBy(col(labelCol)).agg(count(lit(1)).as("n"))
+      .join(sums, Seq(labelCol))
+  }
+
+  /** Fold signed cstats deltas into the stored table (|cells| rows —
+    * metadata-sized; the merge explodes to (cell, dim) and back).
+    */
+  private def mergeCstats(spark: SparkSession, root: String,
+      deltas: DataFrame, labelCol: String): Unit = {
+    val cur = SnapshotTable.read(spark, cstatsRoot(root))
+    val merged = cur.unionByName(deltas)
+      .select(col(labelCol), col("n"), posexplode(col("sums")))
+      .groupBy(col(labelCol), col("pos"))
+      .agg(sum(col("col")).as("s"), sum(col("n")).as("__nsum"))
+      .groupBy(col(labelCol))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("s")))),
+        x => x.getField("s")).as("sums"),
+        // every dim row of a cell carries the same per-cell n sum;
+        // max picks it without double-counting across dims
+        max(col("__nsum")).as("n"))
+      .filter(col("n") > 0) // a fully-vacated cell drops its row
+      .select(col(labelCol), col("n"), col("sums"))
+    SnapshotTable.commit(spark, cstatsRoot(root), merged)
+    ()
+  }
+
+  /** The per-cell centroids, derived from the maintained statistics —
+    * |cells| rows, ZERO corpus passes (the scan-based multiprobe
+    * recomputes per-dimension means over the whole corpus every
+    * query). Columns: (labelCol, centroid array<double>).
+    */
+  def centroids(spark: SparkSession, root: String): DataFrame = {
+    val lc = labelCol(root)
+    SnapshotTable.read(spark, cstatsRoot(root))
+      .select(col(lc), transform(col("sums"), s => s / col("n")).as("centroid"))
+  }
+
   /** The cell column recorded at build time. */
-  def labelCol(root: String): String = {
+  def labelCol(root: String): String = meta(root)(0)
+
+  /** The embedding column recorded at build time. */
+  def embCol(root: String): String = meta(root)(1)
+
+  private def meta(root: String): Array[String] = {
     val f = metaFile(root)
     require(Files.exists(f), s"no vector index at $root (missing ${f.getFileName})")
-    Files.readString(f).trim
+    val lines = Files.readString(f).trim.split('\n')
+    require(lines.length == 2, s"malformed ${f.getFileName}")
+    lines
   }
 
   /** Upsert vectors incrementally: rows whose id already exists in a
@@ -65,6 +133,7 @@ object VectorIndex {
   def upsert(spark: SparkSession, newVectors: DataFrame, root: String,
       idCol: String = "vec_id"): Int = {
     val lc = labelCol(root)
+    val ec = embCol(root)
     val readV = SnapshotTable.currentVersion(root)
     val pinned = newVectors.localCheckpoint()
     val touched = pinned.select(lc).distinct().collect().map(_.get(0)).toSeq
@@ -73,12 +142,26 @@ object VectorIndex {
         .map(l => SnapshotTable.readPoint(spark, root, lc, l.toString,
           version = readV))
         .reduce(_ unionAll _)
+      // replaced rows pinned BEFORE the commit: their stats must
+      // subtract from the centroid side table
+      val replaced = existing
+        .join(pinned.select(col(idCol).as("__new_id")),
+          col(idCol) === col("__new_id"), "left_semi")
+        .localCheckpoint()
       val merged = existing
         .join(pinned.select(col(idCol).as("__new_id")),
           col(idCol) === col("__new_id"), "left_anti")
         .unionByName(pinned.select(existing.columns.map(col): _*))
-      SnapshotTable.commitPartitions(spark, root, merged, lc,
+      val committed = SnapshotTable.commitPartitions(spark, root, merged, lc,
         readVersion = readV, setCols = Seq(lc))
+      // centroid stats fold: + new rows, − replaced rows (∝ batch)
+      val minus = cstatsOf(replaced, lc, ec)
+        .select(col(lc), (-col("n")).as("n"),
+          transform(col("sums"), s => -s).as("sums"))
+      mergeCstats(spark, root,
+        cstatsOf(pinned, lc, ec).unionByName(minus), lc)
+      SnapshotTable.freeLocalCheckpoint(replaced)
+      committed
     }
     SnapshotTable.freeLocalCheckpoint(pinned)
     v
@@ -87,9 +170,16 @@ object VectorIndex {
   /** Remove vectors (corpus surgery after a dedup/decontamination
     * pass): DV subtraction, files hard-link forward, folded away by a
     * later full rewrite. Idempotent — crash recovery is re-running it.
+    * Centroid stats recompute from the post-delete index (one index
+    * pass — same cost class as the predicate evaluation deleteWhere
+    * itself already pays; a delete is surgery, not an ingest).
     */
-  def delete(spark: SparkSession, root: String, predicate: String): Int =
-    SnapshotTable.deleteWhere(spark, root, predicate)
+  def delete(spark: SparkSession, root: String, predicate: String): Int = {
+    val v = SnapshotTable.deleteWhere(spark, root, predicate)
+    SnapshotTable.commit(spark, cstatsRoot(root),
+      cstatsOf(SnapshotTable.read(spark, root), labelCol(root), embCol(root)))
+    v
+  }
 
   /** Candidate rows for a probe batch: the union of the probes'
     * distinct cells, each read as a partition point-lookup (partmap /

@@ -73,6 +73,28 @@ class VectorIndexSpec extends AnyFunSuite {
       "no file carried forward — upsert rewrote untouched cells")
   }
 
+  test("centroid stats fold with upsert/delete and equal a fresh recompute") {
+    val root = fresh()
+    VectorIndex.build(spark, vecs(
+      (1L, Seq(1f, 0f), 0), (2L, Seq(0f, 2f), 0), (3L, Seq(4f, 4f), 1)), root)
+    def cents() = VectorIndex.centroids(spark, root)
+      .collect().map(r => r.getInt(0) ->
+        r.getSeq[Double](1).toVector).toMap
+    assert(cents() == Map(0 -> Vector(0.5, 1.0), 1 -> Vector(4.0, 4.0)))
+    // upsert: vec 1 re-embedded, vec 9 added — cell 0's stats fold
+    // (+new, −replaced); cell 1 untouched
+    VectorIndex.upsert(spark, vecs(
+      (1L, Seq(3f, 0f), 0), (9L, Seq(0f, 1f), 0)), root)
+    assert(cents() == Map(0 -> Vector(1.0, 1.0), 1 -> Vector(4.0, 4.0)),
+      s"folded centroids wrong: ${cents()}")
+    // the folded stats equal a from-scratch recompute over the index
+    val fresh0 = VectorIndex.centroids(spark, root).collect().toSet
+    // delete recomputes; a fully-vacated cell drops its centroid row
+    VectorIndex.delete(spark, root, "label = 1")
+    assert(cents() == Map(0 -> Vector(1.0, 1.0)), s"post-delete: ${cents()}")
+    assert(fresh0.map(_.getInt(0)).contains(1), "pre-delete had cell 1")
+  }
+
   test("delete subtracts vectors; probes and upserts continue correctly") {
     val root = fresh()
     VectorIndex.build(spark, vecs(
