@@ -2159,6 +2159,51 @@ object TextAnalysis extends QueryModule {
       LIMIT 30
     """))
 
+  /** Targeted contamination forensics through the index: given a
+    * fixed set of benchmark phrases, how many corpus documents
+    * contain each one, and how many times in total — the question a
+    * decontamination pass asks per eval suite, answered by |phrases|
+    * positional probes (each ~2 pruned posting slices) instead of a
+    * corpus scan per phrase. searchPhrase k is corpus-sized here
+    * (Int.MaxValue) because the AGGREGATE needs every match; the
+    * per-phrase result stays |matching docs|, and the final output is
+    * one row per phrase. The oracle recomputes each phrase's
+    * adjacency counts from raw text.
+    */
+  val indexForensics = QueryDef(
+    "q_index_forensics",
+    (s, d) => {
+      val root = indexRootOf(s, d)
+      val phrases = Seq(Seq("spark", "table"), Seq("hash", "join"),
+        Seq("data", "stream"))
+      phrases.map { p =>
+        graft.sources.TextIndex.searchPhrase(s, root, p, Int.MaxValue)
+          .agg(count(lit(1)).as("n_docs"),
+            coalesce(sum(col("matches")), lit(0L)).as("total_matches"))
+          .select(lit(p.mkString(" ")).as("phrase"),
+            col("n_docs"), col("total_matches"))
+      }.reduce(_ unionAll _)
+        .orderBy(col("phrase"))
+    },
+    Some("""
+      WITH tok AS (
+        SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+      probes(phrase, w1, w2) AS (
+        VALUES ('spark table', 'spark', 'table'),
+               ('hash join', 'hash', 'join'),
+               ('data stream', 'data', 'stream')),
+      occ AS (
+        SELECT p.phrase, t.doc_id,
+               len(list_filter(range(1, len(t.l)),
+                 i -> t.l[i] = p.w1 AND t.l[i+1] = p.w2)) AS matches
+        FROM probes p CROSS JOIN tok t)
+      SELECT phrase, count(*) FILTER (matches > 0) AS n_docs,
+             CAST(coalesce(sum(matches), 0) AS BIGINT) AS total_matches
+      FROM occ
+      GROUP BY phrase
+      ORDER BY phrase
+    """))
+
   /** BM25-ranked retrieval THROUGH the index — q_bm25's exact answer
     * (same terms, same k1/b, same positive-idf formula, same oracle
     * CTE) computed from index state alone: tf from the pruned posting
@@ -2277,6 +2322,6 @@ object TextAnalysis extends QueryModule {
     shardPlan, chunkDocs, driftPsi, cooccurrence, boilerplate, bm25,
     hybridRrf, jaroWinkler, damerau, mixtureSample, corpusPipeline,
     clusterKeywords, lengthTrim, bigramLogprob, qualityLogreg, groupSplit,
-    indexSearch, indexPhrase, indexNear, indexBm25, indexPostDelete,
-    indexBm25Stream, indexRrf)
+    indexSearch, indexPhrase, indexNear, indexForensics, indexBm25,
+    indexPostDelete, indexBm25Stream, indexRrf)
 }
