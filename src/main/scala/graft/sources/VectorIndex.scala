@@ -181,6 +181,117 @@ object VectorIndex {
     v
   }
 
+  // ---- streaming maintenance (transactional micro-batch upsert) ----
+  //
+  // Unlike the text index (LSM append + fold: postings READS
+  // pre-aggregate cheaply, so write-side appends win), the vector
+  // index streams by transactional UPSERT-MERGE: probe reads are the
+  // hot path and must stay one-row-per-id with no read-side fold, and
+  // a cell's rows are embeddings — merging the touched cells is the
+  // honest cost. A merge is NOT naturally replay-safe (a redelivered
+  // batch would subtract the replaced rows twice from the centroid
+  // stats), so the merged cells, the folded centroid stats, AND the
+  // batch-id marker commit in ONE SnapshotTransaction: an undecided
+  // crash rolls all three back (redelivery applies once), a decided
+  // crash rolls forward (lastAppliedBatch tells redelivery to skip).
+  // Per-batch cost ∝ the touched cells' current size — right when
+  // batches touch few of many cells; a pipeline re-embedding the
+  // whole corpus per trigger should rebuild instead.
+
+  /** Initialize an EMPTY index root for streaming-first ingest. */
+  def init(root: String, labelCol: String = "label",
+      embCol: String = "embedding"): Unit = {
+    require(!Files.exists(metaFile(root)),
+      s"a vector index already exists at $root")
+    Files.createDirectories(Paths.get(root))
+    Files.writeString(metaFile(root), s"$labelCol\n$embCol\n")
+    ()
+  }
+
+  /** Apply one micro-batch's upserts exactly once; false = replay
+    * no-op. Call [[SnapshotTransaction.recover]] on `txnDir` before
+    * restarting a stream (the packaged [[sink]] does).
+    */
+  def ingestBatch(spark: SparkSession, newVectors: DataFrame, root: String,
+      txnDir: String, batchId: Long, idCol: String = "vec_id"): Boolean = {
+    if (lastAppliedBatch(spark, root) >= batchId) return false
+    val lc = labelCol(root)
+    val ec = embCol(root)
+    val pinned = newVectors.localCheckpoint()
+    val touched = pinned.select(lc).distinct().collect().map(_.get(0)).toSeq
+    val marker = spark.range(1).select(lit(batchId).as("batch_id"))
+    if (touched.isEmpty) {
+      // empty batch: still record the marker for replay-skip
+      SnapshotTransaction.commitAll(spark, txnDir,
+        Seq(TableWrite(ingestLogRoot(root), marker, appendFiles = true)))
+      SnapshotTable.freeLocalCheckpoint(pinned)
+      return true
+    }
+    val first = SnapshotTable.currentVersion(root) == 0
+    val (merged, cstats) =
+      if (first) (pinned, cstatsOf(pinned, lc, ec))
+      else {
+        val readV = SnapshotTable.currentVersion(root)
+        val existing = touched
+          .map(l => SnapshotTable.readPoint(spark, root, lc, l.toString,
+            version = readV))
+          .reduce(_ unionAll _)
+        val replaced = existing
+          .join(pinned.select(col(idCol).as("__new_id")),
+            col(idCol) === col("__new_id"), "left_semi")
+        val minus = cstatsOf(replaced, lc, ec)
+          .select(col(lc), (-col("n")).as("n"),
+            transform(col("sums"), s => -s).as("sums"))
+        val deltas = cstatsOf(pinned, lc, ec).unionByName(minus)
+        val foldedCstats = SnapshotTable.read(spark, cstatsRoot(root))
+          .unionByName(deltas)
+          .select(col(lc), col("n"), posexplode(col("sums")))
+          .groupBy(col(lc), col("pos"))
+          .agg(sum(col("col")).as("s"), sum(col("n")).as("__nsum"))
+          .groupBy(col(lc))
+          .agg(transform(
+            array_sort(collect_list(struct(col("pos"), col("s")))),
+            x => x.getField("s")).as("sums"),
+            max(col("__nsum")).as("n"))
+          .filter(col("n") > 0)
+          .select(col(lc), col("n"), col("sums"))
+        val m = existing
+          .join(pinned.select(col(idCol).as("__new_id")),
+            col(idCol) === col("__new_id"), "left_anti")
+          .unionByName(pinned.select(existing.columns.map(col): _*))
+        (m, foldedCstats)
+      }
+    SnapshotTransaction.commitAll(spark, txnDir, Seq(
+      TableWrite(root, merged, sliceCol = Some(lc), setCols = Seq(lc)),
+      TableWrite(cstatsRoot(root), cstats),
+      TableWrite(ingestLogRoot(root), marker, appendFiles = true)))
+    SnapshotTable.freeLocalCheckpoint(pinned)
+    true
+  }
+
+  /** foreachBatch-ready sink: heals crashed predecessors, applies each
+    * batch exactly once.
+    * {{{ df.writeStream.foreachBatch(VectorIndex.sink(root, txnDir) _) }}}
+    */
+  def sink(root: String, txnDir: String, idCol: String = "vec_id")
+      (batch: DataFrame, batchId: Long): Unit = {
+    SnapshotTransaction.recover(txnDir)
+    ingestBatch(batch.sparkSession, batch, root, txnDir, batchId, idCol)
+    ()
+  }
+
+  /** Highest applied batch id; -1 before any batch. */
+  def lastAppliedBatch(spark: SparkSession, root: String): Long = {
+    val r = ingestLogRoot(root)
+    if (!Files.isDirectory(Paths.get(r, "_log")) ||
+      SnapshotTable.currentVersion(r) == 0) return -1L
+    val row = SnapshotTable.read(spark, r).agg(max(col("batch_id"))).head()
+    if (row.isNullAt(0)) -1L else row.getLong(0)
+  }
+
+  private def ingestLogRoot(root: String): String =
+    Paths.get(root, "ingestlog").toString
+
   /** Candidate rows for a probe batch: the union of the probes'
     * distinct cells, each read as a partition point-lookup (partmap /
     * value-set pruned — only those cells' files open). `probes` is

@@ -95,6 +95,57 @@ class VectorIndexSpec extends AnyFunSuite {
     assert(fresh0.map(_.getInt(0)).contains(1), "pre-delete had cell 1")
   }
 
+  test("streaming upsert: exactly-once across both crash classes, stats stay folded") {
+    import graft.sources.SnapshotTransaction
+    val root = fresh()
+    val txn = java.nio.file.Files.createTempDirectory("graft-vi-txn").toString
+    VectorIndex.init(root)
+    def cents() = VectorIndex.centroids(spark, root)
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toVector).toMap
+    // batch 0 creates; replay is a no-op
+    assert(VectorIndex.ingestBatch(spark,
+      vecs((1L, Seq(1f, 0f), 0), (2L, Seq(0f, 2f), 0)), root, txn, 0L))
+    assert(!VectorIndex.ingestBatch(spark,
+      vecs((1L, Seq(1f, 0f), 0), (2L, Seq(0f, 2f), 0)), root, txn, 0L))
+    assert(cents() == Map(0 -> Vector(0.5, 1.0)))
+
+    // UNDECIDED crash: vectors, centroid stats, and marker all roll
+    // back — a re-merge after partial state would double-subtract
+    val b1 = vecs((1L, Seq(3f, 0f), 0), (3L, Seq(4f, 4f), 1))
+    SnapshotTransaction.failpoint =
+      at => if (at == "after-intent") throw SnapshotTransaction.SimulatedCrash(at)
+    try intercept[SnapshotTransaction.SimulatedCrash] {
+      VectorIndex.ingestBatch(spark, b1, root, txn, 1L)
+    } finally SnapshotTransaction.failpoint = _ => ()
+    SnapshotTransaction.recover(txn)
+    assert(VectorIndex.lastAppliedBatch(spark, root) == 0L)
+    assert(cents() == Map(0 -> Vector(0.5, 1.0)), "rolled-back batch leaked stats")
+    // redelivery applies once: vec 1 replaced, cell 1 born
+    assert(VectorIndex.ingestBatch(spark, b1, root, txn, 1L))
+    assert(cents() == Map(0 -> Vector(1.5, 1.0), 1 -> Vector(4.0, 4.0)),
+      s"got ${cents()}")
+
+    // DECIDED crash (mid-publish): rolls forward; redelivery skips —
+    // a re-applied merge would subtract vec 1's NEW value as if old
+    val b2 = vecs((1L, Seq(5f, 0f), 0))
+    SnapshotTransaction.failpoint =
+      at => if (at == "mid-publish") throw SnapshotTransaction.SimulatedCrash(at)
+    try intercept[SnapshotTransaction.SimulatedCrash] {
+      VectorIndex.ingestBatch(spark, b2, root, txn, 2L)
+    } finally SnapshotTransaction.failpoint = _ => ()
+    SnapshotTransaction.recover(txn)
+    assert(VectorIndex.lastAppliedBatch(spark, root) == 2L)
+    assert(!VectorIndex.ingestBatch(spark, b2, root, txn, 2L),
+      "redelivery of a rolled-forward batch must skip")
+    assert(cents() == Map(0 -> Vector(2.5, 1.0), 1 -> Vector(4.0, 4.0)),
+      s"exactly-once violated: ${cents()}")
+    // content matches: one row per id, latest embedding wins
+    val rows = graft.sources.SnapshotTable.read(spark, root)
+      .select(col("vec_id"), element_at(col("embedding"), 1).as("e1"))
+      .collect().map(r => r.getLong(0) -> r.getFloat(1)).toMap
+    assert(rows == Map(1L -> 5f, 2L -> 0f, 3L -> 4f), s"rows: $rows")
+  }
+
   test("delete subtracts vectors; probes and upserts continue correctly") {
     val root = fresh()
     VectorIndex.build(spark, vecs(
