@@ -102,6 +102,8 @@ object Graft {
     SparkEntry.queries("q_index_postdelete")(spark, sfDir).limit(1).count()
     SparkEntry.queries("q_index_bm25_stream")(spark, sfDir).limit(1).count()
     SparkEntry.queries("q_ann_ivf_indexed")(spark, sfDir).limit(1).count()
+    SparkEntry.queries("q_ann_ivf_postdelete")(spark, sfDir).limit(1).count()
+    SparkEntry.queries("q_ann_ivf_stream")(spark, sfDir).limit(1).count()
     ()
   }
 
@@ -123,6 +125,7 @@ object Graft {
     queries.Graphs.clearCache()
     queries.TextAnalysis.clearIndexCache()
     queries.Similarity.clearVecIndexCache()
+    queries.Similarity.clearAuxVecIndexCaches()
     functions.SkewRouter.clearCache()
     functions.JoinRouter.clearCache()
     functions.ExactQuantiles.clearCache()

@@ -159,6 +159,127 @@ object Similarity extends QueryModule {
     },
     annIvf.oracle)
 
+  /** A second vector index per (session, dataset) for the
+    * corpus-surgery query: built over all embeddings, then vectors
+    * with `vec_id % 9 = 0 AND vec_id >= 10` are DELETED (DV
+    * subtraction + centroid-stats recompute). Probe ids (< 10) stay
+    * alive so the probe batch is identical to q_ann_ivf's.
+    */
+  private val postDeleteVecCache =
+    new graft.Memo[(org.apache.spark.sql.SparkSession, String), String]
+
+  private def postDeleteVecRootOf(
+      s: org.apache.spark.sql.SparkSession, d: String): String =
+    postDeleteVecCache.get((s, d)) {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-vecindex-del").toString
+      graft.sources.VectorIndex.build(s, Tables.embeddings(s, d), root)
+      graft.sources.VectorIndex.delete(s, root,
+        "vec_id % 9 = 0 AND vec_id >= 10")
+      root
+    }
+
+  /** A third vector index, built PURELY through the streaming path
+    * (init → 3 transactional ingestBatch upserts → probe): any
+    * disjoint batch split converges to the same index content.
+    */
+  private val streamVecCache =
+    new graft.Memo[(org.apache.spark.sql.SparkSession, String), String]
+
+  private def streamVecRootOf(
+      s: org.apache.spark.sql.SparkSession, d: String): String =
+    streamVecCache.get((s, d)) {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-vecindex-stream").toString
+      val txn = java.nio.file.Files
+        .createTempDirectory("graft-vecindex-stream-txn").toString
+      graft.sources.VectorIndex.init(root)
+      val e = Tables.embeddings(s, d)
+      (0 until 3).foreach { i =>
+        val batch = e.filter(pmod(xxhash64(col("vec_id")), lit(3)) === lit(i))
+        graft.sources.VectorIndex.ingestBatch(s, batch, root, txn, i.toLong)
+      }
+      root
+    }
+
+  private[graft] def clearAuxVecIndexCaches(): Unit =
+    Seq(postDeleteVecCache, streamVecCache).foreach { cache =>
+      cache.keys.foreach { k =>
+        cache.peek(k).foreach { root =>
+          graft.sources.SnapshotTable.deleteTree(java.nio.file.Paths.get(root))
+        }
+        cache.remove(k)
+      }
+    }
+
+  /** The shared ANN rerank over a vector-index root: probe batch =
+    * vec_id < 10 with their labels, candidates = the probed cells'
+    * point-lookups, exact cosine top-3 — q_ann_ivf's exact semantics
+    * through whatever lifecycle produced the index.
+    */
+  private def annThroughIndex(s: org.apache.spark.sql.SparkSession,
+      d: String, root: String): org.apache.spark.sql.DataFrame = {
+    graft.functions.expressions.CosineSimilarity.register(s)
+    val e = Tables.embeddings(s, d)
+    val probes = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("label"),
+        col("embedding").as("query_emb"))
+    val labels = probes.select("label").distinct().collect().map(_.get(0)).toSeq
+    val cands = graft.sources.VectorIndex.candidates(s, root, labels)
+      .select(col("vec_id").as("neighbor_id"), col("label"),
+        col("embedding").as("cand_emb"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    broadcast(probes)
+      .join(cands, Seq("label"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        VF.cosineFast(col("query_emb"), col("cand_emb")).as("cos"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("cos"), 4).as("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** ANN probes AFTER vector corpus surgery: embeddings matching
+    * `vec_id % 9 = 0 AND vec_id >= 10` were DELETED from the index
+    * (DV subtraction — no rewrite); the oracle recomputes top-3 from
+    * the SURVIVING raw embeddings, pinning that deleted vectors
+    * neither appear as neighbors nor displace live ones — the
+    * embedding-side dedup/decontamination contract (flag → delete →
+    * retrieval answers as if never ingested), symmetric to
+    * q_index_postdelete on text.
+    */
+  val annIvfPostDelete = QueryDef(
+    "q_ann_ivf_postdelete",
+    (s, d) => annThroughIndex(s, d, postDeleteVecRootOf(s, d)),
+    Some(s"""
+      SELECT query_id, neighbor_id, rank, round(cos, 4) AS cosine
+      FROM (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, $duckCos AS cos,
+               row_number() OVER (PARTITION BY a.vec_id
+                 ORDER BY $duckCos DESC, b.vec_id) AS rank
+        FROM embeddings a JOIN embeddings b
+          ON a.label = b.label AND a.vec_id <> b.vec_id
+        WHERE a.vec_id < 10
+          AND NOT (b.vec_id % 9 = 0 AND b.vec_id >= 10))
+      WHERE rank <= 3
+      ORDER BY query_id, rank
+    """))
+
+  /** q_ann_ivf's exact answer from a vector index built PURELY via
+    * the streaming path — init, three transactional ingestBatch
+    * upserts (merged cells + folded centroid stats + batch marker in
+    * one SnapshotTransaction each). Shares q_ann_ivf's oracle, so the
+    * hash compare pins stream-built ≡ batch-built ≡ the raw
+    * recompute, the vector twin of q_index_bm25_stream.
+    */
+  val annIvfStream = QueryDef(
+    "q_ann_ivf_stream",
+    (s, d) => annThroughIndex(s, d, streamVecRootOf(s, d)),
+    annIvf.oracle)
+
   /** Per-cluster vector statistics (norm distribution, first-component
     * mean) — the sanity profile a similarity index build would emit.
     */
@@ -823,7 +944,8 @@ object Similarity extends QueryModule {
     annIvfMultiprobe.oracle)
 
   def defs: Seq[QueryDef] =
-    Seq(cosineTopK, annIvf, annIvfIndexed, vectorStats, annLsh, annLshWide,
-      kmeansAssign, knnJoin, annIvfMultiprobe, annIvfMultiprobeIndexed,
-      embeddingOutliers, kmeansUpdate, knnClassify, labelCoherence)
+    Seq(cosineTopK, annIvf, annIvfIndexed, annIvfPostDelete, annIvfStream,
+      vectorStats, annLsh, annLshWide, kmeansAssign, knnJoin,
+      annIvfMultiprobe, annIvfMultiprobeIndexed, embeddingOutliers,
+      kmeansUpdate, knnClassify, labelCoherence)
 }
