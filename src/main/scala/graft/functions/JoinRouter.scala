@@ -65,9 +65,13 @@ object JoinRouter {
     */
   private val countCache = new graft.Memo[(SparkSession, String), Long]
 
-  /** Seed a known row count (spec hook + ingest-maintained path). */
+  /** Seed a known row count (spec hook + ingest-maintained path).
+    * OVERWRITES any cached probe (r17, ADVICE r16): a table that
+    * grows after ingest must not keep routing on the stale count a
+    * prior probe memoized.
+    */
   def recordRows(spark: SparkSession, path: String, rows: Long): Unit = {
-    countCache.get((spark, path))(rows); ()
+    countCache.put((spark, path), rows)
   }
 
   /** Row count of `<sfDir>/<table>.parquet`: enrolled-stat scalar

@@ -132,31 +132,7 @@ object Similarity extends QueryModule {
     */
   val annIvfIndexed = QueryDef(
     "q_ann_ivf_indexed",
-    (s, d) => {
-      graft.functions.expressions.CosineSimilarity.register(s)
-      val root = vecIndexRootOf(s, d)
-      val e = Tables.embeddings(s, d)
-      val probes = e.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("query_id"), col("label"),
-          col("embedding").as("query_emb"))
-      // probe cells: driver-side distinct over the ≤10-row probe batch
-      val labels = probes.select("label").distinct().collect().map(_.get(0)).toSeq
-      val cands = graft.sources.VectorIndex.candidates(s, root, labels)
-        .select(col("vec_id").as("neighbor_id"), col("label"),
-          col("embedding").as("cand_emb"))
-      val w = Window.partitionBy(col("query_id"))
-        .orderBy(col("cos").desc, col("neighbor_id"))
-      broadcast(probes)
-        .join(cands, Seq("label"))
-        .filter(col("query_id") =!= col("neighbor_id"))
-        .select(col("query_id"), col("neighbor_id"),
-          VF.cosineFast(col("query_emb"), col("cand_emb")).as("cos"))
-        .withColumn("rank", row_number().over(w).cast("long"))
-        .filter(col("rank") <= 3)
-        .select(col("query_id"), col("neighbor_id"), col("rank"),
-          round(col("cos"), 4).as("cosine"))
-        .orderBy(col("query_id"), col("rank"))
-    },
+    (s, d) => annThroughIndex(s, d, vecIndexRootOf(s, d)),
     annIvf.oracle)
 
   /** A second vector index per (session, dataset) for the

@@ -77,7 +77,7 @@ object TextIndex {
       .agg(sum(col("dl")).cast("long").as("dl"))
     SnapshotTable.commitPartitions(spark, docStatsRoot(root), stats, "dbucket")
     Files.createDirectories(Paths.get(root))
-    Files.writeString(metaFile(root), s"$buckets\n")
+    Files.writeString(metaFile(root), s"$buckets\nmaxslop=$MaxSlop\n")
     v
   }
 
@@ -324,6 +324,13 @@ object TextIndex {
     require(slop >= 1 && slop <= MaxSlop,
       s"slop must be in [1, $MaxSlop], got $slop (the cross-row ingest " +
         "gap guarantees revision independence only up to MaxSlop)")
+    // per-root gate (r17, ADVICE r16): a root ingested under the old
+    // +1 gap records no maxslop line and reads as 1 — refusing slop>1
+    // there beats a silent cross-revision proximity false match
+    require(slop <= recordedMaxSlop(root),
+      s"this index root's ingest gap only guarantees revision-" +
+        s"independent proximity up to slop=${recordedMaxSlop(root)} " +
+        s"(got $slop); rebuild or re-ingest the root to widen the gap")
     require(termA != termB,
       "NEAR of a term with itself is ill-defined here (every occurrence " +
         "matches itself); use searchPhrase for repeated-token patterns")
@@ -433,7 +440,7 @@ object TextIndex {
       s"an index already exists at $root (changing the bucket count " +
         "under carried partitions would misroute every probe)")
     Files.createDirectories(Paths.get(root))
-    Files.writeString(metaFile(root), s"$buckets\n")
+    Files.writeString(metaFile(root), s"$buckets\nmaxslop=$MaxSlop\n")
     ()
   }
 
@@ -580,11 +587,30 @@ object TextIndex {
     (((h % buckets) + buckets) % buckets).toInt
   }
 
-  /** The bucket count recorded at build time. */
+  /** The bucket count recorded at build time (first meta line; later
+    * lines are `key=value` format fields, see [[recordedMaxSlop]]).
+    */
   def bucketCount(root: String): Int = {
     val f = metaFile(root)
     require(Files.exists(f), s"no text index at $root (missing ${f.getFileName})")
-    Files.readString(f).trim.toInt
+    Files.readString(f).linesIterator.next().trim.toInt
+  }
+
+  /** The maximum revision-independent NEAR slop this ROOT's ingest
+    * gap guarantees (r17, ADVICE r16): recorded as `maxslop=N` in the
+    * meta sidecar at build/init time. A root written before the gap
+    * widened to MaxSlop+1 has no such line — its +1 gap only
+    * guarantees slop=1 independence, so legacy roots read as 1 and
+    * [[searchNear]] refuses slop>1 against them instead of silently
+    * allowing cross-revision proximity false matches.
+    */
+  def recordedMaxSlop(root: String): Int = {
+    val f = metaFile(root)
+    require(Files.exists(f), s"no text index at $root (missing ${f.getFileName})")
+    Files.readString(f).linesIterator
+      .collectFirst { case l if l.startsWith("maxslop=") =>
+        l.stripPrefix("maxslop=").trim.toInt }
+      .getOrElse(1)
   }
 
   /** Maximum NEAR slop ([[searchNear]]): the cross-row position gap

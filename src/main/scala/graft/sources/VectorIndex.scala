@@ -303,8 +303,13 @@ object VectorIndex {
       probeLabels: Seq[Any]): DataFrame = {
     require(probeLabels.nonEmpty, "probe batch has no cells")
     val lc = labelCol(root)
+    // Pin ONE snapshot version across every probed cell (r17, ADVICE
+    // r16): without it a concurrent upsert/delete committing mid-probe
+    // could yield a mixed-version candidate set (cell A at v1, cell B
+    // at v2). upsert() pins version=readV for exactly this reason.
+    val v = SnapshotTable.currentVersion(root)
     probeLabels.distinct
-      .map(l => SnapshotTable.readPoint(spark, root, lc, l.toString))
+      .map(l => SnapshotTable.readPoint(spark, root, lc, l.toString, v))
       .reduce(_ unionAll _)
   }
 }
