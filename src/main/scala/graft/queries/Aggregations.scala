@@ -109,26 +109,30 @@ object Aggregations extends QueryModule {
 
   /** Approximate percentiles via Spark's t-digest-style sketch
     * (mergeable partials — the at-scale replacement for exact
-    * percentile's full shuffle of values). GRADED FORM: sketch and
-    * exact interpolated percentile in the SAME aggregate; the row
+    * percentile's full shuffle of values). GRADED FORM: the row
     * carries the exact values (float-cast, the suite's percentile
     * convention) plus `|approx − exact| ≤ 2%·exact` booleans. At
     * accuracy 10000 the sketch's rank error is 1e-4, so the 2% value
     * bound has orders-of-magnitude headroom — deterministic-green by
     * construction, and a real hash-graded oracle row (r7 item 2).
+    * The exact leg runs on [[graft.functions.ExactQuantiles]] since
+    * r17 — the plan's only buffering aggregate is the bounded
+    * t-digest itself.
     */
   val approxPercentileQ = QueryDef(
     "q_approx_percentile",
     (s, d) => {
-      // split aggregates + broadcast join, same rationale as
-      // q_approx_count_distinct: each imperative aggregate keeps its
-      // own (Object)HashAggregate without dragging the other's
-      // buffers through a shared sort-fallback path
-      val exact = Tables.lineitem(s, d)
-        .groupBy(col("l_returnflag"))
-        .agg(expr("percentile(l_extendedprice, array(0.5D, 0.9D))").as("eq"))
-        .select(col("l_returnflag"),
-          col("eq")(0).as("m"), col("eq")(1).as("p90"))
+      // exact comparison column via ExactQuantiles (r17, VERDICT r16
+      // item 2): the (group, value, count) + rank-interval path — no
+      // value-buffering ObjectHashAggregate anywhere in this plan;
+      // the tag shares q_percentile's warmed ranked price table
+      val exact = graft.functions.ExactQuantiles.cont(
+        Tables.lineitem(s, d), Seq("l_returnflag"), "l_extendedprice",
+        Seq(0.5 -> "m", 0.9 -> "p90"),
+        tag = s"$d#lineitem.l_returnflag.l_extendedprice",
+        knownMaxDistinct = graft.functions.ExactQuantiles
+          .knownMaxDistinctForSource(d, "lineitem", Seq("l_returnflag"),
+            "l_extendedprice"))
       val approx = Tables.lineitem(s, d)
         .groupBy(col("l_returnflag").as("af"))
         .agg(expr("approx_percentile(l_extendedprice, array(0.5D, 0.9D), 10000)")
@@ -606,40 +610,42 @@ object Aggregations extends QueryModule {
       ORDER BY l.l_returnflag
     """))
 
-  /** Multi-percentile in one pass: percentile(x, array(...)) computes
-    * the whole quantile vector from a single sort/buffer per group
-    * instead of one aggregate per quantile — the summary-statistics
-    * shape (p25/p50/p75/p99) every profiling pipeline emits. The
-    * vector is then posexploded to scalar (group, p, value) rows:
-    * array-typed result columns are unhashable in the harness compare
-    * (round-3 lesson), and the long shape is what a downstream
-    * profiling table wants anyway. DuckDB mirror computes the same
-    * list-typed quantile_cont once per group and unnests it by
-    * 1-based index, so both engines still pay exactly one sort/buffer
-    * per group.
-    *
-    * 100-TB NOTE: exact `percentile` is a value-BUFFERING aggregate
-    * (ObjectHashAggregate holds every group value); with 3 bounded
-    * groups each buffer is corpus/3 — an executor-OOM risk at scale.
-    * This query is kept as the exact ORACLE ANCHOR; the production
-    * default at scale is the mergeable t-digest twin
-    * `q_percentile_approx_scale` (same vector, graded with a bounded
-    * comparison against this exact form, ≤2% error pinned in
-    * ApproxSpec). PlanAuditSpec's ObjectHashAggregate audit encodes
-    * this split for the whole suite.
+  /** Multi-percentile in one pass — the summary-statistics shape
+    * (p25/p50/p75/p99) every profiling pipeline emits — computed by
+    * [[graft.functions.ExactQuantiles]] since r17 (VERDICT r16 item
+    * 2): one ranked distinct-value table serves the whole quantile
+    * vector (the tag shares it with q_percentile's price leg and
+    * q_approx_percentile's exact column), no value-buffering
+    * `percentile` ObjectHashAggregate anywhere. The wide result is
+    * then unpivoted to scalar (group, p, value) rows: array-typed
+    * result columns are unhashable in the harness compare (round-3
+    * lesson), and the long shape is what a downstream profiling
+    * table wants anyway. DuckDB mirror computes the list-typed
+    * quantile_cont once per group and unnests it by 1-based index.
+    * The mergeable t-digest twin `q_percentile_approx_scale` (same
+    * vector, ≤2% error pinned in ApproxSpec) remains the sketch
+    * alternative where 1e-4 rank error is acceptable.
     */
   val percentileMultiQ = QueryDef(
     "q_percentile_multi",
-    (s, d) =>
-      Tables.lineitem(s, d)
-        .groupBy(col("l_returnflag"))
-        .agg(expr("percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D, 0.99D))").as("qs"))
-        .select(col("l_returnflag"), posexplode(col("qs")).as(Seq("i", "qv")))
+    (s, d) => {
+      val wide = graft.functions.ExactQuantiles.cont(
+        Tables.lineitem(s, d), Seq("l_returnflag"), "l_extendedprice",
+        Seq(0.25 -> "q25", 0.5 -> "q50", 0.75 -> "q75", 0.99 -> "q99"),
+        tag = s"$d#lineitem.l_returnflag.l_extendedprice",
+        knownMaxDistinct = graft.functions.ExactQuantiles
+          .knownMaxDistinctForSource(d, "lineitem", Seq("l_returnflag"),
+            "l_extendedprice"))
+      wide
+        .select(col("l_returnflag"),
+          posexplode(array(col("q25"), col("q50"), col("q75"), col("q99")))
+            .as(Seq("i", "qv")))
         .select(
           col("l_returnflag"),
           element_at(typedLit(Seq(0.25d, 0.5d, 0.75d, 0.99d)), col("i") + 1).as("p"),
           col("qv").cast("float").as("qval"))
-        .orderBy(col("l_returnflag"), col("p")),
+        .orderBy(col("l_returnflag"), col("p"))
+    },
     Some("""
       WITH qv AS (
         SELECT l_returnflag,
@@ -743,13 +749,15 @@ object Aggregations extends QueryModule {
     * hot key costs O(sketch) memory instead of an executor OOM.
     * This is the formulation the exact queries' Scaladocs point to
     * for 100 TB; both are benched under the write action and the
-    * numbers recorded in BASELINE.md. GRADED FORM (r7 item 2): the
-    * sketch vector and the exact percentile vector come out of the
-    * SAME aggregate; each emitted row carries the exact quantile
-    * (float-cast) and a `|approx − exact| ≤ 2%·exact` boolean, so
-    * the DuckDB quantile_cont oracle grades it fully while the plan
-    * still runs the mergeable-sketch path. Raw sketch error is
-    * bounded separately in ApproxSpec via percentileApproxScaleRaw.
+    * numbers recorded in BASELINE.md. GRADED FORM (r7 item 2): each
+    * emitted row carries the exact quantile (float-cast) and a
+    * `|approx − exact| ≤ 2%·exact` boolean, so the DuckDB
+    * quantile_cont oracle grades it fully while the plan still runs
+    * the mergeable-sketch path. The exact comparison vector runs on
+    * [[graft.functions.ExactQuantiles]] since r17 (VERDICT r16 item
+    * 2) — the plan's only buffering aggregate is the bounded
+    * t-digest. Raw sketch error is bounded separately in ApproxSpec
+    * via percentileApproxScaleRaw.
     */
   private[graft] def percentileApproxScaleRaw(
       s: org.apache.spark.sql.SparkSession, d: String) =
@@ -766,22 +774,29 @@ object Aggregations extends QueryModule {
 
   val percentileApproxScaleQ = QueryDef(
     "q_percentile_approx_scale",
-    (s, d) =>
-      Tables.lineitem(s, d)
-        .groupBy(col("l_returnflag"))
-        .agg(
-          expr("approx_percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D, 0.99D), 10000)")
-            .as("aqs"),
-          expr("percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D, 0.99D))")
-            .as("eqs"))
+    (s, d) => {
+      val approx = Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag").as("af"))
+        .agg(expr(
+          "approx_percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D, 0.99D), 10000)")
+          .as("aqs"))
+      val exact = graft.functions.ExactQuantiles.cont(
+        Tables.lineitem(s, d), Seq("l_returnflag"), "l_extendedprice",
+        Seq(0.25 -> "e25", 0.5 -> "e50", 0.75 -> "e75", 0.99 -> "e99"),
+        tag = s"$d#lineitem.l_returnflag.l_extendedprice",
+        knownMaxDistinct = graft.functions.ExactQuantiles
+          .knownMaxDistinctForSource(d, "lineitem", Seq("l_returnflag"),
+            "l_extendedprice"))
+      exact.join(broadcast(approx), col("l_returnflag") === col("af"))
         .select(col("l_returnflag"), posexplode(col("aqs")).as(Seq("i", "aqv")),
-          col("eqs"))
+          array(col("e25"), col("e50"), col("e75"), col("e99")).as("eqs"))
         .select(col("l_returnflag"),
           element_at(typedLit(Seq(0.25d, 0.5d, 0.75d, 0.99d)), col("i") + 1).as("p"),
           element_at(col("eqs"), col("i") + 1).cast("float").as("qval"),
           (abs(col("aqv") - element_at(col("eqs"), col("i") + 1))
             <= element_at(col("eqs"), col("i") + 1) * lit(0.02)).as("within_2pct"))
-        .orderBy(col("l_returnflag"), col("p")),
+        .orderBy(col("l_returnflag"), col("p"))
+    },
     Some("""
       WITH qv AS (
         SELECT l_returnflag,
@@ -856,15 +871,22 @@ object Aggregations extends QueryModule {
     * the clipped column next to the raw mean. Two passes expressed as
     * an aggregate joined back (group count is tiny, the join
     * broadcasts); the clip itself is codegen'd least/greatest. Floats
-    * cast per the interpolated-percentile rule.
+    * cast per the interpolated-percentile rule. The clip bounds run
+    * on [[graft.functions.ExactQuantiles]] since r17 (VERDICT r16
+    * item 2) — no value-buffering percentile aggregate; the tag
+    * shares the warmed ranked price table with q_percentile_multi.
     */
   val winsorizeQ = QueryDef(
     "q_winsorize",
     (s, d) => {
-      val bounds = Tables.lineitem(s, d)
-        .groupBy(col("l_returnflag").as("bf"))
-        .agg(expr("percentile(l_extendedprice, 0.05D)").as("p05"),
-          expr("percentile(l_extendedprice, 0.95D)").as("p95"))
+      val bounds = graft.functions.ExactQuantiles.cont(
+          Tables.lineitem(s, d), Seq("l_returnflag"), "l_extendedprice",
+          Seq(0.05 -> "p05", 0.95 -> "p95"),
+          tag = s"$d#lineitem.l_returnflag.l_extendedprice",
+          knownMaxDistinct = graft.functions.ExactQuantiles
+            .knownMaxDistinctForSource(d, "lineitem", Seq("l_returnflag"),
+              "l_extendedprice"))
+        .select(col("l_returnflag").as("bf"), col("p05"), col("p95"))
       Tables.lineitem(s, d)
         .join(broadcast(bounds), col("l_returnflag") === col("bf"))
         .select(col("l_returnflag"),

@@ -281,9 +281,9 @@ class PlanAuditSpec extends AnyFunSuite {
     *   "exact-anchor" — the buffer IS data-proportional (exact
     *                    percentile over a corpus-fraction group), kept
     *                    deliberately as the bit-exact ORACLE ANCHOR
-    *                    next to a graded scale-safe sketch twin
-    *                    (q_percentile_approx_scale / q_band_by_quantile
-    *                    / q_sketch_quantiles); at 100 TB run the twin.
+    *                    next to a graded scale-safe sketch twin.
+    *                    EMPTY since r17: every former anchor now runs
+    *                    its exact quantiles on ExactQuantiles.
     *
     * Anything else acquiring an ObjectHashAggregate is an unreviewed
     * executor-memory risk and fails the audit (VERDICT r7 item 5).
@@ -297,16 +297,18 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_knn_join" -> "bounded", // per-label chosen-dims assembly (≤ min(8, dim)=8 structs/label)
     "q_label_coherence" -> "bounded", // per-label centroid assembly (exactly dims=64 structs/label)
     "q_band_by_quantile" -> "bounded", // approx_percentile only: t-digest buffer fixed by accuracy
-    "q_percentile_approx_scale" -> "exact-anchor", // sketch + its exact comparison column (grading artifact)
-    "q_approx_percentile" -> "exact-anchor", // sketch + its exact comparison column (grading artifact)
-    "q_percentile_multi" -> "exact-anchor", // scale twin: q_percentile_window IS this query on ExactQuantiles' method
-    "q_winsorize" -> "exact-anchor", // exact p05/p95 clip bounds
-    "q_funnel" -> "exact-anchor") // global exact median conversion lag
+    "q_percentile_approx_scale" -> "bounded", // approx_percentile only since r17 (exact leg on ExactQuantiles)
+    "q_approx_percentile" -> "bounded") // approx_percentile only since r17 (exact leg on ExactQuantiles)
   // r11: q_percentile, q_percentile_disc, q_mad, q_session_stats,
   // q_conversion_lag, q_ship_lag LEFT this list — rewritten on
   // functions.ExactQuantiles ((group, value, count) pre-aggregation +
   // PrefixSum rank intervals; VERDICT r10 item 3), so their plans no
   // longer contain any value-buffering aggregate.
+  // r17 (VERDICT r16 item 2): the LAST exact-anchor entries left too —
+  // q_percentile_multi, q_winsorize, q_funnel now run their exact
+  // quantiles on ExactQuantiles (no buffering aggregate at all), and
+  // the two sketch-vs-exact graders keep only the bounded t-digest.
+  // The suite no longer contains any data-proportional agg buffer.
 
   test("value-buffering aggregates only where bounded or twin-anchored") {
     val offenders = SparkEntry.all.flatMap { q =>
