@@ -364,51 +364,78 @@ object SqlText extends QueryModule {
     """))
 
   /** MinHash/LSH near-dup dedup in SQL TEXT (r13 — the §2.10 flagship
-    * through the parser path): tokenize → 3-shingles → 8 banded
-    * min-signatures per doc (all higher-order array functions: filter
-    * / transform / sequence / array_min — no explode of
-    * |shingles|×|bands| rows, same map-side shape as the DSL), bucket
-    * cap 2..10, candidate self-join, Jaccard verify. Same oracle as
-    * q_dedup_minhash — the hash match proves the SQL surface computes
-    * the DSL pipeline exactly.
+    * through the parser path). Since r17 (VERDICT r16 item 4) the SQL
+    * reads the WARMED band-signature and shingle artifacts as temp
+    * views — the same once-paid ingest artifacts the DSL twin reads —
+    * and keeps the parser for the LSH logic itself: bucket cap 2..10,
+    * candidate self-join, Jaccard verify. Same oracle as
+    * q_dedup_minhash, so the hash match proves the view-served parser
+    * path ≡ the DSL ≡ the DuckDB full recompute. Re-deriving the md5
+    * banding through the parser every run cost the sf26 bench 104 s
+    * vs the DSL twin's 13 s for the identical answer; the
+    * full-recompute SQL text stays pinned (hash-identical at
+    * sf0.001) in SqlSurfaceSpec via [[minhashFullRecomputeSql]], so
+    * parser coverage of the md5/banding expressions is kept.
     */
+  private[graft] val minhashFullRecomputeSql = """
+    WITH tok AS (
+      SELECT doc_id, filter(split(text, ' '), t -> t != '') AS toks
+      FROM documents_sqt),
+    sh AS (
+      SELECT doc_id,
+             CASE WHEN size(toks) >= 3
+               THEN array_distinct(transform(sequence(0, size(toks) - 3),
+                      i -> concat(toks[i], ' ', toks[i + 1], ' ', toks[i + 2])))
+               ELSE CAST(array() AS ARRAY<STRING>) END AS shingles
+      FROM tok),
+    sig AS (
+      SELECT doc_id, band,
+             array_min(transform(hs, h -> substr(h, band * 8 + 1, 8))) AS sig
+      FROM (SELECT doc_id,
+                   transform(shingles, x -> concat(md5(x), md5(concat('x', x)))) AS hs
+            FROM sh)
+      LATERAL VIEW explode(sequence(0, 7)) b AS band),
+    ok AS (
+      SELECT band, sig FROM sig
+      GROUP BY band, sig HAVING count(*) BETWEEN 2 AND 10),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+      FROM sig a
+      JOIN ok USING (band, sig)
+      JOIN sig b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+    verified AS (
+      SELECT doc1, doc2,
+             round(CAST(size(array_intersect(s1.shingles, s2.shingles)) AS DOUBLE)
+                   / size(array_union(s1.shingles, s2.shingles)), 4) AS jaccard
+      FROM cand
+      JOIN sh s1 ON doc1 = s1.doc_id
+      JOIN sh s2 ON doc2 = s2.doc_id)
+    SELECT doc1, doc2, jaccard FROM verified
+    WHERE jaccard >= 0.1
+    ORDER BY doc1, doc2
+  """
+
   val sqlMinhashDedup = QueryDef(
     "q_sql_minhash_dedup",
     (s, d) => {
-      reg(s, d, "documents")
+      Dedup.registerMinhashViews(s, d)
       s.sql("""
-        WITH tok AS (
-          SELECT doc_id, filter(split(text, ' '), t -> t != '') AS toks
-          FROM documents_sqt),
-        sh AS (
-          SELECT doc_id,
-                 CASE WHEN size(toks) >= 3
-                   THEN array_distinct(transform(sequence(0, size(toks) - 3),
-                          i -> concat(toks[i], ' ', toks[i + 1], ' ', toks[i + 2])))
-                   ELSE CAST(array() AS ARRAY<STRING>) END AS shingles
-          FROM tok),
-        sig AS (
-          SELECT doc_id, band,
-                 array_min(transform(hs, h -> substr(h, band * 8 + 1, 8))) AS sig
-          FROM (SELECT doc_id,
-                       transform(shingles, x -> concat(md5(x), md5(concat('x', x)))) AS hs
-                FROM sh)
-          LATERAL VIEW explode(sequence(0, 7)) b AS band),
-        ok AS (
-          SELECT band, sig FROM sig
+        WITH ok AS (
+          SELECT band, sig FROM minhash_sig_sqt
           GROUP BY band, sig HAVING count(*) BETWEEN 2 AND 10),
         cand AS (
           SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
-          FROM sig a
+          FROM minhash_sig_sqt a
           JOIN ok USING (band, sig)
-          JOIN sig b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+          JOIN minhash_sig_sqt b
+            ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
         verified AS (
           SELECT doc1, doc2,
                  round(CAST(size(array_intersect(s1.shingles, s2.shingles)) AS DOUBLE)
                        / size(array_union(s1.shingles, s2.shingles)), 4) AS jaccard
           FROM cand
-          JOIN sh s1 ON doc1 = s1.doc_id
-          JOIN sh s2 ON doc2 = s2.doc_id)
+          JOIN minhash_sh_sqt s1 ON doc1 = s1.doc_id
+          JOIN minhash_sh_sqt s2 ON doc2 = s2.doc_id)
         SELECT doc1, doc2, jaccard FROM verified
         WHERE jaccard >= 0.1
         ORDER BY doc1, doc2

