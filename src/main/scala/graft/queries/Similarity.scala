@@ -829,7 +829,14 @@ object Similarity extends QueryModule {
           round(col("cos"), 4).as("cosine"))
         .orderBy(col("query_id"), col("rank"))
     },
-    Some(s"""
+    multiprobeOracleAt(nprobe = 2))
+
+  /** The DuckDB multiprobe mirror, parameterized on the probe width —
+    * ONE template serves the nprobe=2 and nprobe=3 graded rows (the
+    * mirror recomputes routing + rerank independently; only the
+    * probe_rank cut varies).
+    */
+  private def multiprobeOracleAt(nprobe: Int): Option[String] = Some(s"""
       WITH cent AS (
         SELECT label, list(m ORDER BY pos) AS centroid
         FROM (
@@ -849,7 +856,7 @@ object Similarity extends QueryModule {
                         * sqrt(list_dot_product(c.centroid, c.centroid)))
                      AS FLOAT) DESC, c.label) AS probe_rank
           FROM q CROSS JOIN cent c)
-        WHERE probe_rank <= 2)
+        WHERE probe_rank <= $nprobe)
       SELECT query_id, neighbor_id, rank, round(cos, 4) AS cosine
       FROM (
         SELECT p.query_id, b.vec_id AS neighbor_id,
@@ -867,7 +874,7 @@ object Similarity extends QueryModule {
           ON p.label = b.label AND p.query_id <> b.vec_id)
       WHERE rank <= 5
       ORDER BY query_id, rank
-    """))
+    """)
 
   /** q_ann_ivf_multiprobe's exact answer THROUGH the persisted vector
     * index: probe routing reads the index's maintained centroid-stats
@@ -881,47 +888,41 @@ object Similarity extends QueryModule {
     * index carries SUFFICIENT STATISTICS for multiprobe ANN, kept
     * current by upsert/delete deltas.
     */
+  /** The shared index-served multiprobe body: probes < 10, cstats
+    * routing, exact rerank through [[graft.sources.VectorIndex.search]].
+    */
+  private def multiprobeThroughIndex(s: org.apache.spark.sql.SparkSession,
+      d: String, nprobe: Int): org.apache.spark.sql.DataFrame =
+    graft.sources.VectorIndex.search(s, vecIndexRootOf(s, d),
+        Tables.embeddings(s, d).filter(col("vec_id") < 10), nprobe, k = 5)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("cos"), 4).as("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+
   val annIvfMultiprobeIndexed = QueryDef(
     "q_ann_ivf_multiprobe_indexed",
-    (s, d) => {
-      graft.functions.expressions.CosineSimilarity.register(s)
-      val root = vecIndexRootOf(s, d)
-      val e = Tables.embeddings(s, d)
-      val cent = graft.sources.VectorIndex.centroids(s, root)
-      val queries = e.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("query_id"), col("embedding").as("query_emb"))
-      val wProbe = Window.partitionBy(col("query_id"))
-        .orderBy(col("cent_cos").desc, col("label"))
-      val probes = queries.crossJoin(broadcast(cent))
-        .select(col("query_id"), col("query_emb"), col("label"),
-          VF.cosine(col("query_emb"), col("centroid")).cast("float")
-            .as("cent_cos"))
-        .withColumn("probe_rank", row_number().over(wProbe))
-        .filter(col("probe_rank") <= 2)
-        .select(col("query_id"), col("query_emb"), col("label"))
-        .localCheckpoint() // the driver-side cell list and the rerank share it
-      val labels = probes.select("label").distinct().collect().map(_.get(0)).toSeq
-      val cands = graft.sources.VectorIndex.candidates(s, root, labels)
-        .select(col("vec_id").as("neighbor_id"), col("label"),
-          col("embedding").as("cand_emb"))
-      val w = Window.partitionBy(col("query_id"))
-        .orderBy(col("cos").desc, col("neighbor_id"))
-      probes
-        .join(cands, Seq("label"))
-        .filter(col("query_id") =!= col("neighbor_id"))
-        .select(col("query_id"), col("neighbor_id"),
-          VF.cosineFast(col("query_emb"), col("cand_emb")).as("cos"))
-        .withColumn("rank", row_number().over(w).cast("long"))
-        .filter(col("rank") <= 5)
-        .select(col("query_id"), col("neighbor_id"), col("rank"),
-          round(col("cos"), 4).as("cosine"))
-        .orderBy(col("query_id"), col("rank"))
-    },
+    (s, d) => multiprobeThroughIndex(s, d, nprobe = 2),
     annIvfMultiprobe.oracle)
+
+  /** The nprobe=3 point of the recall/cost curve as a GRADED row
+    * (r17, VERDICT r16 item 5): same cstats routing, one more cell
+    * probed per query. Graded by the SAME oracle template as the
+    * nprobe=2 twin with only the probe_rank cut changed — and the
+    * third cell genuinely matters even on this fixture (measured at
+    * sf0.01: query 0's rank-5 neighbor improves 0.1773 → 0.2187 from
+    * the extra cell), so this row pins that widening the probe set
+    * reaches the candidates the routing says it should. The recall
+    * CURVE itself (monotone, floors) is measured in VectorIndexSpec's
+    * adversarial overlapping-cell fixture.
+    */
+  val annIvfNprobe3Indexed = QueryDef(
+    "q_ann_ivf_nprobe3_indexed",
+    (s, d) => multiprobeThroughIndex(s, d, nprobe = 3),
+    multiprobeOracleAt(nprobe = 3))
 
   def defs: Seq[QueryDef] =
     Seq(cosineTopK, annIvf, annIvfIndexed, annIvfPostDelete, annIvfStream,
       vectorStats, annLsh, annLshWide, kmeansAssign, knnJoin,
-      annIvfMultiprobe, annIvfMultiprobeIndexed, embeddingOutliers,
-      kmeansUpdate, knnClassify, labelCoherence)
+      annIvfMultiprobe, annIvfMultiprobeIndexed, annIvfNprobe3Indexed,
+      embeddingOutliers, kmeansUpdate, knnClassify, labelCoherence)
 }

@@ -160,4 +160,66 @@ class VectorIndexSpec extends AnyFunSuite {
     assert(VectorIndex.candidates(spark, root, Seq(0))
       .select("vec_id").collect().map(_.getLong(0)).toSet == Set(1L, 7L))
   }
+
+  /** The graded fixture's cells are well-separated, which flatters
+    * index-served multiprobe (q_ann_ivf_nprobe3_indexed is hash-
+    * identical to nprobe=2 there — recall saturates). This fixture is
+    * ADVERSARIAL, mirroring IvfAnnSpec's scan-form curve: 10 cell
+    * centers whose spread is comparable to the per-point noise, so
+    * true top-10 neighbors routinely sit across cell boundaries — the
+    * regime where nprobe through the PERSISTED index earns its keep
+    * (VERDICT r16 item 5: the scan form had this gate, the index
+    * path didn't).
+    */
+  test("overlapping-cell fixture: index-served recall@10 curve vs nprobe") {
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(7) // fixed seed — deterministic fixture
+    val dim = 16
+    val centers = Array.fill(10)(Array.fill(dim)(rnd.nextGaussian()))
+    val rows = (0 until 600).map { i =>
+      val c = centers(i % 10)
+      (i.toLong, c.map(v => (v + rnd.nextGaussian() * 1.2).toFloat).toSeq)
+    }
+    val pts = rows.toDF("vec_id", "embedding").localCheckpoint()
+    val (_, asg) = graft.functions.KMeansLite.fit(pts, k = 10, iterations = 5)
+    val root = fresh()
+    // the index's cell = the k-means assignment; centroid routing in
+    // search() then uses the MAINTAINED cstats means, not the fit's
+    // returned centroids — exactly what a production probe reads
+    VectorIndex.build(spark,
+      asg.select(col("vec_id"), col("embedding"),
+        col("cluster_id").as("label")), root)
+    val queries = pts.filter(col("vec_id") < 30)
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("cos").desc, col("cand_id"))
+    val brute = queries
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_emb"))
+      .crossJoin(pts.select(col("vec_id").as("cand_id"), col("embedding").as("cand_emb")))
+      .filter(col("probe_id") =!= col("cand_id"))
+      .select(col("probe_id"), col("cand_id"),
+        graft.functions.VectorFunctions.cosine(col("probe_emb"), col("cand_emb")).as("cos"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 10)
+      .select(col("probe_id").as("query_id"), col("cand_id").as("neighbor_id"))
+      .localCheckpoint()
+    val denom = brute.count().toDouble
+    def recallAt(nprobe: Int): Double =
+      VectorIndex.search(spark, root, queries, nprobe, k = 10)
+        .select(col("query_id"), col("neighbor_id"))
+        .join(brute, Seq("query_id", "neighbor_id")).count() / denom
+    val curve = Seq(1, 2, 3, 5).map(np => np -> recallAt(np))
+    info("index-served recall@10 by nprobe (overlapping cells): " +
+      curve.map { case (np, r) => f"$np->$r%.3f" }.mkString(", "))
+    curve.sliding(2).foreach { case Seq((npA, rA), (npB, rB)) =>
+      assert(rB >= rA - 1e-9, s"recall fell widening nprobe $npA->$npB: $rA -> $rB")
+    }
+    val graded = curve.toMap
+    // floors one notch below the measured curve (seed 7): a real
+    // routing/recall regression trips, assignment tie-break drift
+    // does not; nprobe must MOVE recall on this fixture (the graded
+    // saturated-fixture hash identity can't show that)
+    assert(graded(3) > graded(1) + 0.05,
+      s"nprobe adds no recall on overlapping cells: ${graded(1)} -> ${graded(3)}")
+    assert(graded(3) >= 0.85, s"nprobe=3 recall@10 too low: ${graded(3)}")
+    assert(graded(5) >= 0.93, s"nprobe=5 recall@10 too low: ${graded(5)}")
+    SnapshotTable.deleteTree(java.nio.file.Paths.get(root))
+  }
 }
