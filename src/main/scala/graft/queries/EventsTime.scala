@@ -322,9 +322,13 @@ object EventsTime extends QueryModule {
         .filter(col("us") > col("c_us"))
         .groupBy(col("user_id"), col("s_us"), col("c_us"))
         .agg(min(col("us")).as("p_us"))
+      // tagged (r17): the ranked conversion-lag table is derived
+      // deterministically from events, so the session memoizes ONE
+      // cumulation and repeat invocations pay only the boundary agg
       val med = graft.functions.ExactQuantiles.cont(
         purchase.select(((col("p_us") - col("s_us")) / lit(1e6)).as("conv_sec")),
-        Nil, "conv_sec", Seq(0.5 -> "med"))
+        Nil, "conv_sec", Seq(0.5 -> "med"),
+        tag = s"$d#events.funnel_conv_sec")
       signup.agg(count(lit(1)).as("signed_up")).crossJoin(
         click.agg(count(lit(1)).as("clicked_after")).crossJoin(
           purchase.agg(count(lit(1)).as("purchased_after")).crossJoin(
