@@ -72,6 +72,23 @@ object ProfileR17 {
         time("full q_percentile_window")(cnt(SparkEntry.queries("q_percentile_window")(spark, d)))
       case "inc" =>
         queries.Dedup.warm(spark, d)
+        import graft.functions.{TextFunctions => TF}
+        val batchSh = Tables.documents(spark, d).filter(col("doc_id") >= 400)
+          .select(col("doc_id"), TF.tokens(col("text")).as("toks"))
+          .select(col("doc_id"), TF.shinglesFast(col("toks"), 3).as("shingles"))
+        time("batch tokenize+shingle")(cnt(batchSh))
+        val batchBands = batchSh
+          .select(col("doc_id"), transform(col("shingles"),
+            sgl => concat(md5(sgl), md5(concat(lit("x"), sgl)))).as("hs"))
+          .select(col("doc_id"), explode(transform(
+            sequence(lit(0), lit(7)),
+            b => struct(
+              b.as("band"),
+              array_min(transform(col("hs"),
+                h => h.substr(b * 8 + 1, lit(8)))).as("sig")))).as("bs"))
+          .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+        time("batch banding (md5)")(cnt(batchBands))
+        println(s"[profile] docs=${Tables.documents(spark, d).count()}, batch=${Tables.documents(spark, d).filter(col("doc_id") >= 400).count()}")
         time("full q_dedup_minhash_incremental", 4)(
           cnt(SparkEntry.queries("q_dedup_minhash_incremental")(spark, d)))
       case q =>
