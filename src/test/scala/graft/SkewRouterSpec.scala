@@ -121,20 +121,26 @@ class SkewRouterSpec extends AnyFunSuite {
       dir.resolve("events.parquet"),
       java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"))
     val d = dir.toString
+    // 2level-route marker per family: the day-bucketed pipelines show
+    // their to_date bucketing; q_event_paths_2level checkpoints its
+    // bounded candidate slice since r17 (the to_date sits behind the
+    // LogicalRDD leaf), so its marker is the merge-join's mday column
     val autos = Seq(
-      EventsTime.sessionizeAuto, queries.Joins.joinAsOfAuto,
-      EventsTime.attributionAuto, queries.Lifecycle.markovTransitionsAuto,
-      queries.Lifecycle.eventPathsAuto)
+      EventsTime.sessionizeAuto -> "to_date",
+      queries.Joins.joinAsOfAuto -> "to_date",
+      EventsTime.attributionAuto -> "to_date",
+      queries.Lifecycle.markovTransitionsAuto -> "to_date",
+      queries.Lifecycle.eventPathsAuto -> "mday")
     SkewRouter.recordStat(spark, s"$d#events.user_id", SkewRouter.HotKeyRows + 1)
-    autos.foreach { q =>
+    autos.foreach { case (q, marker) =>
       val plan = q.fn(spark, d).queryExecution.analyzed.toString
-      assert(plan.contains("to_date"),
+      assert(plan.contains(marker),
         s"${q.name} must take the 2level route above the threshold")
     }
     SkewRouter.recordStat(spark, s"$d#events.user_id", 100L)
-    autos.foreach { q =>
+    autos.foreach { case (q, marker) =>
       val plan = q.fn(spark, d).queryExecution.analyzed.toString
-      assert(!plan.contains("to_date"),
+      assert(!plan.contains(marker),
         s"${q.name} must take the plain route below the threshold")
     }
   }
