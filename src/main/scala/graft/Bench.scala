@@ -107,6 +107,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // The whole warmup below is timed and reported as `warm_sec`
+    // (r18, VERDICT r17 item 1): the untimed warm region is real
+    // ingest-class cost a deployment pays at load time, and the
+    // artifact must say how much it is instead of charging it to
+    // nobody.
+    val warmT0 = System.nanoTime()
     // Warm up codegen, parquet reader, and the shuffle machinery once.
     spark.range(1000).selectExpr("sum(id)").collect()
     Tables.lineitem(spark, sfDir).limit(1).count()
@@ -130,6 +136,7 @@ object Bench {
     // same pipeline through the parser — BASELINE r14 note).
     if (!sys.env.get("SPARK_GRAFT_BENCH_WARM").contains("0"))
       Graft.warmAll(spark, sfDir)
+    val warmSec = (System.nanoTime() - warmT0) / 1e9
 
     val fullEval = sys.env.get("SPARK_GRAFT_BENCH_ACTION").contains("write")
     // default min-of-2 (r8 verdict item 5): the driver's single-pass
@@ -302,7 +309,8 @@ object Bench {
     // loadavg ≫ the 32 cores all say "contended window — adjudicate
     // against a calm anchor", straight from the artifact
     val envDiag =
-      s""""cpu_probe_sec":[${probes.map(p => f"$p%.3f").mkString(",")}],""" +
+      s""""warm_sec":${f"$warmSec%.3f"},""" +
+        s""""cpu_probe_sec":[${probes.map(p => f"$p%.3f").mkString(",")}],""" +
         s""""pass_walls":[${passWalls.map(w => f"$w%.2f").mkString(",")}],""" +
         s""""loadavg_start":"$loadStart","loadavg_end":"$loadEnd""""
     // HEADLINE `value` (r17, VERDICT r16 item 1): with >1 window run,
@@ -325,14 +333,17 @@ object Bench {
       else "sum_of_per_query_min_sec"
     val detail =
       s"""{"metric":"total","value":$headline,"unit":"sec","value_semantics":"$headlineSem","queries":$qs,"sum_sec":$sum,"min_pass_wall":$wall,"failed":$failedList,"concurrency":$conc,"repeat":$repeat,"extra_passes":$extra,"wall_all_passes":$wallAll,$windowDiag,$envDiag,"sf":"$sfDir"}"""
-    // The per-query detail line is long (~3KB); the harness tail-captures
-    // stdout, so print it FIRST and finish with a short headline line that
-    // survives head-truncation. Full JSON also lands in a file.
+    // The harness TAIL-captures stdout (PERF_r17 lost two rounds of
+    // per-query data because the map rode only the first-printed
+    // detail line — VERDICT r17 item 2), so the LAST line must carry
+    // the per-query minima. Print the full detail line first (extra
+    // window/pass diagnostics), then finish with a headline line that
+    // includes `queries`. Full JSON also lands in a file.
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), detail + "\n")
     catch { case _: Throwable => () }
     println(detail)
-    println(s"""{"metric":"total","value":$headline,"unit":"sec","value_semantics":"$headlineSem","sum_sec":$sum,"min_pass_wall":$wall,"failed_count":${failed.size},"concurrency":$conc,$envDiag,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$headline,"unit":"sec","value_semantics":"$headlineSem","queries":$qs,"sum_sec":$sum,"min_pass_wall":$wall,"failed_count":${failed.size},"concurrency":$conc,$envDiag,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

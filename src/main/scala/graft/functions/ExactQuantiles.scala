@@ -112,7 +112,10 @@ object ExactQuantiles {
       // per element — measured 2.3 s of q_percentile_window's 3.7 s
       // at sf0.1 — while the unrolled disjunction whole-stage-
       // codegens. Identical semantics, element count is |ps| (≤7).
-      .filter(ps.map { case (p, _) => hits(r(lit(p))) }.reduce(_ || _))
+      // reduceOption (ADVICE r17): empty ps must yield an empty
+      // result like exists() did, not throw.
+      .filter(ps.map { case (p, _) => hits(r(lit(p))) }
+        .reduceOption(_ || _).getOrElse(lit(false)))
       .select(groupCols.map(col) ++ Seq(col(valueCol), col("__eq_lo"),
         col("__eq_cum"), col("__eq_n"), explode(pArr).as("__eq_p")): _*)
       .withColumn("__eq_r", r(col("__eq_p")))
@@ -151,12 +154,13 @@ object ExactQuantiles {
       tag, knownMaxDistinct)
     def rOf(pd: Column): Column =
       greatest(ceil(pd * col("__eq_n")).cast("long"), lit(1L))
-    // static OR chain, not exists(array, lambda) — see cont() (r17)
+    // static OR chain, not exists(array, lambda) — see cont() (r17);
+    // reduceOption guards the empty-ps edge (ADVICE r17)
     val byP = cum
       .filter(ps.map { case (p, _) =>
         rOf(lit(new java.math.BigDecimal(p.toString))
           .cast(DecimalType(12, 6))).between(col("__eq_lo"), col("__eq_cum"))
-      }.reduce(_ || _))
+      }.reduceOption(_ || _).getOrElse(lit(false)))
       .select(groupCols.map(col) ++ Seq(col(valueCol), col("__eq_lo"),
         col("__eq_cum"), col("__eq_n"), explode(pArr).as("__eq_ps")): _*)
       .withColumn("__eq_p", col("__eq_ps.p"))
@@ -212,23 +216,13 @@ object ExactQuantiles {
       // sort+cumsum (measured: the window pass was ~70% of q_mad's and
       // q_percentile_disc's per-invocation cost, on a table that never
       // changes within a session). The lazy checkpoint materializes on
-      // the first action — warmAll forces it via materializeTagged, so
-      // bench/interactive consumers pay only the boundary pass. This is
-      // what the memo contract above already documents ("the memo holds
-      // the CUMULATION"); rows are byte-identical either way.
+      // the FIRST CONSUMER'S action — inside that query's timed region
+      // (r18, VERDICT r17 item 1: warm must not pre-build per-query
+      // subplans; the r17 materializeTagged warm hook is deleted).
+      // Later same-session consumers read the pinned rows; rows are
+      // byte-identical either way.
       rankedValues(df, groupCols, valueCol, maxWindowDistinct,
         knownMaxDistinct).localCheckpoint(false)
-    }
-
-  /** Force-materialize every tagged ranked table memoized for this
-    * session — called by Graft.warmAll so the lazy cumulation
-    * checkpoints land in the untimed warm region (ingest-class work,
-    * the priceQuantilePanel precedent) instead of inside the first
-    * consumer's timed run.
-    */
-  private[graft] def materializeTagged(s: org.apache.spark.sql.SparkSession): Unit =
-    rankedCache.keys.filter(_._1 eq s).foreach { k =>
-      rankedCache.peek(k).foreach(_.count())
     }
 
   private def rankedValues(df: DataFrame, groupCols: Seq[String],

@@ -703,7 +703,10 @@ object Aggregations extends QueryModule {
   val percentileWindowQ = QueryDef(
     "q_percentile_window",
     (s, d) => {
-      val ps = typedLit(Seq(0.25d, 0.5d, 0.75d, 0.99d))
+      // ONE binding for the requested quantiles (ADVICE r17): the
+      // exploded array and the boundary OR chain must stay in sync.
+      val pVals = Seq(0.25d, 0.5d, 0.75d, 0.99d)
+      val ps = typedLit(pVals)
       // Pre-aggregate to (group, value, count) BEFORE any window
       // (VERDICT r9 item 2): the first cut ran row_number over every
       // ROW, so each group's sort buffered corpus/3 rows — the one
@@ -740,7 +743,7 @@ object Aggregations extends QueryModule {
         // lambda) (r17): HOF lambdas evaluate interpreted per row —
         // measured 2.3 s of this query's 3.7 s at sf0.1 — while the
         // unrolled 4-term disjunction whole-stage-codegens.
-        .filter(Seq(0.25d, 0.5d, 0.75d, 0.99d).map { p =>
+        .filter(pVals.map { p =>
           (floor(lit(1) + lit(p) * (col("n") - 1)) >= col("lo") &&
             floor(lit(1) + lit(p) * (col("n") - 1)) <= col("cum")) ||
             (ceil(lit(1) + lit(p) * (col("n") - 1)) >= col("lo") &&

@@ -672,15 +672,29 @@ object Analytics extends QueryModule {
         .select(col("o_custkey"),
           datediff(col("corpus_max"), col("last_order")).cast("long").as("recency_days"),
           col("frequency"), col("monetary"))
-      val ranked = Seq[(String, Seq[org.apache.spark.sql.Column])](
-        "__r" -> Seq(col("recency_days"), col("o_custkey")),
-        "__f" -> Seq(col("frequency").desc, col("o_custkey")),
-        "__m" -> Seq(col("monetary").desc, col("o_custkey")))
-        .foldLeft(base) { case (df, (rn, ord)) =>
-          PrefixSum.attach(df, Nil, ord, rank = Some(rn),
-            countTotal = if (rn == "__r") Some("__n") else None)
-        }
-      ranked
+      // Three INDEPENDENT rank machines over ONE shared pin, joined
+      // back on custkey (r18, VERDICT r17 item 5): the old fold
+      // CHAINED the machines, so machine k's range shuffle sat on top
+      // of machines 1..k−1's whole window pipeline — construction
+      // serialized three eager checkpoint+collect barriers (measured:
+      // 1.65 s solo vs 4.1 s under the conc-8 bench). Now each
+      // machine's input is the cheap pinned base, the machines are
+      // construction-lazy (PrefixSum's global path since r18), and
+      // the three rank columns rejoin 1:1 on custkey — |customers| ×
+      // 2-long tables, broadcast at bench scale, degrading to hash
+      // joins at corpus scale (the 64m size-driven posture).
+      val pinned = base.localCheckpoint(false)
+      def ranked(rn: String, n: Option[String],
+          ord: org.apache.spark.sql.Column*) =
+        PrefixSum.attach(pinned, Nil, ord, rank = Some(rn), countTotal = n)
+          .select((col("o_custkey") +: (rn +: n.toSeq).map(col)): _*)
+      pinned
+        .join(ranked("__r", Some("__n"), col("recency_days"), col("o_custkey")),
+          "o_custkey")
+        .join(ranked("__f", None, col("frequency").desc, col("o_custkey")),
+          "o_custkey")
+        .join(ranked("__m", None, col("monetary").desc, col("o_custkey")),
+          "o_custkey")
         .select(col("o_custkey"), col("recency_days"), col("frequency"), col("monetary"),
           PrefixSum.ntileFromRank(col("__r"), col("__n"), 5).as("r_score"),
           PrefixSum.ntileFromRank(col("__f"), col("__n"), 5).as("f_score"),

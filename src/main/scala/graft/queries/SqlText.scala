@@ -432,14 +432,16 @@ object SqlText extends QueryModule {
         verified AS (
           -- |union| = |a| + |b| - |intersect| for the distinct shingle
           -- sets: one per-pair set pass instead of two (the repeated
-          -- array_intersect CSEs in codegen); the set is the
-          -- artifact's 64-bit hashed form — long set ops are
-          -- severalfold cheaper than string ones on the 1.5M-pair
+          -- count CSEs in codegen); the set is the artifact's 128-bit
+          -- hashed form (sorted hash-pair arrays since r18 — see
+          -- Dedup.shingleTableWarm for the collision budget) and the
+          -- intersection count is the registered merge kernel —
+          -- severalfold cheaper than string set ops on the 1.5M-pair
           -- verify, and the oracle still computes over the strings
           SELECT doc1, doc2,
-                 round(CAST(size(array_intersect(s1.shash, s2.shash)) AS DOUBLE)
+                 round(CAST(sorted_intersect_count(s1.shash, s2.shash) AS DOUBLE)
                        / (size(s1.shash) + size(s2.shash)
-                          - size(array_intersect(s1.shash, s2.shash))), 4) AS jaccard
+                          - sorted_intersect_count(s1.shash, s2.shash)), 4) AS jaccard
           FROM cand
           JOIN minhash_sh_sqt s1 ON doc1 = s1.doc_id
           JOIN minhash_sh_sqt s2 ON doc2 = s2.doc_id)

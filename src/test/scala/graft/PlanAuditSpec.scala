@@ -244,12 +244,25 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_cramers_v",         // ≤6 contingency cells
     "q_sql_cte")           // ≤25 nation rows (rank over the nat_rev CTE)
 
+  /** PrefixSum's lazy global path (r18) computes its exclusive prefix
+    * offsets with ONE unpartitioned window ORDERED BY `__ps_pid` over
+    * the per-partition partials — a table that is ≤ #shuffle-partitions
+    * rows BY CONSTRUCTION (one row per physical partition), i.e.
+    * cluster-metadata-sized, never data-proportional. That is the one
+    * legitimate unpartitioned-window shape; anything else stays banned.
+    */
+  private def isPidOffsetsWindow(
+      w: org.apache.spark.sql.catalyst.plans.logical.Window): Boolean =
+    w.orderSpec.exists(_.child.references.exists(_.name == "__ps_pid"))
+
   test("single-partition Window only over bounded-cardinality inputs") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     val offenders = SparkEntry.all.flatMap { q =>
       val plan = SparkEntry.queries(q.name)(spark, TestSpark.sf0001)
         .queryExecution.optimizedPlan
-      val globals = plan.collect { case w: LWindow if w.partitionSpec.isEmpty => w }
+      val globals = plan.collect {
+        case w: LWindow if w.partitionSpec.isEmpty && !isPidOffsetsWindow(w) => w
+      }
       if (globals.nonEmpty && !globalWindowAllowed(q.name))
         Some(s"${q.name}: ${globals.size} unpartitioned Window(s) — use PrefixSum")
       else None
@@ -264,7 +277,9 @@ class PlanAuditSpec extends AnyFunSuite {
         "q_histogram_equidepth")) {
       val plan = SparkEntry.queries(name)(spark, TestSpark.sf0001)
         .queryExecution.optimizedPlan
-      val globals = plan.collect { case w: LWindow if w.partitionSpec.isEmpty => w }
+      val globals = plan.collect {
+        case w: LWindow if w.partitionSpec.isEmpty && !isPidOffsetsWindow(w) => w
+      }
       assert(globals.isEmpty, s"$name still has a single-partition Window")
     }
   }
